@@ -1,0 +1,43 @@
+"""pandas_db_spark — a PySpark-native analytics engine with the query surface of
+``shner-elmo/pandas-db`` (reference: /root/reference, ``pandasdb`` v2.0.2).
+
+The reference is a lazy, read-only, pandas-flavored façade that compiles every
+call to SQL and pushes it to SQLite (reference ``README.md:17``,
+``pandasdb/connection.py:17-99``).  Here the same façade is a thin wrapper over
+``pyspark.sql.DataFrame``: a :class:`Table` holds a lazy DataFrame (the logical
+plan *is* the reference's stacked-temp-view chain), a :class:`Column` holds a
+``pyspark.sql.Column`` bound to its parent plan, and Catalyst supplies the
+pushdown / pruning / fusion the reference delegated to SQLite's planner.
+
+Beyond reference parity, the package adds what a 100 TB training-data pipeline
+needs: group-by / joins / set ops (the reference's own TODO, README.md:643),
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search, text analysis, multimodal column plumbing, and Structured
+Streaming windows.  See ``operators/``, ``functions/``, ``streaming/``.
+"""
+
+from pandas_db_spark.session import get_spark
+from pandas_db_spark.database import Database
+from pandas_db_spark.table import Table
+from pandas_db_spark.column import Column
+from pandas_db_spark.expression import Expression
+from pandas_db_spark.exceptions import (
+    FileTypeError,
+    InvalidTableError,
+    InvalidColumnError,
+    ConnectionClosedWarning,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "Database",
+    "Table",
+    "Column",
+    "Expression",
+    "FileTypeError",
+    "InvalidTableError",
+    "InvalidColumnError",
+    "ConnectionClosedWarning",
+]

@@ -1,0 +1,45 @@
+"""Filter predicates.
+
+The reference's ``Expression`` is a SQL text fragment plus the source-table
+name, composed with ``&``/``|`` under a same-table guard
+(``pandasdb/expression.py:6-59``).  Here the payload is a native boolean
+``pyspark.sql.Column`` — Catalyst gets a real predicate tree instead of a
+string — and we keep only the guard (reference ``expression.py:30-35``) as
+user-facing validation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column as SparkColumn
+
+
+class Expression:
+    """A boolean predicate bound to one table."""
+
+    def __init__(self, condition: SparkColumn, table: str):
+        if not isinstance(condition, SparkColumn):
+            raise TypeError(f"condition must be a pyspark Column, got {type(condition)}")
+        self.condition = condition
+        self.table = table
+
+    def _check_table(self, other: "Expression") -> None:
+        # Same-table guard, reference expression.py:30-35.
+        if self.table != other.table:
+            raise ValueError(
+                f"Cannot combine expressions from different tables: "
+                f"{self.table!r} and {other.table!r}"
+            )
+
+    def __and__(self, other: "Expression") -> "Expression":
+        self._check_table(other)
+        return Expression(self.condition & other.condition, self.table)
+
+    def __or__(self, other: "Expression") -> "Expression":
+        self._check_table(other)
+        return Expression(self.condition | other.condition, self.table)
+
+    def __invert__(self) -> "Expression":
+        return Expression(~self.condition, self.table)
+
+    def __repr__(self) -> str:
+        return f"Expression(table={self.table!r}, condition={self.condition})"

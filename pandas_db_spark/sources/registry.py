@@ -1,0 +1,176 @@
+"""Table discovery & ingestion.
+
+The reference accepts ``.db/.sqlite/.sqlite3`` files directly and materializes
+``.sql`` scripts into a throwaway db (``pandasdb/connection.py:58-78``,
+``utils.py:242-252``), with CSV ingest as a utility (``utils.py:214-239``).
+
+Our scale path is a **directory of parquet** (one file/dataset per table) —
+``spark.read.parquet`` gives vectorized scans, predicate pushdown, column
+pruning and partition pruning for free.  SQLite/.sql sources are supported for
+parity via a one-time stdlib-``sqlite3`` → Arrow → DataFrame ingest (the
+reference was single-node; these sources are inherently driver-local, so this
+is an ingest step, not the query path).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pandas_db_spark.exceptions import FileTypeError
+from pandas_db_spark.utils import normalize_col
+
+SUPPORTED_FILE_EXTENSIONS = (".db", ".sqlite", ".sqlite3", ".sql")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader cannot
+    infer those (PARQUET_TYPE_ILLEGAL), so they need the nanosAsLong path.
+    Footer-only pyarrow inspection; no data read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that tolerates nanosecond timestamps.
+
+    Files with TIMESTAMP(NANOS) columns are read with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (vectorized scan intact) and the
+    long nanos are converted JVM-side to ``timestamp_ntz`` via integer
+    ``div 1000`` + ``timestampadd`` — exact to the microsecond, independent of
+    session timezone, no precision loss (a double division would lose bits on
+    int64 epochs).  Everything else is a plain native read.
+    """
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def discover_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Return {table_name: lazy DataFrame} for a source path.
+
+    * directory → every ``*.parquet`` / ``*.csv`` inside is a table
+    * ``.db/.sqlite/.sqlite3`` → every SQLite table ingested
+    * ``.sql`` → script executed into :memory: then ingested
+    """
+    p = Path(path)
+    if p.is_dir():
+        out: dict[str, DataFrame] = {}
+        for f in sorted(p.iterdir()):
+            if f.suffix == ".parquet" or (f.is_dir() and f.name.endswith(".parquet")):
+                out[f.name[: -len(".parquet")]] = read_parquet(spark, str(f))
+            elif f.suffix == ".csv":
+                out[f.stem] = load_csv(spark, str(f))
+        return out
+    if not p.exists():
+        raise FileNotFoundError(path)
+    if p.suffix not in SUPPORTED_FILE_EXTENSIONS:
+        raise FileTypeError(
+            f"File extension must be one of {SUPPORTED_FILE_EXTENSIONS}, "
+            f"got {p.suffix!r}"
+        )
+    if p.suffix == ".sql":
+        return load_sql_script_tables(spark, str(p))
+    return load_sqlite_tables(spark, str(p))
+
+
+def load_csv(spark: SparkSession, path: str, set_lowercase: bool = True) -> DataFrame:
+    """CSV → DataFrame with the reference's lowercase/underscore column
+    normalization (``utils.py:214-239``)."""
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    if set_lowercase:
+        df = df.toDF(*[normalize_col(c) for c in df.columns])
+    return df
+
+
+def _sqlite_conn_tables(conn: sqlite3.Connection) -> list[str]:
+    rows = conn.execute(
+        "SELECT name FROM sqlite_master WHERE type = 'table' "
+        "AND name NOT LIKE 'sqlite_%'"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def _ingest_sqlite_conn(spark: SparkSession, conn: sqlite3.Connection) -> dict[str, DataFrame]:
+    import pandas as pd
+
+    out: dict[str, DataFrame] = {}
+    for t in _sqlite_conn_tables(conn):
+        pdf = pd.read_sql_query(f'SELECT * FROM "{t}"', conn)
+        # object columns that are all-None confuse Arrow inference → string
+        for c in pdf.columns:
+            if pdf[c].dtype == object and pdf[c].dropna().empty:
+                pdf[c] = pdf[c].astype("string")
+        out[t] = spark.createDataFrame(pdf)
+    return out
+
+
+def load_sqlite_tables(spark: SparkSession, db_path: str) -> dict[str, DataFrame]:
+    with sqlite3.connect(db_path) as conn:
+        return _ingest_sqlite_conn(spark, conn)
+
+
+def load_sql_script_tables(spark: SparkSession, sql_path: str) -> dict[str, DataFrame]:
+    """Execute a ``.sql`` script into :memory: and ingest the result
+    (reference re-materializes per connect to avoid staleness,
+    ``connection.py:64-76``; :memory: gives the same freshness for free)."""
+    with open(sql_path, encoding="utf-8") as f:
+        script = f.read()
+    conn = sqlite3.connect(":memory:")
+    try:
+        conn.executescript(script)
+        return _ingest_sqlite_conn(spark, conn)
+    finally:
+        conn.close()
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink: the parquet analogue of the reference's sql-dump
+    (``utils.py:200-211``)."""
+    df.write.mode(mode).parquet(path)
+
+
+def events_stream_reader(spark: SparkSession, sf_dir: str):
+    """``readStream`` over the events table directory — schema pinned from the
+    batch read (Structured Streaming requires an explicit schema for files).
+    Nanos timestamps arrive as longs and are converted like the batch path."""
+    path = os.path.join(sf_dir, "events.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    for c in ns_cols:
+        stream = stream.withColumn(
+            c,
+            F.expr(
+                f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return stream

@@ -1,0 +1,238 @@
+"""Table — a handle on one table: a lazy ``pyspark.sql.DataFrame`` plus a
+name and memo cache.
+
+Reference: ``pandasdb/table.py:109-127`` (stores only conn + name + Column
+dict; every transform stacks a SQLite temp view, ``table.py:331-353``).  Here
+the DataFrame's logical plan replaces the view chain one-for-one — Catalyst
+flattens filter→sort→limit stacks exactly like SQLite's planner inlined views
+(SURVEY.md §3.2), so ``TableView`` needs no separate class: every transform
+just returns a new ``Table``.
+
+Beyond reference parity (its own TODO, README.md:643) this Table also exposes
+``groupby``, ``join`` (broadcast-aware), and set ops — straight Spark, no
+custom machinery.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Callable, Generator, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandas_db_spark.cache import Cache
+from pandas_db_spark.column import Column, _plan_key
+from pandas_db_spark.exceptions import InvalidColumnError
+from pandas_db_spark.expression import Expression
+from pandas_db_spark.iloc import IndexLoc
+
+
+class Table:
+    def __init__(self, df: DataFrame, name: str, cache: Cache | None = None):
+        self._df = df
+        self._name = name
+        self._cache = cache if cache is not None else Cache()
+
+    # -- identity / metadata ------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """The underlying lazy DataFrame (the escape hatch to full Spark)."""
+        return self._df
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._df.columns)
+
+    def items(self) -> Generator[tuple[str, Column], None, None]:
+        for c in self.columns:
+            yield c, self._get_col(c)
+
+    @property
+    def len(self) -> int:
+        key = (_plan_key(self._df), self._name, "table_len")
+        return self._cache.memo(key, lambda: self._df.count())
+
+    def __len__(self) -> int:
+        return self.len
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.len, len(self.columns)
+
+    def describe(self) -> dict[str, dict]:
+        """Per-column describe (reference table.py:169-175)."""
+        return {name: col.describe() for name, col in self.items()}
+
+    def __hash__(self) -> int:
+        return hash((self._name,))
+
+    # -- column access --------------------------------------------------------
+    def _get_col(self, name: str) -> Column:
+        if name not in self._df.columns:
+            raise KeyError(f"No such Column: {name!r} in table {self._name!r}")
+        return Column(self._df, name, self._name, self._cache)
+
+    def __getattr__(self, item: str) -> Column:
+        # Only called when normal attribute lookup fails → treat as column.
+        if item.startswith("_"):
+            raise AttributeError(item)
+        try:
+            return self._get_col(item)
+        except KeyError as exc:
+            raise AttributeError(str(exc)) from exc
+
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            return self._get_col(item)
+        if isinstance(item, Expression):
+            return self.filter(item)
+        if isinstance(item, list):
+            missing = [c for c in item if c not in self._df.columns]
+            if missing:
+                raise InvalidColumnError(
+                    f"No such columns: {missing} in table {self._name!r}"
+                )
+            return Table(self._df.select(*item), self._name, self._cache)
+        raise TypeError(
+            f"Argument must be of type str, list, or Expression, "
+            f"not: {type(item).__name__}"
+        )
+
+    # -- transforms (lazy) ------------------------------------------------------
+    def filter(self, expression: Expression) -> "Table":
+        if not isinstance(expression, Expression):
+            raise TypeError(f"expression must be an Expression, got {type(expression)}")
+        if expression.table != self._name:
+            raise ValueError(
+                f"Cannot filter table {self._name!r} with an expression "
+                f"bound to table {expression.table!r}"
+            )
+        return Table(self._df.filter(expression.condition), self._name, self._cache)
+
+    def sort_values(self, column, ascending: bool = True) -> "Table":
+        """Sort by a column name (+ asc flag), a list of names (all ASC), or a
+        dict {col: 'ASC'|'DESC'} (reference table.py:286-318)."""
+        if isinstance(column, str):
+            spec = {column: "ASC" if ascending else "DESC"}
+        elif isinstance(column, list):
+            spec = {c: "ASC" for c in column}
+        elif isinstance(column, dict):
+            spec = {c: d.upper() for c, d in column.items()}
+        else:
+            raise TypeError(
+                f"column must be str, list, or dict, not {type(column).__name__}"
+            )
+        for c, d in spec.items():
+            if c not in self._df.columns:
+                raise InvalidColumnError(f"No such Column: {c!r}")
+            if d not in ("ASC", "DESC"):
+                raise ValueError(f"Sort direction must be ASC or DESC, got {d!r}")
+        order = [F.col(c).asc() if d == "ASC" else F.col(c).desc()
+                 for c, d in spec.items()]
+        return Table(self._df.orderBy(*order), self._name, self._cache)
+
+    def limit(self, n: int) -> "Table":
+        """First n rows in current order (reference ``WHERE _rowid_ <= n``,
+        table.py:320-329; stable for deterministic sources — SURVEY §2.7)."""
+        return Table(self._df.limit(n), self._name, self._cache)
+
+    def sample(self, n: int = 10) -> "Table":
+        """Exact-n uniform sample (reference ``ORDER BY RANDOM() LIMIT n``,
+        table.py:195-203) — executed as distributed top-n on a random key."""
+        seed = random.randint(0, 2**31 - 1)
+        return Table(self._df.orderBy(F.rand(seed)).limit(n), self._name, self._cache)
+
+    def applymap(self, func: Callable, *, ignore_na: bool = True,
+                 args: tuple = (), **kwargs: Any) -> Generator[tuple, None, None]:
+        """Apply a function to every cell (reference table.py:211-234).
+        Computed distributed via Arrow-batched pandas UDFs per column, then
+        streamed as row tuples."""
+        new_df = self._applymap_df(func, ignore_na=ignore_na, args=args, **kwargs)
+        for row in new_df.toLocalIterator():
+            yield tuple(row)
+
+    def _applymap_df(self, func: Callable, *, ignore_na: bool = True,
+                     args: tuple = (), **kwargs: Any) -> DataFrame:
+        out = self._df
+        for c in self.columns:
+            col = Column(out, c, self._name, self._cache)
+            out = col.apply_column(func, ignore_na=ignore_na, args=args, **kwargs)._df
+        return out
+
+    # -- beyond-parity relational ops --------------------------------------------
+    def groupby(self, *cols: str):
+        """Native group-by — the reference's unchecked TODO (README.md:643)."""
+        return self._df.groupBy(*cols)
+
+    def join(self, other: "Table", on, how: str = "inner",
+             broadcast_other: bool | None = None) -> "Table":
+        """Equi/outer/semi/anti join.  ``broadcast_other=None`` auto-broadcasts
+        when the other side is a known small dimension; Catalyst+AQE otherwise
+        picks hash/sort-merge."""
+        right = other._df
+        if broadcast_other:
+            right = F.broadcast(right)
+        return Table(self._df.join(right, on=on, how=how),
+                     f"{self._name}_join_{other._name}", self._cache)
+
+    def union(self, other: "Table") -> "Table":
+        return Table(self._df.unionByName(other._df), self._name, self._cache)
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self._df.intersect(other._df), self._name, self._cache)
+
+    def except_(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df), self._name, self._cache)
+
+    # -- actions -----------------------------------------------------------------
+    def data(self, limit: int | None = None) -> list[tuple]:
+        df = self._df if limit is None else self._df.limit(limit)
+        return [tuple(row) for row in df.collect()]
+
+    def to_df(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    def __iter__(self):
+        for row in self._df.toLocalIterator():
+            yield tuple(row)
+
+    @property
+    def iloc(self) -> IndexLoc:
+        return IndexLoc(self._df, scalar=False)
+
+    def equals(self, other: "Table") -> bool:
+        """Shape check then ordered row-wise compare (reference
+        table.py:480-495 compares *in order*)."""
+        if not isinstance(other, Table):
+            raise TypeError(f"other must be a Table, got {type(other)}")
+        if self.shape != other.shape:
+            return False
+        for a, b in zip(self, other, strict=True):
+            if a != b:
+                return False
+        return True
+
+    def _repr_df(self) -> pd.DataFrame:
+        """First 10 + last 10 rows without a full scan (reference
+        table.py:445-478)."""
+        n = self.len
+        head = self._df.limit(10).toPandas()
+        if n <= 20:
+            return self.to_df()
+        tail_rows = self.iloc[list(range(n - 10, n))]
+        tail = pd.DataFrame(tail_rows, columns=self.columns)
+        out = pd.concat([head, tail], ignore_index=True)
+        out.index = list(range(10)) + list(range(n - 10, n))
+        return out
+
+    def __repr__(self) -> str:
+        return repr(self._repr_df())
+
+    def _repr_html_(self) -> str:
+        return self._repr_df()._repr_html_()

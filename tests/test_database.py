@@ -1,0 +1,110 @@
+"""Database-level contract tests (reference model: tests/test_connection.py)."""
+
+import warnings
+
+import pandas as pd
+import pytest
+
+from pandas_db_spark import Database, ConnectionClosedWarning, FileTypeError, InvalidTableError
+from tests.conftest import SF_DIR
+
+ALL_TABLES = {"region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"}
+
+
+def test_tables(db):
+    assert set(db.tables) == ALL_TABLES
+    assert len(db) == len(ALL_TABLES)
+
+
+def test_attribute_and_item_access(db):
+    assert db.orders is db["orders"]
+    assert db.orders.name == "orders"
+
+
+def test_get_columns(db):
+    assert db.get_columns("region") == ["r_regionkey", "r_name"]
+    with pytest.raises(InvalidTableError):
+        db.get_columns("nope")
+
+
+def test_missing_table_errors(db):
+    with pytest.raises(InvalidTableError):
+        db["nope"]
+    with pytest.raises(AttributeError):
+        db.nope
+
+
+def test_items(db):
+    items = dict(db.items())
+    assert set(items) == ALL_TABLES
+
+
+def test_file_type_error(spark, tmp_path):
+    bad = tmp_path / "data.xyz"
+    bad.write_text("hi")
+    with pytest.raises(FileTypeError):
+        Database(str(bad), spark=spark)
+
+
+def test_query_join_and_duplicate_rename(db):
+    out = db.query(
+        "SELECT n_name, n_name FROM nation ORDER BY n_nationkey LIMIT 2"
+    )
+    assert list(out.columns) == ["n_name", "n_name_2"]
+    join = db.query(
+        "SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    )
+    assert isinstance(join, pd.DataFrame)
+    assert len(join) == db.customer.len
+
+
+def test_lifecycle_double_close_warns(spark):
+    d = Database(SF_DIR, spark=spark)
+    assert d.conn_open
+    d.exit()
+    assert not d.conn_open
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        d.exit()
+    assert any(issubclass(x.category, ConnectionClosedWarning) for x in w)
+
+
+def test_context_manager(spark):
+    with Database(SF_DIR, spark=spark) as d:
+        assert d.conn_open
+    assert not d.conn_open
+
+
+def test_sqlite_source(spark, tmp_path):
+    import sqlite3
+
+    path = tmp_path / "mini.db"
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+    conn.executemany("INSERT INTO t VALUES (?, ?)", [(1, "x"), (2, "y"), (None, None)])
+    conn.commit()
+    conn.close()
+
+    d = Database(str(path), spark=spark)
+    assert d.tables == ["t"]
+    assert d.t.shape == (3, 2)
+    assert d.t.a.null_count() == 1
+
+
+def test_sql_script_source(spark, tmp_path):
+    path = tmp_path / "mini.sql"
+    path.write_text(
+        "CREATE TABLE s (x INTEGER); INSERT INTO s VALUES (1); INSERT INTO s VALUES (2);"
+    )
+    d = Database(str(path), spark=spark)
+    assert d.tables == ["s"]
+    assert sorted(x[0] for x in d.s.data()) == [1, 2]
+
+
+def test_csv_source(spark, tmp_path):
+    (tmp_path / "people.csv").write_text("Name,Fav Color\nann,red\nbob,blue\n")
+    d = Database(str(tmp_path), spark=spark)
+    assert d.tables == ["people"]
+    assert d.people.columns == ["name", "fav_color"]
+    assert d.people.len == 2
