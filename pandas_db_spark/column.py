@@ -316,36 +316,47 @@ class Column:
         return self._derive(df=self._df.orderBy(F.rand(seed)).limit(n))
 
     def apply(self, func: Callable, *, ignore_na: bool = True,
-              args: tuple = (), **kwargs: Any) -> Generator:
+              returnType=None, args: tuple = (), **kwargs: Any) -> Generator:
         """Apply a Python function per cell, NULLs passed through when
         ``ignore_na`` (reference column.py:338-364 returns a generator; we
         compute distributed via an Arrow-batched pandas UDF, then stream)."""
-        transformed = self.apply_column(func, ignore_na=ignore_na, args=args, **kwargs)
+        transformed = self.apply_column(func, ignore_na=ignore_na,
+                                        returnType=returnType, args=args, **kwargs)
         for row in transformed.dataframe.toLocalIterator():
             yield row[0]
 
     def apply_column(self, func: Callable, *, ignore_na: bool = True,
-                     args: tuple = (), **kwargs: Any) -> "Column":
+                     returnType=None, args: tuple = (), **kwargs: Any) -> "Column":
         """Lazy, distributed variant of :meth:`apply` — returns a new Column
         (our engine keeps the result inside the engine; divergence documented
-        in SURVEY.md §2.11)."""
+        in SURVEY.md §2.11).
+
+        ``returnType`` (Spark type or DDL string, e.g. ``"double"``) declares
+        the UDF's output type.  When omitted, the function is assumed
+        type-preserving and the column's own type is used — no data is read
+        and no job runs at plan-build time; pass ``returnType`` explicitly for
+        type-changing functions.
+        """
         def batch_fn(s: pd.Series) -> pd.Series:
+            if not ignore_na:
+                return s.map(lambda x: func(x, *args, **kwargs))
+
             def cell(x):
-                if x is None and ignore_na:
+                # NULLs arrive as None (object dtype) or NaN/NaT (numeric /
+                # datetime dtypes after Arrow transfer) — treat all as NULL
+                # and pass through, like the reference's ignore_na.
+                if x is None:
                     return None
+                try:
+                    if pd.isna(x):
+                        return None
+                except (TypeError, ValueError):
+                    pass  # array-valued cell — pd.isna is elementwise
                 return func(x, *args, **kwargs)
             return s.map(cell)
 
-        udf = F.pandas_udf(batch_fn, returnType=T.StringType())  # type: ignore[call-overload]
-        # Probe output type on one value to pick a better return type.
-        probe = self.dataframe.filter(self._col.isNotNull()).limit(1).collect()
-        if probe:
-            out = func(probe[0][0], *args, **kwargs)
-            spark_t = {
-                int: T.LongType(), float: T.DoubleType(), bool: T.BooleanType(),
-                str: T.StringType(),
-            }.get(type(out), T.StringType())
-            udf = F.pandas_udf(batch_fn, returnType=spark_t)  # type: ignore[call-overload]
+        spark_t = returnType if returnType is not None else self._datatype()
+        udf = F.pandas_udf(batch_fn, returnType=spark_t)  # type: ignore[call-overload]
         new_df = self._df.withColumn(self._name, udf(self._col))
         return Column(new_df, self._name, self._table, self._cache)
 

@@ -149,20 +149,23 @@ class Table:
         return Table(self._df.orderBy(F.rand(seed)).limit(n), self._name, self._cache)
 
     def applymap(self, func: Callable, *, ignore_na: bool = True,
-                 args: tuple = (), **kwargs: Any) -> Generator[tuple, None, None]:
+                 returnType=None, args: tuple = (),
+                 **kwargs: Any) -> Generator[tuple, None, None]:
         """Apply a function to every cell (reference table.py:211-234).
         Computed distributed via Arrow-batched pandas UDFs per column, then
         streamed as row tuples."""
-        new_df = self._applymap_df(func, ignore_na=ignore_na, args=args, **kwargs)
+        new_df = self._applymap_df(func, ignore_na=ignore_na,
+                                   returnType=returnType, args=args, **kwargs)
         for row in new_df.toLocalIterator():
             yield tuple(row)
 
     def _applymap_df(self, func: Callable, *, ignore_na: bool = True,
-                     args: tuple = (), **kwargs: Any) -> DataFrame:
+                     returnType=None, args: tuple = (), **kwargs: Any) -> DataFrame:
         out = self._df
         for c in self.columns:
             col = Column(out, c, self._name, self._cache)
-            out = col.apply_column(func, ignore_na=ignore_na, args=args, **kwargs)._df
+            out = col.apply_column(func, ignore_na=ignore_na,
+                                   returnType=returnType, args=args, **kwargs)._df
         return out
 
     # -- beyond-parity relational ops --------------------------------------------

@@ -172,9 +172,15 @@ def test_limit_equals_iloc_slice(price):
 def test_apply_ignore_na(spark):
     sdf = spark.createDataFrame([("ab",), (None,), ("c",)], "v string")
     col = Column(sdf, "v", "t")
-    assert list(col.apply(len)) == [2, None, 1]
-    out = list(col.apply(lambda x: -1 if x is None else len(x), ignore_na=False))
+    assert list(col.apply(len, returnType="long")) == [2, None, 1]
+    out = list(col.apply(lambda x: -1 if x is None else len(x),
+                         ignore_na=False, returnType="long"))
     assert out == [2, -1, 1]
+    # NULL passthrough must also hold for numeric dtypes, where Arrow delivers
+    # NaN instead of None (ADVICE r1: pd.isna, not `is None`).
+    ndf = spark.createDataFrame([(1.5,), (None,), (2.5,)], "v double")
+    ncol = Column(ndf, "v", "t")
+    assert list(ncol.apply(lambda x: x * 2, returnType="double")) == [3.0, None, 5.0]
 
 
 def test_apply_with_args(db):
