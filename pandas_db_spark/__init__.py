@@ -11,9 +11,10 @@ pushdown / pruning / fusion the reference delegated to SQLite's planner.
 
 Beyond reference parity, the package adds what a 100 TB training-data pipeline
 needs: group-by / joins / set ops (the reference's own TODO, README.md:643),
-deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
-similarity search, text analysis, multimodal column plumbing, and Structured
-Streaming windows.  See ``operators/``, ``functions/``, ``streaming/``.
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard — ``operators/
+dedup.py``), similarity search over embeddings (brute-force, sign-LSH, IVF —
+``operators/similarity.py``), and text analysis (tokenization, quality,
+language ID, fingerprinting — ``functions/text.py``).
 """
 
 from pandas_db_spark.session import get_spark

@@ -1,0 +1,163 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Everything here is a *pure JVM-side expression* built from
+``pyspark.sql.functions`` higher-order array functions — no Python UDFs, so
+the hot path stays inside whole-stage codegen and scales linearly with
+executors.  Each operator has an ANSI-SQL mirror (see
+``pandas_db_spark/queries.py``) used as the DuckDB oracle.
+
+Operators (beyond-parity mandate; the reference has no text surface —
+its scalar functions stop at LIKE/arithmetic, reference pandasdb/column.py:748-754):
+
+* tokenization + token counting (whitespace + BPE-ish regex subword count)
+* length / punctuation / stopword quality statistics + a composite score
+* language identification via stopword-profile scoring (n-gram-free
+  heuristic, deterministic tie-break)
+* document fingerprinting (polynomial rolling hash, word-level over
+  char-level — stable across engines, unlike engine-specific hash builtins)
+* word shingles (n-grams) — shared with the dedup operators
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for the rolling fingerprint hash: 2^31 keeps every intermediate
+# (< 2^31 * 31 + 255) inside a 64-bit signed integer on any engine.
+_FP_MOD = 2_147_483_648
+
+# Stopword profiles for language ID.  Deliberately tiny: the point is the
+# *operator shape* (vectorized profile scoring + deterministic argmax), the
+# profiles themselves are swappable.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "la", "de", "los", "y", "que", "en", "un"),
+    "fr": ("le", "la", "les", "des", "et", "que", "en", "une"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+# English-ish stopwords for the quality score (subset shared with profiles).
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_PROFILES["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → ``array<string>``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace tokens (the unit LLM data budgets count)."""
+    return F.size(tokens(text))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish subword count: splits on whitespace AND transitions between
+    letter/digit/other runs (regex approximation of a byte-pair tokenizer's
+    pre-tokenization; the real tokenizer is model-specific and external)."""
+    pieces = F.split(F.trim(text), r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])")
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped).cast("double") / F.length(text)
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column,
+                   stopwords: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — low values flag keyword-stuffed
+    or non-prose documents; mid-range values flag natural language."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0,
+                  n_stop.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0, 1]:
+    0.4 * saturating length signal + 0.3 * (1 - punct ratio) + 0.3 * stopword
+    ratio.  Same closed form in the DuckDB oracle — a handful of IEEE ops, so
+    bit-stable across engines."""
+    length_signal = F.least(F.lit(1.0), token_count(text).cast("double") / F.lit(100.0))
+    return (F.lit(0.4) * length_signal
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text))
+            + F.lit(0.3) * stopword_ratio(text))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Distinct-stopword hits per language profile."""
+    toks_d = F.array_distinct(tokens(text))
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.array_intersect(toks_d, profile))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose profile scores highest; ties broken by
+    language code ascending; all-zero → 'und' (undetermined).  The CASE chain
+    is mirrored verbatim in the oracle SQL."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    expr = F.lit("und")
+    # Build from the LAST language backwards so earlier languages win ties.
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = (scores[lang] > 0)
+        for o in langs:
+            if o == lang:
+                continue
+            # >= for languages after us in sort order, > handled by order:
+            # iterating reversed + overwriting means the first lang in sort
+            # order that attains the max ends up on top of the CASE chain.
+            cond = cond & (scores[lang] >= scores[o])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the token stream, mod 2^31.
+
+    word_hash(w) = fold over chars: (g*31 + codepoint(c)) % 2^31
+    doc_hash     = fold over words: (h*31 + word_hash(w)) % 2^31
+
+    Pure arithmetic on integers → identical on any engine (the oracle
+    re-implements it with list_reduce), unlike xxhash64/murmur whose seeds
+    and variants differ across engines.  Used for cheap exact-dup detection
+    and content-defined sharding."""
+    word_hash = lambda w: F.aggregate(  # noqa: E731
+        F.split(w, ""),
+        F.lit(0).cast("long"),
+        lambda g, c: (g * 31 + F.ascii(c)) % _FP_MOD,
+    )
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda h, w: (h * 31 + word_hash(w)) % _FP_MOD,
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles — the unit of the fuzzy-dedup operators.
+    Documents shorter than ``n`` words degrade to one whole-document
+    shingle."""
+    toks = tokens(text)
+    shingled = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, shingled)
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    )

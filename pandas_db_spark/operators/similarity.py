@@ -1,0 +1,244 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three operators, each a different point on the recall/cost curve:
+
+* :func:`ann_topk_brute` — exact top-k: broadcast the (small) query set,
+  one linear scan with per-partition partial top-k in vectorized numpy,
+  then a tiny keyed shuffle to merge.  This is the 100 TB *baseline*: the
+  data is never shuffled, only ~(#queries × k) rows per partition move.
+* :func:`cosine_pairs_lsh` — all-pairs near-duplicate detection via
+  sign-random-projection LSH: signature bits from a seeded hyperplane
+  matrix, banded like MinHash, candidates verified with an exact
+  JVM-side cosine (zip_with + sequential aggregate → bit-deterministic).
+  Never a cross join; buckets are band-keyed.
+* :func:`ivf_topk` — IVF-style approximate top-k: coarse centroids from a
+  one-iteration Lloyd pass on a deterministic sample, vectors partitioned
+  by nearest centroid, queries probe the ``nprobe`` nearest lists only.
+  The scale path when even one full scan per query batch is too much.
+
+The reference has no vector surface at all; this is the beyond-parity
+mandate over the ``embeddings`` table (vec_id, embedding float[64], label).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact cosine, JVM-side (for verification joins)
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b) -> F.Column:
+    """Sequential-fold double dot product — same associativity as the
+    oracle's list_reduce, so results are bit-identical."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_sim(a, b) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k (baseline)
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_brute(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k for the given query ids.
+
+    Plan shape: collect the query vectors (tiny) → broadcast inside a
+    mapInPandas closure → each partition emits its local top-k per query
+    (vectorized numpy matmul in float64) → global top-k via one keyed
+    window over ≤ (#partitions × #queries × k) rows.  Output is integer-only
+    (query_id, rank, neighbor_id) so the result hashes identically across
+    engines regardless of float formatting."""
+    qids = sorted(set(int(q) for q in query_ids))
+    qrows = (emb.filter(F.col(id_col).isin(qids))
+                .select(id_col, vec_col).collect())
+    if not qrows:
+        spark = emb.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, sim double"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ q_norm.T  # (batch, nq)
+            for qi, qid in enumerate(q_ids):
+                s = sims[:, qi]
+                mask = ids != qid  # exclude self
+                cand_ids, cand_s = ids[mask], s[mask]
+                if len(cand_ids) > k:
+                    part = np.argpartition(-cand_s, k)[:k]
+                    cand_ids, cand_s = cand_ids[part], cand_s[part]
+                yield_df = pd.DataFrame({
+                    "query_id": np.full(len(cand_ids), qid, dtype=np.int64),
+                    "neighbor_id": cand_ids,
+                    "sim": cand_s,
+                })
+                yield yield_df
+
+    partial = emb.select(id_col, vec_col).mapInPandas(local_topk, out_schema)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k)
+                   .select("query_id", F.col("rank").cast("int").alias("rank"),
+                           "neighbor_id"))
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def _sign_bands(emb: DataFrame, id_col: str, vec_col: str, dim: int,
+                bands: int, rows: int, seed: int) -> DataFrame:
+    """(id, band, bh) — band keys from sign-random-projection bits.
+
+    The hyperplane matrix is seeded → deterministic across runs and
+    executors.  Bits are computed in numpy (vectorized, Arrow-batched); the
+    matrix rides in the closure (d × bands·rows doubles — a few KB)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, bands * rows))
+
+    def signer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (mat @ planes) > 0  # (n, bands*rows)
+            # pack each band's `rows` bits into one small int key
+            weights = (1 << np.arange(rows))
+            out_ids, out_band, out_bh = [], [], []
+            for b in range(bands):
+                chunk = bits[:, b * rows:(b + 1) * rows]
+                key = (chunk * weights).sum(axis=1)
+                out_ids.append(ids)
+                out_band.append(np.full(len(ids), b, dtype=np.int64))
+                out_bh.append(key.astype(np.int64))
+            yield pd.DataFrame({
+                "id": np.concatenate(out_ids),
+                "band": np.concatenate(out_band),
+                "bh": np.concatenate(out_bh),
+            })
+
+    return (emb.select(id_col, vec_col)
+               .mapInPandas(signer, "id long, band long, bh long"))
+
+
+def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int = 64, bands: int = 32, rows: int = 4,
+                     seed: int = 42) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via sign-LSH
+    banding + exact verification.  Precision is exact (every candidate is
+    re-scored with the deterministic JVM cosine); recall follows the LSH
+    S-curve — at cos ≥ 0.95 a pair agrees with a random hyperplane with
+    p ≈ 0.90, so missing all 32 bands has prob (1-0.9⁴)³² ≈ 2e-15."""
+    keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
+    left = keyed.select(F.col("id").alias("id_a"), "band", "bh")
+    right = keyed.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (left.join(right, ["band", "bh"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct())
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    return (joined.select("id_a", "id_b",
+                          cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+                  .filter(F.col("sim") >= threshold)
+                  .select("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate top-k
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
+             nlist: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", sample_n: int = 2048) -> DataFrame:
+    """IVF-style approximate top-k: coarse centroids ← one Lloyd iteration
+    on a deterministic sample; every vector assigned to its nearest list
+    (one narrow numpy pass); queries scan only the ``nprobe`` nearest lists.
+
+    At 100 TB: the assignment pass writes a bucketed copy once; per-query
+    work drops from a full scan to nprobe/nlist of the data.  Approximate →
+    exposed as a rows-only (non-oracle) query."""
+    sample = (emb.orderBy(id_col)  # deterministic sample: lowest ids
+                 .select(vec_col)
+                 .limit(sample_n).collect())
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat[:nlist].copy()
+    # one Lloyd iteration
+    assign = (mat @ cent.T).argmax(axis=1)
+    for c in range(nlist):
+        members = mat[assign == c]
+        if len(members):
+            m = members.mean(axis=0)
+            cent[c] = m / np.linalg.norm(m)
+
+    def assigner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            pdf = pdf[[id_col]].copy()
+            pdf["list_id"] = (vs @ cent.T).argmax(axis=1).astype(np.int64)
+            yield pdf
+
+    lists = emb.mapInPandas(
+        assigner, f"{id_col} long, list_id long").join(emb, id_col)
+
+    qids = sorted(set(int(q) for q in query_ids))
+    qrows = (emb.filter(F.col(id_col).isin(qids))
+                .select(id_col, vec_col).collect())
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(cent @ qv))[:nprobe]
+        probe_rows.extend((int(r[0]), int(c)) for c in order)
+    spark = emb.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+
+    shortlisted = lists.join(F.broadcast(probes), "list_id")
+    q = emb.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (shortlisted.join(F.broadcast(q), "query_id")
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine_sim(F.col(vec_col), F.col("qv")).alias("sim")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          "neighbor_id"))

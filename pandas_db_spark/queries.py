@@ -513,3 +513,242 @@ def applymap(spark, sf_dir):
     """Table.applymap over every cell, distributed (ref table.py:211-234)."""
     li = get_db(spark, sf_dir).lineitem[["l_tax", "l_discount"]]
     return li._applymap_df(lambda x: x * 10, returnType="double")
+
+
+# =====================================================================
+# LLM-pipeline: text analysis (functions/text.py)
+# =====================================================================
+
+_TOK = "string_split(trim(text), ' ')"
+
+@q("text_stats",
+   f"SELECT doc_id, len({_TOK}) AS n_tokens, length(text) AS n_chars_m "
+   "FROM documents")
+def text_stats(spark, sf_dir):
+    """Token + char counts, pure JVM expressions (functions/text.py)."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    return d.df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.char_count(F.col("text")).alias("n_chars_m"))
+
+
+@q("text_quality",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks, text "
+   "FROM documents), "
+   "s AS (SELECT doc_id, "
+   "  len(toks) AS nt, "
+   "  length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g'))::DOUBLE"
+   "    / length(text) AS pr, "
+   "  len(list_filter(toks, t -> list_contains("
+   "    ['the','a','and','of','to','is','in','that'], t)))::DOUBLE"
+   "    / len(toks) AS sr FROM t) "
+   "SELECT doc_id, "
+   "0.4 * least(1.0, nt / 100.0) + 0.3 * (1.0 - pr) + 0.3 * sr AS quality "
+   "FROM s")
+def text_quality(spark, sf_dir):
+    """Composite quality score — length/punct/stopword signals, identical
+    closed form on both engines (functions/text.py quality_score)."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    return d.df.select("doc_id",
+                       X.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    from pandas_db_spark.functions.text import LANG_PROFILES
+    langs = sorted(LANG_PROFILES)
+    score = {
+        lang: ("len(list_intersect(list_distinct(toks), ["
+               + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]))")
+        for lang in langs
+    }
+    cases = []
+    for lang in langs:
+        conds = [f"{score[lang]} > 0"] + [
+            f"{score[lang]} >= {score[o]}" for o in langs if o != lang]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return ("WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') "
+            "AS toks FROM documents) "
+            f"SELECT doc_id, lang, CASE {' '.join(cases)} ELSE 'und' END "
+            "AS lang_pred FROM t")
+
+
+@q("text_lang_id", _lang_oracle())
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (functions/text.py lang_id); output keeps
+    the ground-truth lang column alongside the prediction."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    return d.df.select("doc_id", "lang",
+                       X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q("text_fingerprint",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks "
+   "FROM documents), "
+   "wh AS (SELECT doc_id, list_transform(toks, w -> "
+   "  list_reduce(list_prepend(0::BIGINT, "
+   "    [ascii(c)::BIGINT for c in string_split(w, '')]), "
+   "    (g, c) -> (g * 31 + c) % 2147483648)) AS whs FROM t) "
+   "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, whs), "
+   "  (h, x) -> (h * 31 + x) % 2147483648) AS fp FROM wh")
+def text_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint — engine-neutral integer
+    arithmetic, mirrored with list_reduce in the oracle."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    return d.df.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+# =====================================================================
+# LLM-pipeline: dedup (operators/dedup.py)
+# =====================================================================
+
+# Shared oracle fragment: distinct 3-gram shingle sets per document.
+_SHINGLES = (
+    "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+    "FROM documents), "
+    "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN "
+    "[ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)] "
+    "ELSE [array_to_string(ws, ' ')] END) AS sh FROM w) "
+)
+
+_EXACT_PAIRS = (
+    _SHINGLES +
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "len(list_intersect(a.sh, b.sh))::DOUBLE "
+    "/ len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+)
+
+
+@q("dedup_exact",
+   "SELECT min(doc_id) AS doc_id FROM documents "
+   "GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: normalize → sha2 digest groupBy → keep smallest id.
+    The oracle groups by the normalized text itself — same equivalence
+    classes, hash-free."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    return D.exact_dedup_keep(d.df, "text", "doc_id")
+
+
+@q("dedup_ngram_jaccard",
+   _EXACT_PAIRS + "WHERE jaccard >= 0.8")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs (J ≥ 0.8) via inverted-index join — the
+    all-pairs oracle is feasible at sf0.01 (500 docs); the Spark plan is the
+    scalable one (posting-list join, no cross product)."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    return D.jaccard_pairs(d.df, "text", "doc_id", threshold=0.8)
+
+
+@q("dedup_minhash",
+   _EXACT_PAIRS + "WHERE jaccard >= 0.8")
+def dedup_minhash(spark, sf_dir):
+    """MinHash-LSH (128 perms, 32 bands × 4) + exact verify.  Verification
+    makes precision exact; banding recall at J ≥ 0.8 is 1 - 5e-8, so the
+    result equals the exact all-pairs oracle."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    return D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+
+
+@q("dedup_minhash_keep",
+   "WITH pairs AS (" + _EXACT_PAIRS + "WHERE jaccard >= 0.8) "
+   "SELECT doc_id FROM documents "
+   "WHERE doc_id NOT IN (SELECT id_b FROM pairs)")
+def dedup_minhash_keep(spark, sf_dir):
+    """Surviving ids after MinHash dedup with the keep-smallest policy."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    return D.keep_first(d.df, pairs, "doc_id").select("doc_id")
+
+
+def _simhash_oracle() -> str:
+    """All-pairs replica of the SimHash criterion (Hamming ≤ 3 AND J ≥ 0.8)
+    using the same engine-neutral polynomial hash and bit rule as
+    operators/dedup.simhash_signatures — generated from the same constants."""
+    from pandas_db_spark.operators.dedup import SIMHASH_BITS
+    bit_terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h >> {j}) & 1 = 1)) "
+        f"> len(hs) THEN {1 << j}::BIGINT ELSE 0 END"
+        for j in range(SIMHASH_BITS))
+    return (
+        _SHINGLES +
+        ", hsh AS (SELECT doc_id, sh, list_transform(sh, t -> "
+        "  list_reduce(list_prepend(0::BIGINT, "
+        "    [ascii(c)::BIGINT for c in string_split(t, '')]), "
+        "    (g, c) -> (g * 31 + c) % 2147483648)) AS hs FROM s) "
+        f", sig AS (SELECT doc_id, sh, {bit_terms} AS simhash FROM hsh) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "len(list_intersect(a.sh, b.sh))::DOUBLE "
+        "/ len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 "
+        "AND len(list_intersect(a.sh, b.sh))::DOUBLE "
+        "/ len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8")
+
+
+@q("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """SimHash dedup: 28-bit engine-neutral signature, 4-band candidate join
+    (lossless for Hamming ≤ 3 by pigeonhole), exact Jaccard verify — output
+    is exactly the pairs meeting the SimHash criterion, no probabilistic
+    recall."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    return D.simhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+
+
+# =====================================================================
+# LLM-pipeline: similarity search (operators/similarity.py)
+# =====================================================================
+
+@q("ann_topk",
+   "SELECT t.vec_id AS query_id, rank, neighbor_id FROM ("
+   "  SELECT q.vec_id, e.vec_id AS neighbor_id, "
+   "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+   "      list_cosine_similarity(q.embedding::DOUBLE[], "
+   "                             e.embedding::DOUBLE[]) DESC, e.vec_id) "
+   "    AS rank "
+   "  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id "
+   "  WHERE q.vec_id < 5) t(vec_id, neighbor_id, rank) "
+   "WHERE rank <= 10")
+def ann_topk(spark, sf_dir):
+    """Exact brute-force cosine top-10 for query vectors 0..4: broadcast
+    queries, single scan, per-partition partial top-k, keyed merge.  Output
+    integer-only so float formatting can't break the hash compare (top-k
+    margins ≥ 5e-3 ≫ any accumulation-order noise)."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    return S.ann_topk_brute(e.df, query_ids=range(5), k=10)
+
+
+@q("ann_cosine_pairs",
+   "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+   "JOIN embeddings b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+   "b.embedding::DOUBLE[]) >= 0.95")
+def ann_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs at cosine ≥ 0.95 via sign-LSH banding +
+    exact verify (operators/similarity.py cosine_pairs_lsh).  Precision is
+    exact; recall at this threshold ≈ 1 - 2e-15."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    return S.cosine_pairs_lsh(e.df, threshold=0.95)
+
+
+@q("ann_ivf")  # approximate → rows-only check (no oracle)
+def ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (nlist=16, nprobe=4) — the genuinely
+    approximate scale path; recall vs the exact answer is asserted ≥ 0.9 in
+    tests/test_similarity.py instead of an oracle."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    return S.ivf_topk(e.df, query_ids=range(5), k=10)

@@ -1,0 +1,207 @@
+"""LLM-pipeline operator tests: dedup, similarity search, text analysis.
+
+Oracle strategy mirrors the driver: exact answers computed in-process
+(numpy / brute force) and compared against the bucketed/banded Spark plans.
+Plan-shape assertions keep the 100 TB properties honest: candidate
+generation must never be a cartesian product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_spark.operators import dedup as D
+from pandas_db_spark.operators import similarity as S
+from pandas_db_spark.functions import text as X
+from pandas_db_spark.plans.explain import formatted_plan
+from pandas_db_spark.sources.registry import read_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_parquet(spark, f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_parquet(spark, f"{SF_DIR}/embeddings.parquet")
+
+
+def exact_jaccard_pairs(docs_pdf, threshold, n=3):
+    """Driver-side exact all-pairs 3-gram Jaccard — the oracle."""
+    sets = {}
+    for _, row in docs_pdf.iterrows():
+        ws = row["text"].strip().split()
+        if len(ws) >= n:
+            sh = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+        else:
+            sh = {" ".join(ws)}
+        sets[row["doc_id"]] = sh
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    sdf = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text"),
+         (4, "HELLO WORLD ")],
+        "doc_id long, text string")
+    kept = {r[0] for r in D.exact_dedup_keep(sdf, "text", "doc_id").collect()}
+    assert kept == {1, 3}
+
+
+def test_jaccard_pairs_match_exact_oracle(docs):
+    truth = exact_jaccard_pairs(docs.toPandas(), 0.8)
+    got = {(r["id_a"], r["id_b"])
+           for r in D.jaccard_pairs(docs, "text", "doc_id", 0.8).collect()}
+    assert got == truth
+
+
+def test_minhash_pairs_match_exact_oracle(docs):
+    truth = exact_jaccard_pairs(docs.toPandas(), 0.8)
+    got = {(r["id_a"], r["id_b"])
+           for r in D.minhash_pairs(docs, "text", "doc_id", 0.8).collect()}
+    assert got == truth
+    assert truth, "testdata should contain near-duplicate pairs"
+
+
+def test_dedup_plans_have_no_cartesian(docs):
+    for pairs in (D.jaccard_pairs(docs, "text", "doc_id", 0.8),
+                  D.minhash_pairs(docs, "text", "doc_id", 0.8),
+                  D.simhash_pairs(docs, "text", "doc_id", 0.8)):
+        plan = formatted_plan(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_criterion_is_deterministic(docs):
+    a = {(r["id_a"], r["id_b"])
+         for r in D.simhash_pairs(docs, "text", "doc_id", 0.8).collect()}
+    b = {(r["id_a"], r["id_b"])
+         for r in D.simhash_pairs(docs, "text", "doc_id", 0.8).collect()}
+    assert a == b
+
+
+def test_keep_first_drops_larger_ids(spark, docs):
+    pairs = spark.createDataFrame([(1, 5), (2, 7)], "id_a long, id_b long")
+    kept = D.keep_first(docs, pairs, "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 5 not in ids and 7 not in ids and 1 in ids and 2 in ids
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def _exact_topk(emb_pdf, qids, k):
+    ids = emb_pdf["vec_id"].to_numpy()
+    mat = np.array(list(emb_pdf["embedding"]), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        qv = mat[ids == q][0]
+        sims = mat @ qv
+        order = sorted(
+            ((s, i) for s, i in zip(sims, ids) if i != q),
+            key=lambda t: (-t[0], t[1]))
+        out[q] = [i for _, i in order[:k]]
+    return out
+
+
+def test_ann_topk_brute_matches_numpy(emb):
+    truth = _exact_topk(emb.toPandas(), [0, 1, 2], 5)
+    got = S.ann_topk_brute(emb, [0, 1, 2], k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert by_q == truth
+
+
+def test_cosine_pairs_lsh_verifies_exactly(emb):
+    # exact truth at a threshold low enough to have content
+    pdf = emb.toPandas()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = pdf["vec_id"].to_numpy()
+    th = 0.4
+    truth = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if sims[i, j] >= th}
+    got = {(r["id_a"], r["id_b"])
+           for r in S.cosine_pairs_lsh(emb, threshold=th).collect()}
+    # precision must be exact; recall bounded below (LSH at low threshold)
+    assert got <= truth
+    if truth:
+        assert len(got) / len(truth) >= 0.8
+
+
+def test_ivf_recall(emb):
+    qids = [0, 1, 2, 3, 4]
+    truth = _exact_topk(emb.toPandas(), qids, 10)
+    got = S.ivf_topk(emb, qids, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(by_q.get(q, set()) & set(truth[q])) / 10 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_and_fingerprint(spark):
+    sdf = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat"), (3, "cat the sat")],
+        "doc_id long, text string")
+    rows = sdf.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n"),
+        X.fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert all(by_id[i]["n"] == 3 for i in (1, 2, 3))
+    assert by_id[1]["fp"] == by_id[2]["fp"]          # same content
+    assert by_id[1]["fp"] != by_id[3]["fp"]          # order-sensitive
+    # reference implementation in python
+    def py_fp(text):
+        h = 0
+        for w in text.strip().split():
+            g = 0
+            for c in w:
+                g = (g * 31 + ord(c)) % 2_147_483_648
+            h = (h * 31 + g) % 2_147_483_648
+        return h
+    assert by_id[1]["fp"] == py_fp("the cat sat")
+
+
+def test_lang_id_prefers_matching_profile(spark):
+    sdf = spark.createDataFrame(
+        [(1, "the cat is in the house"),
+         (2, "el gato en la casa y los perros"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string")
+    rows = sdf.select("doc_id", X.lang_id(F.col("text")).alias("l")).collect()
+    got = {r["doc_id"]: r["l"] for r in rows}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "und"
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(X.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
