@@ -522,7 +522,7 @@ def applymap(spark, sf_dir):
 _TOK = "string_split(trim(text), ' ')"
 
 @q("text_stats",
-   f"SELECT doc_id, len({_TOK}) AS n_tokens, length(text) AS n_chars_m "
+   f"SELECT doc_id, len({_TOK})::INT AS n_tokens, length(text)::INT AS n_chars_m "
    "FROM documents")
 def text_stats(spark, sf_dir):
     """Token + char counts, pure JVM expressions (functions/text.py)."""
@@ -711,7 +711,7 @@ def dedup_simhash(spark, sf_dir):
 # =====================================================================
 
 @q("ann_topk",
-   "SELECT t.vec_id AS query_id, rank, neighbor_id FROM ("
+   "SELECT t.vec_id AS query_id, rank::INT AS rank, neighbor_id FROM ("
    "  SELECT q.vec_id, e.vec_id AS neighbor_id, "
    "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
    "      list_cosine_similarity(q.embedding::DOUBLE[], "
@@ -752,3 +752,108 @@ def ann_ivf(spark, sf_dir):
     from pandas_db_spark.operators import similarity as S
     e = get_db(spark, sf_dir).embeddings
     return S.ivf_topk(e.df, query_ids=range(5), k=10)
+
+
+# =====================================================================
+# Streaming windows (streaming/windows.py — batch forms; the streaming
+# equivalence is asserted in tests/test_streaming.py)
+# =====================================================================
+
+@q("events_tumbling",
+   "SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
+   "count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+   "FROM events GROUP BY 1")
+def events_tumbling(spark, sf_dir):
+    """1-hour tumbling windows over events — one keyed shuffle, decimal-exact
+    sum, window start as epoch seconds (integer: engine-neutral)."""
+    from pandas_db_spark.streaming import windows as W
+    e = get_db(spark, sf_dir).events
+    return W.tumbling(e.df, duration="1 hour")
+
+
+@q("events_tumbling_by_type",
+   "SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
+   "count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+   "FROM events GROUP BY 1, 2")
+def events_tumbling_by_type(spark, sf_dir):
+    from pandas_db_spark.streaming import windows as W
+    e = get_db(spark, sf_dir).events
+    return W.tumbling(e.df, duration="1 hour", keys=("event_type",))
+
+
+@q("events_sliding",
+   "WITH b AS (SELECT *, (epoch_us(ts) // 1800000000) * 1800 AS b0 "
+   "FROM events), "
+   "x AS (SELECT unnest([b0, b0 - 1800]) AS window_start, value FROM b) "
+   "SELECT window_start, count(*) AS n_events, min(value) AS min_value, "
+   "max(value) AS max_value, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+   "FROM x GROUP BY 1")
+def events_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 min — every event lands in exactly two
+    windows; Spark expands engine-side, the oracle via unnest of the two
+    epoch-aligned candidate starts."""
+    from pandas_db_spark.streaming import windows as W
+    e = get_db(spark, sf_dir).events
+    return W.sliding(e.df, duration="1 hour", slide="30 minutes")
+
+
+@q("events_session",
+   "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+   "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER "
+   "  (PARTITION BY user_id ORDER BY us) IS NULL "
+   "  OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 900000000 "
+   "  THEN 1 ELSE 0 END AS new_s FROM e), "
+   "g AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id "
+   "  ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM m) "
+   "SELECT user_id, min(us) // 1000000 AS session_start, "
+   "count(*) AS n_events FROM g GROUP BY user_id, sess")
+def events_session(spark, sf_dir):
+    """15-minute-gap sessionization per user via native session_window; the
+    oracle is the classic gaps-and-islands SQL."""
+    from pandas_db_spark.streaming import windows as W
+    e = get_db(spark, sf_dir).events
+    return W.session(e.df, gap="15 minutes")
+
+
+# =====================================================================
+# Multimodal plumbing (operators/multimodal.py)
+# =====================================================================
+
+@q("mm_decode_meta",
+   "SELECT doc_id, (octet_length(text::BLOB) % 640)::INT AS width, "
+   "((octet_length(text::BLOB) * 7) % 480)::INT AS height, 3 AS channels "
+   "FROM documents")
+def mm_decode_meta(spark, sf_dir):
+    """Binary payload → decoded metadata through the Arrow-batched
+    mapInPandas plumbing (deterministic fake codec — real codecs plug into
+    the same batch interface)."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    out = M.decode_media(media)
+    return out.select("doc_id",
+                      F.col("width").cast("int").alias("width"),
+                      F.col("height").cast("int").alias("height"),
+                      F.col("channels").cast("int").alias("channels"))
+
+
+@q("mm_frame_sample",
+   "WITH m AS (SELECT doc_id, octet_length(text::BLOB) AS n, "
+   "  CAST(floor((octet_length(text::BLOB) + 3) / 4.0) AS INT) AS chunk "
+   "  FROM documents), "
+   "f AS (SELECT doc_id, unnest(range(0, 4)) AS frame_idx, chunk, n "
+   "  FROM m) "
+   "SELECT doc_id, frame_idx::INT AS frame_idx, "
+   "least(chunk, greatest(0, n - frame_idx::INT * chunk))::INT "
+   "AS frame_len FROM f")
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling: 4 contiguous byte slices per payload, pure JVM
+    substring + explode (no Python)."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    return (M.frame_slices(media, n_frames=4)
+            .select("doc_id", "frame_idx", "frame_len"))

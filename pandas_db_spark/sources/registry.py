@@ -164,7 +164,12 @@ def events_stream_reader(spark: SparkSession, sf_dir: str):
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    # File stream sources need a directory; select just the events file(s)
+    # from the sf dir with a glob (works for both single-file and
+    # directory-shaped parquet datasets).
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet*")
+              .parquet(sf_dir))
     for c in ns_cols:
         stream = stream.withColumn(
             c,

@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema shape, Arrow batch decode, frame slicing,
+and the real-codec integration point."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_db_spark.operators import multimodal as M
+from pandas_db_spark.sources.registry import read_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    return M.attach_media(docs, "text", "doc_id")
+
+
+def test_media_schema(media):
+    fields = dict(media.dtypes)
+    assert fields["payload"] == "binary"
+    assert fields["meta"].startswith("struct<media_type:string,n_bytes:int")
+
+
+def test_payload_roundtrip(media, spark):
+    docs = read_parquet(spark, f"{SF_DIR}/documents.parquet")
+    row = media.orderBy("doc_id").limit(1).collect()[0]
+    text = docs.orderBy("doc_id").limit(1).collect()[0]["text"]
+    assert bytes(row["payload"]).decode("utf-8") == text
+    assert row["meta"]["n_bytes"] == len(text.encode("utf-8"))
+
+
+def test_fake_decode_deterministic(media):
+    out = M.decode_media(media).orderBy("doc_id").collect()
+    meta = {r["doc_id"]: r["meta"]["n_bytes"]
+            for r in media.select("doc_id", "meta").collect()}
+    for r in out:
+        n = meta[r["doc_id"]]
+        assert r["width"] == n % M.FAKE_WIDTH_MOD
+        assert r["height"] == (n * 7) % M.FAKE_HEIGHT_MOD
+        assert r["channels"] == 3
+
+
+def test_real_codec_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media, codec="pil")
+
+
+def test_frame_slices_reassemble(media):
+    frames = M.frame_slices(media, n_frames=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    payloads = {r["doc_id"]: bytes(r["payload"])
+                for r in media.collect()}
+    for doc_id, fs in by_doc.items():
+        fs.sort(key=lambda r: r["frame_idx"])
+        assert len(fs) == 4
+        joined = b"".join(bytes(r["frame"]) for r in fs)
+        assert joined == payloads[doc_id]
+        assert all(r["frame_len"] == len(bytes(r["frame"])) for r in fs)

@@ -1,0 +1,67 @@
+"""Streaming windows: batch forms are oracle-checked by the driver; here we
+assert (a) window semantics against hand-computed slices and (b) the
+streaming form converges to the batch answer (the Structured Streaming
+contract) via a file source → memory sink run."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_spark.sources.registry import events_stream_reader, read_parquet
+from pandas_db_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_parquet(spark, f"{SF_DIR}/events.parquet")
+
+
+def test_tumbling_counts_sum_to_total(events):
+    out = W.tumbling(events, duration="1 hour").collect()
+    assert sum(r["n_events"] for r in out) == events.count()
+    starts = [r["window_start"] for r in out]
+    assert all(s % 3600 == 0 for s in starts)
+
+
+def test_sliding_doubles_event_mass(events):
+    out = W.sliding(events, duration="1 hour", slide="30 minutes").collect()
+    # each event is in exactly duration/slide = 2 windows
+    assert sum(r["n_events"] for r in out) == 2 * events.count()
+    assert all(r["window_start"] % 1800 == 0 for r in out)
+
+
+def test_session_windows_respect_gap(events):
+    sessions = W.session(events, gap="15 minutes").collect()
+    assert sum(r["n_events"] for r in sessions) == events.count()
+    # per-user session starts must be >= 15 min apart
+    by_user: dict[int, list[int]] = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r["session_start"])
+    for starts in by_user.values():
+        starts.sort()
+        assert all(b - a >= 900 for a, b in zip(starts, starts[1:]))
+
+
+def test_stream_converges_to_batch(spark, events):
+    """readStream over the events files → watermarked tumbling agg → memory
+    sink; after processing all available data the sink must hold exactly the
+    batch answer (complete mode: no rows are withheld by the watermark)."""
+    stream = events_stream_reader(spark, SF_DIR)
+    agg = W.tumbling_stream(stream, duration="1 hour", watermark="2 hours")
+    query = (agg.writeStream.format("memory")
+                .queryName("t_stream_conv")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM t_stream_conv").collect()}
+    want = {tuple(r) for r in W.tumbling(events, duration="1 hour").collect()}
+    assert got == want

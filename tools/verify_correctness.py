@@ -55,6 +55,10 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         problems.append(
             f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
+    for c in sorted(spark_pdf.columns):
+        da, db = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        if da != db:
+            problems.append(f"dtype {c}: spark={da} duck={db}")
     if problems:
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
