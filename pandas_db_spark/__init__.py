@@ -22,6 +22,7 @@ from pandas_db_spark.database import Database
 from pandas_db_spark.table import Table
 from pandas_db_spark.column import Column
 from pandas_db_spark.expression import Expression
+from pandas_db_spark.utils import concat
 from pandas_db_spark.exceptions import (
     FileTypeError,
     InvalidTableError,
@@ -37,6 +38,7 @@ __all__ = [
     "Table",
     "Column",
     "Expression",
+    "concat",
     "FileTypeError",
     "InvalidTableError",
     "InvalidColumnError",

@@ -45,11 +45,15 @@ _PY_TYPE = {
 }
 
 
-def _plan_key(df: DataFrame) -> int:
+def _plan_key(df: DataFrame) -> int | None:
+    """Stable fingerprint of the logical plan for result memoization.
+    On failure return None → the caller bypasses the cache entirely
+    (an id()-based fallback could collide after GC reuses the address and
+    serve a stale result for a different plan)."""
     try:
         return df.semanticHash()
     except Exception:
-        return id(df)
+        return None
 
 
 class Column:
@@ -95,7 +99,10 @@ class Column:
 
     # -- memo -------------------------------------------------------------
     def _memo(self, op: str, compute, *args):
-        key = (_plan_key(self._df), self._name, repr(self._col), op, args)
+        pk = _plan_key(self._df)
+        if pk is None:
+            return compute()  # unkeyable plan → skip memoization
+        key = (pk, self._name, repr(self._col), op, args)
         return self._cache.memo(key, compute)
 
     def _datatype(self) -> T.DataType:

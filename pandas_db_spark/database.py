@@ -61,15 +61,29 @@ class Database:
 
     @property
     def views(self) -> list[str]:
-        return []  # no view chaining in this engine (SURVEY §2.2)
+        """Permanent views in the session catalog.  This engine performs no
+        view chaining (lazy DataFrames replace the reference's temp-view
+        machinery, SURVEY §2.2), so this lists only user-created catalog
+        views — usually empty."""
+        return [
+            t.name for t in self._spark.catalog.listTables()
+            if t.tableType == "VIEW"
+        ]
 
     @property
     def temp_tables(self) -> list[str]:
+        """The reference's temp *tables* (connection.py:134-141) have no
+        Spark analogue (global temp views are listed under temp_views)."""
         return []
 
     @property
     def temp_views(self) -> list[str]:
-        return []
+        """Temporary views registered in this session — includes the one
+        view per table this Database registers for ``query()``."""
+        return [
+            t.name for t in self._spark.catalog.listTables()
+            if t.tableType == "TEMPORARY"
+        ]
 
     def get_columns(self, table_name: str) -> list[str]:
         if table_name not in self._tables:

@@ -58,16 +58,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(
-            c,
-            F.expr(
-                f"timestampadd(MICROSECOND, `{c}` div 1000, "
-                f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+    # nanosAsLong is read at *scan definition* time, so it only needs to be
+    # set while building the plan; restore the previous value afterwards so
+    # a shared user session keeps its own semantics for unrelated reads.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(conf_key)
+    except Exception:
+        prev = None
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        # Force plan analysis while the conf is active.
+        df.schema
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(conf_key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(conf_key, prev)
     return df
 
 
@@ -162,6 +181,9 @@ def events_stream_reader(spark: SparkSession, sf_dir: str):
     path = os.path.join(sf_dir, "events.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
+        # Streaming scans re-check the conf at (re)start, so it must stay set
+        # for the stream's lifetime — documented side effect, unlike the
+        # batch path which restores it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # File stream sources need a directory; select just the events file(s)
