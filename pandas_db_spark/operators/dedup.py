@@ -5,25 +5,37 @@ Five families, all **bucketed/banded — never an all-pairs cross join** (the
 are small, and only verify within buckets):
 
 * exact dedup          — normalize → sha2 digest → hash groupBy (1 shuffle)
-* n-gram Jaccard       — inverted-index join on shared shingles → exact verify
-* MinHash-LSH          — 128-perm signatures → 32 bands × 4 rows → band-join
-                         → exact Jaccard verify (banding is a *recall-loss-free
-                         candidate filter* at these parameters: a pair with
-                         J ≥ 0.8 misses all 32 bands with prob (1-0.8⁴)³² ≈ 5e-8)
-* SimHash              — 64-bit sign-aggregated signature → 16-bit band join
-                         → Hamming cutoff → exact Jaccard verify
+* n-gram Jaccard       — inverted index: groupBy shingle → in-bucket pairs
+                         → exact verify
+* MinHash-LSH          — 128-perm signatures → 32 bands × 4 rows → groupBy
+                         band bucket → in-bucket pairs → exact Jaccard verify
+                         (banding is a *recall-loss-free candidate filter* at
+                         these parameters: a pair with J ≥ 0.8 misses all 32
+                         bands with prob (1-0.8⁴)³² ≈ 5e-8)
+* SimHash              — 28-bit sign-aggregated signature → 4 × 7-bit band
+                         buckets → Hamming cutoff → exact Jaccard verify
 * embedding cosine     — see operators/similarity.py (sign-LSH banding)
 
-Everything is built from JVM higher-order array functions (`transform`,
-`aggregate`, `array_intersect`) — no Python in the hot path.  Signatures are
-computed in one narrow pass; the only shuffles are the band/bucket joins and
-the final distinct, all keyed.
+Candidate generation is **groupBy-bucket + within-bucket pair expansion**,
+not a self-join: a self-join would execute the (expensive) signature plan
+once per side, and shuffle it twice.  One `groupBy(bucket).collect_list`
+computes signatures once, shuffles once, and the quadratic work is confined
+to each bucket (higher-order `filter`/`explode`, no Python).
+
+Signature hashing is two-level: each shingle is hashed **once** with
+`xxhash64` (the only string hash), then the ``num_perm`` permutations are
+derived with universal hashing ``(aᵢ·h + bᵢ) mod p`` over Z_p, p = 2³¹-1 —
+integer multiply-add per permutation instead of a fresh string hash, ~30×
+cheaper in Spark's interpreted higher-order-function path.  Constants keep
+every intermediate below 2⁶³ (ANSI-mode safe): h, aᵢ, bᵢ < 2³¹.
 
 Scale levers exposed as parameters:
 * ``max_df`` — drop shingles occurring in more than ``max_df`` documents
-  before the inverted-index join (stopword-shingle skew cap; trades exactness
-  for bounded bucket size — with MinHash banding instead, no cap is needed).
+  before the inverted-index expansion (stopword-shingle skew cap; with
+  MinHash banding instead, no cap is needed).
 * band/row counts — recall/cost dial per the standard S-curve.
+* run :func:`exact_dedup_keep` FIRST at scale — exact-duplicate clusters
+  share every band, so a k-clone cluster inflates fuzzy buckets to k² pairs.
 
 The reference has no dedup surface (its API stops at whole-column aggregates,
 reference pandasdb/column.py:174-304); this module is the beyond-parity
@@ -32,10 +44,40 @@ mandate over the ``documents`` table.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pandas_db_spark.functions.text import word_shingles
+
+# Universal-hash family over Z_p, p = 2³¹-1 (Mersenne prime).  Base hashes
+# and multipliers both live below 2³¹, so aᵢ·h + bᵢ < 2⁶³ — no ANSI-mode
+# overflow — while the map h → (aᵢ·h + bᵢ) mod p wraps ~aᵢ/2 times across
+# the domain, i.e. it genuinely scrambles order.  (A larger modulus with
+# small multipliers would be near-monotonic — the minima of all permutations
+# would be correlated and LSH recall collapses.)
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (aᵢ, bᵢ) pairs for the permutation family — fixed seed
+    so signatures are reproducible across runs/sessions."""
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+            for _ in range(num_perm)]
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work.  A single small parquet file arrives as ONE partition, which would
+    serialize the signature computation on one core; on a real cluster an
+    upstream scan usually has enough splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -77,6 +119,21 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str],
+                  id_col: str) -> DataFrame:
+    """(id_a, id_b) pairs co-occurring in ≥ 1 bucket: ONE groupBy shuffle,
+    then within-bucket pair expansion with higher-order functions.  Replaces
+    a self-join (which would compute and shuffle `keyed` twice)."""
+    pairs = (keyed.groupBy(*bucket_cols)
+                  .agg(F.collect_set(id_col).alias("ids"))
+                  .filter(F.size("ids") > 1)
+                  .select(F.explode("ids").alias("id_a"), F.col("ids"))
+                  .select(F.col("id_a"),
+                          F.explode(F.filter(
+                              "ids", lambda x: x > F.col("id_a"))).alias("id_b")))
+    return pairs.distinct()
+
+
 def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
                   threshold: float) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their shingle sets and keep
@@ -100,24 +157,25 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3,
                   max_df: int | None = None) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via an **inverted-index join**:
-    explode shingles → self-join on the shingle → distinct candidate pairs →
+    """Exact n-gram-Jaccard near-dup pairs via an **inverted index**:
+    explode shingles → group ids by shingle → within-posting-list pairs →
     exact verify.  Any pair with J ≥ threshold shares ≥ 1 shingle, so with
     ``max_df=None`` this is exact, at the cost of skew on very common
-    shingles; set ``max_df`` to cap posting-list length (or use
+    shingles; ``max_df`` caps posting-list length (or use
     :func:`minhash_pairs`, whose bucket sizes don't depend on shingle
     frequency)."""
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
+    lists = (posting.groupBy("sh")
+                    .agg(F.collect_set(id_col).alias("ids"))
+                    .filter(F.size("ids") > 1))
     if max_df is not None:
-        freq = posting.groupBy("sh").count().filter(F.col("count") <= max_df)
-        posting = posting.join(freq.select("sh"), "sh")
-    left = posting.select(F.col(id_col).alias("id_a"), "sh")
-    right = posting.select(F.col(id_col).alias("id_b"), "sh")
-    cand = (left.join(right, "sh")
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .distinct())
+        lists = lists.filter(F.size("ids") <= max_df)
+    cand = (lists.select(F.explode("ids").alias("id_a"), F.col("ids"))
+                 .select(F.col("id_a"),
+                         F.explode(F.filter(
+                             "ids", lambda x: x > F.col("id_a"))).alias("id_b"))
+                 .distinct())
     return _verify_pairs(cand, sh, id_col, threshold)
 
 
@@ -129,14 +187,30 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 def minhash_signatures(sh: DataFrame, id_col: str,
                        num_perm: int = 128) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of
-    xxhash64(shingle, i).  One narrow pass, JVM-side; the per-permutation
-    seed rides as the second xxhash64 argument (no permutation tables)."""
-    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(F.col("shingles"), lambda x: F.xxhash64(x, s))
-        ),
+    ((aᵢ·h(x) + bᵢ) mod 2³¹-1), h = xxhash64 folded into Z_p.
+
+    One narrow JVM pass shaped as a single fold: hash each shingle ONCE,
+    then `aggregate` over the hash array keeps an accumulator of num_perm
+    running minima updated with `zip_with` multiply-adds.  Cost is
+    O(|shingles| · (1 string hash + num_perm fused int ops)) instead of
+    O(|shingles| · num_perm string hashes); the fold shape guarantees the
+    string-hash pass is evaluated once even if Catalyst inlines projections.
+    The 31-bit base-hash space is plenty below ~10⁸ distinct shingles per
+    corpus (birthday collisions merely perturb J estimates, and the exact
+    verify step removes false positives); a 100 TB corpus would widen the
+    base hash and modulus."""
+    consts = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                       for a, b in _perm_constants(num_perm)])
+    hashes = F.transform(
+        F.col("shingles"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE_31)))
+    init = F.array_repeat(F.lit(_MERSENNE_31).cast("long"), num_perm)
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, consts,
+            lambda m, ab: F.least(
+                m, F.pmod(ab["a"] * h + ab["b"], F.lit(_MERSENNE_31)))),
     )
     return sh.select(F.col(id_col), sig.alias("sig"))
 
@@ -144,9 +218,9 @@ def minhash_signatures(sh: DataFrame, id_col: str,
 def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
                 rows: int) -> DataFrame:
     """Candidate pairs sharing ≥ 1 LSH band: explode (band_idx, band_hash)
-    keys, self-join on them, distinct.  The join key includes the band index,
-    so bucket sizes stay |docs with identical r-row slice| — independent of
-    corpus-wide term frequencies."""
+    keys, group by them, expand pairs inside each bucket.  The bucket key
+    includes the band index, so bucket sizes stay |docs with identical r-row
+    slice| — independent of corpus-wide term frequencies."""
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda i: F.struct(
@@ -157,12 +231,7 @@ def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
     keyed = (sig_df.select(F.col(id_col), F.explode(band_structs).alias("b"))
                    .select(id_col, F.col("b.band").alias("band"),
                            F.col("b.bh").alias("bh")))
-    left = keyed.select(F.col(id_col).alias("id_a"), "band", "bh")
-    right = keyed.select(F.col(id_col).alias("id_b"), "band", "bh")
-    return (left.join(right, ["band", "bh"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .distinct())
+    return _bucket_pairs(keyed, ["band", "bh"], id_col)
 
 
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -174,7 +243,7 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
     at the defaults ≈ 1 - 5e-8 for t = 0.8 (and higher above), so the output
     equals the exact all-pairs answer with overwhelming probability while
     scaling as Σ bucket² instead of n²."""
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
     sig = minhash_signatures(sh, id_col, num_perm)
     cand = _band_pairs(sig, id_col, bands, rows)
     return _verify_pairs(cand, sh, id_col, threshold)
@@ -233,40 +302,46 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     """Near-dup pairs by the SimHash criterion: Hamming(simhash) ≤
     ``hamming_max`` AND exact Jaccard ≥ threshold.
 
-    Candidates come from a 4-band join (7-bit chunks); for hamming_max ≤
-    bands-1 this is lossless by pigeonhole, so the output is exactly the
-    pairs satisfying the criterion — deterministic, oracle-checkable."""
+    Candidates come from 4 × 7-bit band buckets (lossless for hamming_max ≤
+    bands-1 by pigeonhole), so the output is exactly the pairs satisfying
+    the criterion — deterministic, oracle-checkable.  One groupBy shuffle;
+    the signature plan executes once (members carry their signature into the
+    bucket for the Hamming test)."""
     if hamming_max > SIMHASH_BANDS - 1:
         raise ValueError(
             f"hamming_max={hamming_max} breaks the pigeonhole guarantee "
             f"(must be <= {SIMHASH_BANDS - 1})")
-    sh = shingle_sets(df, text_col, id_col, n)
+    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
     sig = simhash_signatures(sh, id_col)
     mask = (1 << _SIMHASH_BAND_BITS) - 1
-    band_cols = [
-        F.shiftrightunsigned("simhash", b * _SIMHASH_BAND_BITS)
-         .bitwiseAND(F.lit(mask)).alias(f"band{b}")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * _SIMHASH_BAND_BITS)
+             .bitwiseAND(F.lit(mask)).alias("bh"),
+        )
         for b in range(SIMHASH_BANDS)
-    ]
-    sigb = sig.select(F.col(id_col), F.col("simhash"), *band_cols)
-    cands = []
-    for b in range(SIMHASH_BANDS):
-        left = sigb.select(F.col(id_col).alias("id_a"),
-                           F.col("simhash").alias("sig_a"),
-                           F.col(f"band{b}").alias("bh"))
-        right = sigb.select(F.col(id_col).alias("id_b"),
-                            F.col("simhash").alias("sig_b"),
-                            F.col(f"band{b}").alias("bh"))
-        cands.append(left.join(right, "bh")
-                         .filter(F.col("id_a") < F.col("id_b"))
-                         .select("id_a", "id_b", "sig_a", "sig_b"))
-    cand = cands[0]
-    for c in cands[1:]:
-        cand = cand.unionByName(c)
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    cand = (cand.filter(hamming <= hamming_max)
-                .select("id_a", "id_b")
-                .distinct())
+    ])
+    keyed = (sig.select(F.col(id_col), F.col("simhash"),
+                        F.explode(band_structs).alias("b"))
+                .select(id_col, "simhash",
+                        F.col("b.band").alias("band"),
+                        F.col("b.bh").alias("bh")))
+    member = F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+    hamming = lambda m_a, m_b: F.bit_count(  # noqa: E731
+        m_a["sig"].bitwiseXOR(m_b["sig"]))
+    cand = (keyed.groupBy("band", "bh")
+                 .agg(F.collect_set(member).alias("ms"))
+                 .filter(F.size("ms") > 1)
+                 .select(F.explode("ms").alias("m_a"), F.col("ms"))
+                 .select(F.col("m_a"),
+                         F.explode(F.filter(
+                             "ms",
+                             lambda m: m["id"] > F.col("m_a.id"))).alias("m_b"))
+                 .filter(hamming(F.col("m_a"), F.col("m_b")) <= hamming_max)
+                 .select(F.col("m_a.id").alias("id_a"),
+                         F.col("m_b.id").alias("id_b"))
+                 .distinct())
     return _verify_pairs(cand, sh, id_col, threshold)
 
 
