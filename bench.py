@@ -47,10 +47,15 @@ def main() -> int:
     spark = get_spark()
     registry = ent.queries()
 
-    # Warm the JVM + parquet footers once so the numbers measure the engine,
-    # not session startup.
+    # Warm the JVM + parquet footers + Python UDF workers once so the numbers
+    # measure the engine, not session/interpreter startup.
     try:
         registry["filter_gt"](spark, sf_dir).count()
+        from pyspark.sql import functions as F, types as T
+        noop = F.pandas_udf(lambda s: s, T.LongType())
+        spark.range(1000, numPartitions=int(
+            os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
+            noop("id")).count()
     except Exception:
         pass
 

