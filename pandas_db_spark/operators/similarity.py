@@ -158,13 +158,11 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     re-scored with the deterministic JVM cosine); recall follows the LSH
     S-curve — at cos ≥ 0.95 a pair agrees with a random hyperplane with
     p ≈ 0.90, so missing all 32 bands has prob (1-0.9⁴)³² ≈ 2e-15."""
+    from pandas_db_spark.operators.dedup import _bucket_pairs
     keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
-    left = keyed.select(F.col("id").alias("id_a"), "band", "bh")
-    right = keyed.select(F.col("id").alias("id_b"), "band", "bh")
-    cand = (left.join(right, ["band", "bh"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .distinct())
+    # groupBy-bucket + in-bucket expansion: the sign-projection plan runs
+    # once and shuffles once (a self-join would execute it per side).
+    cand = _bucket_pairs(keyed, ["band", "bh"], "id")
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     joined = cand.join(a, "id_a").join(b, "id_b")

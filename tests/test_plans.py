@@ -58,6 +58,27 @@ def test_iloc_slice_uses_range_predicate(db):
     assert got == loc[[*range(5, 15)]]
 
 
+@pytest.mark.parametrize("op", ["minhash", "simhash", "jaccard", "cosine"])
+def test_dedup_candidate_generation_is_bucketed(db, op):
+    """The 100 TB contract for every fuzzy-dedup / similarity operator:
+    candidate pairs come from keyed buckets, NEVER an all-pairs product.
+    Assert the physical plan contains no cartesian/nested-loop join."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import similarity as S
+    docs = db.documents.df
+    if op == "minhash":
+        out = D.minhash_pairs(docs, "text", "doc_id")
+    elif op == "simhash":
+        out = D.simhash_pairs(docs, "text", "doc_id")
+    elif op == "jaccard":
+        out = D.jaccard_pairs(docs, "text", "doc_id")
+    else:
+        out = S.cosine_pairs_lsh(db.embeddings.df)
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_aggregate_has_map_side_combine(db):
     """Under AQE the formatted plan hides WholeStageCodegen until execution
     (isFinalPlan=false), so assert the property that matters for shuffle
