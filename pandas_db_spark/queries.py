@@ -818,6 +818,26 @@ def events_session(spark, sf_dir):
     return W.session(e.df, gap="15 minutes")
 
 
+@q("events_stateful_totals",
+   "SELECT user_id, count(*) AS n_events, "
+   "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+   "FROM events GROUP BY user_id")
+def events_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, integer-cents total) state machine, driven over all
+    available data with an availableNow trigger.  Integer accumulation makes
+    the converged state independent of micro-batch boundaries, so a plain
+    GROUP BY is an exact oracle — a real streaming run hash-checked against
+    batch SQL."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming import stateful as ST
+    global _STATEFUL_SINK_N
+    _STATEFUL_SINK_N = globals().get("_STATEFUL_SINK_N", 0) + 1
+    stream = events_stream_reader(spark, sf_dir)
+    return ST.run_to_convergence(
+        stream, f"q_stateful_totals_{_STATEFUL_SINK_N}")
+
+
 # =====================================================================
 # Multimodal plumbing (operators/multimodal.py)
 # =====================================================================

@@ -46,6 +46,19 @@ def test_session_windows_respect_gap(events):
         assert all(b - a >= 900 for a, b in zip(starts, starts[1:]))
 
 
+def test_stateful_running_totals_converge(spark, events):
+    """applyInPandasWithState per-user totals: after an availableNow run the
+    final emitted state per key must equal the batch groupBy (integer-cents
+    accumulation → exact regardless of micro-batch boundaries)."""
+    from pandas_db_spark.streaming import stateful as ST
+    stream = events_stream_reader(spark, SF_DIR)
+    got = {tuple(r) for r in
+           ST.run_to_convergence(stream, "t_stateful_conv").collect()}
+    want = {tuple(r) for r in ST.running_totals(events).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_converges_to_batch(spark, events):
     """readStream over the events files → watermarked tumbling agg → memory
     sink; after processing all available data the sink must hold exactly the
