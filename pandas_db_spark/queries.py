@@ -329,6 +329,15 @@ def iloc_list(spark, sf_dir):
     return spark.createDataFrame([(v,) for v in cells], "o_orderkey long")
 
 
+@q("sample_n")  # random sample → rows-only check (exact-n contract)
+def sample_n(spark, sf_dir):
+    """Exact-n uniform sample (§2.7; ref table.py:195-203 ORDER BY RANDOM()
+    LIMIT n).  Values are nondeterministic so no value oracle; the driver's
+    rows-only check still enforces the exact-n contract (50 rows, always)."""
+    c = get_db(spark, sf_dir).customer
+    return c.sample(50).df.select("c_custkey")
+
+
 @q("table_len_shape",
    "SELECT count(*) AS n_rows, 11 AS n_cols FROM lineitem")
 def table_len_shape(spark, sf_dir):
@@ -752,6 +761,24 @@ def ann_ivf(spark, sf_dir):
     from pandas_db_spark.operators import similarity as S
     e = get_db(spark, sf_dir).embeddings
     return S.ivf_topk(e.df, query_ids=range(5), k=10)
+
+
+@q("dedup_embedding",
+   "WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+   "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+   "b.embedding::DOUBLE[]) >= 0.95) "
+   "SELECT vec_id FROM embeddings "
+   "WHERE vec_id NOT IN (SELECT id_b FROM pairs)")
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP: surviving ids after dropping the
+    larger member of every cosine-≥0.95 pair (sign-LSH banded candidates,
+    exact verify, anti-join keep policy — no all-pairs join anywhere)."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    pairs = S.cosine_pairs_lsh(e.df, threshold=0.95)
+    return D.keep_first(e.df, pairs, "vec_id").select("vec_id")
 
 
 # =====================================================================
