@@ -72,6 +72,21 @@ def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
             for _ in range(num_perm)]
 
 
+def _shared_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+                     persist: bool) -> DataFrame:
+    """Shingle sets for a pipeline that reads them MORE THAN ONCE (signature
+    pass + both sides of the verify join).  ``persist=True`` (default)
+    materializes them once at MEMORY_AND_DISK instead of recomputing the
+    scan+shingle plan per consumer — at 100 TB that is 3 scans saved; the
+    cache is LRU-evicted / disk-spilled under pressure.  Pass
+    ``persist=False`` for fire-and-forget plans where caching is unwanted."""
+    from pyspark import StorageLevel
+    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row
     work.  A single small parquet file arrives as ONE partition, which would
@@ -160,7 +175,7 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None, persist: bool = True) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs via an **inverted index**:
     explode shingles → group ids by shingle → within-posting-list pairs →
     exact verify.  Any pair with J ≥ threshold shares ≥ 1 shingle, so with
@@ -168,7 +183,7 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shingles; ``max_df`` caps posting-list length (or use
     :func:`minhash_pairs`, whose bucket sizes don't depend on shingle
     frequency)."""
-    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
+    sh = _shared_shingles(df, text_col, id_col, n, persist)
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     lists = (posting.groupBy("sh")
                     .agg(F.collect_set(id_col).alias("ids"))
@@ -245,14 +260,15 @@ def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
 
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3, num_perm: int = 128,
-                  bands: int = 32, rows: int = 4) -> DataFrame:
+                  bands: int = 32, rows: int = 4,
+                  persist: bool = True) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding + exact Jaccard verification.
 
     The verify step makes precision exact; recall is 1 - (1-t^rows)^bands —
     at the defaults ≈ 1 - 5e-8 for t = 0.8 (and higher above), so the output
     equals the exact all-pairs answer with overwhelming probability while
     scaling as Σ bucket² instead of n²."""
-    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
+    sh = _shared_shingles(df, text_col, id_col, n, persist)
     sig = minhash_signatures(sh, id_col, num_perm)
     cand = _band_pairs(sig, id_col, bands, rows)
     return _verify_pairs(cand, sh, id_col, threshold)
@@ -307,7 +323,7 @@ def simhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3,
-                  hamming_max: int = 3) -> DataFrame:
+                  hamming_max: int = 3, persist: bool = True) -> DataFrame:
     """Near-dup pairs by the SimHash criterion: Hamming(simhash) ≤
     ``hamming_max`` AND exact Jaccard ≥ threshold.
 
@@ -320,7 +336,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
         raise ValueError(
             f"hamming_max={hamming_max} breaks the pigeonhole guarantee "
             f"(must be <= {SIMHASH_BANDS - 1})")
-    sh = shingle_sets(_ensure_parallelism(df), text_col, id_col, n)
+    sh = _shared_shingles(df, text_col, id_col, n, persist)
     sig = simhash_signatures(sh, id_col)
     mask = (1 << _SIMHASH_BAND_BITS) - 1
     band_structs = F.array(*[
