@@ -136,22 +136,100 @@ def _sqlite_conn_tables(conn: sqlite3.Connection) -> list[str]:
 
 
 def _ingest_sqlite_conn(spark: SparkSession, conn: sqlite3.Connection) -> dict[str, DataFrame]:
+    return {t: _ingest_sqlite_conn_table(spark, conn, t)
+            for t in _sqlite_conn_tables(conn)}
+
+
+# Tables at or above this row count are read partition-parallel instead of
+# through a single driver-side pandas fetch.
+SQLITE_PARALLEL_THRESHOLD = 250_000
+
+
+def _sqlite_partitioned_df(spark: SparkSession, db_path: str, table: str,
+                           n_rows: int) -> DataFrame | None:
+    """Partition-parallel SQLite scan: rowid-range splits, one stdlib
+    ``sqlite3`` connection per task inside ``mapInPandas`` — the same design
+    as ``spark.read.jdbc(lowerBound/upperBound/numPartitions)``, which Spark
+    has no driver for sqlite.  Each task reads only its slice, so an 18M-row
+    table (the reference's own README example) never materializes on the
+    driver.  On a multi-node cluster the file must be task-accessible
+    (``SparkContext.addFile`` / shared FS); returns None when the table has
+    no usable rowid (WITHOUT ROWID) so the caller can fall back."""
     import pandas as pd
 
-    out: dict[str, DataFrame] = {}
-    for t in _sqlite_conn_tables(conn):
-        pdf = pd.read_sql_query(f'SELECT * FROM "{t}"', conn)
-        # object columns that are all-None confuse Arrow inference → string
-        for c in pdf.columns:
-            if pdf[c].dtype == object and pdf[c].dropna().empty:
-                pdf[c] = pdf[c].astype("string")
-        out[t] = spark.createDataFrame(pdf)
-    return out
+    with sqlite3.connect(db_path) as conn:
+        try:
+            lo, hi = conn.execute(
+                f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+        except sqlite3.OperationalError:
+            return None  # WITHOUT ROWID table
+        if lo is None:
+            return None
+        probe = pd.read_sql_query(
+            f'SELECT * FROM "{table}" LIMIT 1000', conn)
+    for c in probe.columns:
+        if probe[c].dtype == object and probe[c].dropna().empty:
+            probe[c] = probe[c].astype("string")
+    schema = spark.createDataFrame(probe).schema
+
+    parallelism = spark.sparkContext.defaultParallelism
+    # ~threshold/4 rows per split, capped at 4 splits per core.
+    n_splits = max(1, min(4 * parallelism,
+                          n_rows * 4 // SQLITE_PARALLEL_THRESHOLD + 1))
+    step = (hi - lo + n_splits) // n_splits
+    bounds = [(lo + i * step, min(hi, lo + (i + 1) * step - 1))
+              for i in range(n_splits)]
+    bounds = [(a, b) for a, b in bounds if a <= b]
+    bounds_df = spark.createDataFrame(bounds, "lo long, hi long") \
+                     .repartition(len(bounds))
+    cols = ", ".join(f'"{c}"' for c in probe.columns)
+
+    def read_slice(pdfs):
+        for pdf in pdfs:
+            for lo_, hi_ in pdf.itertuples(index=False):
+                with sqlite3.connect(db_path) as conn:
+                    for chunk in pd.read_sql_query(
+                            f'SELECT {cols} FROM "{table}" '
+                            f'WHERE rowid BETWEEN {lo_} AND {hi_}',
+                            conn, chunksize=100_000):
+                        yield chunk
+
+    return bounds_df.mapInPandas(read_slice, schema)
 
 
 def load_sqlite_tables(spark: SparkSession, db_path: str) -> dict[str, DataFrame]:
+    """Every table in a ``.db/.sqlite/.sqlite3`` file as a DataFrame.  Small
+    tables arrive via one Arrow ``createDataFrame``; tables with ≥
+    ``SQLITE_PARALLEL_THRESHOLD`` rows stream through the rowid-partitioned
+    reader and never pass through the driver."""
+    small: dict[str, DataFrame] = {}
+    large: dict[str, DataFrame] = {}
     with sqlite3.connect(db_path) as conn:
-        return _ingest_sqlite_conn(spark, conn)
+        names = _sqlite_conn_tables(conn)
+        counts = {t: conn.execute(f'SELECT count(*) FROM "{t}"').fetchone()[0]
+                  for t in names}
+    for t in names:
+        if counts[t] >= SQLITE_PARALLEL_THRESHOLD:
+            df = _sqlite_partitioned_df(spark, db_path, t, counts[t])
+            if df is not None:
+                large[t] = df
+    with sqlite3.connect(db_path) as conn:
+        for t in names:
+            if t not in large:
+                small.update(
+                    {t: _ingest_sqlite_conn_table(spark, conn, t)})
+    return {**small, **large}
+
+
+def _ingest_sqlite_conn_table(spark: SparkSession, conn: sqlite3.Connection,
+                              table: str) -> DataFrame:
+    import pandas as pd
+
+    pdf = pd.read_sql_query(f'SELECT * FROM "{table}"', conn)
+    for c in pdf.columns:
+        if pdf[c].dtype == object and pdf[c].dropna().empty:
+            pdf[c] = pdf[c].astype("string")
+    return spark.createDataFrame(pdf)
 
 
 def load_sql_script_tables(spark: SparkSession, sql_path: str) -> dict[str, DataFrame]:

@@ -92,6 +92,40 @@ def test_sqlite_source(spark, tmp_path):
     assert d.t.a.null_count() == 1
 
 
+def test_sqlite_partitioned_reader(spark, tmp_path, monkeypatch):
+    """Rowid-range parallel path: same rows as the driver-ingest path, read
+    in independent slices with no full-table driver fetch."""
+    import sqlite3
+
+    from pandas_db_spark.sources import registry
+
+    path = tmp_path / "big.db"
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE t (a INTEGER, b TEXT, c REAL)")
+    rows = [(i, f"s{i % 97}", i * 0.5 if i % 11 else None)
+            for i in range(10_000)]
+    conn.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    conn.commit()
+    conn.close()
+
+    monkeypatch.setattr(registry, "SQLITE_PARALLEL_THRESHOLD", 1_000)
+    tables = registry.load_sqlite_tables(spark, str(path))
+    df = tables["t"]
+    assert df.rdd.getNumPartitions() > 1
+    got = sorted(tuple(r) for r in df.collect())
+    assert len(got) == 10_000
+    assert got == sorted(rows)
+    # WITHOUT ROWID tables fall back to driver ingest
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID")
+    conn.execute("INSERT INTO w VALUES ('a', 1)")
+    conn.commit()
+    conn.close()
+    monkeypatch.setattr(registry, "SQLITE_PARALLEL_THRESHOLD", 1)
+    tables = registry.load_sqlite_tables(spark, str(path))
+    assert tables["w"].count() == 1
+
+
 def test_sql_script_source(spark, tmp_path):
     path = tmp_path / "mini.sql"
     path.write_text(
