@@ -381,6 +381,27 @@ def join_native(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_customers")))
 
 
+@q("join_supplier_volume",
+   "SELECT n_name, "
+   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+   "AS DOUBLE) AS revenue "
+   "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+   "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name")
+def join_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-flavored supplier volume: fact → two broadcast dims → one
+    hash agg.  The fact side never shuffles for the joins (both dims are
+    broadcast); the discounted price is recovered to its exact 4-decimal
+    value before summing so the total is order-independent."""
+    db = get_db(spark, sf_dir)
+    li, s, n = db.lineitem, db.supplier, db.nation
+    j = (li.df.join(F.broadcast(s.df), li.df.l_suppkey == s.df.s_suppkey)
+              .join(F.broadcast(n.df), s.df.s_nationkey == n.df.n_nationkey))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (j.groupBy("n_name")
+             .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
 @q("groupby_q1",
    "SELECT l_returnflag, l_linestatus, "
    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "

@@ -1,0 +1,134 @@
+"""Property-based differential tests: the façade vs pandas on random data.
+
+The reference's dominant test pattern is differential testing against pandas
+(SURVEY §5.1) on fixed fixtures; hypothesis upgrades that to randomized
+frames with nulls, duplicates, negatives and mixed signs.  Each example
+round-trips one small frame through Spark, so examples are capped and the
+deadline disabled (Spark job latency ≫ hypothesis defaults).
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pandas_db_spark.table import Table
+
+ROWS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-10**9, max_value=10**9)),
+        st.one_of(st.none(),
+                  st.floats(min_value=-1e6, max_value=1e6,
+                            allow_nan=False, allow_infinity=False)),
+        st.one_of(st.none(), st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=8)),
+    ),
+    min_size=1, max_size=40,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+
+def make_table(spark, rows):
+    df = spark.createDataFrame(rows, "i long, f double, s string")
+    return Table(df, "prop"), pd.DataFrame(rows, columns=["i", "f", "s"])
+
+
+@given(rows=ROWS)
+@PROP_SETTINGS
+def test_counts_and_aggregates_match_pandas(spark, rows):
+    t, pdf = make_table(spark, rows)
+    for col in ("i", "f", "s"):
+        c = t[col]
+        s = pdf[col]
+        assert len(c) == len(s)
+        assert c.count() == s.count()
+        assert c.null_count() == s.isna().sum()
+        # len == count + null_count (reference tests/test_column.py:60-67)
+        assert len(c) == c.count() + c.null_count()
+    for col in ("i", "f"):
+        c, s = t[col], pdf[col]
+        if s.count() == 0:
+            assert c.min() is None and c.max() is None
+            continue
+        assert c.min() == pytest.approx(s.min(), rel=1e-9)
+        assert c.max() == pytest.approx(s.max(), rel=1e-9)
+        assert c.sum() == pytest.approx(s.sum(), rel=1e-9)
+        assert c.avg() == pytest.approx(s.mean(), rel=1e-9)
+        assert c.median() == pytest.approx(s.median(), rel=1e-9)
+
+
+@given(rows=ROWS, threshold=st.integers(min_value=-10**9, max_value=10**9))
+@PROP_SETTINGS
+def test_filters_match_pandas_and_compose(spark, rows, threshold):
+    t, pdf = make_table(spark, rows)
+    got = sorted(tuple(r) for r in t[t.i > threshold].data())
+    want = sorted(pdf[pdf.i > threshold].itertuples(index=False, name=None))
+    assert _rows_eq(got, want)
+    # filter-then-filter == combined & filter (reference test_table.py:258)
+    both = t[(t.i > threshold) & (t.f < 0)]
+    chained = t[t.i > threshold]
+    chained = chained[chained.f < 0]
+    assert sorted(map(tuple, both.data())) == sorted(map(tuple, chained.data()))
+    # filtered ⊆ parent
+    assert len(both) <= len(t)
+
+
+@given(rows=ROWS)
+@PROP_SETTINGS
+def test_sort_and_distinct_match_pandas(spark, rows):
+    t, pdf = make_table(spark, rows)
+    got = [r[0] for r in t[["i"]].sort_values("i").data()]
+    # NULLs first on ascending sorts (reference utils.py:52-58)
+    want = list(pdf["i"].sort_values(na_position="first"))
+    assert _vals_eq(got, want)
+    assert set(x for x in t.i.unique()) == set(
+        pdf["i"].dropna()) | ({None} if pdf["i"].isna().any() else set())
+    vc = t.s.value_counts()
+    want_vc = pdf["s"].value_counts().to_dict()
+    assert {k: v for k, v in vc.items() if k is not None} == want_vc
+
+
+@given(rows=ROWS, delta=st.integers(min_value=-100, max_value=100))
+@PROP_SETTINGS
+def test_arithmetic_matches_python(spark, rows, delta):
+    t, pdf = make_table(spark, rows)
+    got = (t.i + delta).data()
+    want = [None if pd.isna(x) else x + delta for x in pdf["i"]]
+    assert sorted(_key(v) for v in got) == sorted(_key(v) for v in want)
+    got = (t.f * 2).data()
+    want = [None if pd.isna(x) else x * 2 for x in pdf["f"]]
+    assert sorted(_key(v) for v in got) == sorted(_key(v) for v in want)
+
+
+def _key(v):
+    if v is None:
+        return (0, 0.0)
+    return (1, float(v))
+
+
+def _vals_eq(got, want):
+    if len(got) != len(want):
+        return False
+    for g, w in zip(got, want):
+        g_null = g is None
+        w_null = pd.isna(w)
+        if g_null != w_null:
+            return False
+        if not g_null and not math.isclose(g, w, rel_tol=1e-9):
+            return False
+    return True
+
+
+def _rows_eq(got, want):
+    return len(got) == len(want) and all(
+        all((a is None and pd.isna(b)) or a == b or
+            (isinstance(a, float) and math.isclose(a, b, rel_tol=1e-9))
+            for a, b in zip(gr, wr))
+        for gr, wr in zip(got, want))
