@@ -27,6 +27,7 @@ from pandas_db_spark.exceptions import (
     FileTypeError,
     InvalidTableError,
     InvalidColumnError,
+    ExpressionError,
     ConnectionClosedWarning,
 )
 
@@ -42,5 +43,6 @@ __all__ = [
     "FileTypeError",
     "InvalidTableError",
     "InvalidColumnError",
+    "ExpressionError",
     "ConnectionClosedWarning",
 ]

@@ -124,6 +124,7 @@ class Database:
         """Arbitrary SQL over the registered tables → pandas DataFrame, with
         positional duplicate-column renaming ``a,a→a,a_2``
         (reference connection.py:168-189)."""
+        self._check_open()
         result = self._spark.sql(sql)
         if rename_duplicates:
             result = result.toDF(*rename_duplicate_cols(list(result.columns)))
@@ -131,7 +132,17 @@ class Database:
 
     def sql(self, sql: str):
         """Lazy variant of :meth:`query` — returns the Spark DataFrame."""
+        self._check_open()
         return self._spark.sql(sql)
+
+    def _check_open(self) -> None:
+        """Queries after :meth:`exit` raise the reference's exact error
+        (``sqlite3.ProgrammingError('Cannot operate on a closed database.')``,
+        tests/test_connection.py:165-185) — stdlib type, same contract."""
+        if not self.conn_open:
+            import sqlite3
+
+            raise sqlite3.ProgrammingError("Cannot operate on a closed database.")
 
     # -- cache warming -----------------------------------------------------------
     def _warm_table(self, table: Table) -> None:

@@ -20,6 +20,12 @@ class InvalidColumnError(Exception):
     """Unknown column name (reference ``pandasdb/exceptions.py``)."""
 
 
+class ExpressionError(ValueError):
+    """Invalid expression combination (reference ``pandasdb/exceptions.py``,
+    raised at ``expression.py:24-35``).  Subclasses ``ValueError`` so code
+    catching the generic type keeps working."""
+
+
 class ViewAlreadyExists(Exception):
     """Kept for API parity (reference ``pandasdb/utils.py:102-124``).  Our
     engine has no temp-view chaining, so this is never raised internally."""

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column as SparkColumn
 
+from pandas_db_spark.exceptions import ExpressionError
+
 
 class Expression:
     """A boolean predicate bound to one table."""
@@ -23,10 +25,16 @@ class Expression:
         self.table = table
 
     def _check_table(self, other: "Expression") -> None:
-        # Same-table guard, reference expression.py:30-35.
+        # Type + same-table guard; messages pinned to the reference's
+        # (expression.py:24-35, tests/test_expression.py:17-29).
+        if not isinstance(other, Expression):
+            raise ExpressionError(
+                "expression must be an instance of Expression, "
+                "try using a column object instead"
+            )
         if self.table != other.table:
-            raise ValueError(
-                f"Cannot combine expressions from different tables: "
+            raise ExpressionError(
+                "Cannot concatenate two expressions from different tables: "
                 f"{self.table!r} and {other.table!r}"
             )
 

@@ -45,9 +45,8 @@ class IndexLoc:
     def _resolve(self, idx: int, n: int) -> int:
         pos = idx + n if idx < 0 else idx
         if pos < 0 or pos >= n:
-            raise IndexError(
-                f"index {idx} is out of range for table with {n} rows"
-            )
+            # Message pinned to the reference (tests/test_table.py:222-233).
+            raise IndexError("Given index out of range")
         return pos
 
     def _rows_to_values(self, rows, positions: list[int]) -> list:
@@ -92,6 +91,7 @@ class IndexLoc:
         if isinstance(item, list):
             n = self._len()
             return self._fetch_list([self._resolve(i, n) for i in item])
+        # Message pinned to the reference (tests/test_table.py:213-219).
         raise TypeError(
-            f"Index must be of type: int, list, or slice, not: {type(item).__name__}"
+            f"Index must be of type: int, list, or slice. not: {type(item)}"
         )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pandas_db_spark.exceptions import FileTypeError
 from pandas_db_spark.utils import normalize_col
 
-SUPPORTED_FILE_EXTENSIONS = (".db", ".sqlite", ".sqlite3", ".sql")
+SUPPORTED_FILE_EXTENSIONS = (".sql", ".db", ".sqlite", ".sqlite3")
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
@@ -106,13 +106,16 @@ def discover_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
             elif f.suffix == ".csv":
                 out[f.stem] = load_csv(spark, str(f))
         return out
-    if not p.exists():
-        raise FileNotFoundError(path)
+    # Extension gate BEFORE existence, like the reference (connection.py:59-62
+    # raises FileTypeError for 'my_db.txt' whether or not it exists); message
+    # pinned to its tests (tests/test_connection.py:33-45).
     if p.suffix not in SUPPORTED_FILE_EXTENSIONS:
         raise FileTypeError(
-            f"File extension must be one of {SUPPORTED_FILE_EXTENSIONS}, "
-            f"got {p.suffix!r}"
+            "File extension must be one of the following: "
+            + ", ".join(SUPPORTED_FILE_EXTENSIONS)
         )
+    if not p.exists():
+        raise FileNotFoundError(path)
     if p.suffix == ".sql":
         return load_sql_script_tables(spark, str(p))
     return load_sqlite_tables(spark, str(p))

@@ -99,9 +99,11 @@ class Table:
                     f"No such columns: {missing} in table {self._name!r}"
                 )
             return Table(self._df.select(*item), self._name, self._cache)
+        # Message pinned to the reference (tests/test_table.py:399-403);
+        # lists are accepted too (column slice) but the reference's message
+        # names only the scalar forms.
         raise TypeError(
-            f"Argument must be of type str, list, or Expression, "
-            f"not: {type(item).__name__}"
+            f"Argument must be of type str or Expression. not: {type(item)}"
         )
 
     # -- transforms (lazy) ------------------------------------------------------
@@ -125,8 +127,9 @@ class Table:
         elif isinstance(column, dict):
             spec = {c: d.upper() for c, d in column.items()}
         else:
+            # Message pinned to the reference (tests/test_table.py:286-290).
             raise TypeError(
-                f"column must be str, list, or dict, not {type(column).__name__}"
+                f"column parameter must be str, list, or dict, not: {type(column)}"
             )
         for c, d in spec.items():
             if c not in self._df.columns:
