@@ -22,6 +22,7 @@ import time
 HEADLINE = [
     "groupby_q1",        # filter → hash agg (map-side partial)
     "join_native",       # broadcast join + agg
+    "join_supplier_volume",  # fact + 2 broadcast dims, decimal-exact revenue
     "join_sql",          # raw SQL 3-table join
     "window_rank",       # partitioned window (keyed shuffle)
     "sort_limit",        # global top-k (TakeOrderedAndProject)
@@ -31,6 +32,7 @@ HEADLINE = [
     # LLM-pipeline operators (added as they land in the registry)
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding",
     "text_quality",
     "ann_topk",
     "events_tumbling",

@@ -151,13 +151,21 @@ def _sign_bands(emb: DataFrame, id_col: str, vec_col: str, dim: int,
 
 def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     dim: int = 64, bands: int = 32, rows: int = 4,
+                     dim: int = 64, bands: int = 64, rows: int = 16,
                      seed: int = 42) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via sign-LSH
     banding + exact verification.  Precision is exact (every candidate is
     re-scored with the deterministic JVM cosine); recall follows the LSH
     S-curve — at cos ≥ 0.95 a pair agrees with a random hyperplane with
-    p ≈ 0.90, so missing all 32 bands has prob (1-0.9⁴)³² ≈ 2e-15."""
+    p ≈ 0.90, so a true pair misses all 64 16-row bands with prob
+    (1-0.9¹⁶)⁶⁴ ≈ 2e-6.
+
+    ``rows`` is the candidate-volume dial: a RANDOM pair collides in some
+    band with prob ≈ bands/2^rows, so rows must stay ≳ log₂(corpus size) or
+    the verify step degenerates toward all-pairs (rows=4 at n=5000 produced
+    25M candidates — 2000× the rows=16 cost).  At larger corpora raise
+    ``rows`` (and ``bands`` to hold recall); beyond ~10⁸ vectors prefer
+    :func:`ivf_topk` partitioning."""
     from pandas_db_spark.operators.dedup import _bucket_pairs
     keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
     # groupBy-bucket + in-bucket expansion: the sign-projection plan runs

@@ -131,7 +131,9 @@ def test_ann_topk_brute_matches_numpy(emb):
 
 
 def test_cosine_pairs_lsh_verifies_exactly(emb):
-    # exact truth at a threshold low enough to have content
+    """Low-threshold regime: wide-band geometry (few rows) keeps recall; the
+    exact verify keeps precision.  Default geometry is tuned for near-dup
+    thresholds and is exercised in test_cosine_pairs_lsh_finds_planted_dups."""
     pdf = emb.toPandas()
     mat = np.array(list(pdf["embedding"]), dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -142,11 +144,45 @@ def test_cosine_pairs_lsh_verifies_exactly(emb):
              for i in range(len(ids)) for j in range(i + 1, len(ids))
              if sims[i, j] >= th}
     got = {(r["id_a"], r["id_b"])
-           for r in S.cosine_pairs_lsh(emb, threshold=th).collect()}
+           for r in S.cosine_pairs_lsh(
+                 emb, threshold=th, bands=32, rows=4).collect()}
     # precision must be exact; recall bounded below (LSH at low threshold)
     assert got <= truth
     if truth:
         assert len(got) / len(truth) >= 0.8
+
+
+def test_cosine_pairs_lsh_finds_planted_dups(spark, emb):
+    """Default geometry at the near-dup design point: planted ≥0.95-cosine
+    copies must all surface, with zero false positives."""
+    pdf = emb.toPandas()
+    rng = np.random.RandomState(7)
+    base = pdf.head(20).copy()
+    planted = []
+    next_id = int(pdf["vec_id"].max()) + 1
+    for _, row in base.iterrows():
+        v = np.array(row["embedding"], dtype=np.float64)
+        noisy = v + rng.standard_normal(len(v)) * 0.02 * np.linalg.norm(v) / np.sqrt(len(v))
+        planted.append((next_id, noisy.tolist()))
+        next_id += 1
+    import pandas as pd
+    all_pdf = pd.concat(
+        [pdf[["vec_id", "embedding"]],
+         pd.DataFrame(planted, columns=["vec_id", "embedding"])],
+        ignore_index=True)
+    df = spark.createDataFrame(all_pdf)
+    # exact truth over the augmented set
+    mat = np.array(list(all_pdf["embedding"]), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ids = all_pdf["vec_id"].to_numpy()
+    truth = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+             for i in range(len(ids)) for j in range(i + 1, len(ids))
+             if sims[i, j] >= 0.95}
+    assert len(truth) >= 15  # the planting worked
+    got = {(r["id_a"], r["id_b"])
+           for r in S.cosine_pairs_lsh(df, threshold=0.95).collect()}
+    assert got == truth
 
 
 def test_ivf_recall(emb):
