@@ -136,6 +136,24 @@ def test_sql_script_source(spark, tmp_path):
     assert sorted(x[0] for x in d.s.data()) == [1, 2]
 
 
+def test_catalog_listings(db):
+    """views/temp_tables/temp_views are honest: each table registered by this
+    Database shows up as a temp view (used by query()); no phantom views."""
+    assert set(db.tables) <= set(db.temp_views)
+    assert db.temp_tables == []
+    assert isinstance(db.views, list)
+
+
+def test_write_parquet_roundtrip(spark, db, tmp_path):
+    from pandas_db_spark.sources.registry import read_parquet, write_parquet
+
+    out = str(tmp_path / "region_out.parquet")
+    write_parquet(db.region.df, out)
+    back = read_parquet(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, db.region.df.collect()))
+
+
 def test_csv_source(spark, tmp_path):
     (tmp_path / "people.csv").write_text("Name,Fav Color\nann,red\nbob,blue\n")
     d = Database(str(tmp_path), spark=spark)
