@@ -15,8 +15,8 @@ Scale design:
   result is exact and independent of both micro-batch boundaries and
   accumulation order — which is what lets the converged stream hash-match a
   plain ``GROUP BY`` oracle.
-* ``GroupStateTimeout.ProcessingTimeTimeout`` is available via the
-  ``timeout`` parameter for TTL'd state at 100 TB (idle keys evicted).
+* ``ttl_ms`` turns on ``GroupStateTimeout.ProcessingTimeTimeout`` for TTL'd
+  state at 100 TB (idle keys evicted; timed-out invocations drop state).
 
 Batch form (:func:`running_totals`) is the convergence oracle: after a
 stream processes all available data, the emitted final state per key equals
@@ -45,29 +45,43 @@ def _cents(values: pd.Series) -> int:
     return int(np.rint(values.to_numpy(dtype=np.float64) * 100).sum())
 
 
-def _update(key: Tuple, pdfs: Iterator[pd.DataFrame],
-            state: GroupState) -> Iterator[pd.DataFrame]:
-    n, cents = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        cents += _cents(pdf["value"])
-    state.update((n, cents))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "total_cents": [cents]})
+def _make_update(ttl_ms: int | None):
+    """Update function factory; ``ttl_ms`` set ⇒ ProcessingTimeTimeout
+    semantics (idle keys evicted after the TTL, timed-out invocations drop
+    state and emit nothing)."""
+
+    def _update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += _cents(pdf["value"])
+        state.update((n, cents))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_cents": [cents]})
+
+    return _update
 
 
 def running_totals_stream(stream_df: DataFrame, key_col: str = "user_id",
                           value_col: str = "value",
-                          timeout: str = GroupStateTimeout.NoTimeout,
-                          ) -> DataFrame:
+                          ttl_ms: int | None = None) -> DataFrame:
     """Streaming per-key running (count, total) state machine.  Emits the
     updated totals for every key touched by each micro-batch (update
-    output mode)."""
+    output mode).  ``ttl_ms`` turns on ProcessingTimeTimeout state eviction
+    — the 100 TB lever that keeps the state store O(active keys)."""
     events = stream_df.select(F.col(key_col).alias("user_id"),
                               F.col(value_col).alias("value"))
+    timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (events.groupBy("user_id")
                   .applyInPandasWithState(
-                      _update, _OUT_SCHEMA, _STATE_SCHEMA,
+                      _make_update(ttl_ms), _OUT_SCHEMA, _STATE_SCHEMA,
                       "update", timeout))
 
 

@@ -89,6 +89,17 @@ def tumbling_stream(stream_df: DataFrame, ts_col: str = "ts",
                     ts_col, duration, value_col)
 
 
+def sliding_stream(stream_df: DataFrame, ts_col: str = "ts",
+                   duration: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "2 hours",
+                   value_col: str = "value") -> DataFrame:
+    """Streaming form of :func:`sliding` — each event updates
+    duration/slide open windows; the watermark closes and emits them."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return sliding(stream_df.withWatermark(ts_col, watermark),
+                   ts_col, duration, slide, value_col)
+
+
 def session_stream(stream_df: DataFrame, ts_col: str = "ts",
                    gap: str = "15 minutes", watermark: str = "2 hours",
                    keys: tuple[str, ...] = ("user_id",)) -> DataFrame:

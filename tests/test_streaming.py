@@ -59,6 +59,83 @@ def test_stateful_running_totals_converge(spark, events):
     assert len(got) > 0
 
 
+def test_sliding_stream_converges_to_batch(spark, events):
+    """Sliding-window streaming form must converge to its batch oracle."""
+    stream = events_stream_reader(spark, SF_DIR)
+    agg = W.sliding_stream(stream, duration="1 hour", slide="30 minutes",
+                           watermark="2 hours")
+    query = (agg.writeStream.format("memory")
+                .queryName("t_sliding_conv")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start())
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM t_sliding_conv").collect()}
+    want = {tuple(r) for r in
+            W.sliding(events, duration="1 hour", slide="30 minutes").collect()}
+    assert got == want
+
+
+def test_stateful_timeout_state_machine():
+    """The TTL update function, unit-tested against a fake GroupState: a
+    timed-out invocation must evict state and emit nothing; a data invocation
+    must accumulate and re-arm the timeout.  (A live availableNow run with
+    ProcessingTimeTimeout never reaches quiescence in local Spark — the
+    engine loops in 'cleaning up state' — so the eviction contract is pinned
+    here and the live-stream path is covered by the NoTimeout tests.)"""
+    import pandas as pd
+    from pandas_db_spark.streaming.stateful import _make_update
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.removed = False
+            self.timeouts = []
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
+
+    update = _make_update(60_000)
+
+    # data arrives: accumulate + arm the TTL
+    st = FakeState()
+    batches = iter([pd.DataFrame({"value": [1.25, 2.50]})])
+    out = list(update(("u1",), batches, st))
+    assert st.get == (2, 375)
+    assert st.timeouts == [60_000]
+    assert len(out) == 1 and out[0]["total_cents"].iloc[0] == 375
+
+    # TTL fires: state evicted, nothing emitted, timeout not re-armed
+    st2 = FakeState(value=(5, 1000))
+    st2.hasTimedOut = True
+    out2 = list(update(("u1",), iter([]), st2))
+    assert out2 == [] and st2.removed and st2.timeouts == []
+
+    # NoTimeout variant never arms a timeout
+    st3 = FakeState()
+    list(_make_update(None)(("u2",), iter([pd.DataFrame({"value": [1.0]})]), st3))
+    assert st3.timeouts == [] and st3.get == (1, 100)
+
+
 def test_stream_converges_to_batch(spark, events):
     """readStream over the events files → watermarked tumbling agg → memory
     sink; after processing all available data the sink must hold exactly the
