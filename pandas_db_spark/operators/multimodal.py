@@ -15,6 +15,12 @@ This container has no image/audio libraries, so the decode step is split:
   integration point documented.
 * :func:`frame_slices` — fixed-count payload chunking ("frame sampling" for
   the fake codec) as pure JVM ``substring`` on binary — no Python at all.
+* :func:`extract_features` — fixed-dimension feature vector per payload
+  (byte histogram standing in for a CNN/audio embedding) via the same
+  Arrow-batched interface; output is ANN-ready ``array`` + id.
+* :func:`resize_media` — aspect-preserving resize of the decoded dimensions
+  (pure JVM arithmetic on the fake codec's metadata; a real codec would
+  also re-encode the payload in the decode batch).
 
 The ``documents`` table stands in for a media corpus: payload =
 UTF-8 bytes of ``text``.
@@ -24,6 +30,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -109,3 +116,57 @@ def frame_slices(media: DataFrame, n_frames: int = 4,
                              F.col("f.frame_idx").alias("frame_idx"),
                              F.col("f.frame").alias("frame")))
     return exploded.withColumn("frame_len", F.length("frame"))
+
+
+FEATURE_BINS = 16
+
+
+def extract_features(media: DataFrame, id_col: str = "doc_id",
+                     bins: int = FEATURE_BINS) -> DataFrame:
+    """(id, features: array<long>) — fixed-``bins`` byte-histogram feature
+    vector per payload (bin = byte >> log2(256/bins)), Arrow-batched
+    ``mapInPandas``.
+
+    This is the ANN-ingest plumbing: swap the histogram line for a real
+    CNN/audio embedding call and the schema, batch shape, and partitioning
+    stay identical (a narrow map — no shuffle; downstream bucketing/LSH is
+    operators/similarity.py's job).  Counts are integers so the result is
+    engine-exact."""
+    if bins & (bins - 1) or not 0 < bins <= 256:
+        raise ValueError(f"bins={bins} must be a power of two in (0, 256]")
+    shift = 8 - (bins - 1).bit_length()
+    out_schema = f"{id_col} long, features array<long>"
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [
+                np.bincount(np.frombuffer(b, dtype=np.uint8) >> shift,
+                            minlength=bins).astype("int64")
+                # REAL EMBEDDING GOES HERE: e.g. model(decode(b)).numpy()
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return media.select(id_col, "payload").mapInPandas(_feat, out_schema)
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224,
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, width, height, out_w, out_h) — aspect-preserving resize plan:
+    scale = min(target_w/w, target_h/h), output dims = max(1, floor(dim ×
+    scale)), with source dims clamped to ≥ 1 (the fake codec can emit 0).
+
+    ``floor`` (not round) keeps the arithmetic a fixed IEEE-double op
+    sequence that any engine reproduces bit-for-bit — parity matters more
+    than the off-by-one pixel.  Pure JVM after the decode pass; a real
+    pipeline would fuse the actual pixel resample into the decode batch."""
+    d = decode_media(media, id_col)
+    w = F.greatest(F.col("width"), F.lit(1)).cast("double")
+    h = F.greatest(F.col("height"), F.lit(1)).cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    return d.select(
+        id_col, "width", "height",
+        F.greatest(F.lit(1), F.floor(w * scale)).cast("int").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(h * scale)).cast("int").alias("out_h"))

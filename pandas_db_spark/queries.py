@@ -925,3 +925,43 @@ def mm_frame_sample(spark, sf_dir):
     media = M.attach_media(d.df, "text", "doc_id")
     return (M.frame_slices(media, n_frames=4)
             .select("doc_id", "frame_idx", "frame_len"))
+
+
+@q("mm_byte_histogram",
+   "WITH b AS (SELECT doc_id, "
+   "unnest([ascii(c) for c in string_split(text, '')]) AS byte "
+   "FROM documents) "
+   "SELECT doc_id, (byte // 16)::INT AS bin, count(*)::BIGINT AS n "
+   "FROM b GROUP BY 1, 2")
+def mm_byte_histogram(spark, sf_dir):
+    """Feature extraction (byte-histogram stand-in for a CNN/audio
+    embedding) through the Arrow-batched mapInPandas plumbing; exploded to
+    (doc_id, bin, n) scalar rows so the integer counts hash-compare exactly.
+    Zero bins are dropped on the Spark side because the GROUP BY oracle
+    can't see them."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    feats = M.extract_features(media)
+    return (feats.select("doc_id",
+                         F.posexplode("features").alias("bin", "n"))
+            .filter(F.col("n") > 0)
+            .select("doc_id", F.col("bin").cast("int").alias("bin"),
+                    F.col("n")))
+
+
+@q("mm_resize",
+   "WITH d AS (SELECT doc_id, (octet_length(text::BLOB) % 640)::INT AS width, "
+   "((octet_length(text::BLOB) * 7) % 480)::INT AS height FROM documents), "
+   "s AS (SELECT doc_id, width, height, greatest(width, 1)::DOUBLE AS w, "
+   "greatest(height, 1)::DOUBLE AS h FROM d) "
+   "SELECT doc_id, width, height, "
+   "greatest(1, floor(w * least(224.0 / w, 224.0 / h)))::INT AS out_w, "
+   "greatest(1, floor(h * least(224.0 / w, 224.0 / h)))::INT AS out_h FROM s")
+def mm_resize(spark, sf_dir):
+    """Aspect-preserving resize of decoded dimensions — identical IEEE
+    double op sequence on both engines (floor, not round)."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    return M.resize_media(media, target_w=224, target_h=224)

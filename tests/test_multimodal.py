@@ -47,6 +47,37 @@ def test_real_codec_is_explicit_stub(media):
         M.decode_media(media, codec="pil")
 
 
+def test_feature_histogram_mass_and_dim(media):
+    """Each feature vector has the fixed dimension and its counts sum to the
+    payload byte length (nothing dropped, nothing double-counted)."""
+    feats = {r["doc_id"]: list(r["features"])
+             for r in M.extract_features(media).collect()}
+    sizes = {r["doc_id"]: r["meta"]["n_bytes"]
+             for r in media.select("doc_id", "meta").collect()}
+    assert feats.keys() == sizes.keys()
+    for doc_id, f in feats.items():
+        assert len(f) == M.FEATURE_BINS
+        assert sum(f) == sizes[doc_id]
+        assert all(v >= 0 for v in f)
+
+
+def test_feature_bins_validated():
+    with pytest.raises(ValueError):
+        M.extract_features(None, bins=12)
+
+
+def test_resize_preserves_aspect_and_bounds(media):
+    out = M.resize_media(media, target_w=224, target_h=224).collect()
+    for r in out:
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        w, h = max(r["width"], 1), max(r["height"], 1)
+        scale = min(224.0 / w, 224.0 / h)
+        assert r["out_w"] == max(1, int(w * scale))
+        assert r["out_h"] == max(1, int(h * scale))
+        # the binding dimension fills the target (floor slack ≤ 1 pixel)
+        assert max(r["out_w"], r["out_h"]) >= 223
+
+
 def test_frame_slices_reassemble(media):
     frames = M.frame_slices(media, n_frames=4).collect()
     by_doc: dict[int, list] = {}
