@@ -105,6 +105,8 @@ def discover_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
                 out[f.name[: -len(".parquet")]] = read_parquet(spark, str(f))
             elif f.suffix == ".csv":
                 out[f.stem] = load_csv(spark, str(f))
+            elif f.suffix == ".jsonl":
+                out[f.stem] = load_jsonl(spark, str(f))
         return out
     # Extension gate BEFORE existence, like the reference (connection.py:59-62
     # raises FileTypeError for 'my_db.txt' whether or not it exists); message
@@ -125,6 +127,25 @@ def load_csv(spark: SparkSession, path: str, set_lowercase: bool = True) -> Data
     """CSV → DataFrame with the reference's lowercase/underscore column
     normalization (``utils.py:214-239``)."""
     df = spark.read.csv(path, header=True, inferSchema=True)
+    if set_lowercase:
+        df = df.toDF(*[normalize_col(c) for c in df.columns])
+    return df
+
+
+def load_jsonl(spark: SparkSession, path: str, schema=None,
+               set_lowercase: bool = True) -> DataFrame:
+    """JSON Lines ingest — the de-facto interchange format for LLM training
+    corpora (one document object per line).
+
+    With an explicit ``schema`` the read is single-pass; without one Spark
+    runs a schema-inference pre-pass over the files — fine for ad-hoc use,
+    but at 100 TB always pass the schema (or convert to parquet once via
+    :func:`write_parquet` and query that).  Column names get the same
+    normalization as CSV ingest."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
     if set_lowercase:
         df = df.toDF(*[normalize_col(c) for c in df.columns])
     return df
@@ -249,10 +270,42 @@ def load_sql_script_tables(spark: SparkSession, sql_path: str) -> dict[str, Data
         conn.close()
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
     """Sink: the parquet analogue of the reference's sql-dump
-    (``utils.py:200-211``)."""
-    df.write.mode(mode).parquet(path)
+    (``utils.py:200-211``).
+
+    ``partition_by`` writes a Hive-layout directory tree
+    (``col=value/...``); readers filtering on those columns then prune whole
+    directories at planning time (PartitionFilters in the scan) — the first
+    scale lever for any 100 TB layout (partition by date/source/lang, keep
+    cardinality ≤ ~10⁴ directories)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   n_buckets: int = 32,
+                   sort_cols: list[str] | None = None,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed-table sink: pre-shuffles once at write time so every later
+    equi-join or aggregation on ``bucket_cols`` runs **shuffle-free** (Spark
+    plans a sort-merge join with zero Exchange when both sides are bucketed
+    on the join key with equal bucket counts).
+
+    At 100 TB this converts the biggest recurring cost — re-shuffling a fact
+    table for every join — into a one-time write cost.  Bucketing metadata
+    lives in the session catalog, so this writes a *table* (``saveAsTable``),
+    not a bare directory; pass ``path`` for an external location."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
 
 
 def events_stream_reader(spark: SparkSession, sf_dir: str):

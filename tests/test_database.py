@@ -160,3 +160,59 @@ def test_csv_source(spark, tmp_path):
     assert d.tables == ["people"]
     assert d.people.columns == ["name", "fav_color"]
     assert d.people.len == 2
+
+
+def test_jsonl_source(spark, tmp_path):
+    (tmp_path / "docs.jsonl").write_text(
+        '{"Doc Id": 1, "Text": "hello world"}\n'
+        '{"Doc Id": 2, "Text": "foo bar"}\n')
+    d = Database(str(tmp_path), spark=spark)
+    assert d.tables == ["docs"]
+    assert d.docs.columns == ["doc_id", "text"]
+    assert d.docs.len == 2
+    assert d.docs[d.docs.doc_id == 2].text.data() == ["foo bar"]
+
+
+def test_partitioned_write_prunes(spark, db, tmp_path):
+    """partition_by writes a Hive layout and a filter on the partition column
+    prunes at planning time (PartitionFilters, not a data filter)."""
+    from pandas_db_spark.plans.explain import formatted_plan
+    from pandas_db_spark.sources.registry import read_parquet, write_parquet
+
+    out = str(tmp_path / "nation_part.parquet")
+    write_parquet(db.nation.df, out, partition_by=["n_regionkey"])
+    back = read_parquet(spark, out)
+    flt = back.filter(back.n_regionkey == 2)
+    plan = formatted_plan(flt)
+    assert "PartitionFilters" in plan and "n_regionkey" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    want = {r["n_nationkey"]
+            for r in db.nation.df.filter("n_regionkey = 2").collect()}
+    assert {r["n_nationkey"] for r in flt.collect()} == want
+
+
+def test_bucketed_join_is_shuffle_free(spark, db):
+    """Two tables bucketed on the join key with equal bucket counts join with
+    ZERO Exchange — the write-once / join-forever 100 TB lever."""
+    from pandas_db_spark.plans.explain import formatted_plan
+    from pandas_db_spark.sources.registry import write_bucketed
+
+    write_bucketed(db.customer.df, "b_customer", ["c_custkey"], n_buckets=8,
+                   sort_cols=["c_custkey"])
+    write_bucketed(
+        db.orders.df.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = spark.table("b_customer")
+        o = spark.table("b_orders")
+        j = c.join(o, c.c_custkey == o.o_custkey)
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == db.orders.len
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
