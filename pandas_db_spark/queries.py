@@ -434,6 +434,42 @@ def groupby_having(spark, sf_dir):
     return g.filter(F.col("n") > 50)
 
 
+@q("groupby_rollup",
+   "SELECT coalesce(l_returnflag, '<all>') AS flag, "
+   "coalesce(l_linestatus, '<all>') AS status, "
+   "count(*) AS n, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+   "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
+def groupby_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (beyond parity — subtotal rows come
+    from Spark's Expand node, one pass over the fact table).  Group columns
+    are coalesced to a sentinel so the subtotal NULLs hash identically
+    across engines."""
+    li = get_db(spark, sf_dir).lineitem
+    return (li.df.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+                F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+                "n", "sum_qty"))
+
+
+@q("groupby_cube",
+   "SELECT coalesce(o_orderstatus, '<all>') AS status, "
+   "coalesce(o_orderpriority, '<all>') AS priority, count(*) AS n "
+   "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)")
+def groupby_cube(spark, sf_dir):
+    """All grouping-set combinations via CUBE — same Expand-based single
+    pass."""
+    o = get_db(spark, sf_dir).orders
+    return (o.df.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+                    "n"))
+
+
 @q("window_rank",
    "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
    "SELECT o_custkey, o_orderkey, o_totalprice, "
@@ -630,6 +666,47 @@ def text_fingerprint(spark, sf_dir):
     from pandas_db_spark.functions import text as X
     d = get_db(spark, sf_dir).documents
     return d.df.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@q("text_subwords",
+   "SELECT doc_id, len(string_split(trim("
+   "regexp_replace(regexp_replace(text, '([a-z])([0-9])', '\\1 \\2', 'g'), "
+   "'([0-9])([a-z])', '\\1 \\2', 'g')), ' '))::INT AS n_subwords "
+   "FROM documents")
+def text_subwords(spark, sf_dir):
+    """BPE-ish subword counts (whitespace + letter/digit-transition splits).
+    The oracle has no lookarounds (RE2), so it inserts a space at each
+    transition with two chained replaces — char-preserving, so chained
+    transitions like 'a1b' still yield one piece per run on both engines."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    return d.df.select(
+        "doc_id", X.subword_count(F.col("text")).alias("n_subwords"))
+
+
+@q("text_top_bigrams",
+   "WITH w AS (SELECT string_split(trim(text), ' ') AS ws FROM documents), "
+   "b AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) "
+   "AS bigram FROM w WHERE len(ws) >= 2) "
+   "SELECT bigram, count(*) AS n FROM b GROUP BY 1 "
+   "ORDER BY n DESC, bigram LIMIT 50")
+def text_top_bigrams(spark, sf_dir):
+    """Corpus-wide bigram frequencies, top 50 (count desc, bigram asc —
+    fully tie-broken).  Plan: narrow explode → partial-agg → one keyed
+    shuffle → TakeOrdered; at 100 TB the map-side combine collapses each
+    partition to its distinct bigrams before anything moves."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    ws = X.tokens(F.col("text"))
+    n = F.size(ws)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                              F.element_at(ws, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (d.df.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("bigram")).limit(50))
 
 
 # =====================================================================
