@@ -180,6 +180,29 @@ class Column:
         self._require_numeric("median")
         return self._scalar_agg("median", F.median(self._col))
 
+    # -- approximate sketches (beyond parity: the 100 TB interactive path) --
+    def nunique_approx(self, rsd: float = 0.05) -> int:
+        """Approximate distinct count via HyperLogLog++ (``rsd`` = target
+        relative standard deviation).  Constant memory per partition and a
+        tiny sketch merge instead of the full shuffle an exact
+        ``count(DISTINCT)`` needs — the only sane distinct-count at 100 TB.
+        Exact counterpart: ``len(unique())``."""
+        return self._scalar_agg(
+            f"nunique_approx:{rsd}", F.approx_count_distinct(self._col, rsd))
+
+    def quantile_approx(self, q: float | list[float],
+                        accuracy: int = 10_000):
+        """Approximate quantile(s) via the Greenwald-Khanna sketch
+        (``percentile_approx``): one pass, mergeable per-partition state,
+        error ≤ 1/accuracy of rank.  Exact counterpart for 0.5:
+        :meth:`median`."""
+        self._require_numeric("quantile_approx")
+        qs = q if isinstance(q, list) else [q]
+        expr = F.percentile_approx(
+            self._col, qs if isinstance(q, list) else qs[0],
+            F.lit(accuracy))
+        return self._scalar_agg(f"quantile_approx:{q}:{accuracy}", expr)
+
     def mode(self) -> dict:
         """All values tied at the max count, NULL included if modal
         (reference column.py:233-249 — its GROUP BY has no NULL filter)."""

@@ -178,15 +178,16 @@ def agg_minmax_str(spark, sf_dir):
    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty "
    "FROM lineitem")
 def agg_sum_avg(spark, sf_dir):
-    """sum/avg with the exact decimal accumulation path (order-independent)."""
+    """sum/avg with the exact decimal accumulation path (order-independent).
+    One plan, no driver round-trip: the avg is derived from the exact sum
+    inside the same job."""
     li = get_db(spark, sf_dir).lineitem
-    row = li.df.agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("s"),
-        F.count("l_quantity").alias("c"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [(row["s"], row["s"] / row["c"])], "sum_qty double, avg_qty double"
-    )
+    return (li.df.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"),
+        F.count("l_quantity").alias("c"))
+        .select("sum_qty",
+                (F.col("sum_qty") / F.col("c")).alias("avg_qty")))
 
 
 @q("agg_median",
@@ -432,6 +433,42 @@ def groupby_having(spark, sf_dir):
     c = get_db(spark, sf_dir).customer
     g = c.groupby("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
     return g.filter(F.col("n") > 50)
+
+
+@q("join_salted",
+   "SELECT c_nationkey, count(*) AS n, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+   "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1")
+def join_salted(spark, sf_dir):
+    """Skew-salted large-large equi join (operators/skew.py): the hot side
+    is salted, the other side replicated per salt, so one power-law key
+    spreads over n_salts reducers.  The salt is an execution detail — the
+    result is identical to the plain join, which is exactly what the oracle
+    checks."""
+    from pandas_db_spark.operators import skew as K
+    db = get_db(spark, sf_dir)
+    o = db.orders.df.select("o_custkey", "o_totalprice")
+    c = db.customer.df.select(F.col("c_custkey").alias("o_custkey"),
+                              "c_nationkey")
+    j = K.salted_join(o, c, ["o_custkey"], "inner", n_salts=8)
+    return (j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("revenue")))
+
+
+@q("agg_sketches")  # sketch values are engine-specific → rows-only check
+def agg_sketches(spark, sf_dir):
+    """Approximate sketches (HLL++ distinct, GK quantiles) — the 100 TB
+    interactive path.  Values depend on the engine's sketch implementation,
+    so the driver records a rows-only check; tests/test_skew_and_sketches.py
+    asserts the error bounds against the exact answers."""
+    db = get_db(spark, sf_dir)
+    nd = db.orders.o_custkey.nunique_approx(rsd=0.05)
+    q25, q50, q75 = db.orders.o_totalprice.quantile_approx([0.25, 0.5, 0.75])
+    return spark.createDataFrame(
+        [(nd, q25, q50, q75)],
+        "nd_custkey long, q25 double, q50 double, q75 double")
 
 
 @q("groupby_rollup",
