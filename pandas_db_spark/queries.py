@@ -524,6 +524,56 @@ def window_rank(spark, sf_dir):
             .select("o_custkey", "o_orderkey", "o_totalprice"))
 
 
+@q("join_asof",
+   "WITH p AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'purchase'), "
+   "c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
+   "WHERE event_type = 'click' GROUP BY 1, 2) "
+   "SELECT p.user_id, epoch_us(p.ts) // 1000000 AS purchase_ts, p.event_id, "
+   "epoch_us(c.ts) // 1000000 AS click_ts, c.click_id "
+   "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+def join_asof(spark, sf_dir):
+    """As-of join (operators/temporal.py): latest click at or before each
+    purchase, per user — union + keyed running-last window, ONE shuffle, no
+    join node at all.  Oracle is DuckDB's native ASOF LEFT JOIN.  The click
+    side is deduplicated on (user, ts) so the match is deterministic."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "event_id"))
+    c = (e.filter(F.col("event_type") == "click")
+          .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
+    j = T.asof_join(p, c, ["user_id"])
+    return j.select(
+        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), "event_id",
+        F.unix_timestamp("ts_r").alias("click_ts"),
+        F.col("click_id_r").alias("click_id"))
+
+
+@q("join_range",
+   "WITH v AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'view'), "
+   "s AS (SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi, "
+   "event_id AS signup_id FROM events WHERE event_type = 'signup') "
+   "SELECT v.user_id, v.event_id, s.signup_id FROM v JOIN s "
+   "ON v.user_id = s.user_id AND v.ts >= s.lo AND v.ts <= s.hi")
+def join_range(spark, sf_dir):
+    """Range (interval-containment) join (operators/temporal.py): views
+    falling inside each user's 2-hour post-signup window.  Intervals explode
+    to coarse buckets, the join is a hash equi-join on (user, bucket) —
+    never |L|×|R|.  Oracle is DuckDB's inequality join (IEJoin)."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    v = (e.filter(F.col("event_type") == "view")
+          .select("user_id", "ts", "event_id"))
+    s = (e.filter(F.col("event_type") == "signup")
+          .select("user_id", F.col("ts").alias("lo"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+                  F.col("event_id").alias("signup_id")))
+    j = T.range_join(v, s, by=["user_id"], bucket_s=3600)
+    return j.select("user_id", "event_id", "signup_id")
+
+
 # =====================================================================
 # §2.8 set ops (beyond parity)
 # =====================================================================
