@@ -25,6 +25,9 @@ HEADLINE = [
     "join_supplier_volume",  # fact + 2 broadcast dims, decimal-exact revenue
     "join_sql",          # raw SQL 3-table join
     "window_rank",       # partitioned window (keyed shuffle)
+    "join_asof",         # as-of join: union + keyed running-last, 1 shuffle
+    "join_range",        # interval join: bucket-exploded equi join
+    "join_salted",       # skew-salted large-large join
     "sort_limit",        # global top-k (TakeOrderedAndProject)
     "filter_gt",         # pushdown scan
     "agg_sum_avg",       # single-pass column aggregates

@@ -11,10 +11,15 @@ pushdown / pruning / fusion the reference delegated to SQLite's planner.
 
 Beyond reference parity, the package adds what a 100 TB training-data pipeline
 needs: group-by / joins / set ops (the reference's own TODO, README.md:643),
-deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard — ``operators/
-dedup.py``), similarity search over embeddings (brute-force, sign-LSH, IVF —
-``operators/similarity.py``), and text analysis (tokenization, quality,
-language ID, fingerprinting — ``functions/text.py``).
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine —
+``operators/dedup.py``), similarity search over embeddings (brute-force,
+sign-LSH, IVF — ``operators/similarity.py``), text analysis (tokenization,
+quality, language ID, fingerprinting — ``functions/text.py``), temporal
+joins (as-of / range — ``operators/temporal.py``), skew salting and
+approximate sketches (``operators/skew.py``, ``Column.nunique_approx`` /
+``quantile_approx``), multimodal column plumbing (``operators/
+multimodal.py``), and streaming windows + stateful operators over ``events``
+(``streaming/``).
 """
 
 from pandas_db_spark.session import get_spark
