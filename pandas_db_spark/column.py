@@ -209,8 +209,14 @@ class Column:
         def compute():
             counts = self._df.groupBy(self._col.alias(self._name)).agg(
                 F.count(F.lit(1)).alias("cnt"))
-            top = counts.agg(F.max("cnt").alias("m")).collect()[0]["m"]
-            rows = counts.filter(F.col("cnt") == top).collect()
+            # two tiny jobs share one shuffle: persist the grouped counts so
+            # the max-probe and the tie filter don't re-aggregate the table
+            counts = counts.persist()
+            try:
+                top = counts.agg(F.max("cnt").alias("m")).collect()[0]["m"]
+                rows = counts.filter(F.col("cnt") == top).collect()
+            finally:
+                counts.unpersist()
             return {row[self._name]: row["cnt"] for row in rows}
         return self._memo("mode", compute)
 

@@ -37,7 +37,13 @@ class Database:
     ):
         # Assign via __dict__-safe object.__setattr__ pattern not needed;
         # plain attributes are fine because __getattr__ only fires on misses.
-        self._spark = spark if spark is not None else get_spark()
+        # A caller-supplied session (e.g. the driver's) still needs the
+        # runtime conf — UTC timestamps in particular, which every
+        # unix_timestamp-based result depends on.  apply_runtime_conf never
+        # raises and skips keys the deployment forbids.
+        from pandas_db_spark.session import apply_runtime_conf
+        self._spark = (apply_runtime_conf(spark) if spark is not None
+                       else get_spark())
         self._path = db_path
         self._cache = Cache(cache=cache, max_item_size=max_item_size,
                             max_dict_size=max_dict_size)
