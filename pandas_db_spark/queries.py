@@ -578,6 +578,16 @@ def join_range(spark, sf_dir):
 # §2.8 set ops (beyond parity)
 # =====================================================================
 
+@q("drop_duplicates",
+   "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+def drop_duplicates(spark, sf_dir):
+    """Full-row distinct through the Table façade — deterministic set
+    semantics (subset-keyed dedup keeps an arbitrary row, so only the
+    distinct form is oracle-checkable)."""
+    o = get_db(spark, sf_dir).orders
+    return o[["o_orderstatus", "o_orderpriority"]].drop_duplicates().df
+
+
 @q("set_union",
    "SELECT r_regionkey, r_name FROM region UNION ALL "
    "SELECT r_regionkey, r_name FROM region")

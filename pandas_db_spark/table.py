@@ -196,6 +196,16 @@ class Table:
     def except_(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df), self._name, self._cache)
 
+    def drop_duplicates(self, subset: list[str] | None = None) -> "Table":
+        """Row dedup (beyond parity).  With no ``subset`` this is exact
+        distinct — deterministic set semantics, one hash shuffle on all
+        columns.  With ``subset`` Spark keeps an arbitrary row per key
+        (plan/partition dependent) — prefer an explicit keep rule via
+        ``operators.dedup.keep_first`` when determinism matters."""
+        df = (self._df.distinct() if subset is None
+              else self._df.dropDuplicates(subset))
+        return Table(df, self._name, self._cache)
+
     # -- actions -----------------------------------------------------------------
     def data(self, limit: int | None = None) -> list[tuple]:
         df = self._df if limit is None else self._df.limit(limit)

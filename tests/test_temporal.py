@@ -102,3 +102,46 @@ def test_range_join_matches_brute_force(db):
     plan = formatted_plan(T.range_join(v, s, by=["user_id"]))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- property: asof_join vs pandas merge_asof on random data ---------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_EVENTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # key
+              st.integers(min_value=0, max_value=1000)),  # epoch seconds
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(lrows=_EVENTS, rrows=_EVENTS)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    import pandas as pd
+
+    # dedupe right on (key, ts) for a deterministic match (documented
+    # contract); give each right row a payload to carry
+    rmap = {}
+    for i, (k, ts) in enumerate(rrows):
+        rmap[(k, ts)] = i
+    lpdf = pd.DataFrame(
+        [(k, pd.Timestamp(ts, unit="s"), i)
+         for i, (k, ts) in enumerate(lrows)],
+        columns=["k", "ts", "lid"])
+    rpdf = pd.DataFrame(
+        [(k, pd.Timestamp(ts, unit="s"), v) for (k, ts), v in rmap.items()],
+        columns=["k", "ts", "rid"])
+
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = {r["lid"]: r["rid_r"]
+           for r in T.asof_join(left, right, ["k"]).collect()}
+
+    want_df = pd.merge_asof(
+        lpdf.sort_values(["ts", "lid"]), rpdf.sort_values("ts"),
+        on="ts", by="k", direction="backward", suffixes=("", "_r"))
+    want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+            for r in want_df.itertuples()}
+    assert got == want
