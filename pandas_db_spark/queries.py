@@ -719,7 +719,9 @@ def text_quality(spark, sf_dir):
                        X.quality_score(F.col("text")).alias("quality"))
 
 
-def _lang_oracle() -> str:
+def _lang_case_expr() -> str:
+    """DuckDB CASE expression replicating functions.text.lang_id over a
+    ``toks`` column (generated from the same LANG_PROFILES constants)."""
     from pandas_db_spark.functions.text import LANG_PROFILES
     langs = sorted(LANG_PROFILES)
     score = {
@@ -732,10 +734,13 @@ def _lang_oracle() -> str:
         conds = [f"{score[lang]} > 0"] + [
             f"{score[lang]} >= {score[o]}" for o in langs if o != lang]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"CASE {' '.join(cases)} ELSE 'und' END"
+
+
+def _lang_oracle() -> str:
     return ("WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') "
             "AS toks FROM documents) "
-            f"SELECT doc_id, lang, CASE {' '.join(cases)} ELSE 'und' END "
-            "AS lang_pred FROM t")
+            f"SELECT doc_id, lang, {_lang_case_expr()} AS lang_pred FROM t")
 
 
 @q("text_lang_id", _lang_oracle())
@@ -1058,6 +1063,73 @@ def events_stateful_totals(spark, sf_dir):
     stream = events_stream_reader(spark, sf_dir)
     return ST.run_to_convergence(
         stream, f"q_stateful_totals_{_STATEFUL_SINK_N}")
+
+
+def _pipeline_oracle() -> str:
+    """The whole clean_corpus pipeline as one DuckDB query: annotate →
+    lang/quality gates → exact dedup (min id per normalized text) → exact
+    all-pairs Jaccard ≥ 0.8 among survivors (feasible at sf0.01; the Spark
+    side uses banded MinHash with recall 1-5e-8) → keep-first."""
+    quality = ("0.4 * least(1.0, len(toks) / 100.0) "
+               "+ 0.3 * (1.0 - length(regexp_replace(text, "
+               "'[A-Za-z0-9 \\t\\n]', '', 'g'))::DOUBLE / length(text)) "
+               "+ 0.3 * (len(list_filter(toks, t -> list_contains("
+               "['the','a','and','of','to','is','in','that'], t)))::DOUBLE "
+               "/ len(toks))")
+    return (
+        "WITH a AS (SELECT doc_id, text, toks, "
+        f"{_lang_case_expr()} AS lang_pred, {quality} AS quality, "
+        "len(toks)::INT AS n_tokens FROM (SELECT doc_id, text, "
+        "string_split(trim(text), ' ') AS toks FROM documents)), "
+        "k AS (SELECT * FROM a WHERE lang_pred = 'en' AND quality >= 0.3), "
+        "e AS (SELECT min(doc_id) AS doc_id FROM k "
+        "GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), "
+        "k2 AS (SELECT k.* FROM k JOIN e USING (doc_id)), "
+        "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN "
+        "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+        "for i in range(1, len(toks)-1)] "
+        "ELSE [array_to_string(toks, ' ')] END) AS s FROM k2), "
+        "p AS (SELECT b.doc_id AS id_b FROM sh a JOIN sh b "
+        "ON a.doc_id < b.doc_id "
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+        "/ len(list_distinct(list_concat(a.s, b.s))) >= 0.8) "
+        "SELECT doc_id, lang_pred, quality, n_tokens FROM k2 "
+        "WHERE doc_id NOT IN (SELECT id_b FROM p)")
+
+
+@q("pipeline_clean_corpus", _pipeline_oracle())
+def pipeline_clean_corpus(spark, sf_dir):
+    """Flagship composition (operators/pipeline.py): lang gate → quality
+    gate → exact dedup → MinHash near-dedup → surviving docs with their
+    annotations, deterministic end to end."""
+    from pandas_db_spark.operators import pipeline as P
+    d = get_db(spark, sf_dir).documents
+    return P.clean_corpus(d.df, lang="en", min_quality=0.3,
+                          near_dup_threshold=0.8)
+
+
+@q("events_stream_dedup",
+   "SELECT DISTINCT user_id, event_type FROM events")
+def events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/dedup.py): an availableNow run of
+    dropDuplicates over the event stream lands exactly the batch DISTINCT
+    answer in the sink — a real streaming run hash-checked against batch
+    SQL, same pattern as events_stateful_totals."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming import dedup as SD
+    global _STREAM_DEDUP_SINK_N
+    _STREAM_DEDUP_SINK_N = globals().get("_STREAM_DEDUP_SINK_N", 0) + 1
+    sink = f"q_stream_dedup_{_STREAM_DEDUP_SINK_N}"
+    stream = events_stream_reader(spark, sf_dir)
+    out = SD.dedup_stream_unbounded(
+        stream.select("user_id", "event_type"), ["user_id", "event_type"])
+    qr = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("append").trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+    return spark.table(sink)
 
 
 # =====================================================================

@@ -241,3 +241,30 @@ def test_lang_id_prefers_matching_profile(spark):
 def test_quality_score_bounds(docs):
     rows = docs.select(X.quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_clean_corpus_invariants(db):
+    """Pipeline composition: survivors are a subset of the gated set, carry
+    correct annotations, and contain no exact-duplicate texts."""
+    from pandas_db_spark.operators import pipeline as P
+    from pandas_db_spark.functions import text as X
+    from pyspark.sql import functions as F
+
+    docs = db.documents.df
+    out = P.clean_corpus(docs, lang="en", min_quality=0.3).collect()
+    assert 0 < len(out) <= docs.count()
+    assert all(r["lang_pred"] == "en" and r["quality"] >= 0.3 for r in out)
+
+    ids = [r["doc_id"] for r in out]
+    surviving = docs.filter(F.col("doc_id").isin(ids))
+    # no two survivors share a normalized text
+    from pandas_db_spark.operators.dedup import normalized_text
+    n_norm = (surviving.select(normalized_text(F.col("text")).alias("n"))
+              .distinct().count())
+    assert n_norm == len(ids)
+    # annotations match recomputation
+    re_ann = {r["doc_id"]: (r["lp"], r["nt"]) for r in docs.select(
+        "doc_id", X.lang_id(F.col("text")).alias("lp"),
+        X.token_count(F.col("text")).alias("nt")).collect()}
+    for r in out:
+        assert re_ann[r["doc_id"]] == (r["lang_pred"], r["n_tokens"])

@@ -155,3 +155,46 @@ def test_stream_converges_to_batch(spark, events):
            spark.sql("SELECT * FROM t_stream_conv").collect()}
     want = {tuple(r) for r in W.tumbling(events, duration="1 hour").collect()}
     assert got == want
+
+
+def test_stream_dedup_converges_to_batch_distinct(spark, events):
+    """Streaming exact dedup on (user_id, event_type): after an availableNow
+    run the sink holds exactly the batch dropDuplicates answer (keys only —
+    the surviving row per key is arbitrary in both forms)."""
+    from pandas_db_spark.streaming import dedup as SD
+    stream = events_stream_reader(spark, SF_DIR)
+    out = SD.dedup_stream_unbounded(
+        stream.select("user_id", "event_type"), ["user_id", "event_type"])
+    q = (out.writeStream.format("memory").queryName("t_dedup_conv")
+            .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["user_id"], r["event_type"])
+           for r in spark.table("t_dedup_conv").collect()}
+    want = {(r["user_id"], r["event_type"])
+            for r in events.select("user_id", "event_type").distinct().collect()}
+    assert got == want
+    # no key emitted twice
+    assert spark.table("t_dedup_conv").count() == len(got)
+
+
+def test_stream_dedup_watermarked_runs(spark):
+    """The watermark-bounded form (dropDuplicatesWithinWatermark) starts,
+    processes all available data, and emits each in-watermark key once."""
+    from pandas_db_spark.streaming import dedup as SD
+    stream = events_stream_reader(spark, SF_DIR)
+    out = SD.dedup_stream(
+        stream.select("ts", "user_id", "event_type"),
+        ["user_id", "event_type"], watermark="10 days")
+    q = (out.writeStream.format("memory").queryName("t_dedup_wm")
+            .outputMode("append").trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("t_dedup_wm").select("user_id", "event_type").collect()
+    keys = {(r["user_id"], r["event_type"]) for r in rows}
+    # every in-watermark duplicate collapsed: emitted rows == distinct keys
+    assert len(rows) == len(keys) > 0
