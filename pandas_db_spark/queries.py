@@ -26,11 +26,14 @@ from pandas_db_spark.database import Database
 # name -> (callable, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
-_DB_CACHE: dict[tuple[int, str], Database] = {}
+# Keyed by the session OBJECT (not id(): CPython reuses ids after GC, which
+# could alias a dead session's cached Database).  The strong ref pins the
+# session for the process lifetime — correct for a driver/bench process.
+_DB_CACHE: dict[tuple[SparkSession, str], Database] = {}
 
 
 def get_db(spark: SparkSession, sf_dir: str) -> Database:
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _DB_CACHE:
         _DB_CACHE[key] = Database(sf_dir, spark=spark)
     return _DB_CACHE[key]
