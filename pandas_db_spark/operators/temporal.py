@@ -32,17 +32,39 @@ _SIDE = "__side"
 _TS = "__ts"
 
 
+_PAY = "__rpay"
+_CHUNK = "__chunk"
+
+
 def asof_join(left: DataFrame, right: DataFrame, by: Sequence[str],
               left_ts: str = "ts", right_ts: str = "ts",
               suffix: str = "_r",
-              tolerance_s: int | None = None) -> DataFrame:
+              tolerance_s: int | None = None,
+              chunk_s: int | None = None) -> DataFrame:
     """Left as-of join: every ``left`` row gains the payload of the latest
     ``right`` row with ``right_ts <= left_ts`` within the same ``by`` keys
     (ties at equal timestamps match, like DuckDB/pandas ``>=`` as-of);
     unmatched left rows keep NULLs.
 
+    The entire right payload travels as ONE struct through a single
+    ``last(ignorenulls=True)`` — the matched output row is always a single
+    right row, and a right row whose payload column is legitimately NULL
+    stays NULL (it is never back-filled from an older row).
+
     ``tolerance_s`` nulls the match when it is older than the given number
     of seconds (pandas ``merge_asof(tolerance=...)`` semantics).
+
+    ``chunk_s`` (hot-key hardening): when set, the running-``last`` window
+    partitions on ``(by..., floor(ts / chunk_s))`` instead of ``by`` alone,
+    so one power-law key (a user with 10⁸ events) is processed by many
+    tasks — one per time chunk — instead of serializing through a single
+    window task.  A boundary pass then carries the last right row of each
+    chunk forward: per-(key, chunk) last-right payloads (a tiny aggregate,
+    one row per key per chunk) get a running-``last`` over chunks, and
+    left rows with no in-chunk predecessor coalesce to that carry-in.  The
+    big side shuffles once on (by, chunk); the boundary frame is O(#keys ×
+    #chunks).  Pick ``chunk_s`` near (time span / desired parallelism per
+    key).  Default ``None`` keeps the single-window plan (one Exchange).
 
     Right payload columns arrive suffixed (``value`` → ``value_r``).  If
     several right rows share (by, right_ts) the surviving payload is
@@ -50,6 +72,7 @@ def asof_join(left: DataFrame, right: DataFrame, by: Sequence[str],
     deterministic result."""
     by = list(by)
     rvals = [c for c in right.columns if c not in by and c != right_ts]
+    matched_cols = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in rvals]
 
     l2 = (left.withColumn(_SIDE, F.lit(1))
               .withColumn(_TS, F.col(left_ts)))
@@ -57,31 +80,62 @@ def asof_join(left: DataFrame, right: DataFrame, by: Sequence[str],
         *by,
         F.lit(0).alias(_SIDE),
         F.col(right_ts).alias(_TS),
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
+        F.struct(
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in rvals],
+        ).alias(_PAY),
     )
     both = l2.unionByName(r2, allowMissingColumns=True)
 
     # right rows (side=0) sort before left rows at equal ts → `last` at a
     # left row sees the equal-ts right row: inclusive (<=) semantics.
-    w = (Window.partitionBy(*by).orderBy(_TS, _SIDE)
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched_cols = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in rvals]
-    out = both
-    for c in matched_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.filter(F.col(_SIDE) == 1)
+    # Left rows carry a NULL struct, which ignorenulls skips.
+    if chunk_s is None:
+        w = (Window.partitionBy(*by).orderBy(_TS, _SIDE)
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = (both.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+                   .filter(F.col(_SIDE) == 1))
+    else:
+        both = both.withColumn(
+            _CHUNK, F.floor(F.col(_TS).cast("timestamp").cast("long")
+                            / chunk_s))
+        w_in = (Window.partitionBy(*by, _CHUNK).orderBy(_TS, _SIDE)
+                      .rowsBetween(Window.unboundedPreceding,
+                                   Window.currentRow))
+        within = (both.withColumn(_PAY,
+                                  F.last(_PAY, ignorenulls=True).over(w_in))
+                      .filter(F.col(_SIDE) == 1))
+        # boundary carry: last right payload of each (key, chunk) — a
+        # map-side-combining aggregate on the window's own shuffle keys —
+        # then a running-last over *chunks* (frame is one row per key per
+        # chunk, so the hot key costs #chunks rows here, not #events).
+        per_chunk = (both.filter(F.col(_SIDE) == 0)
+                         .groupBy(*by, _CHUNK)
+                         .agg(F.max_by(_PAY, F.col(_TS)).alias(_PAY)))
+        all_chunks = both.select(*by, _CHUNK).distinct()
+        w_carry = (Window.partitionBy(*by).orderBy(_CHUNK)
+                         .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (all_chunks.join(per_chunk, by + [_CHUNK], "left")
+                           .withColumn("__carry",
+                                       F.last(_PAY, ignorenulls=True)
+                                        .over(w_carry))
+                           .select(*by, _CHUNK, "__carry"))
+        out = (within.join(carry, by + [_CHUNK])
+                     .withColumn(_PAY, F.coalesce(_PAY, F.col("__carry")))
+                     .drop("__carry", _CHUNK))
 
     if tolerance_s is not None:
         # NTZ → timestamp is value-preserving (session tz pinned UTC in
         # session.py); NTZ has no direct long cast.
         fresh = (F.col(_TS).cast("timestamp").cast("long")
-                 - F.col(f"{right_ts}{suffix}").cast("timestamp").cast("long")
-                 ) <= tolerance_s
-        for c in matched_cols:
-            out = out.withColumn(c, F.when(fresh, F.col(c)))
+                 - F.col(_PAY)[f"{right_ts}{suffix}"]
+                   .cast("timestamp").cast("long")) <= tolerance_s
+        out = out.withColumn(_PAY, F.when(fresh, F.col(_PAY)))
 
-    return out.drop(_SIDE, _TS)
+    return out.select(
+        *[c for c in left.columns],
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in matched_cols],
+    )
 
 
 def range_join(points: DataFrame, intervals: DataFrame,

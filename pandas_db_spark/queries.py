@@ -553,6 +553,33 @@ def join_asof(spark, sf_dir):
         F.col("click_id_r").alias("click_id"))
 
 
+@q("join_asof_chunked",
+   "WITH p AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'purchase'), "
+   "c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
+   "WHERE event_type = 'click' GROUP BY 1, 2) "
+   "SELECT p.user_id, epoch_us(p.ts) // 1000000 AS purchase_ts, p.event_id, "
+   "epoch_us(c.ts) // 1000000 AS click_ts, c.click_id "
+   "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+def join_asof_chunked(spark, sf_dir):
+    """Hot-key-hardened as-of join (operators/temporal.py, chunk_s set):
+    the running-last window partitions on (user, 6-hour chunk) so a
+    power-law key spreads over many tasks, and a boundary pass carries the
+    last right row of each chunk forward.  Same DuckDB ASOF oracle as
+    `join_asof` — the hardening must be invisible in the result."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "event_id"))
+    c = (e.filter(F.col("event_type") == "click")
+          .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
+    j = T.asof_join(p, c, ["user_id"], chunk_s=21600)
+    return j.select(
+        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), "event_id",
+        F.unix_timestamp("ts_r").alias("click_ts"),
+        F.col("click_id_r").alias("click_id"))
+
+
 @q("join_range",
    "WITH v AS (SELECT user_id, ts, event_id FROM events "
    "WHERE event_type = 'view'), "

@@ -145,3 +145,77 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     want = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
             for r in want_df.itertuples()}
     assert got == want
+
+
+# -- struct-packed payload: matched row is ONE right row -------------------
+
+def test_asof_null_payload_survives(spark):
+    """A right row whose payload column is legitimately NULL must not be
+    back-filled from an older right row: the whole matched payload comes
+    from a single right row (struct-packed last, not per-column last)."""
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame([(1, t(10), 100)], "k int, ts timestamp, lid int")
+    right = spark.createDataFrame(
+        [(1, t(5), 1, 2), (1, t(8), None, 9)],
+        "k int, ts timestamp, a int, b int")
+    for chunk in (None, 4):
+        rows = T.asof_join(left, right, ["k"], chunk_s=chunk).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["ts_r"] == t(8)
+        assert r["a_r"] is None, f"chunk_s={chunk}: NULL back-filled from older row"
+        assert r["b_r"] == 9
+
+
+def test_asof_chunked_equals_plain(sides):
+    """chunk_s is a physical-plan lever only: results must be identical to
+    the single-window path (including chunks with no right rows, where the
+    boundary carry-in supplies the match)."""
+    left, right = sides
+    plain = {r["event_id"]: (r["ts_r"], r["click_id_r"])
+             for r in T.asof_join(left, right, ["user_id"]).collect()}
+    chunked = {r["event_id"]: (r["ts_r"], r["click_id_r"])
+               for r in T.asof_join(left, right, ["user_id"],
+                                    chunk_s=6 * 3600).collect()}
+    assert chunked == plain
+
+
+def test_asof_hot_key_spreads_over_chunks(spark):
+    """90% of rows on one key: with chunk_s the window partitions on
+    (key, chunk), so the hot key is processed by many tasks — assert the
+    hot key actually lands in >1 window partition, and the result still
+    matches brute force."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(7, base + dt.timedelta(seconds=13 * i), i) for i in range(900)]
+    lrows += [(i % 9, base + dt.timedelta(seconds=60 * i), 900 + i)
+              for i in range(100)]
+    rrows = [(7, base + dt.timedelta(seconds=37 * i), i) for i in range(300)]
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts timestamp, rid int")
+
+    chunk_s = 600
+    out = T.asof_join(left, right, ["k"], chunk_s=chunk_s)
+    got = {r["lid"]: r["rid_r"] for r in out.collect()}
+
+    # brute force
+    rs = sorted([r for r in rrows if r[0] == 7], key=lambda r: r[1])
+    for lid in range(900):
+        lts = lrows[lid][1]
+        best = None
+        for k, ts, rid in rs:
+            if ts <= lts:
+                best = rid
+            else:
+                break
+        assert got[lid] == best
+    # the hot key's rows span >1 (key, chunk) window partition
+    n_chunks = (left.filter(F.col("k") == 7)
+                    .select((F.unix_timestamp("ts") / chunk_s)
+                            .cast("long").alias("c"))
+                    .distinct().count())
+    assert n_chunks > 1
