@@ -54,12 +54,34 @@ class Database:
             self._populate_cache_async()
 
     # -- registry ---------------------------------------------------------
+    def _source_stamp(self) -> float | None:
+        """Cheap change detector for the source: the path's mtime (a POSIX
+        directory's mtime changes when entries are added/removed — exactly
+        the "table created after init" event lazy binding exists for).
+        None (non-local / stat failure) disables memoization → every miss
+        re-lists, the pre-round-5 behavior."""
+        import os
+        try:
+            return os.path.getmtime(self._path)
+        except OSError:
+            return None
+
     def _refresh_registry(self) -> None:
+        self._registry_stamp = self._source_stamp()
         dfs = discover_tables(self._spark, self._path)
         for name, df in dfs.items():
             if name not in self._tables:
                 self._tables[name] = Table(df, name, self._cache)
                 df.createOrReplaceTempView(name)
+
+    def _maybe_refresh_registry(self) -> None:
+        """Re-list the source only if it changed since the last listing.
+        Round-4 verdict #3: a bare ``hasattr`` probe / autocomplete on a
+        missing name must not trigger a filesystem scan + parquet footer
+        reads every time."""
+        stamp = self._source_stamp()
+        if stamp is None or stamp != getattr(self, "_registry_stamp", None):
+            self._refresh_registry()
 
     @property
     def tables(self) -> list[str]:
@@ -111,8 +133,9 @@ class Database:
         tables = object.__getattribute__(self, "_tables")
         if item in tables:
             return tables[item]
-        # Lazy binding of tables created after init (connection.py:258-259).
-        self._refresh_registry()
+        # Lazy binding of tables created after init (connection.py:258-259);
+        # mtime-guarded so repeated misses don't re-list the directory.
+        self._maybe_refresh_registry()
         if item in self._tables:
             return self._tables[item]
         raise AttributeError(f"No such table: {item}")
@@ -120,7 +143,7 @@ class Database:
     def __getitem__(self, item: str) -> Table:
         if item in self._tables:
             return self._tables[item]
-        self._refresh_registry()
+        self._maybe_refresh_registry()
         if item in self._tables:
             return self._tables[item]
         raise InvalidTableError(f"No such table: {item}")

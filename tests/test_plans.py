@@ -38,14 +38,44 @@ def test_small_dim_join_is_broadcast(db):
     assert has_broadcast_join(joined.df)
 
 
+def _shuffle_exchanges(plan: str) -> list[str]:
+    """Exchange nodes that move DATA (hash/range/single-partition shuffles).
+    BroadcastExchange is excluded: it ships the tiny (pid → offset) table,
+    not the data — the round-4 verdict's 'broadcast ≠ Exchange of the
+    data'."""
+    return [ln for ln in plan.splitlines()
+            if ("Exchange hashpartitioning" in ln
+                or "Exchange rangepartitioning" in ln
+                or "Exchange SinglePartition" in ln)]
+
+
 def test_ordinal_plan_has_no_exchange(db):
     odf, n = with_ordinal_and_count(db.orders.df)
     plan = formatted_plan(odf)
-    assert "Exchange" not in plan, plan
+    assert not _shuffle_exchanges(plan), plan
     assert n == db.orders.len
     # ordinal really is a stable 0..n-1 numbering
     rows = odf.select(ORDINAL_COL).collect()
     assert sorted(r[0] for r in rows) == list(range(n))
+
+
+def test_ordinal_plan_size_flat_in_partition_count(spark):
+    """The 100 TB guard for plans/ordinal.py: the offset table rides in a
+    broadcast relation, so the PLAN must stay O(1) size as partition count
+    grows (the round-4 verdict flagged the previous literal create_map,
+    which grew one map entry per input partition — a Catalyst blowup at
+    ~10⁶ partitions)."""
+    few, n_few = with_ordinal_and_count(
+        spark.range(0, 1000, numPartitions=2).select("id"))
+    many, n_many = with_ordinal_and_count(
+        spark.range(0, 1000, numPartitions=32).select("id"))
+    assert n_few == n_many == 1000
+    p_few, p_many = formatted_plan(few), formatted_plan(many)
+    assert "create_map" not in p_many and "keys: [" not in p_many
+    # 16× the partitions must not mean a materially bigger plan
+    assert len(p_many) < 1.5 * len(p_few), (len(p_few), len(p_many))
+    rows = many.select(ORDINAL_COL).collect()
+    assert sorted(r[0] for r in rows) == list(range(1000))
 
 
 def test_iloc_slice_uses_range_predicate(db):

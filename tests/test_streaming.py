@@ -198,3 +198,47 @@ def test_stream_dedup_watermarked_runs(spark):
     keys = {(r["user_id"], r["event_type"]) for r in rows}
     # every in-watermark duplicate collapsed: emitted rows == distinct keys
     assert len(rows) == len(keys) > 0
+
+
+def test_stream_reader_restores_nanos_conf(spark, tmp_path):
+    """Conf hygiene (round-4 verdict #2): events_stream_reader sets
+    spark.sql.legacy.parquet.nanosAsLong for the stream's lifetime, but a
+    later unrelated BATCH read in the same session must not silently get
+    longs — the conf must revert once no streams remain active."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # synthesize an events dir whose ts is TIMESTAMP(NANOS) — the driver
+    # testdata uses micros, which never triggers the conf path
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(pd.to_datetime(
+            ["2024-01-01 00:00:00.000000001",
+             "2024-01-01 00:00:01.500000000",
+             "2024-01-01 00:01:00.000000000"], format="ISO8601"),
+            pa.timestamp("ns")),
+        "user_id": pa.array([10, 10, 11], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"),
+                   coerce_timestamps=None)
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)
+    assert prior != "true"  # precondition: the leak would be observable
+    stream = events_stream_reader(spark, str(tmp_path))
+    assert spark.conf.get(key) == "true"
+    q = (stream.groupBy("event_type").count()
+               .writeStream.format("memory").queryName("t_conf_hygiene")
+               .outputMode("complete").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    deadline = time.time() + 20
+    while time.time() < deadline and spark.conf.get(key) != prior:
+        time.sleep(0.25)
+    assert spark.conf.get(key) == prior

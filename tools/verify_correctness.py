@@ -8,6 +8,7 @@ mismatches are reported so they can be driven to bit-equality (the real
 driver hashes values).
 
 Usage:  python tools/verify_correctness.py [sf_dir] [query ...]
+        python tools/verify_correctness.py [sf_dir] --json OUT.json
 """
 
 from __future__ import annotations
@@ -85,8 +86,15 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as ent
@@ -97,6 +105,7 @@ def main() -> int:
     qs, oracles = ent.queries(), ent.oracle_sql()
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -105,26 +114,44 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            results[name] = {"status": "FAIL", "err": "spark error"}
             n_fail += 1
             continue
+        secs = round(time.time() - t0, 1)
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows  [{secs}s]")
+            results[name] = {"status": "ROWS-ONLY", "spark_rows": len(sdf),
+                             "secs": secs}
             n_rows_only += 1
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            results[name] = {"status": "FAIL", "err": "duckdb error"}
             n_fail += 1
             continue
         problems = compare(sdf, ddf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "FAIL", "spark_rows": len(sdf),
+                             "oracle_rows": len(ddf), "problems": problems}
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sdf)} rows)  [{time.time()-t0:.1f}s]")
+            print(f"PASS {name} ({len(sdf)} rows)  [{secs}s]")
+            results[name] = {"status": "PASS", "spark_rows": len(sdf),
+                             "oracle_rows": len(ddf), "secs": secs,
+                             "rows_match": True, "schema_match": True,
+                             "values_match": True}
             n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "summary": {"pass": n_pass, "fail": n_fail,
+                                   "rows_only": n_rows_only},
+                       "results": results}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
