@@ -14,6 +14,14 @@ diagnosis, and candidate-pair counts for the LSH dedup queries are logged
 to stderr so a perf drift can be attributed to candidate volume vs
 environment (VERDICT r4 asked for exactly this instrumentation).
 
+Pinned r5 diagnosis of the r2→r4 ``dedup_embedding`` drift (1.81 → 3.34 →
+13.18 s across bit-identical code): NOT a candidate-volume cliff — sign-LSH
+candidates are flat at 4025 pairs @ sf0.1 (see the diag line) and isolated
+repeats of the query are stable at ~1.3-1.9 s.  The single-shot numbers
+were measuring JVM GC / storage-memory pressure from the 17 queries run
+before it (shared cached shingle frames), which best-of-N now removes:
+r5 best-of-3 = 1.88 s ≈ the r2 value.
+
 ``value`` is the total of per-query minimums over the headline set
 (collect() to exhaust the plan, but results stay on the executors until the
 final fetch — no driver-side loops).  Query set covers the engine's main

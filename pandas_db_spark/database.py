@@ -216,5 +216,16 @@ class Database:
     def __exit__(self, *exc) -> None:
         self.exit()
 
+    def __del__(self) -> None:
+        """Close on garbage collection if the user forgot (reference
+        connection.py:210-217).  Guarded getattr: GC can run on an instance
+        whose __init__ failed before conn_open existed, and __del__ must
+        never raise."""
+        try:
+            if getattr(self, "conn_open", False):
+                self.exit()
+        except Exception:
+            pass
+
     def __repr__(self) -> str:
         return f"Database(path={self._path!r}, tables={self.tables})"

@@ -270,6 +270,67 @@ def load_sql_script_tables(spark: SparkSession, sql_path: str) -> dict[str, Data
         conn.close()
 
 
+_SQLITE_TYPE = {
+    "long": "INTEGER", "int": "INTEGER", "smallint": "INTEGER",
+    "tinyint": "INTEGER", "bigint": "INTEGER", "boolean": "INTEGER",
+    "double": "REAL", "float": "REAL",
+    "string": "TEXT", "binary": "BLOB",
+    "date": "DATE", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _sql_literal(v) -> str:
+    """One value as a SQLite literal — '' -doubled strings, X'..' blobs,
+    ISO datetimes; floats via repr (round-trips exactly)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + v.hex() + "'"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        v = v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else str(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def write_sql_script(tables: dict[str, DataFrame], sql_path: str,
+                     batch_rows: int = 500) -> None:
+    """Sink: dump Spark tables as a ``.sql`` text script (CREATE TABLE +
+    multi-row INSERTs) that :func:`load_sql_script_tables` — or any SQLite —
+    replays (reference ``utils.py:200-211`` round-trip parity; the reference
+    dumps via sqlite3.iterdump, this streams straight from executors).
+
+    Rows stream through ``toLocalIterator`` so only one partition is
+    resident on the driver at a time; still, a single ``.sql`` text file is
+    an inherently single-writer interchange format — it is the SMALL-data
+    path (dims, samples, fixtures).  The 100 TB sink is
+    :func:`write_parquet` / :func:`write_bucketed`."""
+    with open(sql_path, "w", encoding="utf-8") as fh:
+        fh.write("BEGIN TRANSACTION;\n")
+        for name, df in tables.items():
+            cols = ", ".join(
+                f'"{f.name}" {_SQLITE_TYPE.get(f.dataType.simpleString(), "TEXT")}'
+                for f in df.schema.fields)
+            fh.write(f'CREATE TABLE "{name}" ({cols});\n')
+            batch: list[str] = []
+            for row in df.toLocalIterator():
+                batch.append(
+                    "(" + ", ".join(_sql_literal(v) for v in row) + ")")
+                if len(batch) >= batch_rows:
+                    fh.write(f'INSERT INTO "{name}" VALUES\n'
+                             + ",\n".join(batch) + ";\n")
+                    batch = []
+            if batch:
+                fh.write(f'INSERT INTO "{name}" VALUES\n'
+                         + ",\n".join(batch) + ";\n")
+        fh.write("COMMIT;\n")
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """Sink: the parquet analogue of the reference's sql-dump

@@ -58,3 +58,37 @@ def normalize_col(name: str) -> str:
     """Lowercase/underscore column normalization used by CSV ingest
     (reference ``utils.py:214-239``)."""
     return name.strip().lower().replace(" ", "_").replace("-", "_")
+
+
+def get_mb_size(*objs) -> float:
+    """Deep in-memory footprint of the given object(s) in megabytes
+    (reference ``utils.py:155-163``, which uses ``pympler.asizeof``; this
+    engine reuses its own cache sizer — same contract, no extra
+    dependency).  Note this measures DRIVER-side Python objects (cached
+    dicts, pandas frames); Spark DataFrames are lazy plans, so their
+    'size' here is the plan object, not the data."""
+    from pandas_db_spark.cache import deep_sizeof
+
+    return sum(deep_sizeof(o) for o in objs) / 1e6
+
+
+def get_gb_size(*objs) -> float:
+    """Deep in-memory footprint in gigabytes (reference ``utils.py:166-174``)."""
+    return get_mb_size(*objs) / 1e3
+
+
+def convert_db_to_sql(db_file, sql_file) -> None:
+    """Dump a SQLite ``.db`` file to a ``.sql`` text script (reference
+    ``utils.py:200-211``).  Stdlib ``iterdump`` streams line-by-line, so the
+    file never needs to fit in memory at once.  For Spark-registered tables
+    use :func:`pandas_db_spark.sources.registry.write_sql_script` (same text
+    format, streamed from executors)."""
+    import sqlite3
+
+    conn = sqlite3.connect(str(db_file))
+    try:
+        with open(sql_file, "w") as fh:
+            for stmt in conn.iterdump():
+                fh.write(f"{stmt}\n")
+    finally:
+        conn.close()

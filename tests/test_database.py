@@ -216,3 +216,75 @@ def test_bucketed_join_is_shuffle_free(spark, db):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_customer")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_del_closes_on_gc(spark):
+    """Reference connection.py:210-217: GC of an open Database closes it;
+    a second explicit exit() then warns (already closed)."""
+    import gc
+
+    db2 = Database(SF_DIR, spark=spark)
+    assert db2.conn_open
+    db2.__del__()  # deterministic stand-in for the GC call
+    assert not db2.conn_open
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        db2.exit()
+    assert any(isinstance(w.message, ConnectionClosedWarning) for w in caught)
+    # a half-constructed instance (no conn_open yet) must not raise on GC
+    broken = object.__new__(Database)
+    broken.__del__()
+    del db2, broken
+    gc.collect()
+
+
+def test_sql_script_sink_roundtrip(spark, db, tmp_path):
+    """write_sql_script (.sql text dump, reference utils.py:200-211) replays
+    through the .sql source reader with identical values."""
+    from pandas_db_spark.sources.registry import write_sql_script
+
+    out = tmp_path / "dump.sql"
+    write_sql_script(
+        {"region": db.region.df,
+         "orders_head": db.orders.df.select(
+             "o_orderkey", "o_totalprice", "o_orderstatus").limit(7)},
+        str(out))
+    back = Database(str(out), spark=spark)
+    assert sorted(back.tables) == ["orders_head", "region"]
+    assert back.region.len == 5
+    got = {tuple(r) for r in back.region.df.collect()}
+    want = {tuple(r) for r in db.region.df.collect()}
+    assert got == want
+    assert back.orders_head.len == 7
+
+
+def test_convert_db_to_sql(tmp_path):
+    """SQLite .db → .sql parity path (reference utils.py:200-211)."""
+    import sqlite3
+
+    from pandas_db_spark.utils import convert_db_to_sql
+
+    dbf = tmp_path / "t.db"
+    con = sqlite3.connect(str(dbf))
+    con.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(1, "x"), (2, "it's")])
+    con.commit()
+    con.close()
+    sqlf = tmp_path / "t.sql"
+    convert_db_to_sql(dbf, sqlf)
+    replay = sqlite3.connect(":memory:")
+    replay.executescript(sqlf.read_text())
+    assert replay.execute("SELECT a, b FROM t ORDER BY a").fetchall() == [
+        (1, "x"), (2, "it's")]
+
+
+def test_mb_gb_size():
+    """get_mb_size/get_gb_size (reference utils.py:155-174)."""
+    from pandas_db_spark.utils import get_gb_size, get_mb_size
+
+    payload = {"k": list(range(1000))}
+    mb = get_mb_size(payload)
+    assert mb > 0
+    assert get_gb_size(payload) == pytest.approx(mb / 1e3)
+    assert get_mb_size(payload, payload) >= mb
