@@ -1243,6 +1243,44 @@ def mm_resize(spark, sf_dir):
 
 
 # =====================================================================
+# Sequence packing (operators/packing.py)
+# =====================================================================
+
+_PACK = (
+    "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT "
+    "AS n_tokens FROM documents), "
+    "s AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0)::BIGINT AS start_offset FROM t) ")
+
+
+@q("pack_sequences",
+   _PACK + "SELECT doc_id, n_tokens, start_offset, "
+   "(start_offset // 512)::BIGINT AS seq_id FROM s")
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (budget=512): deterministic
+    token-offset chunking in doc_id order.  The Spark plan decomposes the
+    global running sum into per-chunk distributed windows + a broadcast
+    chunk-offset join (operators/packing.py) — the oracle's global
+    SUM() OVER (ORDER BY) is the same closed form."""
+    from pandas_db_spark.operators import packing as P
+    d = get_db(spark, sf_dir).documents
+    return P.pack_sequences(d.df, budget=512, chunk_ids=100)
+
+
+@q("pack_summary",
+   _PACK + "SELECT (start_offset // 512)::BIGINT AS seq_id, "
+   "count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+   "FROM s GROUP BY 1")
+def pack_summary(spark, sf_dir):
+    """Per-sequence roll-up of pack_sequences: document count and total
+    member tokens per packed training sequence."""
+    from pandas_db_spark.operators import packing as P
+    d = get_db(spark, sf_dir).documents
+    return P.pack_summary(d.df, budget=512, chunk_ids=100)
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

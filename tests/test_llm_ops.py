@@ -296,3 +296,35 @@ def test_jaccard_max_df_bounds_stopword_blowup(spark):
     exact = D.jaccard_pairs(docs, "text", "doc_id", threshold=0.05,
                             max_df=None)
     assert exact.count() >= got
+
+
+def test_pack_sequences_matches_pandas_and_stays_distributed(docs):
+    """Sequence packing: values equal a pandas global-cumsum oracle, and
+    the plan's expensive window is hash-partitioned by chunk — never the
+    single-partition global sort that SUM() OVER (ORDER BY) would give."""
+    from pandas_db_spark.operators import packing as P
+
+    budget = 64
+    got = (P.pack_sequences(docs, budget=budget, chunk_ids=7)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n_tok = pdf["text"].str.strip().str.split().str.len()
+    start = n_tok.cumsum().shift(fill_value=0)
+    assert (got["n_tokens"].to_numpy() == n_tok.to_numpy()).all()
+    assert (got["start_offset"].to_numpy() == start.to_numpy()).all()
+    assert (got["seq_id"].to_numpy() == (start // budget).to_numpy()).all()
+
+    plan = formatted_plan(P.pack_sequences(docs, budget=budget, chunk_ids=7))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__chunk" in plan, plan
+
+
+def test_pack_summary_conserves_tokens(docs):
+    from pandas_db_spark.operators import packing as P
+
+    total = P.pack_sequences(docs, budget=64).agg(
+        F.sum("n_tokens")).collect()[0][0]
+    summary = P.pack_summary(docs, budget=64).agg(
+        F.sum("total_tokens"), F.sum("n_docs")).collect()[0]
+    assert summary[0] == total
+    assert summary[1] == docs.count()

@@ -149,7 +149,7 @@ def test_repr_head_tail(orders):
 def test_describe_keys(db):
     desc = db.supplier.describe()
     assert set(desc) == set(db.supplier.columns)
-    assert set(desc["s_acctbal"]) == {"len", "count", "min", "max", "sum", "avg", "median"}
+    assert set(desc["s_acctbal"]) == {"len", "count", "min", "max", "sum", "sum_exact", "avg", "median"}
     assert set(desc["s_name"]) == {"len", "count", "min", "max", "unique"}
 
 
