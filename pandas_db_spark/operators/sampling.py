@@ -1,0 +1,101 @@
+"""Deterministic (hash-based) sampling — reproducible corpus sampling and
+mixing for training-data pipelines (no reference analogue; beyond-parity).
+
+``rand()``-based sampling is nondeterministic across runs/partitionings,
+which at 100 TB means a pipeline restart changes the training set.  Every
+sampler here derives its randomness from ``md5(key || salt)`` instead:
+
+* same inputs → same sample, on ANY engine (md5 is engine-neutral, so the
+  DuckDB oracles replicate results bit-for-bit — these are hash-checked
+  queries, not rows-only like ``rand()`` sampling);
+* resumable/idempotent: re-running a failed stage re-selects the same rows;
+* decorrelated via ``salt``: different salts give independent samples.
+
+Scale notes per operator are on the functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5-prefix fraction threshold: keep row iff the first 8 hex chars of
+# md5(key||salt), compared LEXICOGRAPHICALLY, fall below the threshold.
+# 8 hex chars = 32 bits → fraction granularity 2^-32.
+_PREFIX_LEN = 8
+
+
+def _hash_hex(key: F.Column, salt: str) -> F.Column:
+    return F.md5(F.concat(key.cast("string"), F.lit(salt)))
+
+
+def fraction_threshold(fraction: float) -> str:
+    """8-char lowercase-hex threshold for a keep-fraction in (0, 1).
+    Equal-length lowercase hex compares lexicographically == numerically,
+    which is what makes the predicate engine-neutral."""
+    if not 0.0 < fraction < 1.0:
+        raise ValueError("fraction must be in (0, 1) here; "
+                         "0 and 1 are handled by the caller")
+    v = min(int(round(fraction * (1 << 32))), (1 << 32) - 1)
+    return format(v, "08x")
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                salt: str = "") -> DataFrame:
+    """Bernoulli-style sample of ~``fraction`` of rows, deterministically
+    keyed on ``key_col``.  A pure narrow filter — no shuffle, no state —
+    and the predicate sits directly above the scan, so at 100 TB it costs
+    one pass and prunes everything downstream."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction == 1.0:
+        return df
+    if fraction == 0.0:
+        return df.filter(F.lit(False))
+    hexp = F.substring(_hash_hex(F.col(key_col), salt), 1, _PREFIX_LEN)
+    return df.filter(hexp < F.lit(fraction_threshold(fraction)))
+
+
+def stratified_sample(df: DataFrame, strata_cols: list[str], n: int,
+                      key_col: str, salt: str = "") -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, the hash-smallest by
+    ``(md5(key||salt), key)`` — deterministic "take n per group".
+
+    Two-phase top-n so a huge stratum never lands on one reducer:
+    phase 1 takes the local top-n within each (stratum, input-partition)
+    group — correctness does not depend on the partitioning, any grouping
+    over-selects — and phase 2 takes the global top-n per stratum over the
+    ≤ n×#partitions survivors.  Both phases are windows over keyed
+    shuffles; the second one moves only the phase-1 survivors."""
+    hexp = _hash_hex(F.col(key_col), salt).alias("__h")
+    from pyspark.sql import Window
+
+    tagged = df.select("*", hexp, F.spark_partition_id().alias("__pid"))
+    w_local = (Window.partitionBy(*strata_cols, "__pid")
+                     .orderBy("__h", key_col))
+    survivors = (tagged.withColumn("__r", F.row_number().over(w_local))
+                       .filter(F.col("__r") <= n).drop("__r", "__pid"))
+    w_global = Window.partitionBy(*strata_cols).orderBy("__h", key_col)
+    return (survivors.withColumn("__r", F.row_number().over(w_global))
+                     .filter(F.col("__r") <= n)
+                     .drop("__r", "__h"))
+
+
+def mix_corpora(corpora: dict[str, tuple[DataFrame, float]],
+                key_col: str, salt: str = "") -> DataFrame:
+    """Weighted corpus mixing: for each named corpus keep a deterministic
+    ``fraction`` of its rows (``hash_sample`` with a per-corpus salt so the
+    draws are independent), tag provenance in a ``source`` column, and
+    union.  All inputs must share a schema.  Narrow filters + a zero-cost
+    union — the mixing plan adds no shuffle at any scale."""
+    parts = []
+    for name, (df, fraction) in sorted(corpora.items()):
+        parts.append(
+            hash_sample(df, fraction, key_col, salt=f"{salt}|{name}")
+            .withColumn("source", F.lit(name)))
+    if not parts:
+        raise ValueError("corpora must be non-empty")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1281,6 +1281,58 @@ def pack_summary(spark, sf_dir):
 
 
 # =====================================================================
+# Deterministic hash sampling / corpus mixing (operators/sampling.py)
+# =====================================================================
+
+@q("sample_hash",
+   "SELECT doc_id, lang FROM documents "
+   "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' "
+   "ORDER BY doc_id")
+def sample_hash(spark, sf_dir):
+    """Deterministic ~20% Bernoulli sample keyed on md5(doc_id) — unlike
+    rand() sampling this is reproducible across runs/engines, so it is a
+    full hash-checked oracle query (threshold 0x33333333 = 0.2 * 2^32)."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return SA.hash_sample(d.df, 0.2, "doc_id").select("doc_id", "lang")
+
+
+@q("sample_stratified",
+   "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
+   "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || 's'), doc_id"
+   ") AS r FROM documents) t WHERE r <= 5")
+def sample_stratified(spark, sf_dir):
+    """Exactly 5 docs per language, hash-smallest by md5(doc_id||'s') —
+    deterministic take-n-per-group via the two-phase (partition-local then
+    global) top-n, so no stratum ever lands whole on one reducer."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.stratified_sample(d.df, ["lang"], 5, "doc_id", salt="s")
+            .select("doc_id", "lang"))
+
+
+@q("mix_corpora",
+   "SELECT doc_id, source FROM ("
+   "SELECT doc_id, 'en' AS source FROM documents WHERE lang = 'en' "
+   "AND substr(md5(CAST(doc_id AS VARCHAR) || '|en'), 1, 8) < '80000000' "
+   "UNION ALL "
+   "SELECT doc_id, 'rest' AS source FROM documents WHERE lang <> 'en' "
+   "AND substr(md5(CAST(doc_id AS VARCHAR) || '|rest'), 1, 8) < '40000000'"
+   ") t")
+def mix_corpora(spark, sf_dir):
+    """Weighted corpus mixing: 50% of the English slice + 25% of the rest,
+    independent deterministic draws (per-corpus salt), provenance-tagged.
+    Pure narrow filters + union — zero shuffle at any scale."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents.df
+    mixed = SA.mix_corpora(
+        {"en": (d.filter(F.col("lang") == "en"), 0.5),
+         "rest": (d.filter(F.col("lang") != "en"), 0.25)},
+        key_col="doc_id")
+    return mixed.select("doc_id", "source")
+
+
+# =====================================================================
 # Driver correctness-window ordering
 # =====================================================================
 #

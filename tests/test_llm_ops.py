@@ -328,3 +328,59 @@ def test_pack_summary_conserves_tokens(docs):
         F.sum("total_tokens"), F.sum("n_docs")).collect()[0]
     assert summary[0] == total
     assert summary[1] == docs.count()
+
+
+def test_hash_sample_deterministic_and_narrow(docs):
+    """Hash sampling: reproducible across partitionings (the point, vs
+    rand()), fraction roughly honored, and a pure narrow filter (no
+    Exchange in the plan)."""
+    from pandas_db_spark.operators import sampling as SA
+
+    s1 = {r.doc_id for r in SA.hash_sample(docs, 0.3, "doc_id").collect()}
+    s2 = {r.doc_id for r in
+          SA.hash_sample(docs.repartition(13), 0.3, "doc_id").collect()}
+    assert s1 == s2
+    n = docs.count()
+    assert 0.15 * n < len(s1) < 0.45 * n
+    # independent draws under different salts
+    s3 = {r.doc_id for r in
+          SA.hash_sample(docs, 0.3, "doc_id", salt="x").collect()}
+    assert s3 != s1
+    assert "Exchange" not in formatted_plan(
+        SA.hash_sample(docs, 0.3, "doc_id"))
+    # boundary fractions
+    assert SA.hash_sample(docs, 1.0, "doc_id").count() == n
+    assert SA.hash_sample(docs, 0.0, "doc_id").count() == 0
+
+
+def test_stratified_sample_exact_n_and_partition_invariant(docs):
+    from pandas_db_spark.operators import sampling as SA
+
+    out = SA.stratified_sample(docs, ["lang"], 3, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, size in sizes.items():
+        assert counts.get(lang, 0) == min(3, size)
+    # phase-1 grouping (input partitioning) must not affect the result
+    a = {tuple(r) for r in out.select("doc_id").collect()}
+    b = {tuple(r) for r in
+         SA.stratified_sample(docs.repartition(17), ["lang"], 3, "doc_id")
+           .select("doc_id").collect()}
+    assert a == b
+
+
+def test_mix_corpora_provenance_and_disjoint(docs):
+    from pandas_db_spark.operators import sampling as SA
+
+    en = docs.filter(F.col("lang") == "en")
+    rest = docs.filter(F.col("lang") != "en")
+    mixed = SA.mix_corpora({"en": (en, 0.5), "rest": (rest, 0.25)},
+                           key_col="doc_id")
+    agg = {r["source"]: r["n"] for r in
+           mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(agg) == {"en", "rest"}
+    assert 0 < agg["en"] <= en.count()
+    ids = [r.doc_id for r in mixed.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))  # disjoint sources stay disjoint
