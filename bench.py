@@ -58,6 +58,7 @@ HEADLINE = [
     "text_quality",
     "ann_topk",
     "events_tumbling",
+    "pack_sequences",     # per-chunk window + broadcast offsets (r5 op)
 ]
 
 

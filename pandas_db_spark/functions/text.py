@@ -64,6 +64,41 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+def repeated_token_frac(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    the Gopher-report-style within-document repetition signal (high values
+    flag degenerate/templated text).  Pure JVM set arithmetic."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(toks))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_frac(text: Column) -> Column:
+    """2 × occurrences of the most frequent bigram / token count — the
+    Gopher-style duplicate-n-gram signal (≳0.2 flags looping/boilerplate
+    generation; exceeds 1 when occurrences overlap, e.g. "x x x x").
+    Counting is distinct-bigrams × bigrams comparisons per
+    document — quadratic in DOCUMENT length only, constant per row at any
+    corpus scale, and stays inside whole-stage codegen (no UDF)."""
+    ws = tokens(text)
+    n = F.size(ws)
+    bg = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i),
+                              F.element_at(ws, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x)))
+    return F.when(
+        n >= 2,
+        F.array_max(counts).cast("double") * F.lit(2.0) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")

@@ -81,6 +81,38 @@ def stratified_sample(df: DataFrame, strata_cols: list[str], n: int,
                      .drop("__r", "__h"))
 
 
+def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
+               salt: str = "") -> DataFrame:
+    """Deterministic train/val/test splitting: adds a ``split`` column
+    assigning each row to a named partition with probability proportional
+    to its weight, keyed on ``md5(key||salt)``.  Properties the rand()
+    equivalent lacks: stable under reruns and repartitioning, and a row's
+    assignment never changes when the corpus grows (keys hash
+    independently), so eval sets stay eval sets across pipeline versions.
+    A single narrow CASE expression — no shuffle."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    hexp = F.substring(_hash_hex(F.col(key_col), salt), 1, _PREFIX_LEN)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        if acc <= 0.0:
+            thr = "00000000"  # empty bucket: no 8-hex string is below this
+        elif acc >= 1.0:
+            thr = "g"  # catch-all: every 8-hex string sorts below 'g'
+        else:
+            thr = fraction_threshold(acc)
+        cond = hexp < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
 def mix_corpora(corpora: dict[str, tuple[DataFrame, float]],
                 key_col: str, salt: str = "") -> DataFrame:
     """Weighted corpus mixing: for each named corpus keep a deterministic

@@ -1281,6 +1281,57 @@ def pack_summary(spark, sf_dir):
 
 
 # =====================================================================
+# Deterministic train/val/test split (operators/sampling.py)
+# =====================================================================
+
+@q("split_assign",
+   "SELECT doc_id, CASE "
+   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < '0ccccccd' "
+   "THEN 'test' "
+   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < 'e6666666' "
+   "THEN 'train' ELSE 'val' END AS split FROM documents")
+def split_assign(spark, sf_dir):
+    """Deterministic 85/10/5 train/val/test assignment keyed on
+    md5(doc_id||'v1') — stable under reruns, repartitioning, and corpus
+    growth.  Thresholds: 0.05*2^32=0x0ccccccd, 0.90*2^32=0xe6666666
+    (buckets in sorted-name order: test, train, val)."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.hash_split(d.df, {"train": 0.85, "val": 0.10, "test": 0.05},
+                          "doc_id", salt="v1")
+            .select("doc_id", "split"))
+
+
+# =====================================================================
+# Gopher-style repetition signals (functions/text.py)
+# =====================================================================
+
+@q("text_repetition",
+   "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "r AS (SELECT doc_id, len(ws) AS n, "
+   "len(ws) - len(list_distinct(ws)) AS rep, "
+   "CASE WHEN len(ws) >= 2 THEN "
+   "[ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] "
+   "ELSE [] END AS bg FROM w) "
+   "SELECT doc_id, "
+   "CASE WHEN n > 0 THEN rep::DOUBLE / n ELSE 0.0 END AS rep_frac, "
+   "CASE WHEN n >= 2 THEN (list_max(list_transform(list_distinct(bg), "
+   "x -> len(list_filter(bg, y -> y = x))))::DOUBLE * 2.0) / n "
+   "ELSE 0.0 END AS top_bigram_frac FROM r")
+def text_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style quality rules):
+    repeated-token fraction + most-frequent-bigram coverage.  Pure JVM
+    higher-order expressions, identical IEEE op order in the oracle."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    return d.df.select(
+        "doc_id",
+        X.repeated_token_frac(F.col("text")).alias("rep_frac"),
+        X.top_bigram_frac(F.col("text")).alias("top_bigram_frac"))
+
+
+# =====================================================================
 # Deterministic hash sampling / corpus mixing (operators/sampling.py)
 # =====================================================================
 

@@ -384,3 +384,51 @@ def test_mix_corpora_provenance_and_disjoint(docs):
     assert 0 < agg["en"] <= en.count()
     ids = [r.doc_id for r in mixed.select("doc_id").collect()]
     assert len(ids) == len(set(ids))  # disjoint sources stay disjoint
+
+
+def test_repetition_signals(spark):
+    """Planted degenerate docs get high repetition scores; clean prose low."""
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "buy now buy now buy now buy now"),
+         (3, "a quick brown fox jumps over the lazy dog"),
+         (4, "solo"),
+         (5, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in docs.select(
+        "doc_id",
+        X.repeated_token_frac(F.col("text")).alias("rep"),
+        X.top_bigram_frac(F.col("text")).alias("top2")).collect()}
+    assert rows[1].rep == pytest.approx(5 / 6)
+    assert rows[1].top2 == pytest.approx(10 / 6)  # overlapping repeats can exceed 1
+    assert rows[2].top2 == pytest.approx(8 / 8)   # "buy now" covers 4*2 of 8
+    assert rows[3].rep == 0.0 and rows[3].top2 == pytest.approx(2 / 9)
+    assert rows[4].rep == 0.0 and rows[4].top2 == 0.0
+
+
+def test_hash_split_stable_and_exhaustive(docs):
+    """Every row gets exactly one split; assignments survive repartitioning
+    AND corpus growth (a doc's split never changes when more docs arrive)."""
+    from pandas_db_spark.operators import sampling as SA
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = SA.hash_split(docs, w, "doc_id")
+    n = docs.count()
+    agg = {r["split"]: r["n"] for r in
+           full.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(agg.values()) == n and set(agg) <= {"train", "val", "test"}
+    assert agg["train"] > agg.get("val", 0)
+    # stability under partitioning
+    a = {(r.doc_id, r.split) for r in
+         full.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in
+         SA.hash_split(docs.repartition(11), w, "doc_id")
+           .select("doc_id", "split").collect()}
+    assert a == b
+    # stability under growth: assignments on a subset match the full corpus
+    sub = SA.hash_split(docs.filter(F.col("doc_id") < 50), w, "doc_id")
+    c = {(r.doc_id, r.split) for r in sub.select("doc_id", "split").collect()}
+    assert c == {(d_, s_) for d_, s_ in a if d_ < 50}
+    # degenerate weights: single bucket takes everything
+    solo = SA.hash_split(docs, {"all": 1.0}, "doc_id")
+    assert solo.filter(F.col("split") != "all").count() == 0
