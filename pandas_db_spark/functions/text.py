@@ -80,9 +80,14 @@ def top_bigram_frac(text: Column) -> Column:
     """2 × occurrences of the most frequent bigram / token count — the
     Gopher-style duplicate-n-gram signal (≳0.2 flags looping/boilerplate
     generation; exceeds 1 when occurrences overlap, e.g. "x x x x").
-    Counting is distinct-bigrams × bigrams comparisons per
-    document — quadratic in DOCUMENT length only, constant per row at any
-    corpus scale, and stays inside whole-stage codegen (no UDF)."""
+
+    Counting is sort-then-longest-equal-run: one ``array_sort`` plus a
+    single ``aggregate`` pass with a (prev, run, best) struct accumulator —
+    O(d log d) per document.  The first cut was the obvious
+    distinct×filter quadratic; Catalyst interprets higher-order lambdas
+    per element, and at 50-token docs that measured ~70 ms/doc (354 s for
+    5 000 docs) vs milliseconds for this form.  Still no UDF: everything
+    stays JVM-side."""
     ws = tokens(text)
     n = F.size(ws)
     bg = F.when(n >= 2, F.transform(
@@ -90,12 +95,21 @@ def top_bigram_frac(text: Column) -> Column:
         lambda i: F.concat_ws(" ", F.element_at(ws, i),
                               F.element_at(ws, i + 1)))
     ).otherwise(F.array().cast("array<string>"))
-    counts = F.transform(
-        F.array_distinct(bg),
-        lambda x: F.size(F.filter(bg, lambda y: y == x)))
+    zero = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = (F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1)))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(F.array_sort(bg), zero, step,
+                       lambda acc: acc["best"])
     return F.when(
         n >= 2,
-        F.array_max(counts).cast("double") * F.lit(2.0) / n.cast("double")
+        best.cast("double") * F.lit(2.0) / n.cast("double")
     ).otherwise(F.lit(0.0))
 
 

@@ -1322,10 +1322,15 @@ def split_assign(spark, sf_dir):
 def text_repetition(spark, sf_dir):
     """Within-document repetition signals (Gopher-style quality rules):
     repeated-token fraction + most-frequent-bigram coverage.  Pure JVM
-    higher-order expressions, identical IEEE op order in the oracle."""
+    higher-order expressions, identical IEEE op order in the oracle.
+    The input is spread to defaultParallelism first: interpreted HOF
+    lambdas are the per-row cost center here, and a single small parquet
+    file would otherwise run them on one core (a no-op on a real
+    multi-split scan)."""
     from pandas_db_spark.functions import text as X
+    from pandas_db_spark.operators.dedup import _ensure_parallelism
     d = get_db(spark, sf_dir).documents
-    return d.df.select(
+    return _ensure_parallelism(d.df).select(
         "doc_id",
         X.repeated_token_frac(F.col("text")).alias("rep_frac"),
         X.top_bigram_frac(F.col("text")).alias("top_bigram_frac"))
