@@ -92,3 +92,72 @@ def convert_db_to_sql(db_file, sql_file) -> None:
                 fh.write(f"{stmt}\n")
     finally:
         conn.close()
+
+
+def col_iterator(db, *, numeric_only: bool = False):
+    """Yield every Column object across all tables of a Database
+    (reference ``utils.py:41-50``); ``numeric_only`` filters on the
+    column's declared type — metadata only, no jobs run."""
+    for _, table in db.items():
+        for _, col in table.items():
+            if not numeric_only or col.data_is_numeric():
+                yield col
+
+
+def sort_iterable_with_none_values(it) -> list:
+    """``sorted`` that tolerates None values — Nones sort first
+    (reference ``utils.py:52-58``)."""
+    return sorted(it, key=lambda x: (x is not None, x))
+
+
+def convert_csvs_to_db(db_file, csv_files, set_lowercase: bool = True,
+                       **kwargs) -> None:
+    """CSV files → one SQLite ``.db`` (reference ``utils.py:214-239``):
+    table per file named after its stem, spaces/dashes in names become
+    underscores, optional lowercasing.  Driver-side by design — the ``.db``
+    format is the reference's small-data interchange; the scale ingest path
+    is :func:`pandas_db_spark.sources.registry.load_csv`."""
+    import sqlite3
+    from pathlib import Path
+
+    import pandas as pd
+
+    conn = sqlite3.connect(str(db_file))
+    try:
+        for csv in csv_files:
+            df = pd.read_csv(csv, **kwargs)
+            cols = [c.replace(" ", "_").replace("-", "_")
+                    for c in df.columns]
+            if set_lowercase:
+                cols = [c.lower() for c in cols]
+            df.columns = cols
+            name = Path(csv).stem.replace(" ", "_").replace("-", "_")
+            df.to_sql(name=name, con=conn, index=False)
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def convert_sql_to_db(sql_file, db_file) -> None:
+    """Replay a ``.sql`` script into a ``.db`` file
+    (reference ``utils.py:242-252``)."""
+    import sqlite3
+
+    conn = sqlite3.connect(str(db_file))
+    try:
+        with open(sql_file, encoding="utf-8") as fh:
+            conn.executescript(fh.read())
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def load_sql_to_sqlite(sql_file):
+    """``.sql`` script → live in-memory sqlite3 connection
+    (reference ``utils.py:255-266``)."""
+    import sqlite3
+
+    conn = sqlite3.connect(":memory:", check_same_thread=False)
+    with open(sql_file, encoding="utf-8") as fh:
+        conn.executescript(fh.read())
+    return conn

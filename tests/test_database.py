@@ -288,3 +288,43 @@ def test_mb_gb_size():
     assert mb > 0
     assert get_gb_size(payload) == pytest.approx(mb / 1e3)
     assert get_mb_size(payload, payload) >= mb
+
+
+def test_conversion_utils_roundtrip(tmp_path, db):
+    """csv -> .db -> .sql -> .db -> in-memory chain
+    (reference utils.py:214-266 family)."""
+    import sqlite3
+
+    from pandas_db_spark.utils import (convert_csvs_to_db, convert_db_to_sql,
+                                       convert_sql_to_db, load_sql_to_sqlite)
+
+    csv = tmp_path / "My Table-1.csv"
+    csv.write_text("First Name,Total-Sum\nada,1\ngrace,2\n")
+    dbf = tmp_path / "a.db"
+    convert_csvs_to_db(dbf, [csv])
+    con = sqlite3.connect(str(dbf))
+    assert con.execute(
+        "SELECT first_name, total_sum FROM my_table_1 ORDER BY 1"
+    ).fetchall() == [("ada", 1), ("grace", 2)]
+    con.close()
+
+    sqlf = tmp_path / "a.sql"
+    convert_db_to_sql(dbf, sqlf)
+    dbf2 = tmp_path / "b.db"
+    convert_sql_to_db(sqlf, dbf2)
+    mem = load_sql_to_sqlite(sqlf)
+    for c in (sqlite3.connect(str(dbf2)), mem):
+        assert c.execute("SELECT count(*) FROM my_table_1").fetchone() == (2,)
+        c.close()
+
+
+def test_col_iterator_and_none_sort(db):
+    from pandas_db_spark.utils import col_iterator, sort_iterable_with_none_values
+
+    all_cols = list(col_iterator(db))
+    num_cols = list(col_iterator(db, numeric_only=True))
+    assert len(all_cols) == sum(len(t.columns) for _, t in db.items())
+    assert 0 < len(num_cols) < len(all_cols)
+    assert all(c.data_is_numeric() for c in num_cols)
+    assert sort_iterable_with_none_values([3, None, 1, None, 2]) == [
+        None, None, 1, 2, 3]
