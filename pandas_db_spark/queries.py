@@ -1281,6 +1281,47 @@ def pack_summary(spark, sf_dir):
 
 
 # =====================================================================
+# Eval-set decontamination (operators/decontam.py)
+# =====================================================================
+
+_DECON = (
+    "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+    "FROM documents), "
+    "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 8 THEN "
+    "[ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)] "
+    "ELSE [array_to_string(ws, ' ')] END) AS sh FROM w), "
+    "p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, "
+    "len(list_intersect(a.sh, b.sh))::BIGINT AS n_shared "
+    "FROM s a, s b WHERE a.doc_id >= 50 AND b.doc_id < 50) ")
+
+
+@q("decontam_pairs",
+   _DECON + "SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 1")
+def decontam_pairs(spark, sf_dir):
+    """Train/eval 8-gram contamination pairs (eval = doc_id < 50): the
+    eval shingle index is broadcast, the training corpus never shuffles,
+    and only matches reach the groupBy.  The oracle is the exact all-pairs
+    intersection — feasible at sf0.01, never run at scale."""
+    from pandas_db_spark.operators import decontam as DC
+    d = get_db(spark, sf_dir).documents.df
+    return DC.contamination_pairs(
+        d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50))
+
+
+@q("decontam_clean",
+   _DECON + "SELECT doc_id FROM documents WHERE doc_id >= 50 "
+   "AND doc_id NOT IN (SELECT train_id FROM p WHERE n_shared >= 1)")
+def decontam_clean(spark, sf_dir):
+    """Training ids surviving decontamination — broadcast probe +
+    left-anti join on the flagged set."""
+    from pandas_db_spark.operators import decontam as DC
+    d = get_db(spark, sf_dir).documents.df
+    return DC.decontaminate(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50)).select("doc_id")
+
+
+# =====================================================================
 # Deterministic train/val/test split (operators/sampling.py)
 # =====================================================================
 

@@ -432,3 +432,28 @@ def test_hash_split_stable_and_exhaustive(docs):
     # degenerate weights: single bucket takes everything
     solo = SA.hash_split(docs, {"all": 1.0}, "doc_id")
     assert solo.filter(F.col("split") != "all").count() == 0
+
+
+def test_decontamination_planted_leak(spark):
+    """A planted verbatim 8-gram leak is flagged; clean docs survive; the
+    eval index side is broadcast (train corpus must not shuffle)."""
+    from pandas_db_spark.operators import decontam as DC
+
+    leak = "the secret benchmark answer is forty two exactly here"
+    train = spark.createDataFrame(
+        [(100, f"some filler text then {leak} and a tail of words"),
+         (101, "completely unrelated training document about spark plans"),
+         (102, "another clean doc with its own fresh tokens entirely")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, f"eval question: {leak}"),
+         (2, "an eval item with no overlap at all")],
+        "doc_id long, text string")
+    pairs = DC.contamination_pairs(train, ev, n=8).collect()
+    assert {(r.train_id, r.eval_id) for r in pairs} == {(100, 1)}
+    assert pairs[0].n_shared >= 2  # the 9-word leak spans 2 distinct 8-grams
+    clean = {r.doc_id for r in DC.decontaminate(train, ev, n=8)
+             .select("doc_id").collect()}
+    assert clean == {101, 102}
+    plan = formatted_plan(DC.contamination_pairs(train, ev, n=8))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
