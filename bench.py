@@ -118,12 +118,14 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    failed: list[str] = []
     total = 0.0
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
         samples: list[float] = []
+        errored = False
         for _ in range(iters):
             t0 = time.perf_counter()
             try:
@@ -131,13 +133,18 @@ def main() -> int:
                 df.collect()
                 samples.append(time.perf_counter() - t0)
             except Exception:
-                samples.append(float("nan"))
+                errored = True
                 break  # a failing query won't heal on retry
+        runs[name] = [round(s, 4) for s in samples]
+        if errored:
+            # ANY failure marks the query failed — a success on an earlier
+            # iteration must not mask an intermittent error, and NaN would
+            # make the output line invalid JSON.
+            failed.append(name)
+            continue
         best = min(samples)
         timings[name] = round(best, 4)
-        runs[name] = [round(s, 4) for s in samples]
-        if best == best:  # not NaN
-            total += best
+        total += best
 
     if os.environ.get("SPARK_GRAFT_BENCH_DIAG", "1") != "0":
         _diag_candidate_counts(spark, sf_dir)
@@ -147,7 +154,7 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out = {
         "metric": "headline_total_wall",
         "value": round(total, 4),
         "unit": "sec",
@@ -155,8 +162,11 @@ def main() -> int:
         "iters": iters,
         "runs": runs,
         "sf": sf_val,
-    }))
-    return 0
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

@@ -54,15 +54,23 @@ class Database:
             self._populate_cache_async()
 
     # -- registry ---------------------------------------------------------
-    def _source_stamp(self) -> float | None:
-        """Cheap change detector for the source: the path's mtime (a POSIX
-        directory's mtime changes when entries are added/removed — exactly
-        the "table created after init" event lazy binding exists for).
-        None (non-local / stat failure) disables memoization → every miss
-        re-lists, the pre-round-5 behavior."""
+    def _source_stamp(self):
+        """Cheap change detector for the source: (mtime, sorted dir
+        entries) for a directory — one stat + one readdir syscall, NO
+        parquet footer reads (those are what made unguarded re-listing
+        expensive).  The entry list covers filesystems with coarse mtime
+        granularity, where add-then-probe within one tick would otherwise
+        be missed.  None (non-local / stat failure) disables memoization →
+        every miss re-lists, the pre-round-5 behavior.  Known residual:
+        files appearing INSIDE an already-listed table directory don't
+        change this stamp — matching the reference, whose lazy binding is
+        also a top-level listing (connection.py:258-259)."""
         import os
         try:
-            return os.path.getmtime(self._path)
+            if os.path.isdir(self._path):
+                return (os.path.getmtime(self._path),
+                        tuple(sorted(os.listdir(self._path))))
+            return (os.path.getmtime(self._path), None)
         except OSError:
             return None
 

@@ -203,9 +203,12 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     .agg(F.collect_set(id_col).alias("ids"))
                     .filter(F.size("ids") > 1))
     if max_df is not None:
-        from pyspark import StorageLevel
-        lists.persist(StorageLevel.MEMORY_AND_DISK)
-        n_dropped = lists.filter(F.size("ids") > max_df).count()
+        # No-silent-caps probe: a count-only pre-pass (map-side-combined
+        # (sh, 1) shuffle, no arrays, reads the persisted shingles) — no
+        # persist of the heavy posting lists, so nothing leaks if the
+        # returned plan is never executed.
+        n_dropped = (posting.groupBy("sh").count()
+                            .filter(F.col("count") > max_df).count())
         if n_dropped:
             import warnings
             warnings.warn(

@@ -42,13 +42,33 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     dataloader's packing buffer handles the actual split; this operator
     provides the deterministic assignment and offsets it needs.
     """
+    from pyspark.sql.types import NumericType
+    from pyspark.storagelevel import StorageLevel
+
     from pandas_db_spark.functions.text import token_count
+
+    id_field = docs.schema[id_col]
+    if not isinstance(id_field.dataType, NumericType):
+        # A non-numeric id would make __chunk NULL and silently drop every
+        # row at the offset join. The chunk decomposition needs RANGES of
+        # the id, so a hash of a string id cannot substitute.
+        raise TypeError(
+            f"pack_sequences requires a numeric id_col for deterministic "
+            f"range chunking; {id_col!r} is "
+            f"{id_field.dataType.simpleString()} — derive a dense numeric "
+            f"key first (e.g. via zipWithIndex at ingest).")
 
     toks = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         (F.col(id_col) / F.lit(chunk_ids)).cast("long").alias("__chunk"),
     )
+    # Persist: the per-chunk-totals job below and the returned plan must
+    # see the SAME tokenization of the same files (plans/ordinal.py closes
+    # the identical two-jobs hole the same way), and it saves the second
+    # full scan+tokenize. Spark's cache manager dedupes by analyzed plan,
+    # so repeated identical calls share one entry. 3 longs/row.
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # distributed exclusive cumsum within each deterministic chunk
     w = (Window.partitionBy("__chunk").orderBy(id_col)

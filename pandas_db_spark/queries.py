@@ -879,10 +879,14 @@ def dedup_exact(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard pairs (J ≥ 0.8) via inverted-index join — the
     all-pairs oracle is feasible at sf0.01 (500 docs); the Spark plan is the
-    scalable one (posting-list join, no cross product)."""
+    scalable one (posting-list join, no cross product).  ``max_df=None``
+    explicitly: this query's oracle is EXACT all-pairs, so the operator's
+    default skew cap (which may drop ultra-common shingles) must not apply
+    here — semantics of query and oracle stay identical at any sf."""
     from pandas_db_spark.operators import dedup as D
     d = get_db(spark, sf_dir).documents
-    return D.jaccard_pairs(d.df, "text", "doc_id", threshold=0.8)
+    return D.jaccard_pairs(d.df, "text", "doc_id", threshold=0.8,
+                           max_df=None)
 
 
 @q("dedup_minhash",

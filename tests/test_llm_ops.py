@@ -457,3 +457,15 @@ def test_decontamination_planted_leak(spark):
     assert clean == {101, 102}
     plan = formatted_plan(DC.contamination_pairs(train, ev, n=8))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_pack_sequences_rejects_non_numeric_id(spark):
+    """A string id must raise, not silently return zero rows (the chunk
+    decomposition needs id RANGES)."""
+    from pandas_db_spark.operators import packing as P
+
+    docs = spark.createDataFrame(
+        [("u1", "some text here"), ("u2", "more text here")],
+        "url string, text string")
+    with pytest.raises(TypeError, match="numeric id_col"):
+        P.pack_sequences(docs, id_col="url")

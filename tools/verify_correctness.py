@@ -91,6 +91,10 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: verify_correctness.py [sf_dir] [query ...] "
+                  "--json OUT.json", file=sys.stderr)
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
