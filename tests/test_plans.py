@@ -117,3 +117,16 @@ def test_aggregate_has_map_side_combine(db):
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"))
     plan = formatted_plan(agg)
     assert "partial_sum" in plan
+
+
+def test_driver_window_intact():
+    """The correctness gate samples the first 50 registry entries; new @q
+    registrations must append BEYOND the window, never displace it."""
+    from pandas_db_spark import queries as Q
+
+    keys = list(Q.REGISTRY)
+    assert keys[:50] == Q._DRIVER_WINDOW
+    assert len(Q._DRIVER_WINDOW) == 50
+    # every windowed query that claims an oracle actually has one
+    missing = [k for k in Q._DRIVER_WINDOW if Q.REGISTRY[k][1] is None]
+    assert missing == [], f"windowed queries without oracles: {missing}"
