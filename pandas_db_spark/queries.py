@@ -1285,6 +1285,26 @@ def pack_summary(spark, sf_dir):
 
 
 # =====================================================================
+# Grouped exact quantiles (beyond-parity SS2.5 depth)
+# =====================================================================
+
+@q("groupby_quantiles",
+   "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med, "
+   "quantile_cont(o_totalprice, 0.9) AS p90 "
+   "FROM orders GROUP BY o_orderstatus")
+def groupby_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (median + p90) via Spark's percentile
+    (sort-based, linear interpolation) — verified bit-identical to
+    DuckDB's quantile_cont.  One keyed shuffle; for sketch-based
+    constant-memory quantiles at extreme group cardinality see
+    Column.quantile_approx (agg_sketches)."""
+    o = get_db(spark, sf_dir).orders
+    return (o.df.groupBy("o_orderstatus")
+             .agg(F.percentile("o_totalprice", 0.5).alias("med"),
+                  F.percentile("o_totalprice", 0.9).alias("p90")))
+
+
+# =====================================================================
 # Eval-set decontamination (operators/decontam.py)
 # =====================================================================
 
