@@ -1472,6 +1472,14 @@ def mix_corpora(spark, sf_dir):
 #                 (beyond-parity §2 extras) plus same-row variants; all of
 #                 them remain runnable and are covered by
 #                 tools/verify_correctness.py locally every round.
+#
+# ROUND-6 ROTATION PLAN: swap the window to the ~36 entries currently
+# beyond slot 50 (the r2-r4-verified extras rotated out this round PLUS
+# the new r5 registrations: pack_sequences, pack_summary, sample_hash,
+# sample_stratified, mix_corpora, split_assign, text_repetition,
+# decontam_pairs, decontam_clean, groupby_quantiles), padding the
+# remaining slots with parity-core repeats.  Every query then has a
+# driver-verified row within two consecutive rounds.
 
 _DRIVER_WINDOW: list[str] = [
     # -- §2 parity core (28) --
