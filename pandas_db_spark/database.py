@@ -54,23 +54,30 @@ class Database:
             self._populate_cache_async()
 
     # -- registry ---------------------------------------------------------
+    # mtime ticks this close to "now" may hide a same-tick change on
+    # coarse-granularity filesystems → fall back to comparing dir entries.
+    _STAMP_GRACE_S = 2.0
+
     def _source_stamp(self):
-        """Cheap change detector for the source: (mtime, sorted dir
-        entries) for a directory — one stat + one readdir syscall, NO
-        parquet footer reads (those are what made unguarded re-listing
-        expensive).  The entry list covers filesystems with coarse mtime
-        granularity, where add-then-probe within one tick would otherwise
-        be missed.  None (non-local / stat failure) disables memoization →
-        every miss re-lists, the pre-round-5 behavior.  Known residual:
-        files appearing INSIDE an already-listed table directory don't
-        change this stamp — matching the reference, whose lazy binding is
-        also a top-level listing (connection.py:258-259)."""
+        """Cheap change detector for the source: the path's mtime — ONE
+        stat, no readdir, no parquet footer reads.  Only when the mtime is
+        within ``_STAMP_GRACE_S`` of now (the coarse-granularity risk
+        window where add-then-probe inside one tick could be missed) does
+        it also capture the sorted entry list; an old, unchanged mtime
+        alone proves the directory unchanged.  None (non-local / stat
+        failure) disables memoization → every miss re-lists, the
+        pre-round-5 behavior.  Known residual: files appearing INSIDE an
+        already-listed table directory don't change this stamp — matching
+        the reference, whose lazy binding is also a top-level listing
+        (connection.py:258-259)."""
         import os
+        import time
         try:
-            if os.path.isdir(self._path):
-                return (os.path.getmtime(self._path),
-                        tuple(sorted(os.listdir(self._path))))
-            return (os.path.getmtime(self._path), None)
+            mtime = os.path.getmtime(self._path)
+            if (time.time() - mtime < self._STAMP_GRACE_S
+                    and os.path.isdir(self._path)):
+                return (mtime, tuple(sorted(os.listdir(self._path))))
+            return (mtime, None)
         except OSError:
             return None
 
@@ -86,9 +93,20 @@ class Database:
         """Re-list the source only if it changed since the last listing.
         Round-4 verdict #3: a bare ``hasattr`` probe / autocomplete on a
         missing name must not trigger a filesystem scan + parquet footer
-        reads every time."""
+        reads every time.  Entry lists are only captured inside the
+        granularity grace window, so a (mtime, entries) vs (mtime, None)
+        pair with equal mtimes means "aged out of the window", not a
+        change."""
         stamp = self._source_stamp()
-        if stamp is None or stamp != getattr(self, "_registry_stamp", None):
+        prev = getattr(self, "_registry_stamp", None)
+        if stamp is None or prev is None:
+            self._refresh_registry()
+            return
+        if stamp[0] != prev[0]:
+            self._refresh_registry()
+            return
+        if (stamp[1] is not None and prev[1] is not None
+                and stamp[1] != prev[1]):
             self._refresh_registry()
 
     @property

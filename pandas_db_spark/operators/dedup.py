@@ -204,11 +204,14 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     .filter(F.size("ids") > 1))
     if max_df is not None:
         # No-silent-caps probe: a count-only pre-pass (map-side-combined
-        # (sh, 1) shuffle, no arrays, reads the persisted shingles) — no
-        # persist of the heavy posting lists, so nothing leaks if the
-        # returned plan is never executed.
-        n_dropped = (posting.groupBy("sh").count()
-                            .filter(F.col("count") > max_df).count())
+        # shuffle, no arrays, reads the persisted shingles) — no persist
+        # of the heavy posting lists, so nothing leaks if the returned
+        # plan is never executed.  countDistinct matches the collect_set
+        # semantics of the real filter below, so the warned number equals
+        # what is actually dropped even when ids repeat in the input.
+        n_dropped = (posting.groupBy("sh")
+                            .agg(F.countDistinct(id_col).alias("df"))
+                            .filter(F.col("df") > max_df).count())
         if n_dropped:
             import warnings
             warnings.warn(

@@ -28,8 +28,38 @@ driver (a few MB), everything else stays distributed.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# LRU of persisted token frames (same discipline as plans/ordinal.py):
+# repeated packing calls over the same corpus reuse one cached frame;
+# evicted entries are unpersisted so a long-lived session calling
+# pack_sequences over many distinct corpora stays bounded.
+_TOKS_CACHE_CAP = 8
+_toks_cache: OrderedDict[int, DataFrame] = OrderedDict()
+
+
+def _persisted_toks(toks: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    try:
+        key = toks.semanticHash()
+    except Exception:
+        return toks.persist(StorageLevel.MEMORY_AND_DISK)
+    if key in _toks_cache:
+        _toks_cache.move_to_end(key)
+        return _toks_cache[key]
+    out = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    _toks_cache[key] = out
+    while len(_toks_cache) > _TOKS_CACHE_CAP:
+        _, old = _toks_cache.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return out
 
 
 def pack_sequences(docs: DataFrame, budget: int = 2048,
@@ -43,7 +73,6 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     provides the deterministic assignment and offsets it needs.
     """
     from pyspark.sql.types import NumericType
-    from pyspark.storagelevel import StorageLevel
 
     from pandas_db_spark.functions.text import token_count
 
@@ -63,12 +92,12 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         (F.col(id_col) / F.lit(chunk_ids)).cast("long").alias("__chunk"),
     )
-    # Persist: the per-chunk-totals job below and the returned plan must
-    # see the SAME tokenization of the same files (plans/ordinal.py closes
-    # the identical two-jobs hole the same way), and it saves the second
-    # full scan+tokenize. Spark's cache manager dedupes by analyzed plan,
-    # so repeated identical calls share one entry. 3 longs/row.
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist via the module LRU: the per-chunk-totals job below and the
+    # returned plan must see the SAME tokenization of the same files
+    # (plans/ordinal.py closes the identical two-jobs hole the same way),
+    # and it saves the second full scan+tokenize.  3 longs/row; evictions
+    # unpersist, so many-corpora sessions stay bounded.
+    toks = _persisted_toks(toks)
 
     # distributed exclusive cumsum within each deterministic chunk
     w = (Window.partitionBy("__chunk").orderBy(id_col)

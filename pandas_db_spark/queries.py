@@ -1295,13 +1295,18 @@ def pack_summary(spark, sf_dir):
 def groupby_quantiles(spark, sf_dir):
     """Exact per-group quantiles (median + p90) via Spark's percentile
     (sort-based, linear interpolation) — verified bit-identical to
-    DuckDB's quantile_cont.  One keyed shuffle; for sketch-based
-    constant-memory quantiles at extreme group cardinality see
-    Column.quantile_approx (agg_sketches)."""
+    DuckDB's quantile_cont.  One keyed shuffle, and ONE percentile
+    aggregate with an array argument so each group buffers and sorts its
+    values once, not per-quantile; for sketch-based constant-memory
+    quantiles at extreme group cardinality see Column.quantile_approx
+    (agg_sketches)."""
     o = get_db(spark, sf_dir).orders
-    return (o.df.groupBy("o_orderstatus")
-             .agg(F.percentile("o_totalprice", 0.5).alias("med"),
-                  F.percentile("o_totalprice", 0.9).alias("p90")))
+    ps = F.percentile("o_totalprice",
+                      F.array(F.lit(0.5), F.lit(0.9))).alias("__ps")
+    return (o.df.groupBy("o_orderstatus").agg(ps)
+             .select("o_orderstatus",
+                     F.col("__ps")[0].alias("med"),
+                     F.col("__ps")[1].alias("p90")))
 
 
 # =====================================================================

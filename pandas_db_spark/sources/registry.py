@@ -388,10 +388,13 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
-# One restore listener per session (keyed by the session object) — repeat
-# reader calls re-arm the existing listener instead of stacking inert ones
-# on the listener bus.
-_NANOS_RESTORERS: dict = {}
+# One restore listener per session — repeat reader calls re-arm the
+# existing listener instead of stacking inert ones on the listener bus.
+# Weak keys: a stopped/garbage-collected session must not be pinned by its
+# restore state (the listener itself dies with the session's bus).
+import weakref
+
+_NANOS_RESTORERS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _arm_nanos_restore(spark: SparkSession, prior: str | None) -> None:
@@ -403,18 +406,25 @@ def _arm_nanos_restore(spark: SparkSession, prior: str | None) -> None:
     forever (the round-4 verdict's #2 defect) silently turns every later
     BATCH read of a nanos-timestamp parquet in the same session into longs.
 
-    Race discipline: the restore only fires after a stream has actually
-    STARTED since arming ("started" flag), so an unrelated stream
-    terminating between reader construction and ``.start()`` cannot yank
-    the conf from under the not-yet-started stream.  After restoring, the
-    listener disarms; calling the reader again re-sets the conf and
-    re-arms — which is also the supported way to restart a stopped stream
-    (build a fresh reader; the file source re-reads the conf at start)."""
+    Race discipline: the restore only fires after SOME stream has started
+    since (re)arming (the "started" flag), so building a reader and then
+    having a pre-existing stream terminate cannot yank the conf from the
+    not-yet-started stream.  Every reader call re-arms (started=False),
+    including while streams are active, which also covers building a
+    second reader mid-flight.  Residual window, documented honestly: the
+    listener cannot tell WHICH query started — an unrelated stream that
+    both starts and terminates after arming, while the armed reader has
+    still never started, restores early; call the reader again before
+    ``.start()`` to re-set the conf.  After restoring, the listener
+    disarms; a fresh reader call is likewise the supported way to restart
+    a stopped stream (the file source re-reads the conf at start)."""
     state = _NANOS_RESTORERS.get(spark)
     if state is not None:
         if not state["armed"]:
             state["prior"] = prior  # conf was restored since; take new prior
-        state["armed"] = True
+            state["armed"] = True
+        # re-arm: a new not-yet-started reader exists, so a terminate of
+        # the previous streams must not restore until a start is seen again
         state["started"] = False
         return
 
@@ -462,8 +472,11 @@ def events_stream_reader(spark: SparkSession, sf_dir: str):
         except Exception:
             prior = None
         spark.conf.set(_NANOS_CONF, "true")
-        if prior != "true":
-            _arm_nanos_restore(spark, prior)
+        # Arm unconditionally: even when the conf was already "true" from
+        # an armed earlier reader, this new reader has not started yet and
+        # must reset the started flag (otherwise the earlier stream's
+        # terminate would restore the conf from under this one).
+        _arm_nanos_restore(spark, prior)
     schema = spark.read.parquet(path).schema
     # File stream sources need a directory; select just the events file(s)
     # from the sf dir with a glob (works for both single-file and
