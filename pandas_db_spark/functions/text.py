@@ -113,6 +113,29 @@ def top_bigram_frac(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+# PII patterns — deliberately conservative syntax (no lookaround, no
+# backrefs) so Java regex (Spark) and RE2 (DuckDB/Go tooling) agree
+# byte-for-byte; ordering matters (emails first, else the phone pattern
+# could fire inside a local-part).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / US-style phone numbers with typed
+    tags — the regex-scrub anonymization pass every public-corpus pipeline
+    runs before training.  Pure JVM ``regexp_replace`` chain (narrow, no
+    UDF, whole-stage codegen); swap/extend ``PII_PATTERNS`` for locale
+    coverage."""
+    out = text
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")

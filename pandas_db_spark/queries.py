@@ -1285,6 +1285,36 @@ def pack_summary(spark, sf_dir):
 
 
 # =====================================================================
+# PII redaction (functions/text.py)
+# =====================================================================
+
+@q("text_redact_pii",
+   "WITH p AS (SELECT doc_id, 'contact user' || doc_id || "
+   "'@example.com or 10.0.' || (doc_id % 256) || '.7 call 555-01' "
+   "|| (doc_id % 10) || '-4567 re: ' || text AS raw FROM documents) "
+   "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw, "
+   r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+   r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), "
+   r"'\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g') "
+   "AS clean FROM p")
+def text_redact_pii(spark, sf_dir):
+    """Regex PII scrub (emails/IPs/phones -> typed tags).  The corpus has
+    no natural PII, so the query PLANTS synthetic doc_id-derived PII and
+    both engines must scrub the identical string — a non-trivial
+    hash-checked oracle for the full redaction chain."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-01"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("-4567 re: "), F.col("text"))
+    return d.df.select("doc_id", X.redact_pii(raw).alias("clean"))
+
+
+# =====================================================================
 # Grouped exact quantiles (beyond-parity SS2.5 depth)
 # =====================================================================
 

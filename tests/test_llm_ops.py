@@ -469,3 +469,16 @@ def test_pack_sequences_rejects_non_numeric_id(spark):
         "url string, text string")
     with pytest.raises(TypeError, match="numeric id_col"):
         P.pack_sequences(docs, id_col="url")
+
+
+def test_redact_pii_planted(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail a.b+c@d-e.org ip 10.0.255.1 phone 555-123-4567 end"),
+         (2, "no pii here just words and 12345 numbers"),
+         (3, "edge 999.999.999.999 still tagged; version 1.2.3 is not")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.clean for r in docs.select(
+        "doc_id", X.redact_pii(F.col("text")).alias("clean")).collect()}
+    assert got[1] == "mail <EMAIL> ip <IP> phone <PHONE> end"
+    assert got[2] == "no pii here just words and 12345 numbers"
+    assert "<IP>" in got[3] and "1.2.3" in got[3]
