@@ -66,7 +66,12 @@ def stratified_sample(df: DataFrame, strata_cols: list[str], n: int,
     group — correctness does not depend on the partitioning, any grouping
     over-selects — and phase 2 takes the global top-n per stratum over the
     ≤ n×#partitions survivors.  Both phases are windows over keyed
-    shuffles; the second one moves only the phase-1 survivors."""
+    shuffles; the second one moves only the phase-1 survivors.
+
+    ``strata_cols=[]`` gives the GLOBAL deterministic exact-n sample — the
+    reproducible replacement for ``Table.sample(n)``: phase 1 still runs
+    per input partition, and phase 2's single-partition window sees only
+    the ≤ n×#partitions survivors, never the data."""
     hexp = _hash_hex(F.col(key_col), salt).alias("__h")
     from pyspark.sql import Window
 

@@ -1340,6 +1340,27 @@ def groupby_quantiles(spark, sf_dir):
 
 
 # =====================================================================
+# Deterministic global exact-n sample (operators/sampling.py)
+# =====================================================================
+
+@q("sample_exact_n_det",
+   "SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("
+   "ORDER BY md5(CAST(doc_id AS VARCHAR) || 'g'), doc_id) AS r "
+   "FROM documents) t WHERE r <= 20")
+def sample_exact_n_det(spark, sf_dir):
+    """Deterministic global exact-20 sample (hash-smallest by
+    md5(doc_id||'g')) — the reproducible counterpart to the parity
+    Table.sample(n), which is rand()-based and can only be rows-only
+    checked; this one is a full hash-checked oracle.  strata_cols=[]
+    routes through the two-phase top-n, so the single-partition final
+    window sees only per-partition survivors, never the corpus."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.stratified_sample(d.df, [], 20, "doc_id", salt="g")
+            .select("doc_id"))
+
+
+# =====================================================================
 # Eval-set decontamination (operators/decontam.py)
 # =====================================================================
 

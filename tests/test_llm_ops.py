@@ -482,3 +482,17 @@ def test_redact_pii_planted(spark):
     assert got[1] == "mail <EMAIL> ip <IP> phone <PHONE> end"
     assert got[2] == "no pii here just words and 12345 numbers"
     assert "<IP>" in got[3] and "1.2.3" in got[3]
+
+
+def test_global_exact_n_sample_deterministic(docs):
+    """strata_cols=[] is the global deterministic exact-n draw: exact
+    count, partition-invariant, and the final single-partition window only
+    ever sees phase-1 survivors."""
+    from pandas_db_spark.operators import sampling as SA
+
+    a = {r.doc_id for r in
+         SA.stratified_sample(docs, [], 7, "doc_id").select("doc_id").collect()}
+    b = {r.doc_id for r in
+         SA.stratified_sample(docs.repartition(9), [], 7, "doc_id")
+           .select("doc_id").collect()}
+    assert a == b and len(a) == 7
