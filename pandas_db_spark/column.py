@@ -244,31 +244,15 @@ class Column:
 
     def describe(self) -> dict:
         """Numeric: len/count/min/max/sum/avg/median; else len/count/min/max/
-        unique-count (reference column.py:251-279).  One Spark job for the
-        numeric block instead of seven."""
+        unique-count — EXACTLY the reference's key set (column.py:251-279).
+        One Spark job for the numeric block instead of seven.  The exact
+        decimal-path sum is computed in the same job but kept out of this
+        public dict (ADVICE r5: dict-equality consumers expect reference
+        parity); see ``_describe_full``."""
         if self.data_is_numeric():
-            def compute():
-                # sum_exact: decimal(18,2) accumulation — associative, so
-                # partition order can't perturb it (the float "sum" keeps
-                # reference parity; sum_exact feeds oracle-checked paths in
-                # the same single job instead of a second pass — round-4
-                # verdict #5).  Values beyond decimal(18,2) range yield
-                # NULL rather than a wrong number.
-                row = self._df.agg(
-                    F.count(F.lit(1)).alias("len"),
-                    F.count(self._col).alias("count"),
-                    F.min(self._col).alias("min"),
-                    F.max(self._col).alias("max"),
-                    F.sum(self._col).alias("sum"),
-                    F.sum(self._col.cast("decimal(18,2)"))
-                     .cast("double").alias("sum_exact"),
-                    F.avg(self._col).alias("avg"),
-                    F.median(self._col).alias("median"),
-                ).collect()[0]
-                return {k: row[k] for k in
-                        ("len", "count", "min", "max", "sum", "sum_exact",
-                         "avg", "median")}
-            return self._memo("describe_num", compute)
+            full = self._describe_full()
+            return {k: full[k] for k in
+                    ("len", "count", "min", "max", "sum", "avg", "median")}
         def compute():
             row = self._df.agg(
                 F.count(F.lit(1)).alias("len"),
@@ -279,6 +263,30 @@ class Column:
             ).collect()[0]
             return {k: row[k] for k in ("len", "count", "min", "max", "unique")}
         return self._memo("describe_txt", compute)
+
+    def _describe_full(self) -> dict:
+        """Numeric describe PLUS ``sum_exact``: decimal(18,2) accumulation —
+        associative, so partition order can't perturb it (the float "sum"
+        keeps reference parity; sum_exact feeds oracle-checked paths in the
+        same single job instead of a second pass — round-4 verdict #5).
+        Values beyond decimal(18,2) range yield NULL rather than a wrong
+        number.  Private: the public describe() strips sum_exact."""
+        def compute():
+            row = self._df.agg(
+                F.count(F.lit(1)).alias("len"),
+                F.count(self._col).alias("count"),
+                F.min(self._col).alias("min"),
+                F.max(self._col).alias("max"),
+                F.sum(self._col).alias("sum"),
+                F.sum(self._col.cast("decimal(18,2)"))
+                 .cast("double").alias("sum_exact"),
+                F.avg(self._col).alias("avg"),
+                F.median(self._col).alias("median"),
+            ).collect()[0]
+            return {k: row[k] for k in
+                    ("len", "count", "min", "max", "sum", "sum_exact",
+                     "avg", "median")}
+        return self._memo("describe_num", compute)
 
     # -- predicates ---------------------------------------------------------
     def _expr(self, cond) -> Expression:

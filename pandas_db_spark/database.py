@@ -108,6 +108,26 @@ class Database:
         if (stamp[1] is not None and prev[1] is not None
                 and stamp[1] != prev[1]):
             self._refresh_registry()
+            return
+        if stamp[1] is None and prev[1] is not None:
+            # ADVICE r5: the previous refresh captured entries inside the
+            # grace window; the fresh probe aged out of it (entries=None)
+            # with an EQUAL mtime.  A table added in the same coarse-fs
+            # mtime tick as that refresh would otherwise never be seen —
+            # one listdir resolves it (only on this rare transition, not
+            # on every probe).
+            import os
+            try:
+                entries = tuple(sorted(os.listdir(self._path)))
+            except OSError:
+                self._refresh_registry()
+                return
+            if entries != prev[1]:
+                self._refresh_registry()
+            else:
+                # Promote the verified entry list so later probes on the
+                # same tick compare entries, not (mtime, None).
+                self._registry_stamp = (prev[0], entries)
 
     @property
     def tables(self) -> list[str]:

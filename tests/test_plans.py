@@ -119,14 +119,12 @@ def test_aggregate_has_map_side_combine(db):
     assert "partial_sum" in plan
 
 
-def test_driver_window_intact():
-    """The correctness gate samples the first 50 registry entries; new @q
-    registrations must append BEYOND the window, never displace it."""
+def test_registry_natural_order_and_oracles():
+    """REGISTRY is plain @q registration order (no reordering machinery —
+    removed on advisor guidance in r6); the only entries without a DuckDB
+    oracle are the three documented nondeterministic/approximate ones."""
     from pandas_db_spark import queries as Q
 
-    keys = list(Q.REGISTRY)
-    assert keys[:50] == Q._DRIVER_WINDOW
-    assert len(Q._DRIVER_WINDOW) == 50
-    # every windowed query that claims an oracle actually has one
-    missing = [k for k in Q._DRIVER_WINDOW if Q.REGISTRY[k][1] is None]
-    assert missing == [], f"windowed queries without oracles: {missing}"
+    assert not hasattr(Q, "_DRIVER_WINDOW")
+    rows_only = {k for k, (_, sql) in Q.REGISTRY.items() if sql is None}
+    assert rows_only == {"sample_n", "agg_sketches", "ann_ivf"}

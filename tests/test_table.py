@@ -149,8 +149,12 @@ def test_repr_head_tail(orders):
 def test_describe_keys(db):
     desc = db.supplier.describe()
     assert set(desc) == set(db.supplier.columns)
-    assert set(desc["s_acctbal"]) == {"len", "count", "min", "max", "sum", "sum_exact", "avg", "median"}
+    # exact reference key set (reference column.py:251-271) — no extras
+    assert set(desc["s_acctbal"]) == {"len", "count", "min", "max", "sum", "avg", "median"}
     assert set(desc["s_name"]) == {"len", "count", "min", "max", "unique"}
+    # the exact decimal sum rides the same memoized job, privately
+    full = db.supplier.s_acctbal._describe_full()
+    assert set(full) == {"len", "count", "min", "max", "sum", "sum_exact", "avg", "median"}
 
 
 def test_groupby_join_setops(db):
