@@ -175,6 +175,108 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
 
 JACCARD_DEFAULT_MAX_DF = 500
 
+# -- lazy no-silent-cap warning plumbing (r5 verdict #2) ---------------------
+# The dropped-shingle count rides the real execution as a CollectMetrics
+# observation instead of an eager count() pre-pass, so constructing a
+# jaccard_pairs plan triggers ZERO Spark jobs.  A single shared daemon
+# thread polls pending observations (non-blocking getRowOrEmpty) and fires
+# the Python warning once the first action over the plan completes; plans
+# that are never executed age out of the bounded deque (maxlen below) —
+# a deliberate cap so discarded plans can't grow driver state.
+
+_JACCARD_OBS_POLL_S = 0.5
+_JACCARD_OBS_MAXLEN = 64
+_JACCARD_OBS_LOCK = None  # created lazily (threading import kept local)
+_JACCARD_OBS_PENDING = None
+_JACCARD_OBS_THREAD = None
+
+
+def _jaccard_obs_state():
+    global _JACCARD_OBS_LOCK, _JACCARD_OBS_PENDING
+    if _JACCARD_OBS_LOCK is None:
+        import collections
+        import threading
+        _JACCARD_OBS_LOCK = threading.Lock()
+        _JACCARD_OBS_PENDING = collections.deque(maxlen=_JACCARD_OBS_MAXLEN)
+    return _JACCARD_OBS_LOCK, _JACCARD_OBS_PENDING
+
+
+def _drain_jaccard_observations() -> int:
+    """Warn for every completed pending observation; return the number
+    still pending.  Called by the poller thread and directly by tests."""
+    import warnings
+
+    lock, pending = _jaccard_obs_state()
+    with lock:
+        entries = list(pending)
+    done = []
+    for entry in entries:
+        obs, max_df, probe = entry
+        try:
+            opt = obs._jo.getRowOrEmpty()
+            if not opt.isDefined():
+                continue
+            jrow = opt.get()
+            if jrow.length() == 0:
+                # AQE empty-relation propagation rewrote the plan above the
+                # CollectMetrics node (all candidates filtered out — the
+                # case where the warning matters MOST) and Spark completed
+                # the observation with an empty row.  Fall back to the
+                # explicit probe count — a real job, but only now, after
+                # the user's own execution, never at plan construction.
+                n_dropped = probe.count()
+            elif jrow.isNullAt(0):
+                n_dropped = 0
+            else:
+                n_dropped = int(jrow.getLong(0))
+        except Exception:
+            done.append(entry)  # dead gateway/session — nothing to report
+            continue
+        done.append(entry)
+        if n_dropped:
+            warnings.warn(
+                f"jaccard_pairs: dropped {n_dropped} shingle(s) with "
+                f"document frequency > max_df={max_df} from candidate "
+                f"generation (quadratic-skew guard); pairs sharing ONLY "
+                f"such shingles were not compared — use minhash_pairs for "
+                f"frequency-independent buckets or max_df=None for the "
+                f"exact index.")
+    with lock:
+        for entry in done:
+            try:
+                pending.remove(entry)
+            except ValueError:
+                pass  # aged out of the bounded deque meanwhile
+        return len(pending)
+
+
+def _jaccard_obs_loop() -> None:
+    global _JACCARD_OBS_THREAD
+    import time
+
+    lock, pending = _jaccard_obs_state()
+    while True:
+        time.sleep(_JACCARD_OBS_POLL_S)
+        if _drain_jaccard_observations() == 0:
+            with lock:
+                if not pending:
+                    _JACCARD_OBS_THREAD = None
+                    return
+
+
+def _register_jaccard_observation(obs, max_df: int, probe) -> None:
+    global _JACCARD_OBS_THREAD
+    import threading
+
+    lock, pending = _jaccard_obs_state()
+    with lock:
+        pending.append((obs, max_df, probe))
+        if _JACCARD_OBS_THREAD is None or not _JACCARD_OBS_THREAD.is_alive():
+            t = threading.Thread(target=_jaccard_obs_loop, daemon=True,
+                                 name="jaccard-maxdf-warn")
+            _JACCARD_OBS_THREAD = t
+            t.start()
+
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3,
@@ -203,24 +305,27 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                     .agg(F.collect_set(id_col).alias("ids"))
                     .filter(F.size("ids") > 1))
     if max_df is not None:
-        # No-silent-caps probe: a count-only pre-pass (map-side-combined
-        # shuffle, no arrays, reads the persisted shingles) — no persist
-        # of the heavy posting lists, so nothing leaks if the returned
-        # plan is never executed.  countDistinct matches the collect_set
-        # semantics of the real filter below, so the warned number equals
-        # what is actually dropped even when ids repeat in the input.
-        n_dropped = (posting.groupBy("sh")
-                            .agg(F.countDistinct(id_col).alias("df"))
-                            .filter(F.col("df") > max_df).count())
-        if n_dropped:
-            import warnings
-            warnings.warn(
-                f"jaccard_pairs: dropping {n_dropped} shingle(s) with "
-                f"document frequency > max_df={max_df} from candidate "
-                f"generation (quadratic-skew guard); pairs sharing ONLY "
-                f"such shingles are not compared — use minhash_pairs for "
-                f"frequency-independent buckets or max_df=None for the "
-                f"exact index.")
+        # No-silent-caps guard, LAZY (r5 verdict #2 replaced the eager
+        # count() pre-pass): the dropped-shingle tally is an observed
+        # metric on the posting-list frame — a CollectMetrics node in the
+        # returned plan, zero jobs at construction, zero extra passes at
+        # execution.  size(ids) here is the same distinct-doc frequency
+        # the old countDistinct probe measured (ids is a collect_set).
+        from pyspark.sql import Observation
+        obs = Observation()
+        lists = lists.observe(
+            obs,
+            F.coalesce(
+                F.sum(F.when(F.size("ids") > max_df, F.lit(1))
+                       .otherwise(F.lit(0))),
+                F.lit(0)).cast("long").alias("n_dropped"))
+        # Fallback probe for the AQE-elided case (see drain): countDistinct
+        # matches the collect_set semantics of the filter below.  Built but
+        # NOT executed here.
+        probe = (posting.groupBy("sh")
+                        .agg(F.countDistinct(id_col).alias("df"))
+                        .filter(F.col("df") > max_df))
+        _register_jaccard_observation(obs, max_df, probe)
         lists = lists.filter(F.size("ids") <= max_df)
     cand = (lists.select(F.explode("ids").alias("id_a"), F.col("ids"))
                  .select(F.col("id_a"),

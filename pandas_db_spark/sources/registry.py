@@ -323,6 +323,12 @@ def write_sql_script(tables: dict[str, DataFrame], sql_path: str,
     an inherently single-writer interchange format — it is the SMALL-data
     path (dims, samples, fixtures).  The 100 TB sink is
     :func:`write_parquet` / :func:`write_bucketed`."""
+    def ident(name: str) -> str:
+        # Identifiers need the same doubling discipline as literals
+        # (ADVICE r5): a table/column name containing '"' would otherwise
+        # emit a malformed — or injected — CREATE TABLE/INSERT statement.
+        return '"' + name.replace('"', '""') + '"'
+
     with open(sql_path, "w", encoding="utf-8") as fh:
         fh.write("BEGIN TRANSACTION;\n")
         for name, df in tables.items():
@@ -332,18 +338,18 @@ def write_sql_script(tables: dict[str, DataFrame], sql_path: str,
                     return "NUMERIC"
                 return _SQLITE_TYPE.get(simple, "TEXT")
             cols = ", ".join(
-                f'"{f.name}" {sql_type(f)}' for f in df.schema.fields)
-            fh.write(f'CREATE TABLE "{name}" ({cols});\n')
+                f'{ident(f.name)} {sql_type(f)}' for f in df.schema.fields)
+            fh.write(f'CREATE TABLE {ident(name)} ({cols});\n')
             batch: list[str] = []
             for row in df.toLocalIterator():
                 batch.append(
                     "(" + ", ".join(_sql_literal(v) for v in row) + ")")
                 if len(batch) >= batch_rows:
-                    fh.write(f'INSERT INTO "{name}" VALUES\n'
+                    fh.write(f'INSERT INTO {ident(name)} VALUES\n'
                              + ",\n".join(batch) + ";\n")
                     batch = []
             if batch:
-                fh.write(f'INSERT INTO "{name}" VALUES\n'
+                fh.write(f'INSERT INTO {ident(name)} VALUES\n'
                          + ",\n".join(batch) + ";\n")
         fh.write("COMMIT;\n")
 

@@ -357,3 +357,19 @@ def test_same_mtime_tick_table_discovered(spark, tmp_path):
     db._registry_stamp = (mtime, tuple(sorted(os.listdir(src))))
     db._maybe_refresh_registry()
     assert db._registry_stamp[1] is not None
+
+
+def test_sql_sink_escapes_identifiers(spark, tmp_path):
+    """ADVICE r5: '"' inside table/column names must be doubled in the
+    emitted .sql script, not break (or inject into) the statement."""
+    import sqlite3
+
+    from pandas_db_spark.sources.registry import write_sql_script
+    from pandas_db_spark.utils import load_sql_to_sqlite
+
+    df = spark.createDataFrame([(1, "x")], ['a"b', "c"])
+    out = tmp_path / "weird.sql"
+    write_sql_script({'t"1': df}, str(out))
+    con = load_sql_to_sqlite(out)
+    assert con.execute('SELECT "a""b", c FROM "t""1"').fetchall() == [(1, "x")]
+    con.close()

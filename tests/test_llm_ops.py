@@ -284,10 +284,21 @@ def test_jaccard_max_df_bounds_stopword_blowup(spark):
          for i in range(n_docs)],
         "doc_id long, text string")
 
+    def n_jobs():
+        return spark._jsparkSession.sparkContext().statusStore() \
+            .jobsList(None).size()
+
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
+        jobs_before = n_jobs()
         pairs = D.jaccard_pairs(docs, "text", "doc_id", threshold=0.05)
+        # r5 verdict #2: plan construction must be lazy — zero Spark jobs
+        # (the old eager max_df count() pre-pass ran a full shingle pass).
+        assert n_jobs() == jobs_before, "jaccard_pairs construction ran a job"
         got = pairs.count()
+        # the dropped-shingle warning rides the execution via CollectMetrics;
+        # drain synchronously instead of racing the poller thread.
+        D._drain_jaccard_observations()
     assert got < n_docs  # nothing close to the n²/2 ≈ 180k blowup
     dropped = [w for w in caught if "max_df" in str(w.message)]
     assert dropped, "cap must warn, never bind silently"
