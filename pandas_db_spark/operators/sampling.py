@@ -56,34 +56,59 @@ def hash_sample(df: DataFrame, fraction: float, key_col: str,
     return df.filter(hexp < F.lit(fraction_threshold(fraction)))
 
 
+# Max rows any single top-n window task should ingest.  The final
+# per-stratum window sees ≤ n×(groups feeding it); when that product
+# exceeds this bound, stratified_sample inserts intermediate tree-
+# reduction levels so every task stays under it (r5 verdict #3 — the
+# unguarded two-phase form put n×#partitions rows through one task).
+MAX_WINDOW_FANIN_ROWS = 1 << 21  # ~2M rows ≈ tens of MB per task
+
+
 def stratified_sample(df: DataFrame, strata_cols: list[str], n: int,
                       key_col: str, salt: str = "") -> DataFrame:
     """Exactly ``min(n, |stratum|)`` rows per stratum, the hash-smallest by
     ``(md5(key||salt), key)`` — deterministic "take n per group".
 
-    Two-phase top-n so a huge stratum never lands on one reducer:
+    Multi-phase top-n so a huge stratum never lands on one reducer:
     phase 1 takes the local top-n within each (stratum, input-partition)
     group — correctness does not depend on the partitioning, any grouping
-    over-selects — and phase 2 takes the global top-n per stratum over the
-    ≤ n×#partitions survivors.  Both phases are windows over keyed
-    shuffles; the second one moves only the phase-1 survivors.
+    over-selects — and the final phase takes the global top-n per stratum
+    over the surviving candidates.  When ``n × #partitions`` exceeds
+    :data:`MAX_WINDOW_FANIN_ROWS`, intermediate tree-reduction levels
+    (coarse bucket = input-partition-id // k per level) keep EVERY window
+    task's input ≤ n×k rows: a row in the global top-n is necessarily in
+    the top-n of any group containing it, so each level only discards rows
+    that cannot win.  Levels are O(log_k #partitions) keyed shuffles over
+    ever-shrinking survivor sets — at n=10⁵ over 10⁶ input partitions this
+    is 3 extra shuffles instead of 10¹¹ rows through one task.
 
     ``strata_cols=[]`` gives the GLOBAL deterministic exact-n sample — the
-    reproducible replacement for ``Table.sample(n)``: phase 1 still runs
-    per input partition, and phase 2's single-partition window sees only
-    the ≤ n×#partitions survivors, never the data."""
+    reproducible replacement for ``Table.sample(n)``: the final
+    single-partition window sees only the bounded survivor set, never the
+    data."""
     hexp = _hash_hex(F.col(key_col), salt).alias("__h")
     from pyspark.sql import Window
 
-    tagged = df.select("*", hexp, F.spark_partition_id().alias("__pid"))
-    w_local = (Window.partitionBy(*strata_cols, "__pid")
-                     .orderBy("__h", key_col))
-    survivors = (tagged.withColumn("__r", F.row_number().over(w_local))
-                       .filter(F.col("__r") <= n).drop("__r", "__pid"))
-    w_global = Window.partitionBy(*strata_cols).orderBy("__h", key_col)
-    return (survivors.withColumn("__r", F.row_number().over(w_global))
-                     .filter(F.col("__r") <= n)
-                     .drop("__r", "__h"))
+    def take_top_n(frame: DataFrame, part_cols: list) -> DataFrame:
+        w = Window.partitionBy(*part_cols).orderBy("__h", key_col)
+        return (frame.withColumn("__r", F.row_number().over(w))
+                     .filter(F.col("__r") <= n).drop("__r"))
+
+    tagged = df.select("*", hexp, F.spark_partition_id().alias("__b"))
+    survivors = take_top_n(tagged, [*strata_cols, "__b"])
+
+    try:
+        groups = df.rdd.getNumPartitions()
+    except Exception:
+        groups = df.sparkSession.sparkContext.defaultParallelism
+    k = max(2, MAX_WINDOW_FANIN_ROWS // max(n, 1))
+    while groups > k:
+        groups = -(-groups // k)  # ceil — k prior groups feed each bucket
+        survivors = survivors.withColumn(
+            "__b", (F.col("__b") / k).cast("long"))
+        survivors = take_top_n(survivors, [*strata_cols, "__b"])
+
+    return take_top_n(survivors.drop("__b"), strata_cols).drop("__h")
 
 
 def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,

@@ -507,3 +507,35 @@ def test_global_exact_n_sample_deterministic(docs):
          SA.stratified_sample(docs.repartition(9), [], 7, "doc_id")
            .select("doc_id").collect()}
     assert a == b and len(a) == 7
+
+
+def test_stratified_sample_fanin_guard(docs, monkeypatch):
+    """r5 verdict #3: when n x #input-partitions exceeds the window fan-in
+    bound, intermediate tree-reduction levels must keep every window task's
+    input bounded — WITHOUT changing the result."""
+    from pandas_db_spark.operators import sampling as SA
+
+    baseline = {tuple(r) for r in
+                SA.stratified_sample(docs, ["lang"], 3, "doc_id")
+                  .select("doc_id").collect()}
+
+    # Tiny bound: n=3, 64 partitions, k = max(2, 24 // 3) = 8 -> one
+    # intermediate level (64 -> 8 -> final).
+    monkeypatch.setattr(SA, "MAX_WINDOW_FANIN_ROWS", 24)
+    many = docs.repartition(64)
+    guarded = SA.stratified_sample(many, ["lang"], 3, "doc_id")
+    got = {tuple(r) for r in guarded.select("doc_id").collect()}
+    assert got == baseline
+
+    # the guard actually inserted a reduction level: 3 windows+filters in
+    # the plan (local, intermediate, final) instead of 2
+    plan = guarded._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Window [") == 3
+
+    # global (strata_cols=[]) path under the guard stays exact-n
+    monkeypatch.setattr(SA, "MAX_WINDOW_FANIN_ROWS", 16)
+    g = SA.stratified_sample(many, [], 7, "doc_id").select("doc_id")
+    base_g = SA.stratified_sample(docs, [], 7, "doc_id").select("doc_id")
+    assert ({tuple(r) for r in g.collect()}
+            == {tuple(r) for r in base_g.collect()})
+    assert g.count() == 7
