@@ -29,10 +29,12 @@ from pandas_db_spark.column import Column
 from pandas_db_spark.expression import Expression
 from pandas_db_spark.utils import concat
 from pandas_db_spark.exceptions import (
+    DatabaseError,
     FileTypeError,
     InvalidTableError,
     InvalidColumnError,
     ExpressionError,
+    ViewAlreadyExists,
     ConnectionClosedWarning,
 )
 
@@ -45,9 +47,11 @@ __all__ = [
     "Column",
     "Expression",
     "concat",
+    "DatabaseError",
     "FileTypeError",
     "InvalidTableError",
     "InvalidColumnError",
     "ExpressionError",
+    "ViewAlreadyExists",
     "ConnectionClosedWarning",
 ]

@@ -75,3 +75,26 @@ def test_closed_database_query_raises(spark):
         d.query("SELECT 1")
     with pytest.warns(ConnectionClosedWarning):
         d.exit()
+
+
+def test_database_error_hierarchy():
+    """Reference exceptions.py:32-34 exposes a DatabaseError catch-all;
+    every concrete engine error must be catchable through it (and
+    ExpressionError stays a ValueError)."""
+    import pandas_db_spark as P
+
+    for exc in (P.FileTypeError, P.InvalidTableError, P.InvalidColumnError,
+                P.ExpressionError, P.ViewAlreadyExists):
+        assert issubclass(exc, P.DatabaseError), exc
+        assert issubclass(exc, Exception)
+    assert issubclass(P.ExpressionError, ValueError)
+    # warnings are not errors: stays outside the hierarchy
+    assert not issubclass(P.ConnectionClosedWarning, P.DatabaseError)
+
+    # the catch-all works end-to-end on a real engine error
+    import pytest
+    from tests.conftest import SF_DIR
+    from pandas_db_spark import Database
+    db = Database(SF_DIR)
+    with pytest.raises(P.DatabaseError):
+        db["no_such_table"]
