@@ -205,7 +205,15 @@ class Column:
 
     def mode(self) -> dict:
         """All values tied at the max count, NULL included if modal
-        (reference column.py:233-249 — its GROUP BY has no NULL filter)."""
+        (reference column.py:233-249 — its GROUP BY has no NULL filter).
+
+        Scale note: the aggregation is distributed (one keyed shuffle),
+        but the *tied* rows are collected to the driver — the dict return
+        is the reference's API contract.  Real data has few ties, so this
+        is fine at any corpus size UNLESS the column is near-unique
+        (every value count 1 → the whole column is "tied" and collected).
+        For high-cardinality columns use :meth:`value_counts` (bounded by
+        its distinct count), or check :meth:`nunique_approx` first."""
         def compute():
             counts = self._df.groupBy(self._col.alias(self._name)).agg(
                 F.count(F.lit(1)).alias("cnt"))
@@ -223,7 +231,16 @@ class Column:
     def unique(self) -> list:
         """Distinct values, NULL included.  Order is engine-determined (the
         reference inherited SQLite's first-seen order, column.py:281-287; we
-        promise set-equality — SURVEY.md §7.4)."""
+        promise set-equality — SURVEY.md §7.4).
+
+        Scale note: the distinct runs distributed, but the resulting value
+        set is collected to the driver — the list return is the
+        reference's API contract, sized by the column's CARDINALITY, not
+        the table.  Fine for categorical/dimension columns at any scale;
+        for near-unique columns (ids, text) the list is the data —
+        use :meth:`nunique_approx` for the count, or ``value_counts``
+        on a filtered/limited frame, or keep it distributed with
+        ``table.df.select(col).distinct()``."""
         def compute():
             return [r[self._name] for r in self.dataframe.distinct().collect()]
         return self._memo("unique", compute)

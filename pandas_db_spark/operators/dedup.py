@@ -62,14 +62,45 @@ from pandas_db_spark.functions.text import word_shingles
 # small multipliers would be near-monotonic — the minima of all permutations
 # would be correlated and LSH recall collapses.)
 _MERSENNE_31 = (1 << 31) - 1
+# 61-bit option for corpora whose distinct-shingle count approaches the
+# 31-bit birthday bound (~10⁸): same universal family over the Mersenne
+# prime 2⁶¹-1.  Products exceed 64 bits, so the pandas UDF switches to a
+# split (limb) modular multiply — see _mulmod61.
+_MERSENNE_61 = (1 << 61) - 1
+_MODULI = {31: _MERSENNE_31, 61: _MERSENNE_61}
 
 
-def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+def _perm_constants(num_perm: int,
+                    modulus: int = _MERSENNE_31) -> list[tuple[int, int]]:
     """Deterministic (aᵢ, bᵢ) pairs for the permutation family — fixed seed
-    so signatures are reproducible across runs/sessions."""
+    so signatures are reproducible across runs/sessions (per modulus: the
+    31- and 61-bit families are distinct but each is stable)."""
     rng = random.Random(0x5EED)
-    return [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+    return [(rng.randrange(1, modulus), rng.randrange(0, modulus))
             for _ in range(num_perm)]
+
+
+def _mulmod61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a·h) mod 2⁶¹-1 for uint64 arrays with values < 2⁶¹, without 128-bit
+    ints: split both operands into 31/30-bit limbs and fold with the
+    Mersenne identity 2⁶¹ ≡ 1.  Every intermediate stays < 2⁶³, so numpy
+    uint64 arithmetic never wraps."""
+    P = np.uint64(_MERSENNE_61)
+    M31 = np.uint64((1 << 31) - 1)
+    M30 = np.uint64((1 << 30) - 1)
+    s31, s30, s2 = np.uint64(31), np.uint64(30), np.uint64(1)
+    a1, a0 = a >> s31, a & M31          # a = a1·2³¹ + a0, a1 < 2³⁰
+    h1, h0 = h >> s31, h & M31
+    hi = a1 * h1                        # < 2⁶⁰;  coef 2⁶² ≡ 2
+    mid = a1 * h0 + a0 * h1             # < 2⁶²;  coef 2³¹
+    lo = a0 * h0                        # < 2⁶²
+    mid = np.where(mid >= P, mid - P, mid)
+    mid = np.where(mid >= P, mid - P, mid)  # mid < 2⁶² ≤ 2P → ≤ 2 subtractions
+    t1, t0 = mid >> s30, mid & M30      # mid·2³¹ = t1·2⁶¹ + t0·2³¹ ≡ t1 + t0·2³¹
+    lo = np.where(lo >= P, lo - P, lo)
+    lo = np.where(lo >= P, lo - P, lo)
+    total = (hi << s2) + t1 + (t0 << s31) + lo  # < 4·2⁶¹ < 2⁶³
+    return total % P
 
 
 def _shared_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
@@ -341,9 +372,10 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def minhash_signatures(sh: DataFrame, id_col: str,
-                       num_perm: int = 128) -> DataFrame:
+                       num_perm: int = 128,
+                       hash_bits: int = 31) -> DataFrame:
     """(id, sig: array<long>) — sig[i] = min over shingles of
-    ((aᵢ·h(x) + bᵢ) mod 2³¹-1), h = xxhash64 folded into Z_p.
+    ((aᵢ·h(x) + bᵢ) mod p), h = xxhash64 folded into Z_p.
 
     Two-level split along each engine's strength: the string→long hash is a
     single narrow JVM `transform` (one xxhash64 per shingle), then the
@@ -353,26 +385,54 @@ def minhash_signatures(sh: DataFrame, id_col: str,
     arithmetic ~10× slower because Catalyst interprets HOF lambdas
     per-element and allocates an accumulator array per step; this is the
     one hot path where the documented "built-ins first" rule loses to an
-    Arrow batch.  The 31-bit base-hash space is plenty below ~10⁸ distinct
-    shingles per corpus (birthday collisions merely perturb J estimates,
-    and the exact verify step removes false positives); a 100 TB corpus
-    would widen the base hash and modulus."""
-    consts = _perm_constants(num_perm)
-    a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
-    b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+    Arrow batch.
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def expand(hs: pd.Series) -> pd.Series:
-        def one(h):
-            if h is None or len(h) == 0:
-                return None
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            # (num_perm, n_shingles) fits easily: ≤ 128 × |shingles| int64
-            return ((a_vec * hv + b_vec) % _MERSENNE_31).min(axis=1)
-        return hs.map(one)
+    ``hash_bits`` picks the base-hash/modulus width:
+
+    * 31 (default): p = 2³¹-1; products fit int64 directly.  Plenty below
+      ~10⁸ distinct shingles per corpus (birthday collisions merely
+      perturb J estimates, and the exact verify step removes false
+      positives).
+    * 61: p = 2⁶¹-1 via the limb-split :func:`_mulmod61` — the 100 TB
+      option once the distinct-shingle count approaches the 31-bit
+      birthday bound."""
+    if hash_bits not in _MODULI:
+        raise ValueError(f"hash_bits must be one of {sorted(_MODULI)}")
+    modulus = _MODULI[hash_bits]
+    consts = _perm_constants(num_perm, modulus)
+
+    if hash_bits == 31:
+        a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+        b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def expand(hs: pd.Series) -> pd.Series:
+            def one(h):
+                if h is None or len(h) == 0:
+                    return None
+                hv = np.asarray(h, dtype=np.int64)[None, :]
+                # (num_perm, n_shingles) fits easily: ≤ 128 × |shingles| int64
+                return ((a_vec * hv + b_vec) % _MERSENNE_31).min(axis=1)
+            return hs.map(one)
+    else:
+        a_vec = np.array([a for a, _ in consts], dtype=np.uint64)[:, None]
+        b_vec = np.array([b for _, b in consts], dtype=np.uint64)[:, None]
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def expand(hs: pd.Series) -> pd.Series:
+            P = np.uint64(_MERSENNE_61)
+            def one(h):
+                if h is None or len(h) == 0:
+                    return None
+                hv = np.asarray(h, dtype=np.uint64)[None, :]
+                prod = _mulmod61(a_vec, hv)          # < 2⁶¹
+                sig = (prod + b_vec) % P             # < 2⁶² pre-mod: safe
+                # < 2⁶¹ always fits a signed long
+                return sig.min(axis=1).astype(np.int64)
+            return hs.map(one)
 
     hashes = F.transform(
-        F.col("shingles"), lambda x: F.pmod(F.xxhash64(x), F.lit(_MERSENNE_31)))
+        F.col("shingles"), lambda x: F.pmod(F.xxhash64(x), F.lit(modulus)))
     return sh.select(F.col(id_col), expand(hashes).alias("sig"))
 
 
@@ -398,15 +458,17 @@ def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3, num_perm: int = 128,
                   bands: int = 32, rows: int = 4,
-                  persist: bool = True) -> DataFrame:
+                  persist: bool = True, hash_bits: int = 31) -> DataFrame:
     """Near-dup pairs via MinHash-LSH banding + exact Jaccard verification.
 
     The verify step makes precision exact; recall is 1 - (1-t^rows)^bands —
     at the defaults ≈ 1 - 5e-8 for t = 0.8 (and higher above), so the output
     equals the exact all-pairs answer with overwhelming probability while
-    scaling as Σ bucket² instead of n²."""
+    scaling as Σ bucket² instead of n².  ``hash_bits`` (31 default, 61 for
+    ≳10⁸-distinct-shingle corpora) is forwarded to
+    :func:`minhash_signatures`."""
     sh = _shared_shingles(df, text_col, id_col, n, persist)
-    sig = minhash_signatures(sh, id_col, num_perm)
+    sig = minhash_signatures(sh, id_col, num_perm, hash_bits=hash_bits)
     cand = _band_pairs(sig, id_col, bands, rows)
     return _verify_pairs(cand, sh, id_col, threshold)
 
