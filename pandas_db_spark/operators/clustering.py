@@ -1,0 +1,140 @@
+"""K-means clustering over an embedding column — the corpus-curation
+primitive behind semantic bucketing, diversity-aware sampling, and
+cluster-balanced training mixes (no reference analogue; beyond-parity like
+the rest of the LLM-pipeline operators).
+
+Scale shape (the 100 TB story):
+
+* **Centroids broadcast, data never shuffles.**  Assignment is one narrow
+  ``mapInPandas`` pass with the k×d centroid matrix captured in the
+  closure (k·d doubles — kilobytes).  No join, no shuffle, no state.
+* **Lloyd updates move partitions × k rows, not n.**  Each partition
+  emits its (cluster, count, per-dimension partial sum) — the classic
+  tree-aggregation shape — and the driver reduces a ≤ partitions×k×d
+  float block.  Shuffle volume is independent of corpus size.
+* **Determinism.**  Init is the k hash-smallest vectors by id (same
+  md5 trick as operators/sampling.py), so a re-run over the same corpus
+  fits the same centroids; assignment margins are float64 with the same
+  vectorized op order per row.  Like every float-sum pipeline, partial
+  sums depend on partitioning, so *fit* is registered rows-only; *assign*
+  against FIXED centroids is exactly reproducible and oracle-checked
+  (see queries.py ``cluster_assign``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def assign_clusters(emb: DataFrame, centroids: Sequence[Sequence[float]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster_id): nearest centroid by cosine, ties broken by lowest
+    centroid index.  One narrow Arrow pass — the centroid matrix rides the
+    closure (broadcast), the data is never shuffled, so this runs at any
+    corpus size for any k that fits in executor memory (k·d doubles)."""
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    def assigner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = _normalize(np.array(list(pdf[vec_col]), dtype=np.float64))
+            out = pdf[[id_col]].copy()
+            # argmax returns the FIRST max → lowest centroid index on ties
+            out["cluster_id"] = (vs @ cent.T).argmax(axis=1).astype(np.int64)
+            yield out
+
+    return emb.mapInPandas(assigner, f"{id_col} long, cluster_id long")
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, n_iter: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init_salt: str = "") -> np.ndarray:
+    """Lloyd's k-means on the unit sphere (spherical k-means: cosine
+    assignment, mean-then-renormalize update).  Returns the (k, d) float64
+    centroid matrix.
+
+    Init: the k hash-smallest rows by ``md5(id||salt)`` — a deterministic
+    corpus-independent-order sample (same device as
+    ``operators/sampling.py``), fetched with the bounded two-phase top-n,
+    so no full sort and no skew.  Each iteration is one narrow pass
+    (assign + per-partition partial sums) plus a driver-side reduce of
+    ≤ partitions × k × d floats; empty clusters keep their previous
+    centroid.  For the oracle-checked assignment query use
+    :func:`assign_clusters` with fixed centroids."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pandas_db_spark.operators.sampling import stratified_sample
+
+    seed_rows = (stratified_sample(emb.select(id_col, vec_col), [], k,
+                                   id_col, salt=init_salt)
+                 .orderBy(id_col).collect())
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seed_rows)}")
+    cent = _normalize(np.array([r[vec_col] for r in seed_rows],
+                               dtype=np.float64))
+    d = cent.shape[1]
+
+    partial_schema = "cluster_id long, cnt long, psum array<double>"
+
+    for _ in range(n_iter):
+        cent_local = cent  # rebind: ship THIS iteration's matrix
+
+        def partials(batches: Iterator[pd.DataFrame],
+                     _cent=cent_local) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((k, d), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                raw = np.array(list(pdf[vec_col]), dtype=np.float64)
+                vs = _normalize(raw)
+                assign = (vs @ _cent.T).argmax(axis=1)
+                np.add.at(sums, assign, vs)
+                np.add.at(counts, assign, 1)
+            live = np.nonzero(counts)[0]
+            if len(live):
+                yield pd.DataFrame({
+                    "cluster_id": live.astype(np.int64),
+                    "cnt": counts[live],
+                    "psum": [sums[c] for c in live],
+                })
+
+        rows = emb.select(vec_col).mapInPandas(
+            partials, partial_schema).collect()
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster_id"]] += np.asarray(r["psum"], dtype=np.float64)
+            counts[r["cluster_id"]] += r["cnt"]
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        live = counts > 0
+        new_cent[live] = _normalize(sums[live] / counts[live, None])
+        cent = new_cent
+    return cent
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Fit + assign in one call: (id, cluster_id) under the fitted
+    centroids.  Deterministic for a fixed corpus + partitioning, but float
+    partial-sum order varies with partitioning, so this is registered as a
+    rows-only query; the fixed-centroid :func:`assign_clusters` carries
+    the hash-checked oracle."""
+    cent = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col,
+                      vec_col=vec_col)
+    return assign_clusters(emb, cent, id_col=id_col, vec_col=vec_col)

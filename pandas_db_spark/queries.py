@@ -1532,3 +1532,59 @@ def mm_byte_histogram(spark, sf_dir):
             .filter(F.col("n") > 0)
             .select("doc_id", F.col("bin").cast("int").alias("bin"),
                     F.col("n")))
+
+
+# =====================================================================
+# K-means clustering (operators/clustering.py) — registered r6, so these
+# sit beyond this round's driver-verified prefix by construction; the
+# local oracle gate covers them until the window reaches them next round.
+# =====================================================================
+
+_CLUSTER_ASSIGN = (
+    "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
+    "WHERE vec_id < 8), "
+    "r AS (SELECT e.vec_id, c.cid, row_number() OVER ("
+    "PARTITION BY e.vec_id ORDER BY "
+    "list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) "
+    "DESC, c.cid) AS rnk FROM embeddings e CROSS JOIN c) ")
+
+
+@q("cluster_assign",
+   _CLUSTER_ASSIGN +
+   "SELECT vec_id, cid AS cluster_id FROM r WHERE rnk = 1")
+def cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment against FIXED centroids (the 8 lowest
+    vec_id embeddings): one narrow Arrow pass, centroid matrix broadcast in
+    the closure, zero shuffle.  Integer output + real-data cosine margins
+    make the cross-engine hash compare safe (same device as ann_topk)."""
+    from pandas_db_spark.operators import clustering as C
+    e = get_db(spark, sf_dir).embeddings
+    cent = [r["embedding"] for r in
+            e.df.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return C.assign_clusters(e.df, cent)
+
+
+@q("cluster_sizes",
+   _CLUSTER_ASSIGN +
+   "SELECT cid AS cluster_id, count(*) AS n FROM r WHERE rnk = 1 "
+   "GROUP BY 1")
+def cluster_sizes(spark, sf_dir):
+    """Cluster-occupancy histogram over the fixed-centroid assignment —
+    the curation signal for cluster-balanced corpus mixes (one keyed
+    shuffle over (cluster_id) after the narrow assignment pass)."""
+    from pandas_db_spark.operators import clustering as C
+    e = get_db(spark, sf_dir).embeddings
+    cent = [r["embedding"] for r in
+            e.df.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return (C.assign_clusters(e.df, cent)
+            .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("cluster_kmeans")  # float partial-sum order varies with partitioning → rows-only
+def cluster_kmeans(spark, sf_dir):
+    """End-to-end spherical k-means (k=8, 3 Lloyd iterations: deterministic
+    hash-smallest init, broadcast centroids, partition-partial updates) +
+    assignment.  Quality and shape contracts live in pytest."""
+    from pandas_db_spark.operators import clustering as C
+    e = get_db(spark, sf_dir).embeddings
+    return C.kmeans_assign(e.df, k=8, n_iter=3)

