@@ -95,6 +95,112 @@ _EXACT_PAIRS = (
 )
 
 
+# Transitive closure of the near-dup pair graph (recursive CTE) — the
+# oracle for the connected-components queries.  ``cc`` maps every doc that
+# appears in a ≥0.8-Jaccard pair to the smallest doc_id reachable from it.
+_CC_CLOSURE = (
+    _SHINGLES.replace("WITH w AS", "WITH RECURSIVE w AS") +
+    ", p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM s a JOIN s b "
+    "ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
+    "/ len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
+    ", sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p) "
+    ", reach(u, v) AS (SELECT u, v FROM sym UNION "
+    "SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u) "
+    ", cc AS (SELECT u AS id, least(u, min(v)) AS component "
+    "FROM reach GROUP BY u) "
+)
+
+
+@q("dedup_components",
+   _CC_CLOSURE + "SELECT id, component FROM cc")
+def dedup_components(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: MinHash-LSH candidate pairs →
+    alternating large-star/small-star connected components
+    (operators/graph.py) → (id, component-min) labels.  The oracle is the
+    genuine recursive transitive closure, so chained near-dups A~B~C land
+    in one cluster even though (A, C) is never an emitted pair.  Scale:
+    2-3 rounds of two keyed shuffles over the EDGE set only; component
+    member lists are never co-located."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import graph as G
+    d = get_db(spark, sf_dir).documents
+    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    return G.connected_components(pairs)
+
+
+@q("dedup_keep_components",
+   _CC_CLOSURE +
+   "SELECT doc_id FROM documents "
+   "WHERE doc_id NOT IN (SELECT id FROM cc WHERE id != component)")
+def dedup_keep_components(spark, sf_dir):
+    """Transitive dedup keep-set: exactly one survivor (the min id) per
+    connected component of the near-dup graph + every doc in no pair.
+    Unlike the pairwise ``dedup_minhash_keep`` policy this is invariant
+    to which equivalent pairs the LSH generator emits."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import graph as G
+    d = get_db(spark, sf_dir).documents
+    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    return G.keep_components(d.df, pairs, "doc_id").select("doc_id")
+
+
+# =====================================================================
+# K-means clustering (operators/clustering.py) — added r6, never driver-
+# verified, so registered inside the gate's prefix alongside the other
+# round-6 additions.
+# =====================================================================
+
+_CLUSTER_ASSIGN = (
+    "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
+    "WHERE vec_id < 8), "
+    "r AS (SELECT e.vec_id, c.cid, row_number() OVER ("
+    "PARTITION BY e.vec_id ORDER BY "
+    "list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) "
+    "DESC, c.cid) AS rnk FROM embeddings e CROSS JOIN c) ")
+
+
+@q("cluster_assign",
+   _CLUSTER_ASSIGN +
+   "SELECT vec_id, cid AS cluster_id FROM r WHERE rnk = 1")
+def cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment against FIXED centroids (the 8 lowest
+    vec_id embeddings): one narrow Arrow pass, centroid matrix broadcast in
+    the closure, zero shuffle.  Integer output + real-data cosine margins
+    make the cross-engine hash compare safe (same device as ann_topk)."""
+    from pandas_db_spark.operators import clustering as C
+    e = get_db(spark, sf_dir).embeddings
+    cent = [r["embedding"] for r in
+            e.df.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return C.assign_clusters(e.df, cent)
+
+
+@q("cluster_sizes",
+   _CLUSTER_ASSIGN +
+   "SELECT cid AS cluster_id, count(*) AS n FROM r WHERE rnk = 1 "
+   "GROUP BY 1")
+def cluster_sizes(spark, sf_dir):
+    """Cluster-occupancy histogram over the fixed-centroid assignment —
+    the curation signal for cluster-balanced corpus mixes (one keyed
+    shuffle over (cluster_id) after the narrow assignment pass)."""
+    from pandas_db_spark.operators import clustering as C
+    e = get_db(spark, sf_dir).embeddings
+    cent = [r["embedding"] for r in
+            e.df.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    return (C.assign_clusters(e.df, cent)
+            .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("cluster_kmeans")  # float partial-sum order varies with partitioning → rows-only
+def cluster_kmeans(spark, sf_dir):
+    """End-to-end spherical k-means (k=8, 3 Lloyd iterations: deterministic
+    hash-smallest init, broadcast centroids, partition-partial updates) +
+    assignment.  Quality and shape contracts live in pytest."""
+    from pandas_db_spark.operators import clustering as C
+    e = get_db(spark, sf_dir).embeddings
+    return C.kmeans_assign(e.df, k=8, n_iter=3)
+
+
 @q("dedup_minhash_keep",
    "WITH pairs AS (" + _EXACT_PAIRS + "WHERE jaccard >= 0.8) "
    "SELECT doc_id FROM documents "
@@ -1532,59 +1638,3 @@ def mm_byte_histogram(spark, sf_dir):
             .filter(F.col("n") > 0)
             .select("doc_id", F.col("bin").cast("int").alias("bin"),
                     F.col("n")))
-
-
-# =====================================================================
-# K-means clustering (operators/clustering.py) — registered r6, so these
-# sit beyond this round's driver-verified prefix by construction; the
-# local oracle gate covers them until the window reaches them next round.
-# =====================================================================
-
-_CLUSTER_ASSIGN = (
-    "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
-    "WHERE vec_id < 8), "
-    "r AS (SELECT e.vec_id, c.cid, row_number() OVER ("
-    "PARTITION BY e.vec_id ORDER BY "
-    "list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) "
-    "DESC, c.cid) AS rnk FROM embeddings e CROSS JOIN c) ")
-
-
-@q("cluster_assign",
-   _CLUSTER_ASSIGN +
-   "SELECT vec_id, cid AS cluster_id FROM r WHERE rnk = 1")
-def cluster_assign(spark, sf_dir):
-    """Nearest-centroid assignment against FIXED centroids (the 8 lowest
-    vec_id embeddings): one narrow Arrow pass, centroid matrix broadcast in
-    the closure, zero shuffle.  Integer output + real-data cosine margins
-    make the cross-engine hash compare safe (same device as ann_topk)."""
-    from pandas_db_spark.operators import clustering as C
-    e = get_db(spark, sf_dir).embeddings
-    cent = [r["embedding"] for r in
-            e.df.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
-    return C.assign_clusters(e.df, cent)
-
-
-@q("cluster_sizes",
-   _CLUSTER_ASSIGN +
-   "SELECT cid AS cluster_id, count(*) AS n FROM r WHERE rnk = 1 "
-   "GROUP BY 1")
-def cluster_sizes(spark, sf_dir):
-    """Cluster-occupancy histogram over the fixed-centroid assignment —
-    the curation signal for cluster-balanced corpus mixes (one keyed
-    shuffle over (cluster_id) after the narrow assignment pass)."""
-    from pandas_db_spark.operators import clustering as C
-    e = get_db(spark, sf_dir).embeddings
-    cent = [r["embedding"] for r in
-            e.df.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
-    return (C.assign_clusters(e.df, cent)
-            .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")))
-
-
-@q("cluster_kmeans")  # float partial-sum order varies with partitioning → rows-only
-def cluster_kmeans(spark, sf_dir):
-    """End-to-end spherical k-means (k=8, 3 Lloyd iterations: deterministic
-    hash-smallest init, broadcast centroids, partition-partial updates) +
-    assignment.  Quality and shape contracts live in pytest."""
-    from pandas_db_spark.operators import clustering as C
-    e = get_db(spark, sf_dir).embeddings
-    return C.kmeans_assign(e.df, k=8, n_iter=3)

@@ -1,0 +1,108 @@
+"""Connected components (operators/graph.py): correctness on known graphs,
+chain-diameter robustness, id-type genericity, and the transitive keep
+policy vs the pairwise one."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_db_spark.operators import graph as G
+from pandas_db_spark.operators import dedup as D
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = G.connected_components(pairs).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_two_components_and_transitivity(spark):
+    # {1,2,3,9} chained + {5,7}; (1,9) never emitted as a pair.
+    got = _cc(spark, [(1, 2), (2, 3), (3, 9), (5, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # Diameter-200 path: naive min-label propagation needs ~200 rounds;
+    # large/small-star must finish well inside the max_iter=25 valve.
+    got = _cc(spark, [(i, i + 1) for i in range(200)])
+    assert set(got.values()) == {0} and len(got) == 201
+
+
+def test_duplicate_reversed_and_self_edges(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (3, 3), (2, 3)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = G.connected_components(pairs)
+    assert out.columns == ["id", "component"] and out.count() == 0
+
+
+def test_string_ids(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string")
+    rows = {r["id"]: r["component"]
+            for r in G.connected_components(pairs).collect()}
+    assert rows == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_star_graph_hub(spark):
+    # High-degree hub (the skew case): one component labeled by the min.
+    got = _cc(spark, [(100, i) for i in range(50)])
+    assert set(got.values()) == {0} and len(got) == 51
+
+
+def test_keep_components_transitive_vs_pairwise(spark):
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    # Chain 0~1~2 plus pair 4~5: transitive keep = {0, 3, 4}.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in G.keep_components(df, pairs, "doc_id").collect())
+    assert kept == [0, 3, 4]
+    # Pairwise keep_first drops only ids seen as id_b — same here, but if
+    # the generator emits the chain as (1,0),(1,2) the pairwise kept set
+    # would differ; keep_components is invariant to pair orientation.
+    flipped = spark.createDataFrame(
+        [(1, 0), (1, 2), (4, 5)], "id_a long, id_b long")
+    kept_flipped = sorted(
+        r["doc_id"] for r in G.keep_components(df, flipped, "doc_id").collect())
+    assert kept_flipped == kept
+    pairwise_flipped = sorted(
+        r["doc_id"] for r in D.keep_first(df, flipped, "doc_id").collect())
+    assert pairwise_flipped != kept  # documents why the closure exists
+
+
+def test_unconverged_raises(spark):
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(pairs, max_iter=1)
+
+
+def test_matches_recursive_closure_on_real_pairs(spark, db, duck):
+    """End-to-end on sf0.001 documents: CC over MinHash pairs equals the
+    DuckDB recursive transitive closure over exact all-pairs Jaccard."""
+    pairs = D.minhash_pairs(db.documents.df, "text", "doc_id", threshold=0.8)
+    got = {(r["id"], r["component"])
+           for r in G.connected_components(pairs, "id_a", "id_b").collect()}
+    want = {tuple(r) for r in duck.execute(
+        """
+        WITH RECURSIVE w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3 THEN
+              [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               for i in range(1, len(ws)-1)]
+              ELSE [array_to_string(ws, ' ')] END) AS sh FROM w),
+        p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM s a JOIN s b
+              ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        reach(u, v) AS (SELECT u, v FROM sym UNION
+                        SELECT r.u, s2.v FROM reach r JOIN sym s2
+                        ON r.v = s2.u)
+        SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+        """).fetchall()}
+    assert got == want
