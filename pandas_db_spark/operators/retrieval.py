@@ -1,0 +1,110 @@
+"""Lexical retrieval / term weighting over the ``documents`` table.
+
+Training-data curation leans on lexical statistics constantly — term/
+document frequencies for stopword discovery and vocabulary pruning,
+TF-IDF vectors as cheap features, BM25 scoring for "find corpus docs
+matching this probe query" (e.g. contamination triage, topic sampling).
+The reference engine (pandas-db) has no retrieval surface; this module is
+beyond-parity capability, defined against exact SQL oracles.
+
+Scale shape (the part that matters at 100 TB):
+
+* Tokenization is the same whitespace rule as ``functions.text.tokens``
+  — one narrow JVM pass, no Python.
+* BM25 filters the exploded token stream to the QUERY'S terms *before*
+  any shuffle: the keyed aggregation moves only postings that can score,
+  a few rows per matching document, never the corpus token stream.
+* Document length rides the explode (``dl`` is carried alongside each
+  token), so no second join against a doc-length table.
+* Global scalars (N, avgdl) are one aggregate collected to the driver —
+  two numbers, then folded back in as literals; the classic
+  broadcast-scalar pattern.
+* Top-k is ``orderBy().limit(k)`` → Spark's TakeOrderedAndProject —
+  per-partition heaps, no global sort.
+
+Float discipline: scores involve ``ln`` whose last-ulp rounding is not
+contractually identical across engines, so oracle-checked queries return
+RANKS (integers, ties broken by doc_id) rather than raw scores — the
+same device as ``ann_topk``.  Raw scores remain available to users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pandas_db_spark.functions.text import tokens
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, dl, term) exploded token stream; dl = token count carried
+    along so downstream scoring never re-joins a doc-length table."""
+    toks = tokens(F.col(text_col))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(toks).alias("dl"),
+                        F.explode(toks).alias("term")))
+
+
+def term_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-term corpus statistics: document frequency ``df`` and
+    collection frequency ``cf`` (total occurrences).  One explode → one
+    keyed shuffle with map-side partial aggregation; the stopword /
+    vocabulary-pruning primitive."""
+    return (_postings(docs, text_col, id_col)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.count(F.lit(1)).alias("cf")))
+
+
+def tf_idf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Sparse TF-IDF matrix: (doc_id, term, tf, df, tfidf) with
+    ``tfidf = tf · ln(N / df)``.  Two keyed shuffles: (doc_id, term) for
+    tf, (term) for df; N is a broadcast scalar.  ``tfidf`` is a double —
+    see the module note on cross-engine ln determinism."""
+    p = _postings(docs, text_col, id_col)
+    tf = (p.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(F.col(id_col))).collect()[0][0]
+    return (tf.join(df, "term")
+            .select("doc_id", "term", "tf", "df",
+                    (F.col("tf") * F.log(F.lit(float(n_docs)) /
+                                         F.col("df"))).alias("tfidf")))
+
+
+def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k documents for a probe query under BM25
+    (Lucene form: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+    Returns (rank, doc_id, score) ordered by score desc, doc_id asc.
+    The corpus never shuffles: postings are filtered to the query's terms
+    first, so the aggregation input is ~|matching docs| · |query terms|
+    rows regardless of corpus size.
+    """
+    q_terms = sorted({t for t in query.strip().split() if t})
+    if not q_terms:
+        raise ValueError("bm25_topk: query has no terms")
+
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+
+    p = (_postings(docs, text_col, id_col)
+         .where(F.col("term").isin(q_terms)))
+    tf = (p.groupBy("doc_id", "term")
+          .agg(F.first("dl").alias("dl"), F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (tf.join(F.broadcast(df), "term")
+              .select("doc_id", (idf * norm).alias("s"))
+              .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+           .select("doc_id", "score"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.select(F.row_number().over(w).alias("rank"),
+                       "doc_id", "score"))

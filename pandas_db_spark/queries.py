@@ -95,6 +95,52 @@ _EXACT_PAIRS = (
 )
 
 
+@q("text_term_stats",
+   "SELECT term, df, cf FROM ("
+   "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "
+   "FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t "
+   "FROM documents) GROUP BY t) "
+   "ORDER BY df DESC, cf DESC, term ASC LIMIT 50")
+def text_term_stats(spark, sf_dir):
+    """Corpus vocabulary statistics (document + collection frequency),
+    top 50 by df — the stopword-discovery / vocab-pruning primitive
+    (operators/retrieval.term_stats).  One explode → one keyed shuffle
+    with map-side combine; integer output, fully tie-broken."""
+    from pandas_db_spark.operators import retrieval as R
+    d = get_db(spark, sf_dir).documents
+    return (R.term_stats(d.df, "text", "doc_id")
+            .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
+            .limit(50))
+
+
+@q("bm25_topk",
+   "WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "st AS (SELECT count(*) n, avg(len(ws)) avgdl FROM d), "
+   "p AS (SELECT doc_id, len(ws) dl, unnest(ws) term FROM d), "
+   "tf AS (SELECT doc_id, term, any_value(dl) dl, count(*) tf FROM p "
+   "WHERE term IN ('merge', 'vector', 'stream') GROUP BY doc_id, term), "
+   "dfq AS (SELECT term, count(*) df FROM tf GROUP BY term), "
+   "sc AS (SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) "
+   "/ (dfq.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 "
+   "+ 0.75 * tf.dl / st.avgdl))) AS score "
+   "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st "
+   "GROUP BY tf.doc_id) "
+   "SELECT rank::INT AS rank, doc_id FROM (SELECT row_number() OVER ("
+   "ORDER BY score DESC, doc_id) AS rank, doc_id FROM sc) WHERE rank <= 10")
+def bm25_topk(spark, sf_dir):
+    """BM25 top-10 for the probe query 'merge vector stream'
+    (operators/retrieval.bm25_topk, Lucene idf form, k1=1.2 b=0.75).
+    The corpus never shuffles — postings are filtered to the query's
+    terms before aggregation.  Rank-integer output (ann_topk device):
+    measured adjacent-score gaps at sf0.01 are ≥ 2e-4 relative, eleven
+    orders above cross-engine ln/avg ulp noise."""
+    from pandas_db_spark.operators import retrieval as R
+    d = get_db(spark, sf_dir).documents
+    return (R.bm25_topk(d.df, "text", "doc_id", "merge vector stream",
+                        k=10).select("rank", "doc_id"))
+
+
 # Transitive closure of the near-dup pair graph (recursive CTE) — the
 # oracle for the connected-components queries.  ``cc`` maps every doc that
 # appears in a ≥0.8-Jaccard pair to the smallest doc_id reachable from it.
