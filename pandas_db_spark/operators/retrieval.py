@@ -71,6 +71,64 @@ def tf_idf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
                                          F.col("df"))).alias("tfidf")))
 
 
+def token_rarity(docs: DataFrame, text_col: str, id_col: str,
+                 broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document corpus-frequency profile — the exact-integer rarity
+    signal: ``(doc_id, n_tokens, sum_cf, mean_cf_e4)`` where ``sum_cf``
+    sums each token's collection frequency and ``mean_cf_e4`` is the
+    mean scaled by 10⁴ under integer floor division (deterministic
+    across engines — no float accumulation anywhere).
+
+    Low mean frequency ⇒ rare-token-heavy text (OCR noise, gibberish,
+    or genuinely novel content) — the cheap pre-filter before LM-based
+    perplexity scoring.  Plan: two passes over the exploded stream (one
+    to build the vocab cf table, one to join it back) + one keyed
+    groupBy per doc.  ``broadcast_vocab`` fits Zipfian vocabularies
+    (≈10⁷ terms ≈ 100 MB) in a broadcast; set False to shuffle-join the
+    vocab when the corpus is pathological (no natural-language Zipf
+    decay, e.g. random hex)."""
+    cf = term_stats(docs, text_col, id_col).select("term", "cf")
+    if broadcast_vocab:
+        cf = F.broadcast(cf)
+    p = _postings(docs, text_col, id_col)
+    per_doc = (p.join(cf, "term")
+               .groupBy("doc_id")
+               .agg(F.first("dl").cast("long").alias("n_tokens"),
+                    F.sum("cf").alias("sum_cf")))
+    # Exact scaled mean in pure long arithmetic (no float, no decimal
+    # rescale-rounding): split into quotient·10⁴ + remainder·10⁴ div n.
+    # Overflow-free while mean_cf < 9·10¹⁴ — a 100 TB text corpus tops
+    # out around mean_cf ≈ 2·10¹³ (every token the same word), with
+    # margin; r·10⁴ ≤ n·10⁴ never overflows for any real doc length.
+    return per_doc.select(
+        "doc_id", "n_tokens", "sum_cf",
+        F.expr("(sum_cf div n_tokens) * 10000 "
+               "+ (sum_cf % n_tokens) * 10000 div n_tokens")
+        .alias("mean_cf_e4"))
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str, id_col: str,
+                      broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram LM: ``avg_nll = -(1/n) Σ ln(cf(t) / total_tokens)`` — the
+    classic perplexity-proxy quality score (high ⇒ surprising ⇒ rare
+    vocabulary).  Same plan shape as :func:`token_rarity`.  Returns
+    doubles (ln); rank or bucket the output rather than hash-comparing
+    raw values across engines."""
+    cf = term_stats(docs, text_col, id_col).select("term", "cf")
+    total = cf.agg(F.sum("cf")).collect()[0][0]
+    lp = cf.select("term",
+                   (F.log(F.col("cf").cast("double"))
+                    - F.log(F.lit(float(total)))).alias("logp"))
+    if broadcast_vocab:
+        lp = F.broadcast(lp)
+    p = _postings(docs, text_col, id_col)
+    return (p.join(lp, "term")
+            .groupBy("doc_id")
+            .agg((-F.avg("logp")).alias("avg_nll"),
+                 F.count(F.lit(1)).alias("n_tokens")))
+
+
 def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
               k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """Top-k documents for a probe query under BM25

@@ -141,6 +141,27 @@ def bm25_topk(spark, sf_dir):
                         k=10).select("rank", "doc_id"))
 
 
+@q("text_rarity",
+   "WITH p AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) t "
+   "FROM documents), "
+   "cf AS (SELECT t, count(*) cf FROM p GROUP BY t) "
+   "SELECT doc_id, count(*) AS n_tokens, sum(cf.cf)::BIGINT AS sum_cf, "
+   "((sum(cf.cf) // count(*)) * 10000 "
+   "+ (sum(cf.cf) % count(*)) * 10000 // count(*))::BIGINT AS mean_cf_e4 "
+   "FROM p JOIN cf ON p.t = cf.t GROUP BY doc_id")
+def text_rarity(spark, sf_dir):
+    """Per-doc corpus-frequency rarity profile
+    (operators/retrieval.token_rarity): broadcast vocab cf table joined
+    back onto the exploded token stream, one keyed groupBy.  The scaled
+    mean is pure long quotient/remainder arithmetic — exact, no float
+    accumulation, hash-identical across engines.  The cheap gibberish
+    pre-filter ahead of LM perplexity scoring (unigram_surprisal is the
+    double-valued sibling, pytest-covered)."""
+    from pandas_db_spark.operators import retrieval as R
+    d = get_db(spark, sf_dir).documents
+    return R.token_rarity(d.df, "text", "doc_id")
+
+
 # Transitive closure of the near-dup pair graph (recursive CTE) — the
 # oracle for the connected-components queries.  ``cc`` maps every doc that
 # appears in a ≥0.8-Jaccard pair to the smallest doc_id reachable from it.

@@ -91,3 +91,30 @@ def test_bm25_filters_before_shuffle(spark, db):
 def test_bm25_unknown_terms_empty(spark, db):
     out = R.bm25_topk(db.documents.df, "text", "doc_id", "zzzznotaword", k=5)
     assert out.count() == 0
+
+
+def test_token_rarity_matches_duckdb_exact(spark, db, duck):
+    got = {r["doc_id"]: (r["n_tokens"], r["sum_cf"], r["mean_cf_e4"])
+           for r in R.token_rarity(db.documents.df, "text",
+                                   "doc_id").collect()}
+    want = {d: (n, s, m) for d, n, s, m in duck.execute(
+        "WITH p AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) t "
+        "FROM documents), "
+        "cf AS (SELECT t, count(*) cf FROM p GROUP BY t) "
+        "SELECT doc_id, count(*) n, sum(cf.cf) s, "
+        "(sum(cf.cf) // count(*)) * 10000 "
+        "+ (sum(cf.cf) % count(*)) * 10000 // count(*) "
+        "FROM p JOIN cf ON p.t = cf.t GROUP BY doc_id").fetchall()}
+    assert got == want
+
+
+def test_unigram_surprisal_matches_python(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c a")], "doc_id long, text string")
+    rows = {r["doc_id"]: (r["avg_nll"], r["n_tokens"])
+            for r in R.unigram_surprisal(docs, "text", "doc_id").collect()}
+    # corpus: a=3, b=1, c=1, total=5
+    exp1 = -(2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    exp2 = -(math.log(1 / 5) + math.log(3 / 5)) / 2
+    assert rows[1][0] == pytest.approx(exp1) and rows[1][1] == 3
+    assert rows[2][0] == pytest.approx(exp2) and rows[2][1] == 2
