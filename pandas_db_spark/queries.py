@@ -95,6 +95,29 @@ _EXACT_PAIRS = (
 )
 
 
+@q("events_enrich_nation",
+   "SELECT event_id, user_id, event_type, c_nationkey AS nationkey "
+   "FROM events LEFT JOIN customer ON user_id = c_custkey")
+def events_enrich_nation(spark, sf_dir):
+    """Stream-static join enrichment (streaming/enrich.py): the events
+    stream joined per micro-batch against a BROADCAST customer dimension
+    (stateless — no watermark, no state store; the stream side never
+    shuffles), driven with an availableNow trigger into a memory sink and
+    hash-checked against the batch LEFT JOIN — a real streaming run, same
+    pattern as events_stateful_totals."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming import enrich as EN
+    global _ENRICH_SINK_N
+    _ENRICH_SINK_N = globals().get("_ENRICH_SINK_N", 0) + 1
+    stream = events_stream_reader(spark, sf_dir).select(
+        "event_id", "user_id", "event_type")
+    dim = (get_db(spark, sf_dir).customer.df
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_nationkey").alias("nationkey")))
+    return EN.run_enriched(stream, dim, "user_id",
+                           f"q_enrich_nation_{_ENRICH_SINK_N}")
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "

@@ -242,3 +242,28 @@ def test_stream_reader_restores_nanos_conf(spark, tmp_path):
     while time.time() < deadline and spark.conf.get(key) != prior:
         time.sleep(0.25)
     assert spark.conf.get(key) == prior
+
+
+def test_stream_static_join_batch_equals_stream(spark, db):
+    """Stream-static enrichment: availableNow replay equals the batch
+    join; unsupported join types are rejected."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming import enrich as EN
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    dim = (db.customer.df
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_nationkey").alias("nationkey")))
+    batch = EN.stream_static_join(
+        db.events.df.select("event_id", "user_id"), dim, "user_id")
+    stream = events_stream_reader(spark, db._path).select(
+        "event_id", "user_id")
+    got = EN.run_enriched(stream, dim, "user_id", "t_enrich_test")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, batch.collect()))
+    # broadcast hash join on the batch form (the stream form shares it)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    with _pytest.raises(ValueError, match="unsupported join type"):
+        EN.stream_static_join(stream, dim, "user_id", how="full")
