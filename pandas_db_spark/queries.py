@@ -118,6 +118,52 @@ def events_enrich_nation(spark, sf_dir):
                            f"q_enrich_nation_{_ENRICH_SINK_N}")
 
 
+@q("events_props_hist",
+   "SELECT (props->>'k')::INT AS k, count(*) AS n FROM events GROUP BY 1")
+def events_props_hist(spark, sf_dir):
+    """Semi-structured extraction (functions/json.py): ONE vectorized
+    from_json parse per row (never per-field get_json_object re-parses)
+    pulls ``k`` out of the props JSON, then a keyed count.  Integer
+    output."""
+    from pandas_db_spark.functions import json as J
+    e = get_db(spark, sf_dir).events
+    return (J.with_json_fields(e.df, "props", {"k": "int"})
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("events_pivot_types",
+   "SELECT user_id, "
+   + ", ".join(
+       f"count(*) FILTER (event_type = '{t}') AS {t}"
+       for t in ("click", "error", "purchase", "signup", "view"))
+   + " FROM events GROUP BY user_id")
+def events_pivot_types(spark, sf_dir):
+    """Long→wide pivot (operators/reshape.pivot_agg): per-user event
+    counts, one column per event type.  Pivot values are PINNED (the
+    implicit form's distinct-scan + unbounded schema is the scale
+    hazard); plan is a single keyed shuffle."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return RS.pivot_agg(e.df, ["user_id"], "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+
+
+@q("orders_upsert",
+   "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN 'U' "
+   "ELSE o_orderstatus END AS o_orderstatus FROM orders")
+def orders_upsert(spark, sf_dir):
+    """Incremental merge (operators/reshape.upsert): a delta (every
+    100th order flipped to status 'U') replaces same-key history rows
+    via broadcast anti-join + union — the history side never shuffles.
+    Output is the merged key→status map."""
+    from pandas_db_spark.operators import reshape as RS
+    o = get_db(spark, sf_dir).orders.df.select("o_orderkey",
+                                               "o_orderstatus")
+    delta = (o.where(F.col("o_orderkey") % 100 == 0)
+             .withColumn("o_orderstatus", F.lit("U")))
+    return RS.upsert(o, delta, "o_orderkey")
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "

@@ -1,0 +1,89 @@
+"""Pivot / upsert (operators/reshape.py) and JSON extraction
+(functions/json.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_db_spark.operators import reshape as RS
+from pandas_db_spark.functions import json as J
+
+
+def test_pivot_counts_match_duckdb(spark, db, duck):
+    got = {r["user_id"]: (r["click"], r["error"], r["purchase"],
+                          r["signup"], r["view"])
+           for r in RS.pivot_agg(
+               db.events.df, ["user_id"], "event_type",
+               ["click", "error", "purchase", "signup", "view"]).collect()}
+    want = {u: tuple(t) for u, *t in map(tuple, duck.execute(
+        "SELECT user_id, "
+        "count(*) FILTER (event_type='click'), "
+        "count(*) FILTER (event_type='error'), "
+        "count(*) FILTER (event_type='purchase'), "
+        "count(*) FILTER (event_type='signup'), "
+        "count(*) FILTER (event_type='view') "
+        "FROM events GROUP BY user_id").fetchall())}
+    assert got == want
+
+
+def test_pivot_requires_values(spark, db):
+    with pytest.raises(ValueError, match="explicit"):
+        RS.pivot_agg(db.events.df, ["user_id"], "event_type", [])
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string")
+    got = sorted(map(tuple, RS.upsert(target, updates, "k").collect()))
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "D")]
+
+
+def test_upsert_column_mismatch(spark):
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    u = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="column sets differ"):
+        RS.upsert(t, u, "k")
+
+
+def test_upsert_broadcasts_delta(spark):
+    t = spark.createDataFrame([(i, "x") for i in range(100)],
+                              "k long, v string")
+    u = spark.createDataFrame([(1, "y")], "k long, v string")
+    plan = RS.upsert(t, u, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_with_json_fields_single_parse(spark, db):
+    out = J.with_json_fields(db.events.df, "props", {"k": "int"})
+    assert dict(out.dtypes)["k"] == "int"
+    # one from_json node, no get_json_object
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") >= 1 and "get_json_object" not in plan
+    rows = out.select("props", "k").limit(5).collect()
+    import json as pyjson
+    for r in rows:
+        assert r["k"] == pyjson.loads(r["props"])["k"]
+
+
+def test_json_field_probe(spark, db):
+    got = (db.events.df
+           .select(J.json_field("props", "$.k").alias("k"))
+           .where(F.col("k").isNotNull()).limit(3).collect())
+    assert all(r["k"].isdigit() for r in got)
+
+
+def test_infer_json_schema(spark, db):
+    ddl = J.infer_json_schema(db.events.df, "props", sample_rows=20)
+    assert "k" in ddl and "bigint" in ddl
+    # inferred schema round-trips through with_json_fields
+    name, typ = ddl.replace("`", "").split(" ", 1)
+    out = J.with_json_fields(db.events.df, "props", {name: typ})
+    assert out.where(F.col(name).isNotNull()).count() > 0
+
+
+def test_infer_json_schema_invalid(spark):
+    df = spark.createDataFrame([("not json",)], "j string")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        J.infer_json_schema(df, "j")
