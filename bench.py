@@ -62,6 +62,9 @@ HEADLINE = [
     "decontam_pairs",     # broadcast eval-shingle probe (r5 op)
     "sample_stratified",  # two-phase deterministic top-n per stratum (r5 op)
     "groupby_quantiles",  # exact per-group percentile array agg (r5 op)
+    "dedup_components",   # pairs -> transitive clusters, large/small-star (r6 op)
+    "bm25_topk",          # query-term-filtered postings + TakeOrdered (r6 op)
+    "events_enrich_nation",  # stream-static broadcast join, availableNow (r6 op)
 ]
 
 
