@@ -41,6 +41,28 @@ def pivot_agg(df: DataFrame, key_cols: Sequence[str], pivot_col: str,
             .agg(*aggs))
 
 
+def fixed_width_hist(df: DataFrame, value_col: str,
+                     width_cents: int = 500) -> DataFrame:
+    """Exact fixed-width histogram of a money-like double column:
+    ``(bucket, lo_cents, n)`` where ``bucket = cents div width_cents``
+    and ``cents = CAST(value AS DECIMAL(18,2)) · 100`` — the same
+    integer-cents device as the stateful streaming totals, so bucket
+    assignment is bit-identical across engines (no float boundary
+    ambiguity, unlike ``width_bucket`` on raw doubles).  One keyed
+    shuffle with map-side combine; the profiling primitive for value
+    distributions."""
+    if width_cents <= 0:
+        raise ValueError("fixed_width_hist: width_cents must be positive")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    return (df.select(cents.alias("__c"))
+            .select(F.expr(f"__c div {width_cents}").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bucket",
+                    (F.col("bucket") * width_cents).alias("lo_cents"),
+                    "n"))
+
+
 def upsert(target: DataFrame, updates: DataFrame,
            key_cols: Sequence[str] | str,
            broadcast_updates: bool = True) -> DataFrame:

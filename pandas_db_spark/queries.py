@@ -164,6 +164,20 @@ def orders_upsert(spark, sf_dir):
     return RS.upsert(o, delta, "o_orderkey")
 
 
+@q("events_value_hist",
+   "SELECT bucket, bucket * 500 AS lo_cents, count(*) AS n FROM ("
+   "SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bucket "
+   "FROM events) GROUP BY bucket")
+def events_value_hist(spark, sf_dir):
+    """Exact $5-wide value histogram (operators/reshape.fixed_width_hist):
+    integer-cents bucketing — decimal(18,2) cast, never width_bucket on
+    raw doubles, so bucket assignment has no float-boundary ambiguity and
+    hash-matches across engines."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return RS.fixed_width_hist(e.df, "value", width_cents=500)
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "

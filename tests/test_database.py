@@ -373,3 +373,36 @@ def test_sql_sink_escapes_identifiers(spark, tmp_path):
     con = load_sql_to_sqlite(out)
     assert con.execute('SELECT "a""b", c FROM "t""1"').fetchall() == [(1, "x")]
     con.close()
+
+
+def test_write_sorted_data_skipping_layout(spark, db, tmp_path):
+    """write_sorted produces non-overlapping per-file min/max ranges on
+    the sort key (the parquet-footer property that lets range filters
+    skip row groups), and round-trips correctly."""
+    import glob
+    import pyarrow.parquet as pq
+    from pandas_db_spark.sources.registry import write_sorted
+
+    out = str(tmp_path / "orders_sorted")
+    write_sorted(db.orders.df, out, ["o_totalprice"], partitions=8)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # files form an ordered, non-overlapping chain on the sort key
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    back = spark.read.parquet(out)
+    assert back.count() == db.orders.df.count()
+    thresh = ranges[0][1]  # below the first file's max: 1-file read
+    want = db.orders.df.filter(f"o_totalprice < {thresh}").count()
+    assert back.filter(f"o_totalprice < {thresh}").count() == want

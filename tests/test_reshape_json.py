@@ -87,3 +87,19 @@ def test_infer_json_schema_invalid(spark):
     df = spark.createDataFrame([("not json",)], "j string")
     with pytest.raises(ValueError, match="not valid JSON"):
         J.infer_json_schema(df, "j")
+
+
+def test_fixed_width_hist_exact(spark, db, duck):
+    got = {r["bucket"]: (r["lo_cents"], r["n"]) for r in
+           RS.fixed_width_hist(db.events.df, "value", 500).collect()}
+    want = {b: (lo, n) for b, lo, n in duck.execute(
+        "SELECT bucket, bucket*500, count(*) FROM ("
+        "SELECT CAST(round(value*100) AS BIGINT) // 500 AS bucket "
+        "FROM events) GROUP BY bucket").fetchall()}
+    assert got == want
+    assert sum(n for _, n in got.values()) == db.events.df.count()
+
+
+def test_fixed_width_hist_bad_width(spark, db):
+    with pytest.raises(ValueError, match="positive"):
+        RS.fixed_width_hist(db.events.df, "value", 0)
