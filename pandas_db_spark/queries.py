@@ -178,6 +178,53 @@ def events_value_hist(spark, sf_dir):
     return RS.fixed_width_hist(e.df, "value", width_cents=500)
 
 
+@q("doc_chunks",
+   "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "c AS (SELECT doc_id, ws, len(ws) AS n, "
+   "unnest(generate_series(1, len(ws), 48)) AS s FROM w) "
+   "SELECT doc_id, ((s - 1) // 48)::BIGINT AS chunk_id, "
+   "least(64, n - s + 1)::BIGINT AS n_tokens, "
+   "array_to_string(ws[s : s + 63], ' ') AS chunk_text FROM c")
+def doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.chunk_documents,
+    max_tokens=64 overlap=16): pure JVM sequence/transform/slice/
+    posexplode — a narrow map with ZERO shuffle (asserted in pytest);
+    the retrieval-indexing inverse of sequence packing."""
+    from pandas_db_spark.operators import chunking as CH
+    d = get_db(spark, sf_dir).documents
+    return CH.chunk_documents(d.df, "text", "doc_id",
+                              max_tokens=64, overlap=16)
+
+
+@q("snapshot_diff",
+   "WITH o AS (SELECT doc_id, text FROM documents), "
+   "n AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' x' "
+   "ELSE text END AS text FROM documents WHERE doc_id % 7 != 0 "
+   "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+   "WHERE doc_id < 10) "
+   "SELECT coalesce(o.doc_id, n.doc_id) AS id, "
+   "CASE WHEN o.doc_id IS NULL THEN 'added' "
+   "WHEN n.doc_id IS NULL THEN 'removed' "
+   "WHEN o.text != n.text THEN 'changed' ELSE 'unchanged' END AS status "
+   "FROM o FULL JOIN n ON o.doc_id = n.doc_id")
+def snapshot_diff(spark, sf_dir):
+    """Incremental-recrawl snapshot diff (operators/chunking.
+    snapshot_diff): added/removed/changed/unchanged per id via a
+    full-outer join of (id, sha2 digest) pairs — document bodies never
+    shuffle.  The synthetic 'new' snapshot drops every 7th doc, edits
+    every 5th, and adds 10."""
+    from pandas_db_spark.operators import chunking as CH
+    d = get_db(spark, sf_dir).documents.df
+    new = (d.where(F.col("doc_id") % 7 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                      F.concat(F.col("text"), F.lit(" x")))
+                       .otherwise(F.col("text")))
+           .unionByName(d.where(F.col("doc_id") < 10)
+                        .withColumn("doc_id", F.col("doc_id") + 1000000)))
+    return CH.snapshot_diff(d, new, "doc_id", "text")
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "
