@@ -29,9 +29,19 @@ def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int,
                    out_id: str) -> DataFrame:
     from pandas_db_spark.functions.text import word_shingles
 
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # `size(__sh) > 0 AND __sh IS NOT NULL` filter and push it below any
+    # upstream Exchange — which re-evaluates the whole n-gram concat HOF
+    # a second time, single-threaded, in the scan stage (measured 2× the
+    # query cost at sf0.1).  word_shingles never returns an empty array
+    # (short docs degrade to one whole-doc shingle), so filtering the
+    # GENERATED column — which cannot be pushed below its own Generate —
+    # is semantically identical and keeps the HOF evaluated exactly once,
+    # after the repartition.
     return (df.select(F.col(id_col).alias(out_id),
                       word_shingles(F.col(text_col), n).alias("__sh"))
-              .select(out_id, F.explode("__sh").alias("shingle")))
+              .select(out_id, F.explode_outer("__sh").alias("shingle"))
+              .where(F.col("shingle").isNotNull()))
 
 
 def contamination_pairs(train: DataFrame, eval_df: DataFrame,
@@ -39,7 +49,12 @@ def contamination_pairs(train: DataFrame, eval_df: DataFrame,
                         n: int = 8, min_shared: int = 1) -> DataFrame:
     """(train_id, eval_id, n_shared) for every train/eval pair sharing at
     least ``min_shared`` distinct n-grams, n_shared descending then ids."""
-    tr = _shingle_index(train, text_col, id_col, n, "train_id")
+    from pandas_db_spark.operators.dedup import _ensure_parallelism
+
+    # The n-gram concat HOF is the CPU cost here; a train corpus arriving
+    # as few splits (single local file) would serialize it on one core.
+    tr = _shingle_index(_ensure_parallelism(train), text_col, id_col, n,
+                        "train_id")
     ev = _shingle_index(eval_df, text_col, id_col, n, "eval_id")
     hits = tr.join(F.broadcast(ev), "shingle")
     return (hits.groupBy("train_id", "eval_id")

@@ -39,9 +39,13 @@ def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, dl, term) exploded token stream; dl = token count carried
     along so downstream scoring never re-joins a doc-length table."""
     toks = tokens(F.col(text_col))
+    # explode_outer + generated-column filter: plain explode would make
+    # Catalyst infer `size(tokens) > 0` and evaluate the tokenization a
+    # second time inside the scan's filter (see decontam._shingle_index).
     return (docs.select(F.col(id_col).alias("doc_id"),
                         F.size(toks).alias("dl"),
-                        F.explode(toks).alias("term")))
+                        F.explode_outer(toks).alias("term"))
+            .where(F.col("term").isNotNull()))
 
 
 def term_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
