@@ -9,9 +9,9 @@ from pandas_db_spark.operators import graph as G
 from pandas_db_spark.operators import dedup as D
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    rows = G.connected_components(pairs).collect()
+    rows = G.connected_components(pairs, **kw).collect()
     return {r["id"]: r["component"] for r in rows}
 
 
@@ -24,7 +24,7 @@ def test_two_components_and_transitivity(spark):
 def test_long_chain_converges_logarithmically(spark):
     # Diameter-200 path: naive min-label propagation needs ~200 rounds;
     # large/small-star must finish well inside the max_iter=25 valve.
-    got = _cc(spark, [(i, i + 1) for i in range(200)])
+    got = _cc(spark, [(i, i + 1) for i in range(200)], driver_threshold=0)
     assert set(got.values()) == {0} and len(got) == 201
 
 
@@ -49,7 +49,7 @@ def test_string_ids(spark):
 
 def test_star_graph_hub(spark):
     # High-degree hub (the skew case): one component labeled by the min.
-    got = _cc(spark, [(100, i) for i in range(50)])
+    got = _cc(spark, [(100, i) for i in range(50)], driver_threshold=0)
     assert set(got.values()) == {0} and len(got) == 51
 
 
@@ -78,7 +78,7 @@ def test_unconverged_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
                                   "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        G.connected_components(pairs, max_iter=1)
+        G.connected_components(pairs, max_iter=1, driver_threshold=0)
 
 
 def test_matches_recursive_closure_on_real_pairs(spark, db, duck):
@@ -106,3 +106,8 @@ def test_matches_recursive_closure_on_real_pairs(spark, db, duck):
         SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
         """).fetchall()}
     assert got == want
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    edges = [(i, i + 1) for i in range(0, 60, 2)] + [(5, 90), (91, 3)]
+    assert _cc(spark, edges) == _cc(spark, edges, driver_threshold=0)
