@@ -225,6 +225,52 @@ def snapshot_diff(spark, sf_dir):
     return CH.snapshot_diff(d, new, "doc_id", "text")
 
 
+@q("events_funnel",
+   "WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events "
+   "WHERE event_type = 'view' GROUP BY user_id), "
+   "t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e "
+   "JOIN t1 ON e.user_id = t1.user_id "
+   "WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id), "
+   "t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e "
+   "JOIN t2 ON e.user_id = t2.user_id "
+   "WHERE e.event_type = 'purchase' AND e.ts >= t2.ts2 "
+   "GROUP BY e.user_id) "
+   "SELECT u.user_id, CASE WHEN ts3 IS NOT NULL THEN 3 "
+   "WHEN ts2 IS NOT NULL THEN 2 WHEN ts1 IS NOT NULL THEN 1 "
+   "ELSE 0 END::INT AS funnel_depth "
+   "FROM (SELECT DISTINCT user_id FROM events) u "
+   "LEFT JOIN t1 ON u.user_id = t1.user_id "
+   "LEFT JOIN t2 ON u.user_id = t2.user_id "
+   "LEFT JOIN t3 ON u.user_id = t3.user_id")
+def events_funnel(spark, sf_dir):
+    """Greedy view→click→purchase funnel depth per user
+    (operators/funnel.funnel_depth): one keyed shuffle + a JVM aggregate
+    HOF over each user's (ts, type)-sorted events.  The oracle is the
+    equivalent cascade of tuple minima (greedy-earliest matching is
+    optimal for subsequence containment; 'click' < 'view' and
+    'purchase' > 'click' lexicographically make the strict-> ts
+    comparisons exact at same-timestamp boundaries)."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return FU.funnel_depth(e.df, ["view", "click", "purchase"])
+
+
+@q("events_cohorts",
+   "WITH a AS (SELECT DISTINCT user_id, "
+   "epoch_us(ts) // 604800000000 AS week FROM events), "
+   "f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) "
+   "SELECT cohort_week, week - cohort_week AS week_offset, "
+   "count(*) AS n_users FROM a JOIN f ON a.user_id = f.user_id "
+   "GROUP BY 1, 2")
+def events_cohorts(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.cohort_retention):
+    integer epoch-week arithmetic (exact — modulo-subtracted before the
+    division so no float truncation boundary), two keyed shuffles."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return FU.cohort_retention(e.df)
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "
