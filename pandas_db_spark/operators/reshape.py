@@ -41,6 +41,48 @@ def pivot_agg(df: DataFrame, key_cols: Sequence[str], pivot_col: str,
             .agg(*aggs))
 
 
+def top_k_per_group(df: DataFrame, group_cols: Sequence[str],
+                    order_col: str, k: int, desc: bool = True,
+                    tiebreak_cols: Sequence[str] = ()) -> DataFrame:
+    """Top-k rows per group by ``order_col`` — one keyed shuffle, a
+    rank-limited window (Spark pushes the k-limit into the sort via
+    WindowGroupLimit, so no group ever fully sorts), output gains an
+    ``rk`` column (1-based).
+
+    Pass ``tiebreak_cols`` (e.g. the primary key) to make the selection
+    deterministic when ``order_col`` has ties — without it, ties at the
+    k boundary are partition-order dependent."""
+    if k <= 0:
+        raise ValueError("top_k_per_group: k must be positive")
+    from pyspark.sql import Window
+    oc = F.desc(order_col) if desc else F.asc(order_col)
+    order = [oc] + [F.asc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k))
+
+
+def winsorize(df: DataFrame, value_col: str, p_lo: float = 0.01,
+              p_hi: float = 0.99, out_col: str | None = None) -> DataFrame:
+    """Clip ``value_col`` to its exact [p_lo, p_hi] quantiles — the
+    outlier-capping step before statistics that are not robust to tails.
+
+    The two boundaries come from ONE exact ``percentile`` aggregate
+    (sort-based, linear interpolation — bit-identical to DuckDB's
+    ``quantile_cont``, see groupby_quantiles) collected as two scalars
+    and folded back as literals; the clip itself is a narrow JVM
+    ``least/greatest`` pass.  In-range values pass through untouched, so
+    the output hashes exactly."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError("winsorize: need 0 <= p_lo < p_hi <= 1")
+    lo, hi = df.agg(
+        F.percentile(value_col, F.array(F.lit(p_lo), F.lit(p_hi)))
+    ).collect()[0][0]
+    out = out_col or value_col
+    clipped = F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
+    return df.withColumn(out, clipped)
+
+
 def fixed_width_hist(df: DataFrame, value_col: str,
                      width_cents: int = 500) -> DataFrame:
     """Exact fixed-width histogram of a money-like double column:

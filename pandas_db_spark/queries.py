@@ -271,6 +271,40 @@ def events_cohorts(spark, sf_dir):
     return FU.cohort_retention(e.df)
 
 
+@q("events_top_per_user",
+   "SELECT user_id, event_id, rk::INT AS rk FROM ("
+   "SELECT user_id, event_id, row_number() OVER ("
+   "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
+   "FROM events) WHERE rk <= 2")
+def events_top_per_user(spark, sf_dir):
+    """Top-2 events by value per user (operators/reshape.
+    top_k_per_group): rank-limited window — Spark's WindowGroupLimit
+    keeps per-group state at k rows, no group ever fully sorts;
+    event_id tiebreak makes the boundary deterministic."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.top_k_per_group(e.df, ["user_id"], "value", 2,
+                               tiebreak_cols=["event_id"])
+            .select("user_id", "event_id",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+@q("events_winsorized",
+   "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, "
+   "quantile_cont(value, 0.95) AS hi FROM events) "
+   "SELECT event_id, least(greatest(value, lo), hi) AS value_w "
+   "FROM events, b")
+def events_winsorized(spark, sf_dir):
+    """[p05, p95] winsorization (operators/reshape.winsorize): exact
+    percentile boundaries (bit-identical to quantile_cont) folded back
+    as literals, narrow least/greatest clip — in-range doubles pass
+    through untouched so the hash compare is exact."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.winsorize(e.df, "value", 0.05, 0.95, out_col="value_w")
+            .select("event_id", "value_w"))
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "

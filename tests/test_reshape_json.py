@@ -103,3 +103,44 @@ def test_fixed_width_hist_exact(spark, db, duck):
 def test_fixed_width_hist_bad_width(spark, db):
     with pytest.raises(ValueError, match="positive"):
         RS.fixed_width_hist(db.events.df, "value", 0)
+
+
+def test_top_k_per_group_matches_duckdb(spark, db, duck):
+    got = sorted(map(tuple,
+                     RS.top_k_per_group(db.events.df, ["user_id"], "value",
+                                        3, tiebreak_cols=["event_id"])
+                     .select("user_id", "event_id", "rk").collect()))
+    want = sorted(map(tuple, duck.execute(
+        "SELECT user_id, event_id, rk FROM (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, "
+        "event_id) rk FROM events) WHERE rk <= 3").fetchall()))
+    assert got == want
+
+
+def test_top_k_per_group_window_limit_plan(spark, db):
+    plan = RS.top_k_per_group(db.events.df, ["user_id"], "value", 2,
+                              tiebreak_cols=["event_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_top_k_validation(spark, db):
+    with pytest.raises(ValueError, match="positive"):
+        RS.top_k_per_group(db.events.df, ["user_id"], "value", 0)
+
+
+def test_winsorize_bounds_and_passthrough(spark, db):
+    out = RS.winsorize(db.events.df, "value", 0.1, 0.9, out_col="w")
+    lo, hi = db.events.df.agg(
+        F.expr("percentile(value, array(0.1, 0.9))")).collect()[0][0]
+    rows = out.select("value", "w").collect()
+    for r in rows:
+        if lo <= r["value"] <= hi:
+            assert r["w"] == r["value"]
+        else:
+            assert r["w"] in (lo, hi)
+
+
+def test_winsorize_validation(spark, db):
+    with pytest.raises(ValueError, match="p_lo"):
+        RS.winsorize(db.events.df, "value", 0.9, 0.1)
