@@ -206,6 +206,36 @@ class Table:
               else self._df.dropDuplicates(subset))
         return Table(df, self._name, self._cache)
 
+    # -- beyond-parity analytics delegates ---------------------------------------
+    # Thin façade over operators/reshape.py so reference users discover
+    # the extended surface from the object they already hold; full
+    # parameter docs live on the operator functions.
+
+    def pivot(self, key_cols: list[str], pivot_col: str,
+              values: list) -> "Table":
+        from pandas_db_spark.operators.reshape import pivot_agg
+        return Table(pivot_agg(self._df, key_cols, pivot_col, values),
+                     self._name, self._cache)
+
+    def top_k(self, group_cols: list[str], order_col: str, k: int,
+              desc: bool = True,
+              tiebreak_cols: list[str] | None = None) -> "Table":
+        from pandas_db_spark.operators.reshape import top_k_per_group
+        return Table(top_k_per_group(self._df, group_cols, order_col, k,
+                                     desc, tiebreak_cols or ()),
+                     self._name, self._cache)
+
+    def upsert(self, updates: "Table", key_cols) -> "Table":
+        from pandas_db_spark.operators.reshape import upsert
+        return Table(upsert(self._df, updates._df, key_cols),
+                     self._name, self._cache)
+
+    def winsorize(self, value_col: str, p_lo: float = 0.01,
+                  p_hi: float = 0.99) -> "Table":
+        from pandas_db_spark.operators.reshape import winsorize
+        return Table(winsorize(self._df, value_col, p_lo, p_hi),
+                     self._name, self._cache)
+
     # -- actions -----------------------------------------------------------------
     def data(self, limit: int | None = None) -> list[tuple]:
         df = self._df if limit is None else self._df.limit(limit)

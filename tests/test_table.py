@@ -170,3 +170,17 @@ def test_groupby_join_setops(db):
     assert u.len == 2 * db.orders.len
     assert db.orders.intersect(db.orders).len == db.orders.len
     assert db.orders.except_(db.orders).len == 0
+
+
+def test_table_analytics_delegates(db):
+    """The beyond-parity reshape surface is reachable from Table."""
+    ev = db.events
+    piv = ev.pivot(["user_id"], "event_type", ["click", "view"])
+    assert set(piv.columns) == {"user_id", "click", "view"}
+    top = ev.top_k(["user_id"], "value", 1, tiebreak_cols=["event_id"])
+    assert len(top) == db.events.df.select("user_id").distinct().count()
+    wins = ev.winsorize("value", 0.1, 0.9)
+    assert wins.columns == ev.columns
+    ords = db.orders
+    merged = ords.upsert(ords.limit(3), "o_orderkey")
+    assert len(merged) == len(ords)
