@@ -65,8 +65,12 @@ def oracle_sql() -> dict[str, str]:
 # arranged least-recently-driver-verified FIRST so the gate's prefix always
 # lands on the code with the weakest external evidence:
 #
-#   * this first block: the 16 queries added in round 5 that have never had
-#     a driver correctness receipt (CORRECTNESS_r05.json covered earlier
+#   * first: the queries added in round 6 (retrieval, rarity, stream-static
+#     enrich, JSON, pivot/upsert/histogram, chunking, snapshot diff,
+#     funnel/cohorts, top-k, winsorize, connected components, clustering) —
+#     never driver-verified;
+#   * then: the 16 queries added in round 5, likewise without a driver
+#     correctness receipt (CORRECTNESS_r05.json covered earlier
 #     registrations);
 #   * everything after: queries already driver-verified in the r4/r5
 #     windows, in their original thematic order.
