@@ -83,6 +83,32 @@ def winsorize(df: DataFrame, value_col: str, p_lo: float = 0.01,
     return df.withColumn(out, clipped)
 
 
+def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
+                     out_col: str = "bucket") -> DataFrame:
+    """Assign each row its quantile bucket (1..n_buckets) WITHOUT a
+    global sort: the n−1 exact interior quantile boundaries come from
+    one ``percentile`` aggregate (two scalars' worth of driver traffic),
+    then bucket = 1 + #boundaries strictly below the value — a narrow
+    JVM pass.
+
+    This is the scale-safe replacement for ``ntile(n) OVER (ORDER BY
+    …)``, whose empty-partition window funnels the ENTIRE table through
+    one task.  Semantics differ from ntile only in tie handling: equal
+    values always land in the same bucket here (ntile splits ties to
+    even out counts), which is usually what quality-tiered sampling
+    wants anyway."""
+    if n_buckets < 2:
+        raise ValueError("quantile_buckets: n_buckets must be >= 2")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs]))
+    ).collect()[0][0]
+    bucket = F.lit(1)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    return df.withColumn(out_col, bucket.cast("int"))
+
+
 def fixed_width_hist(df: DataFrame, value_col: str,
                      width_cents: int = 500) -> DataFrame:
     """Exact fixed-width histogram of a money-like double column:

@@ -309,6 +309,24 @@ def events_winsorized(spark, sf_dir):
             .select("event_id", "value_w"))
 
 
+@q("events_value_deciles",
+   "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
+   "0.7,0.8,0.9]) AS bs FROM events) "
+   "SELECT bucket, count(*) AS n FROM (SELECT 1 + len(list_filter(b.bs, "
+   "x -> value > x))::INT AS bucket FROM events, b) GROUP BY bucket")
+def events_value_deciles(spark, sf_dir):
+    """Decile occupancy (operators/reshape.quantile_buckets): exact
+    boundaries from ONE percentile aggregate + a narrow
+    count-boundaries-below pass — the scale-safe replacement for a
+    global-sort ntile (whose empty-partition window funnels the whole
+    table through one task).  Equal-value ties share a bucket, so
+    counts need not be exactly n/10 each."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.quantile_buckets(e.df, "value", 10)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "

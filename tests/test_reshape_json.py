@@ -144,3 +144,22 @@ def test_winsorize_bounds_and_passthrough(spark, db):
 def test_winsorize_validation(spark, db):
     with pytest.raises(ValueError, match="p_lo"):
         RS.winsorize(db.events.df, "value", 0.9, 0.1)
+
+
+def test_quantile_buckets_properties(spark, db, duck):
+    out = RS.quantile_buckets(db.events.df, "value", 4)
+    rows = out.select("value", "bucket").collect()
+    # monotone: higher value => bucket >= lower value's bucket
+    srt = sorted(rows, key=lambda r: r["value"])
+    assert all(a["bucket"] <= b["bucket"] for a, b in zip(srt, srt[1:]))
+    assert {r["bucket"] for r in rows} <= {1, 2, 3, 4}
+    # quartile counts near n/4 (exact split up to ties)
+    from collections import Counter
+    c = Counter(r["bucket"] for r in rows)
+    n = len(rows)
+    assert all(abs(c[b] - n / 4) <= n * 0.05 for b in (1, 2, 3, 4))
+
+
+def test_quantile_buckets_validation(spark, db):
+    with pytest.raises(ValueError, match=">= 2"):
+        RS.quantile_buckets(db.events.df, "value", 1)
