@@ -65,6 +65,8 @@ HEADLINE = [
     "dedup_components",   # pairs -> transitive clusters, large/small-star (r6 op)
     "bm25_topk",          # query-term-filtered postings + TakeOrdered (r6 op)
     "events_enrich_nation",  # stream-static broadcast join, availableNow (r6 op)
+    "doc_chunks",         # zero-shuffle sliding token windows (r6 op)
+    "events_funnel",      # keyed HOF scan over sorted per-user events (r6 op)
 ]
 
 
