@@ -70,6 +70,35 @@ def funnel_depth(events: DataFrame, stages: Sequence[str],
                         "funnel_depth")))
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 15,
+               user_col: str = "user_id", ts_col: str = "ts",
+               order_cols: Sequence[str] = ("event_id",)) -> DataFrame:
+    """Per-event session labeling: adds ``session_idx`` (0-based, per
+    user, in time order) — a new session starts when the gap since the
+    user's previous event exceeds ``gap_minutes``.
+
+    The per-row sibling of the session-window AGGREGATE
+    (streaming/windows.session): that one answers "how many sessions and
+    how big", this one tags every event so downstream joins can group by
+    (user, session).  Plan: one keyed shuffle; lag + running sum over
+    the same (user, ts, tiebreak) window — two window functions, one
+    sort, no self-join.  ``order_cols`` break same-timestamp ties so the
+    labeling is deterministic."""
+    from pyspark.sql import Window
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.unix_micros(prev.cast("timestamp"))
+    new_sess = F.when(prev.isNull(), F.lit(0)).when(
+        ts_us - prev_us > gap_us, F.lit(1)).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_idx",
+        (F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))).cast("long"))
+
+
 def cohort_retention(events: DataFrame, user_col: str = "user_id",
                      ts_col: str = "ts") -> DataFrame:
     """Weekly cohort retention: ``(cohort_week, week_offset, n_users)``

@@ -309,6 +309,26 @@ def events_winsorized(spark, sf_dir):
             .select("event_id", "value_w"))
 
 
+@q("events_sessionize",
+   "SELECT event_id, user_id, session_idx FROM ("
+   "SELECT event_id, user_id, sum(CASE WHEN prev IS NOT NULL AND "
+   "epoch_us(ts) - epoch_us(prev) > 900000000 THEN 1 ELSE 0 END) "
+   "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM ("
+   "SELECT event_id, user_id, ts, lag(ts) OVER ("
+   "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events))")
+def events_sessionize(spark, sf_dir):
+    """Per-event session labels at a 15-minute gap
+    (operators/funnel.sessionize): lag + running sum over one keyed
+    (user, ts, event_id) window — one shuffle, no self-join;
+    deterministic via the event_id tiebreak.  The per-row sibling of
+    the events_session aggregate."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return (FU.sessionize(e.df, gap_minutes=15)
+            .select("event_id", "user_id", "session_idx"))
+
+
 @q("events_value_deciles",
    "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
    "0.7,0.8,0.9]) AS bs FROM events) "

@@ -96,3 +96,41 @@ def test_funnel_matches_oracle_sf(spark, db, duck):
         LEFT JOIN t2 ON u.user_id=t2.user_id
         LEFT JOIN t3 ON u.user_id=t3.user_id""").fetchall()}
     assert got == want
+
+
+def test_sessionize_hand_case(spark):
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (1, 1, 2, "view"),   # 1h gap > 15min → new
+        (2, 1, 1, "view"),
+    ])
+    got = {(r["user_id"], r["ts"].hour): r["session_idx"]
+           for r in FU.sessionize(ev, gap_minutes=15,
+                                  order_cols=()).collect()}
+    assert got == {(1, 1): 0, (1, 2): 1, (2, 1): 0}
+
+
+def test_sessionize_gap_boundary(spark):
+    import datetime as dtm
+    rows = [(1, dtm.datetime(2024, 1, 1, 0, 0, 0), "a"),
+            (1, dtm.datetime(2024, 1, 1, 0, 15, 0), "b"),   # == gap: same
+            (1, dtm.datetime(2024, 1, 1, 0, 30, 1), "c")]   # > gap: new
+    ev = spark.createDataFrame(
+        [(u, t, ty) for u, t, ty in rows],
+        "user_id long, ts timestamp, event_type string") \
+        .withColumn("event_id", F.monotonically_increasing_id())
+    got = [r["session_idx"] for r in
+           FU.sessionize(ev, gap_minutes=15).orderBy("ts").collect()]
+    assert got == [0, 0, 1]
+
+
+def test_sessionize_counts_match_session_windows(spark, db):
+    """#sessions per user from per-event labels == the session-window
+    aggregate's count (same 15-min gap rule)."""
+    from pandas_db_spark.streaming import windows as W
+    lab = (FU.sessionize(db.events.df, gap_minutes=15)
+           .groupBy("user_id")
+           .agg((F.max("session_idx") + 1).alias("n")))
+    agg = (W.session(db.events.df, gap="15 minutes", keys=("user_id",))
+           .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, lab.collect())) == \
+        sorted(map(tuple, agg.collect()))
