@@ -56,6 +56,29 @@ def hash_sample(df: DataFrame, fraction: float, key_col: str,
     return df.filter(hexp < F.lit(fraction_threshold(fraction)))
 
 
+def weighted_hash_sample(df: DataFrame, rate: float, weight_col: str,
+                         key_col: str, salt: str = "") -> DataFrame:
+    """Deterministic weighted Bernoulli sample: each row keeps with
+    probability ``min(1, rate · weight)`` — the quality-weighted
+    downsampling step (weight = quality score ⇒ good documents survive
+    proportionally more often), reproducible across runs and engines.
+
+    Same narrow-filter shape as :func:`hash_sample` (no shuffle, the
+    predicate sits on the scan) but with a PER-ROW threshold, so the
+    hex-prefix trick becomes integer arithmetic: u32(md5 prefix) <
+    floor(clamp(rate·w, 0, 1) · 2³²).  Every step is a single IEEE op
+    (one multiply, one power-of-two scale, one floor), so the kept set
+    is bit-identical across engines."""
+    if rate < 0.0:
+        raise ValueError("weighted_hash_sample: rate must be >= 0")
+    u32 = F.conv(F.substring(_hash_hex(F.col(key_col), salt), 1,
+                             _PREFIX_LEN), 16, 10).cast("long")
+    p = F.least(F.greatest(F.lit(float(rate)) * F.col(weight_col),
+                           F.lit(0.0)), F.lit(1.0))
+    thresh = F.floor(p * F.lit(4294967296.0)).cast("long")
+    return df.filter(u32 < thresh)
+
+
 # Max rows any single top-n window task should ingest.  The final
 # per-stratum window sees ≤ n×(groups feeding it); when that product
 # exceeds this bound, stratified_sample inserts intermediate tree-

@@ -329,6 +329,24 @@ def events_sessionize(spark, sf_dir):
             .select("event_id", "user_id", "session_idx"))
 
 
+@q("sample_weighted",
+   "SELECT doc_id FROM documents WHERE "
+   "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w'), 1, 8))::BIGINT "
+   "< CAST(floor(least(greatest(0.5 * (n_chars / 256.0), 0.0), 1.0) "
+   "* 4294967296.0) AS BIGINT)")
+def sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic sample (operators/sampling.
+    weighted_hash_sample): keep probability min(1, 0.5·n_chars/256) per
+    doc — longer documents survive proportionally more often.  Narrow
+    filter on the scan; per-row threshold via single-IEEE-op arithmetic,
+    bit-identical across engines."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    w = d.df.withColumn("__w", F.col("n_chars") / 256.0)
+    return (SA.weighted_hash_sample(w, 0.5, "__w", "doc_id", salt="w")
+            .select("doc_id"))
+
+
 @q("events_value_deciles",
    "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
    "0.7,0.8,0.9]) AS bs FROM events) "

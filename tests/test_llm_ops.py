@@ -621,3 +621,28 @@ def test_kmeans_clustering_contracts(emb):
 
     with pytest.raises(ValueError):
         C.kmeans_fit(emb, k=0)
+
+
+def test_weighted_hash_sample_determinism_and_rates(spark, db):
+    """Weighted Bernoulli: deterministic across calls, monotone in rate,
+    weight-0 rows never kept, weight>=1/rate rows always kept."""
+    from pandas_db_spark.operators.sampling import weighted_hash_sample
+    from pyspark.sql import functions as F
+
+    d = db.documents.df.withColumn("__w", F.col("n_chars") / 256.0)
+    a = sorted(r["doc_id"] for r in
+               weighted_hash_sample(d, 0.5, "__w", "doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_hash_sample(d, 0.5, "__w", "doc_id").collect())
+    assert a == b and 0 < len(a) < d.count()
+    bigger = sorted(r["doc_id"] for r in
+                    weighted_hash_sample(d, 0.9, "__w", "doc_id").collect())
+    assert set(a) <= set(bigger)
+    zero = d.withColumn("__w", F.lit(0.0))
+    assert weighted_hash_sample(zero, 0.5, "__w", "doc_id").count() == 0
+    sure = d.withColumn("__w", F.lit(10.0))
+    assert weighted_hash_sample(sure, 0.5, "__w", "doc_id").count() == \
+        d.count()
+    import pytest as _pt
+    with _pt.raises(ValueError, match=">= 0"):
+        weighted_hash_sample(d, -0.1, "__w", "doc_id")
