@@ -75,6 +75,68 @@ def tf_idf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
                                          F.col("df"))).alias("tfidf")))
 
 
+def build_inverted_index(docs: DataFrame, text_col: str, id_col: str,
+                         table_prefix: str, n_buckets: int = 32) -> None:
+    """Materialize a BM25-ready inverted index as THREE catalog tables:
+
+    * ``{prefix}_postings`` (term, doc_id, tf, dl) — bucketed AND sorted
+      by ``term``, so a later query's ``term IN (…)`` filter prunes to
+      the matching buckets (Spark's bucket pruning; asserted in pytest)
+      instead of scanning the full postings list;
+    * ``{prefix}_terms`` (term, df) — per-term document frequency;
+    * ``{prefix}_meta`` (n_docs, avgdl) — the two corpus scalars.
+
+    Build cost: one explode + two keyed shuffles, once; after that every
+    probe query reads ~|query terms| / ``n_buckets`` of the postings.
+    This is the index-once/query-many pattern — at 100 TB the on-the-fly
+    :func:`bm25_topk` pays a corpus scan per query, the index pays it
+    once."""
+    from pandas_db_spark.sources.registry import write_bucketed
+
+    p = _postings(docs, text_col, id_col)
+    tf = (p.groupBy("term", "doc_id")
+          .agg(F.first("dl").cast("long").alias("dl"),
+               F.count(F.lit(1)).alias("tf")))
+    write_bucketed(tf, f"{table_prefix}_postings", ["term"],
+                   n_buckets=n_buckets, sort_cols=["term"])
+    spark = docs.sparkSession
+    (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+       .write.mode("overwrite").saveAsTable(f"{table_prefix}_terms"))
+    (docs.agg(F.count(F.lit(1)).alias("n_docs"),
+              F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
+     .write.mode("overwrite").saveAsTable(f"{table_prefix}_meta"))
+
+
+def bm25_topk_indexed(spark, table_prefix: str, query: str, k: int = 10,
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 top-k served from a :func:`build_inverted_index` index —
+    no document scan at all: the bucketed postings table is probed with
+    ``term IN (…)`` (bucket-pruned), df and the corpus scalars come from
+    the side tables.  Scoring formula identical to :func:`bm25_topk`."""
+    q_terms = sorted({t for t in query.strip().split() if t})
+    if not q_terms:
+        raise ValueError("bm25_topk_indexed: query has no terms")
+    meta = spark.table(f"{table_prefix}_meta").collect()[0]
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    tf = spark.table(f"{table_prefix}_postings") \
+        .where(F.col("term").isin(q_terms))
+    df = (spark.table(f"{table_prefix}_terms")
+          .where(F.col("term").isin(q_terms)))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (tf.join(F.broadcast(df), "term")
+              .select("doc_id", (idf * norm).alias("s"))
+              .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+           .select("doc_id", "score"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.select(F.row_number().over(w).alias("rank"),
+                       "doc_id", "score"))
+
+
 def token_rarity(docs: DataFrame, text_col: str, id_col: str,
                  broadcast_vocab: bool = True) -> DataFrame:
     """Per-document corpus-frequency profile — the exact-integer rarity

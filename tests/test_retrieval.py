@@ -118,3 +118,37 @@ def test_unigram_surprisal_matches_python(spark):
     exp2 = -(math.log(1 / 5) + math.log(3 / 5)) / 2
     assert rows[1][0] == pytest.approx(exp1) and rows[1][1] == 3
     assert rows[2][0] == pytest.approx(exp2) and rows[2][1] == 2
+
+
+def test_indexed_bm25_matches_on_the_fly(spark, db):
+    """Index-once/query-many: the bucketed-postings path returns exactly
+    the on-the-fly BM25 answer, and the probe scan is bucket-pruned."""
+    R.build_inverted_index(db.documents.df, "text", "doc_id",
+                           "t_bm25_idx", n_buckets=8)
+    try:
+        for q in ("merge vector stream", "scan join"):
+            direct = [(r["rank"], r["doc_id"]) for r in
+                      R.bm25_topk(db.documents.df, "text", "doc_id",
+                                  q, k=10).collect()]
+            indexed = [(r["rank"], r["doc_id"]) for r in
+                       R.bm25_topk_indexed(spark, "t_bm25_idx",
+                                           q, k=10).collect()]
+            assert indexed == direct
+        # Bucket pruning: the planner may relax a bucketed read when no
+        # exchange needs it (autoBucketedScan); pin it off to observe the
+        # pruned-bucket count.  Even relaxed, the term-sorted files give
+        # footer-stats row-group skipping on the same predicate.
+        conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        old = spark.conf.get(conf)
+        try:
+            spark.conf.set(conf, "false")
+            probe = spark.table("t_bm25_idx_postings") \
+                .where(F.col("term").isin(["merge"]))
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 8" in plan
+        finally:
+            spark.conf.set(conf, old)
+    finally:
+        for t in ("t_bm25_idx_postings", "t_bm25_idx_terms",
+                  "t_bm25_idx_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
