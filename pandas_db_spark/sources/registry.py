@@ -416,6 +416,37 @@ def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
         .write.mode(mode).parquet(path))
 
 
+def compact_parquet(spark, path: str, out_path: str,
+                    target_mb: int = 256) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files; the
+    small-file remedy for streaming sinks and over-parallel writes.
+
+    Why it matters at scale: a 100 TB table accreted from micro-batches
+    easily holds 10⁷ KB-sized files — every scan then pays 10⁷ opens and
+    the NameNode/listing pays the metadata.  One compaction pass
+    restores ``maxPartitionBytes``-aligned scan parallelism.
+
+    Sizing uses the Hadoop FileSystem API (portable to HDFS/S3/local —
+    never driver-side ``os`` calls).  Writes to ``out_path`` — an
+    explicit separate location, because overwriting a directory while
+    reading it is undefined; swap directories atomically afterwards with
+    your store's rename.  Returns the output file count."""
+    if target_mb <= 0:
+        raise ValueError("compact_parquet: target_mb must be positive")
+    if out_path == path:
+        raise ValueError(
+            "compact_parquet: out_path must differ from path "
+            "(overwriting a directory while reading it is undefined)")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, -(-int(total) // (target_mb << 20)))
+    df = read_parquet(spark, path)
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return n
+
+
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 # One restore listener per session — repeat reader calls re-arm the

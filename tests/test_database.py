@@ -406,3 +406,22 @@ def test_write_sorted_data_skipping_layout(spark, db, tmp_path):
     thresh = ranges[0][1]  # below the first file's max: 1-file read
     want = db.orders.df.filter(f"o_totalprice < {thresh}").count()
     assert back.filter(f"o_totalprice < {thresh}").count() == want
+
+
+def test_compact_parquet_reduces_files(spark, db, tmp_path):
+    import glob
+    from pandas_db_spark.sources.registry import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    db.orders.df.repartition(32).write.parquet(frag)
+    assert len(glob.glob(frag + "/*.parquet")) == 32
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_mb=256)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == n < 32
+    assert spark.read.parquet(out).count() == db.orders.df.count()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="differ"):
+        compact_parquet(spark, frag, frag)
+    with _pt.raises(ValueError, match="positive"):
+        compact_parquet(spark, frag, out, target_mb=0)
