@@ -47,3 +47,41 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", formatted_plan(df)))
+
+
+def _simple_plan(df: DataFrame) -> str:
+    """Physical plan as a single tree (the formatted form prints every
+    operator twice — tree + numbered details — which would double node
+    counts)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Shuffle count in the physical plan (excludes broadcast exchanges
+    — those move only the small side)."""
+    plan = _simple_plan(df)
+    return len(re.findall(r"Exchange", plan)) - len(
+        re.findall(r"BroadcastExchange", plan))
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call scale diagnostic for a DataFrame's plan — the questions
+    the 100 TB checklist asks, as a dict:
+
+    ``shuffles`` (non-broadcast Exchange count), ``broadcast_joins``,
+    ``pushed_filters``, ``read_columns`` (scan-level pruning),
+    ``codegen_spans``, ``python_udfs`` (row-at-a-time Python in the hot
+    path — should be 0; Arrow-batched pandas evals are listed
+    separately as ``arrow_evals``)."""
+    plan = _simple_plan(df)
+    return {
+        "shuffles": exchange_count(df),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "pushed_filters": pushed_filters(df),
+        "read_columns": read_schema_columns(df),
+        # simple-plan form marks codegen stages as "*(n)"; count distinct
+        # stage ids (the formatted form's "WholeStageCodegen" spans)
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "python_udfs": len(re.findall(r"BatchEvalPython", plan)),
+        "arrow_evals": len(re.findall(r"ArrowEvalPython", plan)),
+    }

@@ -129,3 +129,26 @@ def test_registry_natural_order_and_oracles():
     rows_only = {k for k, (_, sql) in Q.REGISTRY.items() if sql is None}
     assert rows_only == {"sample_n", "agg_sketches", "ann_ivf",
                          "cluster_kmeans"}
+
+
+def test_plan_report_shapes(spark, db):
+    """plan_report answers the 100 TB checklist for a representative
+    plan: a broadcast join counts no data shuffle, the filter reaches
+    the scan, only referenced columns are read, no Python in the path."""
+    from pandas_db_spark.plans.explain import plan_report
+    from pyspark.sql import functions as F
+
+    small = db.nation.df.select("n_nationkey", "n_name")
+    j = (db.customer.df.where(F.col("c_acctbal") > 0)
+         .select("c_custkey", "c_nationkey")
+         .join(F.broadcast(small),
+               F.col("c_nationkey") == F.col("n_nationkey")))
+    rep = plan_report(j)
+    assert rep["broadcast_joins"] == 1 and rep["shuffles"] == 0
+    assert any("c_acctbal" in f for f in rep["pushed_filters"])
+    assert set(rep["read_columns"]) == {"c_custkey", "c_nationkey",
+                                        "c_acctbal", "n_nationkey",
+                                        "n_name"}
+    assert rep["python_udfs"] == 0
+    agg = db.orders.df.groupBy("o_orderstatus").count()
+    assert plan_report(agg)["shuffles"] >= 1
