@@ -347,6 +347,25 @@ def sample_weighted(spark, sf_dir):
             .select("doc_id"))
 
 
+@q("profile_documents",
+   "SELECT c AS column, (SELECT count(*) FROM documents) AS n_rows, "
+   "n_nulls, n_distinct FROM ("
+   "SELECT 'doc_id' AS c, count(*) FILTER (doc_id IS NULL) AS n_nulls, "
+   "count(DISTINCT doc_id) AS n_distinct FROM documents "
+   "UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), "
+   "count(DISTINCT lang) FROM documents "
+   "UNION ALL SELECT 'source', count(*) FILTER (source IS NULL), "
+   "count(DISTINCT source) FROM documents)")
+def profile_documents(spark, sf_dir):
+    """One-pass table profile (operators/reshape.profile_table): row,
+    null and exact distinct counts for every column from a SINGLE
+    aggregate job + a stack unpivot — the first query against an
+    unfamiliar table."""
+    from pandas_db_spark.operators import reshape as RS
+    d = get_db(spark, sf_dir).documents
+    return RS.profile_table(d.df, ["doc_id", "lang", "source"])
+
+
 @q("events_value_deciles",
    "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
    "0.7,0.8,0.9]) AS bs FROM events) "

@@ -163,3 +163,23 @@ def test_quantile_buckets_properties(spark, db, duck):
 def test_quantile_buckets_validation(spark, db):
     with pytest.raises(ValueError, match=">= 2"):
         RS.quantile_buckets(db.events.df, "value", 1)
+
+
+def test_profile_table_one_job_and_values(spark, db, duck):
+    prof = RS.profile_table(db.documents.df, ["doc_id", "lang"])
+    got = {r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+           for r in prof.collect()}
+    n, nd_lang = duck.execute(
+        "SELECT count(*), count(DISTINCT lang) FROM documents").fetchone()
+    assert got["doc_id"] == (n, 0, n)
+    assert got["lang"] == (n, 0, nd_lang)
+    # one pass over the data: the multi-distinct rewrite adds shuffle
+    # stages, but the table itself is scanned exactly once
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # post-AQE print repeats
+    assert (final.count("FileScan") + final.count("InMemoryTableScan")) == 1
+
+
+def test_profile_table_validation(spark, db):
+    with pytest.raises(ValueError, match="no columns"):
+        RS.profile_table(db.documents.df, [])
