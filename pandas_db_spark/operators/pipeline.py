@@ -32,10 +32,17 @@ from pyspark.sql import functions as F
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", lang: str | None = "en",
                  min_quality: float | None = 0.3,
-                 near_dup_threshold: float = 0.8) -> DataFrame:
+                 near_dup_threshold: float = 0.8,
+                 transitive: bool = False) -> DataFrame:
     """Returns surviving documents as (id, lang_pred, quality, n_tokens).
 
-    ``lang=None`` / ``min_quality=None`` skip the respective gate."""
+    ``lang=None`` / ``min_quality=None`` skip the respective gate.
+    ``transitive=True`` resolves near-dup pairs through connected
+    components (operators/graph.keep_components): chained near-dups
+    A~B~C keep exactly one survivor and the kept set is invariant to
+    which equivalent pairs the LSH generator emitted; the default
+    pairwise policy stays for oracle parity with the one-query SQL
+    replica (a recursive closure is the r6 oracle for the CC queries)."""
     from pandas_db_spark.functions import text as X
     from pandas_db_spark.operators import dedup as D
 
@@ -57,5 +64,9 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
 
     pairs = D.minhash_pairs(kept, text_col, id_col,
                             threshold=near_dup_threshold)
-    survivors = D.keep_first(kept, pairs, id_col)
+    if transitive:
+        from pandas_db_spark.operators.graph import keep_components
+        survivors = keep_components(kept, pairs, id_col)
+    else:
+        survivors = D.keep_first(kept, pairs, id_col)
     return survivors.select(id_col, "lang_pred", "quality", "n_tokens")

@@ -646,3 +646,15 @@ def test_weighted_hash_sample_determinism_and_rates(spark, db):
     import pytest as _pt
     with _pt.raises(ValueError, match=">= 0"):
         weighted_hash_sample(d, -0.1, "__w", "doc_id")
+
+
+def test_clean_corpus_transitive_subset(spark, db):
+    """Transitive near-dedup keeps a subset of (or the same set as) the
+    pairwise policy — closure can only merge more docs into clusters —
+    and both keep the exact-dedup survivors' annotations."""
+    from pandas_db_spark.operators.pipeline import clean_corpus
+
+    pw = {r["doc_id"] for r in clean_corpus(db.documents.df).collect()}
+    tr = {r["doc_id"]
+          for r in clean_corpus(db.documents.df, transitive=True).collect()}
+    assert tr <= pw and tr
