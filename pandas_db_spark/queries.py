@@ -366,6 +366,37 @@ def profile_documents(spark, sf_dir):
     return RS.profile_table(d.df, ["doc_id", "lang", "source"])
 
 
+@q("events_attribution",
+   "SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id "
+   "FROM events p JOIN events v ON p.user_id = v.user_id "
+   "AND p.event_type = 'purchase' AND v.event_type = 'view' "
+   "AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts")
+def events_attribution(spark, sf_dir):
+    """Stream-stream interval join (streaming/join.py): for every
+    purchase, the same user's views in the preceding hour — both sides
+    watermarked, the time-range condition bounds state to (rate × 1 h)
+    per key.  A real availableNow run into a memory sink, hash-checked
+    against the batch interval join."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming import join as SJ
+    global _SSJOIN_SINK_N
+    _SSJOIN_SINK_N = globals().get("_SSJOIN_SINK_N", 0) + 1
+    purchases = (events_stream_reader(spark, sf_dir)
+                 .where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").cast("timestamp").alias("p_ts")))
+    views = (events_stream_reader(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").cast("timestamp").alias("v_ts")))
+    out = SJ.run_interval_join(
+        purchases, views, "user_id", "p_ts", "v_ts",
+        "-1 hour", "0 seconds",
+        f"q_attribution_{_SSJOIN_SINK_N}")
+    return out.select("user_id", "purchase_id", "view_id")
+
+
 @q("events_value_deciles",
    "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
    "0.7,0.8,0.9]) AS bs FROM events) "

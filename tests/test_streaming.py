@@ -267,3 +267,34 @@ def test_stream_static_join_batch_equals_stream(spark, db):
     assert "BroadcastHashJoin" in plan
     with _pytest.raises(ValueError, match="unsupported join type"):
         EN.stream_static_join(stream, dim, "user_id", how="full")
+
+
+def test_stream_stream_interval_join_equals_batch(spark, db):
+    """Watermarked stream-stream interval join: availableNow replay
+    equals the batch interval join (attribution: views in the hour
+    before each purchase)."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming import join as SJ
+    from pyspark.sql import functions as F
+
+    def sides(src):
+        p = (src.where(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"),
+                     F.col("ts").cast("timestamp").alias("p_ts")))
+        v = (src.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("user_id"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").cast("timestamp").alias("v_ts")))
+        return p, v
+
+    bp, bv = sides(db.events.df)
+    batch = SJ.interval_join(bp, bv, "user_id", "p_ts", "v_ts",
+                             "-1 hour", "0 seconds") \
+        .select("purchase_id", "view_id")
+    sp, sv = sides(events_stream_reader(spark, db._path))
+    got = SJ.run_interval_join(sp, sv, "user_id", "p_ts", "v_ts",
+                               "-1 hour", "0 seconds",
+                               "t_ssjoin_test") \
+        .select("purchase_id", "view_id")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, batch.collect()))
