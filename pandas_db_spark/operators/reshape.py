@@ -112,6 +112,39 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
     ).select("column", "n_rows", "n_nulls", "n_distinct")
 
 
+def standardize(df: DataFrame, value_col: str,
+                out_col: str | None = None) -> DataFrame:
+    """Z-score standardization with ORDER-INDEPENDENT moments: the mean
+    and variance come from exact DECIMAL sums (Σx as decimal(18,2)·100
+    cents, Σx² as decimal(38,4)), so they don't depend on float
+    accumulation order — a 100 TB shuffle reorders everything, and
+    naive double sums would give a different mean every run.  The final
+    ``(x − μ)/σ`` is a fixed single-IEEE-op sequence over those exact
+    inputs, hence bit-stable across runs AND engines.
+
+    Population variance (÷n); constant columns (σ = 0) yield null z."""
+    out = out_col or f"{value_col}_z"
+    v = F.col(value_col)
+    row = df.agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(18,2)")).alias("s"),
+        F.sum((v.cast("decimal(18,2)") * v.cast("decimal(18,2)"))
+              .cast("decimal(38,4)")).alias("sq")).collect()[0]
+    n = int(row["n"])
+    if n == 0:
+        raise ValueError(f"standardize: no non-null values in "
+                         f"{value_col!r}")
+    mean = float(row["s"]) / n
+    var = float(row["sq"]) / n - mean * mean
+    import math
+    # math.sqrt, not **0.5: sqrt is IEEE correctly-rounded (matches the
+    # SQL engines' sqrt); pow(x, 0.5) is not guaranteed to be.
+    std = math.sqrt(var) if var > 0 else 0.0
+    z = (F.lit(None).cast("double") if std == 0.0
+         else (v - F.lit(mean)) / F.lit(std))
+    return df.withColumn(out, z)
+
+
 def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
                      out_col: str = "bucket") -> DataFrame:
     """Assign each row its quantile bucket (1..n_buckets) WITHOUT a

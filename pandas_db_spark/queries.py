@@ -397,6 +397,27 @@ def events_attribution(spark, sf_dir):
     return out.select("user_id", "purchase_id", "view_id")
 
 
+@q("events_value_zscore",
+   "WITH m AS (SELECT count(value) AS n, "
+   "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+   "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * "
+   "CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sq "
+   "FROM events), "
+   "p AS (SELECT s / n AS mean, "
+   "sqrt(sq / n - (s / n) * (s / n)) AS std FROM m) "
+   "SELECT event_id, (value - mean) / std AS value_z FROM events, p")
+def events_value_zscore(spark, sf_dir):
+    """Z-score standardization (operators/reshape.standardize): moments
+    from exact decimal sums — order-independent, so the mean is the
+    same on every run/engine regardless of shuffle order — then a fixed
+    single-IEEE-op sequence for (x − μ)/σ; bit-identical across
+    engines (sqrt is correctly rounded; pow(x, .5) would not be)."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.standardize(e.df, "value", out_col="value_z")
+            .select("event_id", "value_z"))
+
+
 @q("events_value_deciles",
    "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
    "0.7,0.8,0.9]) AS bs FROM events) "

@@ -183,3 +183,21 @@ def test_profile_table_one_job_and_values(spark, db, duck):
 def test_profile_table_validation(spark, db):
     with pytest.raises(ValueError, match="no columns"):
         RS.profile_table(db.documents.df, [])
+
+
+def test_standardize_moments_and_nulls(spark, db):
+    import math
+    out = RS.standardize(db.events.df, "value")
+    rows = out.select("value", "value_z").collect()
+    zs = [r["value_z"] for r in rows]
+    # standardized: mean ~0, std ~1 (decimal-rounded moments => tiny slack)
+    m = sum(zs) / len(zs)
+    sd = math.sqrt(sum((z - m) ** 2 for z in zs) / len(zs))
+    assert abs(m) < 1e-2 and abs(sd - 1) < 1e-2
+    const = db.events.df.withColumn("value", F.lit(5.0))
+    assert RS.standardize(const, "value").where(
+        F.col("value_z").isNotNull()).count() == 0
+    import pytest as _pt
+    empty = db.events.df.where(F.lit(False))
+    with _pt.raises(ValueError, match="no non-null"):
+        RS.standardize(empty, "value")
