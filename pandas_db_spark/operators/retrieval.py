@@ -195,6 +195,50 @@ def unigram_surprisal(docs: DataFrame, text_col: str, id_col: str,
                  F.count(F.lit(1)).alias("n_tokens")))
 
 
+def bigram_surprisal(docs: DataFrame, text_col: str, id_col: str,
+                     broadcast_lm: bool = True) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    BIGRAM LM: ``avg_nll2 = -(1/(n-1)) Σ ln(c(w₋₁w) / c(w₋₁·))`` — a
+    sharper fluency/repetition signal than the unigram form (word-salad
+    scores high even when its unigram profile looks normal, because its
+    bigrams are near-uniform).
+
+    MLE conditional probabilities; scoring the training corpus itself,
+    so every bigram has been seen (no smoothing needed — a document
+    scored against a DIFFERENT corpus's LM should add it).  Plan: one
+    bigram explode feeding both the LM counts (one keyed shuffle) and
+    the scoring join (broadcast LM by default — bigram vocabularies are
+    Zipfian like unigrams); docs with < 2 tokens are omitted (no
+    bigrams to score)."""
+    from pandas_db_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(toks, i).alias("w1"),
+                           F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    per_doc = (docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode_outer(bigrams).alias("bg"))
+               .where(F.col("bg").isNotNull())
+               .select("doc_id", F.col("bg.w1").alias("w1"),
+                       F.col("bg.w2").alias("w2")))
+    lm = (per_doc.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("c2")))
+    lm1 = lm.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = lm.join(lm1, "w1").select(
+        "w1", "w2",
+        (F.log(F.col("c2").cast("double"))
+         - F.log(F.col("c1").cast("double"))).alias("logp"))
+    if broadcast_lm:
+        lm = F.broadcast(lm)
+    return (per_doc.join(lm, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg((-F.avg("logp")).alias("avg_nll2"),
+                 F.count(F.lit(1)).alias("n_bigrams")))
+
+
 def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
               k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """Top-k documents for a probe query under BM25

@@ -152,3 +152,40 @@ def test_indexed_bm25_matches_on_the_fly(spark, db):
         for t in ("t_bm25_idx_postings", "t_bm25_idx_terms",
                   "t_bm25_idx_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["avg_nll2"], r["n_bigrams"]) for r in
+            R.bigram_surprisal(docs, "text", "doc_id").collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1 → p(b|a)=3/3=1, p(a|b)=1/1=1?
+    # c1: a·=3, b·=1 → p(b|a)=1.0, p(a|b)=1.0 → nll=0 for all
+    assert rows[1] == (pytest.approx(0.0), 3)
+    assert rows[2] == (pytest.approx(0.0), 1)
+    assert 3 not in rows  # single-token doc: no bigrams
+    docs2 = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string")
+    rows2 = {r["doc_id"]: r["avg_nll2"] for r in
+             R.bigram_surprisal(docs2, "text", "doc_id").collect()}
+    # p(b|a) = p(c|a) = 1/2
+    assert rows2[1] == pytest.approx(math.log(2))
+    assert rows2[2] == pytest.approx(math.log(2))
+
+
+def test_bigram_vs_unigram_flags_shuffled_text(spark):
+    """A document with normal unigrams but shuffled word order scores
+    higher bigram surprisal than the coherent original corpus average."""
+    base = [(i, "the quick brown fox jumps over the lazy dog again " * 3)
+            for i in range(20)]
+    shuffled = [(100, "dog the again quick lazy brown over fox jumps the "
+                 "the quick again lazy dog brown fox over jumps the "
+                 "again dog lazy the brown over quick fox the jumps")]
+    docs = spark.createDataFrame(base + shuffled,
+                                 "doc_id long, text string")
+    rows = {r["doc_id"]: r["avg_nll2"] for r in
+            R.bigram_surprisal(docs, "text", "doc_id").collect()}
+    coherent_avg = sum(v for k, v in rows.items() if k < 100) / 20
+    assert rows[100] > coherent_avg
