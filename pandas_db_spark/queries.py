@@ -609,6 +609,28 @@ def cluster_kmeans(spark, sf_dir):
     return C.kmeans_assign(e.df, k=8, n_iter=3)
 
 
+@q("dedup_cluster_stats",
+   _CC_CLOSURE +
+   "SELECT cluster_size, count(*) AS n_clusters FROM ("
+   "SELECT component, count(*) AS cluster_size FROM cc GROUP BY 1) "
+   "GROUP BY 1")
+def dedup_cluster_stats(spark, sf_dir):
+    """Duplicate-cluster size histogram — the dedup REPORT: how many
+    2-clusters, 3-clusters, … the corpus holds (singletons excluded:
+    docs in no pair).  One extra groupBy pair over the (tiny) component
+    labels; the number every dedup run should log before dropping
+    anything."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import graph as G
+    d = get_db(spark, sf_dir).documents
+    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    cc = G.connected_components(pairs)
+    return (cc.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("cluster_size"))
+            .groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
 @q("dedup_minhash_keep",
    "WITH pairs AS (" + _EXACT_PAIRS + "WHERE jaccard >= 0.8) "
    "SELECT doc_id FROM documents "
