@@ -21,6 +21,12 @@ counts.  Contrast with naive min-label propagation, whose round count is
 the graph DIAMETER: a pathological chain of chained near-dups (common in
 templated web text) makes that unbounded.
 
+Measured receipt (local[32], sf-independent): a 200,001-node PATH graph
+— maximal diameter, the adversarial case where naive label propagation
+needs 200k rounds — converges correctly (1 component) in ~45 s through
+the distributed rounds; the same topology at ≤ ``driver_threshold``
+edges answers in milliseconds via the union-find fast path.
+
 Lineage: each round's edge set is ``localCheckpoint``-ed (eager), which
 truncates the query plan — without it the plan doubles per iteration and
 the driver OOMs on plan serialization long before data is a problem.  On
