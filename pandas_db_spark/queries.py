@@ -436,6 +436,32 @@ def events_value_deciles(spark, sf_dir):
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
 
 
+@q("terms_by_source",
+   "SELECT source, term, n, rk::INT AS rk FROM ("
+   "SELECT source, term, n, row_number() OVER (PARTITION BY source "
+   "ORDER BY n DESC, term) AS rk FROM ("
+   "SELECT source, t AS term, count(*) AS n FROM ("
+   "SELECT source, unnest(string_split(trim(text), ' ')) AS t "
+   "FROM documents) GROUP BY 1, 2)) WHERE rk <= 3")
+def terms_by_source(spark, sf_dir):
+    """Top-3 terms per source — retrieval term counting composed with
+    the rank-limited top-k operator (WindowGroupLimit, no full sort per
+    group).  The per-subcorpus vocabulary fingerprint used to spot
+    domain drift between corpus slices."""
+    from pandas_db_spark.operators import reshape as RS
+    d = get_db(spark, sf_dir).documents
+    counts = (d.df.select("source",
+                          F.explode_outer(F.split(F.trim("text"),
+                                                  r"\s+")).alias("term"))
+              .where(F.col("term").isNotNull())
+              .groupBy("source", "term")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (RS.top_k_per_group(counts, ["source"], "n", 3,
+                               tiebreak_cols=["term"])
+            .select("source", "term", "n", F.col("rk").cast("int")
+                    .alias("rk")))
+
+
 @q("text_term_stats",
    "SELECT term, df, cf FROM ("
    "SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf "
