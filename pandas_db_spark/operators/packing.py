@@ -139,3 +139,62 @@ def pack_summary(docs: DataFrame, budget: int = 2048,
     return (packed.groupBy("seq_id")
                   .agg(F.count(F.lit(1)).alias("n_docs"),
                        F.sum("n_tokens").alias("total_tokens")))
+
+
+def length_buckets(docs: DataFrame, boundaries: list[int],
+                   batch_size: int, text_col: str = "text",
+                   id_col: str = "doc_id", n_salts: int = 64) -> DataFrame:
+    """Length-bucketed batch assignment — group documents of similar
+    token length and deal each bucket into fixed-size batches, the
+    standard padding-waste reducer for sequence-model training (public
+    "bucketing by sequence length" pattern from the Sockeye/fairseq
+    literature).
+
+    Contract (deterministic, closed-form — identical in the SQL oracle):
+
+    * ``bucket``  = index of the first boundary ≥ n_tokens (len(boundaries)
+      for longer docs);
+    * ``salt``    = ``id % n_salts`` — a deterministic sub-bucket;
+    * ``batch``   = 0-based position of the doc within its (bucket, salt)
+      group in ``id`` order, integer-divided by ``batch_size``.
+
+    A batch is identified by (bucket, salt, batch); every batch holds
+    ``batch_size`` same-bucket docs except possibly the last batch of
+    each salt group — at most ``n_salts`` ragged batches per bucket,
+    the documented price of scale safety.
+
+    100 TB note: the only shuffle is the window keyed on
+    (bucket, salt) — per-task row count is ~N/(buckets·n_salts), tuned
+    by ``n_salts``; there is no global sort and no driver collect.  The
+    whole-corpus global-order variant (salt-free) is exactly the
+    single-task window this decomposition exists to avoid.
+    """
+    from pyspark.sql.types import NumericType
+
+    from pandas_db_spark.functions.text import token_count
+
+    if batch_size <= 0 or n_salts <= 0:
+        raise ValueError("length_buckets: batch_size and n_salts must "
+                         "be positive")
+    if not boundaries or sorted(boundaries) != list(boundaries):
+        raise ValueError("length_buckets: boundaries must be a "
+                         "non-empty ascending list")
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        raise TypeError("length_buckets requires a numeric id_col (the "
+                        "salt is id % n_salts; see pack_sequences)")
+
+    n = token_count(F.col(text_col)).cast("long")
+    bucket = F.lit(len(boundaries))
+    for i in range(len(boundaries) - 1, -1, -1):
+        bucket = F.when(n <= boundaries[i], F.lit(i)).otherwise(bucket)
+    toks = docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bucket.cast("int").alias("bucket"),
+        (F.col(id_col) % F.lit(n_salts)).cast("int").alias("salt"))
+
+    w = Window.partitionBy("bucket", "salt").orderBy(id_col)
+    return toks.withColumn(
+        "batch",
+        ((F.row_number().over(w) - 1) / F.lit(batch_size))
+        .cast("long"))

@@ -1,0 +1,132 @@
+"""Declarative data-quality expectations (Deequ-style constraint suite).
+
+Reference scope: pandas-db has no validation surface; a 100 TB ingest
+pipeline cannot live without one (a single corrupt partition poisons a
+training run days later).  This is the standard "expectations" pattern
+from the public Deequ / Great Expectations literature, re-expressed as
+ONE Spark aggregate.
+
+Scale shape — the whole suite is a single job over a single scan:
+
+* every ROW-level rule (not_null / in_range / in_set / matches / custom)
+  folds to one ``SUM(CASE WHEN ...)`` inside ONE ``df.agg(...)`` — Spark
+  evaluates all of them in the same whole-stage-codegen pass, so N rules
+  cost one table scan, not N;
+* ``unique`` rules add a ``count(*) - count(DISTINCT keys)`` term to the
+  SAME aggregate (Catalyst plans distinct-within-agg via Expand — still
+  one scan, one shuffle of the key columns only);
+* the one-row aggregate is then unpivoted to one row per rule with a
+  ``stack`` projection — pure plan, no driver collect, so the result is
+  a lazy DataFrame you can union across tables or write to a sink.
+
+Violation contract (documented, not configurable magic): a row violates
+a row-level rule when its condition is NOT TRUE — i.e. FALSE **or
+NULL**.  ``in_range(col, ...)`` therefore counts NULLs as violations;
+pair it with ``allow_null=True`` to skip NULLs (condition wrapped in
+``col IS NULL OR ...``).  ``unique`` counts every row beyond the first
+occurrence of a duplicated key (``count(*) - count(distinct)``; NULL
+keys are excluded from the distinct count, matching SQL semantics, so
+NULL-keyed rows all count as violations — add a not_null rule on the
+key to see them separately).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation.  ``kind`` is 'row' (boolean condition per row)
+    or 'unique' (key-cardinality check)."""
+    name: str
+    kind: str                      # 'row' | 'unique'
+    cols: tuple[str, ...] = ()
+    _cond: Column | None = field(default=None, compare=False)
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null:{col}", "row", (col,),
+                F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi, allow_null: bool = False) -> Rule:
+    cond = F.col(col).between(F.lit(lo), F.lit(hi))
+    if allow_null:
+        cond = F.col(col).isNull() | cond
+    return Rule(f"in_range:{col}", "row", (col,), cond)
+
+
+def in_set(col: str, values: Sequence, allow_null: bool = False) -> Rule:
+    cond = F.col(col).isin(list(values))
+    if allow_null:
+        cond = F.col(col).isNull() | cond
+    return Rule(f"in_set:{col}", "row", (col,), cond)
+
+
+def matches(col: str, pattern: str, allow_null: bool = False) -> Rule:
+    """Full-match regex (RLIKE is substring-anchored only if the pattern
+    anchors itself — callers pass an explicitly anchored pattern when
+    they mean full match)."""
+    cond = F.col(col).rlike(pattern)
+    if allow_null:
+        cond = F.col(col).isNull() | cond
+    return Rule(f"matches:{col}", "row", (col,), cond)
+
+
+def custom(name: str, cond: Column) -> Rule:
+    """Arbitrary boolean Column; violation = NOT TRUE (false or null)."""
+    return Rule(f"custom:{name}", "row", (), cond)
+
+
+def unique(*cols: str) -> Rule:
+    if not cols:
+        raise ValueError("unique: need at least one key column")
+    return Rule(f"unique:{','.join(cols)}", "unique", tuple(cols))
+
+
+def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Run the suite in ONE aggregate pass; returns a lazy DataFrame
+    ``(rule string, violations long, n_rows long, ok boolean)``, one row
+    per rule in input order.  (``n_rows``, not ``rows`` — the bare word
+    is a window keyword in several SQL dialects.)
+
+    100 TB note: cost is one scan + (only if a ``unique`` rule is
+    present) one shuffle of the key columns.  The unpivot is a constant
+    one-row projection on the driver-side plan, never a collect.
+    """
+    if not rules:
+        raise ValueError("check_expectations: empty rule list")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"check_expectations: duplicate rule names in {names}")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    for i, r in enumerate(rules):
+        if r.kind == "row":
+            # NOT TRUE (false or null) counts as a violation.
+            viol = F.when(r._cond, F.lit(0)).otherwise(F.lit(1))
+            aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
+        elif r.kind == "unique":
+            aggs.append(
+                (F.count(F.lit(1)) -
+                 F.count_distinct(*[F.col(c) for c in r.cols]))
+                .cast("long").alias(f"__v{i}"))
+        else:  # pragma: no cover - dataclass constructors gate kinds
+            raise ValueError(f"unknown rule kind {r.kind!r}")
+
+    one = df.agg(*aggs)
+    # Unpivot the one-row aggregate: stack(n, name0, v0, name1, v1, ...).
+    pairs: list[Column] = []
+    for i, r in enumerate(rules):
+        pairs.append(F.lit(r.name))
+        pairs.append(F.col(f"__v{i}"))
+    stacked = one.select(
+        F.stack(F.lit(len(rules)), *pairs).alias("rule", "violations"),
+        F.col("__rows").alias("n_rows"))
+    return stacked.select(
+        "rule", "violations", "n_rows",
+        (F.col("violations") == 0).alias("ok"))

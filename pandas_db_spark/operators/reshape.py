@@ -211,3 +211,31 @@ def upsert(target: DataFrame, updates: DataFrame,
         probe = F.broadcast(probe)
     kept = target.join(probe, keys, "left_anti")
     return kept.unionByName(updates)
+
+
+def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
+         var_name: str = "variable", value_name: str = "value",
+         value_type: str = "double") -> DataFrame:
+    """Wide→long unpivot (the inverse of ``pivot_agg``): one output row
+    per (input row, value column), with the column name in ``var_name``
+    and its value in ``value_name``.
+
+    Spark's native ``unpivot`` requires the value columns to share a
+    type — mixed numeric inputs are cast to ``value_type`` up front
+    (explicit, so a lossy cast is the caller's visible decision, not an
+    analyzer surprise).
+
+    100 TB note: unpivot is a narrow Expand projection — zero shuffle,
+    output rows = input rows × len(value_cols), emitted streamingly
+    within the scan stage.  Never materializes the wide and long forms
+    together."""
+    if not value_cols:
+        raise ValueError("melt: need at least one value column")
+    missing = [c for c in [*id_cols, *value_cols] if c not in df.columns]
+    if missing:
+        raise ValueError(f"melt: unknown columns {missing}")
+    cast = df.select(
+        *id_cols,
+        *[F.col(c).cast(value_type).alias(c) for c in value_cols])
+    return cast.unpivot(list(id_cols), list(value_cols),
+                        var_name, value_name)

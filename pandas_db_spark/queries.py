@@ -99,6 +99,196 @@ _EXACT_PAIRS = (
 )
 
 
+# =====================================================================
+# Data-quality expectations (operators/quality.py)
+# =====================================================================
+
+@q("quality_checks",
+   "WITH t AS (SELECT count(*)::BIGINT AS nr, "
+   "sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v0, "
+   "sum(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 0 ELSE 1 END)"
+   "::BIGINT AS v1, "
+   "sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)"
+   "::BIGINT AS v2, "
+   "sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 "
+   "ELSE 1 END)::BIGINT AS v3, "
+   "(count(*) - count(DISTINCT o_orderkey))::BIGINT AS v4, "
+   "sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01' AND "
+   "DATE '1998-12-31' THEN 0 ELSE 1 END)::BIGINT AS v5 "
+   "FROM orders) "
+   "SELECT 'not_null:o_custkey' AS rule, v0 AS violations, nr AS n_rows, "
+   "v0 = 0 AS ok FROM t "
+   "UNION ALL SELECT 'in_range:o_totalprice', v1, nr, v1 = 0 FROM t "
+   "UNION ALL SELECT 'in_set:o_orderstatus', v2, nr, v2 = 0 FROM t "
+   "UNION ALL SELECT 'matches:o_orderpriority', v3, nr, v3 = 0 FROM t "
+   "UNION ALL SELECT 'unique:o_orderkey', v4, nr, v4 = 0 FROM t "
+   "UNION ALL SELECT 'custom:orderdate_era', v5, nr, v5 = 0 FROM t")
+def quality_checks(spark, sf_dir):
+    """Deequ-style expectation suite (operators/quality.py): six rules —
+    completeness, range, set membership, regex, key uniqueness, custom
+    predicate — evaluated in ONE aggregate pass over ONE scan (the
+    uniqueness rule adds a distinct on the key only), then unpivoted to
+    one row per rule inside the plan (no driver collect)."""
+    from pandas_db_spark.operators import quality as Q
+    o = get_db(spark, sf_dir).orders.df
+    return Q.check_expectations(o, [
+        Q.not_null("o_custkey"),
+        Q.in_range("o_totalprice", 0, 1_000_000),
+        Q.in_set("o_orderstatus", ["O", "F", "P"]),
+        Q.matches("o_orderpriority", "^[1-5]-"),
+        Q.unique("o_orderkey"),
+        Q.custom("orderdate_era",
+                 F.col("o_orderdate").between(F.lit("1992-01-01").cast("date"),
+                                              F.lit("1998-12-31").cast("date"))),
+    ])
+
+
+# =====================================================================
+# Rolling / cumulative aggregates (operators/rolling.py)
+# =====================================================================
+
+@q("events_rolling_avg",
+   "SELECT event_id, user_id, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) "
+   "/ CAST(COUNT(value) OVER w AS DOUBLE) AS roll_avg, "
+   "COUNT(value) OVER w AS roll_n FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")
+def events_rolling_avg(spark, sf_dir):
+    """Trailing-5-rows moving sum/mean per user (operators/rolling.py):
+    one keyed shuffle, per-key in-task sort, exact decimal accumulation
+    inside the frame; (ts, event_id) is a total order so ROWS frames are
+    deterministic."""
+    from pandas_db_spark.operators import rolling as RL
+    e = get_db(spark, sf_dir).events.df
+    r = RL.rolling_rows(e, "user_id", "ts", "value", n=5,
+                        tiebreak_cols=["event_id"])
+    return r.select("event_id", "user_id", "roll_sum", "roll_avg", "roll_n")
+
+
+@q("events_rolling_1h",
+   "WITH s AS (SELECT event_id, user_id, value, "
+   "CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) "
+   "SELECT event_id, user_id, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum, "
+   "COUNT(value) OVER w AS roll_n FROM s "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY sec "
+   "RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)")
+def events_rolling_1h(spark, sf_dir):
+    """Trailing 1-hour RANGE-frame sum per user: value-bounded frames
+    (ties in ts share a frame) so no tiebreak is needed; keyed on integer
+    epoch seconds — both engines floor sub-second timestamps
+    identically."""
+    from pandas_db_spark.operators import rolling as RL
+    e = get_db(spark, sf_dir).events.df
+    r = RL.rolling_range(e, "user_id", "ts", "value", window_s=3600)
+    return r.select("event_id", "user_id", "roll_sum", "roll_n")
+
+
+@q("events_cumulative",
+   "SELECT event_id, user_id, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_sum, "
+   "COUNT(*) OVER w AS cum_n FROM events "
+   "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+def events_cumulative(spark, sf_dir):
+    """Running total + running row index per user — the
+    unbounded-preceding sibling of events_rolling_avg."""
+    from pandas_db_spark.operators import rolling as RL
+    e = get_db(spark, sf_dir).events.df
+    r = RL.cumulative(e, "user_id", "ts", "value",
+                      tiebreak_cols=["event_id"])
+    return r.select("event_id", "user_id", "cum_sum", "cum_n")
+
+
+# =====================================================================
+# Unpivot / melt (operators/reshape.py)
+# =====================================================================
+
+@q("melt_lineitem",
+   "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, "
+   "l_quantity::DOUBLE AS value FROM lineitem "
+   "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+   "l_extendedprice::DOUBLE FROM lineitem "
+   "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+   "l_discount::DOUBLE FROM lineitem "
+   "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+   "l_tax::DOUBLE FROM lineitem")
+def melt_lineitem(spark, sf_dir):
+    """Wide→long unpivot of the four lineitem measures
+    (operators/reshape.melt): a zero-shuffle Expand projection — the
+    oracle's 4× UNION ALL is the same relation, produced in one scan on
+    the Spark side."""
+    from pandas_db_spark.operators import reshape as RS
+    li = get_db(spark, sf_dir).lineitem.df
+    return RS.melt(li, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"])
+
+
+# =====================================================================
+# Length-bucketed batching (operators/packing.py)
+# =====================================================================
+
+@q("doc_length_buckets",
+   "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT "
+   "AS n_tokens FROM documents), "
+   "b AS (SELECT doc_id, n_tokens, "
+   "(CASE WHEN n_tokens <= 64 THEN 0 WHEN n_tokens <= 256 THEN 1 "
+   "WHEN n_tokens <= 1024 THEN 2 ELSE 3 END)::INT AS bucket, "
+   "(doc_id % 8)::INT AS salt FROM t) "
+   "SELECT doc_id, n_tokens, bucket, salt, "
+   "((row_number() OVER (PARTITION BY bucket, salt ORDER BY doc_id) - 1) "
+   "// 32)::BIGINT AS batch FROM b")
+def doc_length_buckets(spark, sf_dir):
+    """Length-bucketed batch assignment (operators/packing.length_buckets):
+    docs bucketed by token length, dealt into 32-doc batches within
+    deterministic (bucket, id%8) salt groups — the window is keyed, never
+    a single global sort; ≤8 ragged batches per bucket is the documented
+    price."""
+    from pandas_db_spark.operators import packing as P
+    d = get_db(spark, sf_dir).documents.df
+    return P.length_buckets(d, boundaries=[64, 256, 1024],
+                            batch_size=32, n_salts=8)
+
+
+# =====================================================================
+# Semi / anti joins (table.py — `how` passthrough; EXISTS oracles)
+# =====================================================================
+
+@q("join_semi",
+   "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+   "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")
+def join_semi(spark, sf_dir):
+    """Left-semi join through the Table façade: customers with ≥1 order.
+    Semi joins shuffle only the join keys of the probe side and emit the
+    left row at the first match — no fan-out, no right columns."""
+    db = get_db(spark, sf_dir)
+    c = db.customer[["c_custkey", "c_name"]]
+    o = db.orders[["o_custkey"]]
+    return c.join(o, on=c.df["c_custkey"] == o.df["o_custkey"],
+                  how="left_semi").df
+
+
+@q("join_anti",
+   "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+   "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+   "AND o.o_orderstatus = 'P')")
+def join_anti(spark, sf_dir):
+    """Left-anti join: customers with NO pending ('P') order — the
+    classic debug/exclusion query (status-filtered so the result is
+    non-trivial on this dataset, where every customer has some order).
+    Same single keyed shuffle as the semi form; the status filter prunes
+    the build side before it ships."""
+    db = get_db(spark, sf_dir)
+    c = db.customer[["c_custkey", "c_name"]]
+    o = db.orders
+    o = o[o.o_orderstatus == "P"][["o_custkey"]]
+    return c.join(o, on=c.df["c_custkey"] == o.df["o_custkey"],
+                  how="left_anti").df
+
+
 @q("events_enrich_nation",
    "SELECT event_id, user_id, event_type, c_nationkey AS nationkey "
    "FROM events LEFT JOIN customer ON user_id = c_custkey")

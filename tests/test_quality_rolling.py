@@ -1,0 +1,205 @@
+"""Data-quality expectations (operators/quality.py), rolling/cumulative
+aggregates (operators/rolling.py), melt (reshape.melt) and
+length-bucketed batching (packing.length_buckets)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_db_spark.operators import quality as Q
+from pandas_db_spark.operators import rolling as RL
+from pandas_db_spark.operators.packing import length_buckets
+from pandas_db_spark.operators.reshape import melt
+from pandas_db_spark.plans.explain import exchange_count
+
+
+# ---------------------------------------------------------------- quality
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        # id, val, status
+        (1, 10.0, "O"),
+        (1, 55.0, "O"),       # duplicate id
+        (2, None, "F"),       # null val
+        (3, 999.0, "X"),      # bad status, out-of-range val
+        (4, 50.0, "P"),
+    ]
+    return spark.createDataFrame(rows, "id long, val double, status string")
+
+
+def test_expectation_counts_exact(dirty):
+    out = Q.check_expectations(dirty, [
+        Q.not_null("val"),
+        Q.in_range("val", 0, 100),
+        Q.in_set("status", ["O", "F", "P"]),
+        Q.unique("id"),
+    ]).collect()
+    got = {r["rule"]: r["violations"] for r in out}
+    assert got == {"not_null:val": 1,
+                   "in_range:val": 2,     # the NULL and the 999
+                   "in_set:status": 1,
+                   "unique:id": 1}
+    assert all(r["n_rows"] == 5 and r["ok"] is False for r in out)
+
+
+def test_expectation_allow_null_and_clean_suite(dirty):
+    out = Q.check_expectations(dirty, [
+        Q.in_range("val", 0, 1000, allow_null=True),
+    ]).collect()
+    assert out[0]["violations"] == 0 and out[0]["ok"] is True
+
+
+def test_expectation_order_and_validation(dirty):
+    rules = [Q.unique("id"), Q.not_null("val")]
+    names = [r["rule"] for r in Q.check_expectations(dirty, rules).collect()]
+    assert names == ["unique:id", "not_null:val"]  # input order kept
+    with pytest.raises(ValueError, match="empty rule"):
+        Q.check_expectations(dirty, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        Q.check_expectations(dirty, [Q.not_null("val"), Q.not_null("val")])
+    with pytest.raises(ValueError, match="key column"):
+        Q.unique()
+
+
+def test_row_rules_are_one_exchange(db):
+    """All row-level rules fold into ONE aggregate over one scan: the
+    plan carries a single Exchange (the 1-row final agg), no join, no
+    per-rule scan."""
+    o = db.orders.df
+    out = Q.check_expectations(o, [
+        Q.not_null("o_custkey"),
+        Q.in_range("o_totalprice", 0, 1e6),
+        Q.in_set("o_orderstatus", ["O", "F", "P"]),
+    ])
+    assert exchange_count(out) <= 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
+# ---------------------------------------------------------------- rolling
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = []
+    for uid in (1, 2):
+        for i in range(10):
+            rows.append((uid * 100 + i, uid,
+                         f"2024-01-01 00:{i:02d}:30", float(i) + 0.25))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, value double")
+    return df.withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def test_rolling_rows_matches_pandas(series_df):
+    out = (RL.rolling_rows(series_df, "user_id", "ts", "value", n=3,
+                           tiebreak_cols=["event_id"])
+           .select("event_id", "roll_sum", "roll_avg", "roll_n")
+           .toPandas().set_index("event_id").sort_index())
+    pdf = series_df.toPandas().sort_values(["user_id", "ts", "event_id"])
+    g = pdf.groupby("user_id")["value"]
+    exp_sum = g.rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+    exp_n = g.rolling(3, min_periods=1).count().reset_index(level=0, drop=True)
+    for eid, s, n in zip(pdf["event_id"], exp_sum, exp_n):
+        assert out.loc[eid, "roll_sum"] == pytest.approx(s, abs=1e-9)
+        assert out.loc[eid, "roll_n"] == int(n)
+        assert out.loc[eid, "roll_avg"] == pytest.approx(s / n, abs=1e-9)
+
+
+def test_rolling_range_hand_case(spark):
+    rows = [(1, 1, 0, 1.0), (2, 1, 1800, 2.0), (3, 1, 3600, 4.0),
+            (4, 1, 7300, 8.0), (5, 2, 0, 16.0)]
+    df = (spark.createDataFrame(
+            rows, "event_id long, user_id long, sec long, value double")
+          .withColumn("ts", F.col("sec").cast("timestamp")).drop("sec"))
+    out = {r["event_id"]: (r["roll_sum"], r["roll_n"])
+           for r in RL.rolling_range(df, "user_id", "ts", "value",
+                                     window_s=3600).collect()}
+    # frame = (t-3599, t]: event 3 at t=3600 sees 1800 and 3600, not 0.
+    assert out == {1: (1.0, 1), 2: (3.0, 2), 3: (6.0, 2),
+                   4: (8.0, 1), 5: (16.0, 1)}
+
+
+def test_cumulative_matches_pandas(series_df):
+    out = (RL.cumulative(series_df, "user_id", "ts", "value",
+                         tiebreak_cols=["event_id"])
+           .select("event_id", "cum_sum", "cum_n")
+           .toPandas().set_index("event_id").sort_index())
+    pdf = series_df.toPandas().sort_values(["user_id", "ts", "event_id"])
+    exp = pdf.groupby("user_id")["value"].cumsum()
+    for eid, s in zip(pdf["event_id"], exp):
+        assert out.loc[eid, "cum_sum"] == pytest.approx(s, abs=1e-9)
+
+
+def test_rolling_rejects_global_window(series_df):
+    with pytest.raises(ValueError, match="ONE task"):
+        RL.rolling_rows(series_df, [], "ts", "value", n=3)
+    with pytest.raises(ValueError, match="positive"):
+        RL.rolling_rows(series_df, "user_id", "ts", "value", n=0)
+    with pytest.raises(ValueError, match="positive"):
+        RL.rolling_range(series_df, "user_id", "ts", "value", window_s=0)
+
+
+def test_rolling_is_one_keyed_exchange(series_df):
+    out = RL.rolling_rows(series_df, "user_id", "ts", "value", n=3,
+                          tiebreak_cols=["event_id"])
+    assert exchange_count(out) == 1
+
+
+# ---------------------------------------------------------------- melt
+
+def test_melt_matches_manual_stack(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 0.5), (2, 20.0, 1.5)], "k long, a double, b double")
+    out = melt(df, ["k"], ["a", "b"]).toPandas()
+    out = out.sort_values(["k", "variable"]).reset_index(drop=True)
+    exp = pd.DataFrame({
+        "k": [1, 1, 2, 2],
+        "variable": ["a", "b", "a", "b"],
+        "value": [10.0, 0.5, 20.0, 1.5]})
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_melt_is_narrow_and_validates(spark, db):
+    li = db.lineitem.df
+    out = melt(li, ["l_orderkey"], ["l_quantity", "l_tax"])
+    assert exchange_count(out) == 0  # Expand projection, zero shuffle
+    with pytest.raises(ValueError, match="unknown columns"):
+        melt(li, ["l_orderkey"], ["nope"])
+    with pytest.raises(ValueError, match="value column"):
+        melt(li, ["l_orderkey"], [])
+
+
+# ---------------------------------------------------------------- buckets
+
+def test_length_buckets_contract(db):
+    out = length_buckets(db.documents.df, boundaries=[16, 64, 256],
+                         batch_size=8, n_salts=4).toPandas()
+    # bucket matches the boundary rule exactly
+    import numpy as np
+    exp_bucket = np.searchsorted([16, 64, 256], out["n_tokens"], side="left")
+    assert (out["bucket"] == exp_bucket).all()
+    assert (out["salt"] == out["doc_id"] % 4).all()
+    # every (bucket, salt, batch) group holds <= batch_size docs, and all
+    # non-final batches of a salt group are exactly full
+    g = out.groupby(["bucket", "salt", "batch"]).size()
+    assert (g <= 8).all()
+    full = g.groupby(level=[0, 1]).apply(lambda s: (s.iloc[:-1] == 8).all())
+    assert full.all()
+
+
+def test_length_buckets_deterministic_and_validated(db, spark):
+    d = db.documents.df
+    a = length_buckets(d, [64], 8, n_salts=4).toPandas()
+    b = length_buckets(d.repartition(13), [64], 8, n_salts=4).toPandas()
+    key = ["doc_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    with pytest.raises(ValueError, match="ascending"):
+        length_buckets(d, [64, 32], 8)
+    with pytest.raises(ValueError, match="positive"):
+        length_buckets(d, [64], 0)
+    s = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="numeric id_col"):
+        length_buckets(s, [64], 8)
