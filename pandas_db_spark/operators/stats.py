@@ -1,0 +1,104 @@
+"""Exact-moment multivariate statistics (correlation / covariance matrix).
+
+Reference scope: pandas-db stops at per-column aggregates; a correlation
+matrix over feature columns is a standard profiling step before model
+training, so this is a beyond-parity addition with an exact SQL oracle.
+
+Float discipline — the whole point of this module: naive ``corr()`` is a
+running-moment accumulation whose result depends on partition order, so
+Spark and any oracle disagree in the low bits (and Spark disagrees with
+ITSELF across partitioning changes).  Here every moment (Σx, Σx², Σxy)
+is accumulated as an exact DECIMAL (associative — partition-order
+independent), and the final Pearson formula
+
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ₛ) · (n·Σy² − Σy²ₛ))
+
+is evaluated as ONE fixed sequence of IEEE double ops on the exact
+sums — bit-identical across engines and across runs.
+
+Scale shape: ONE aggregate job over ONE scan computes every pairwise
+moment for k columns (k(k+1)/2 + k + 1 agg expressions, all folded into
+the same whole-stage-codegen pass with map-side partial aggregation);
+the pair table is then unpivoted from the single result row inside the
+plan — no driver collect, no per-pair scan.  k is schema-bounded (tens,
+not thousands) so the expression count is trivial.
+
+Input contract: values must fit the declared decimal scale (default 2 —
+currency-like data).  A value with more fractional digits is ROUNDED at
+the cast on both engines identically; pick ``scale`` to cover the data's
+true precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _moments(cols: Sequence[str], scale: int) -> list[Column]:
+    """n, per-column Σx and Σx², per-pair Σxy — all exact decimals."""
+    dt = f"decimal(18,{scale})"
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        x = F.col(c).cast(dt)
+        aggs.append(F.sum(x).cast("double").alias(f"__s_{c}"))
+        aggs.append(F.sum((x * x).cast("decimal(38,8)"))
+                    .cast("double").alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            xy = (F.col(a).cast(dt) * F.col(b).cast(dt)).cast("decimal(38,8)")
+            aggs.append(F.sum(xy).cast("double").alias(f"__p_{a}__{b}"))
+    return aggs
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str],
+                scale: int = 2) -> DataFrame:
+    """Long-form Pearson correlation for every column pair (a < b in
+    input order): ``(col_a, col_b, corr double)``.
+
+    Deterministic by construction (see module docstring); NULL-free
+    input assumed — rows with NULL in any listed column should be
+    filtered or imputed first (documented rather than silently pairwise-
+    deleted, which would make each pair's n differ invisibly)."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix: need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("corr_matrix: duplicate columns")
+    one = df.agg(*_moments(cols, scale))
+
+    n = F.col("__n")
+    pairs: list[Column] = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = n * F.col(f"__p_{a}__{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            va = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            vb = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            pairs.extend([F.lit(a), F.lit(b),
+                          num / F.sqrt(va * vb)])
+    k = len(cols) * (len(cols) - 1) // 2
+    return one.select(
+        F.stack(F.lit(k), *pairs).alias("col_a", "col_b", "corr"))
+
+
+def cov_matrix(df: DataFrame, cols: Sequence[str],
+               scale: int = 2) -> DataFrame:
+    """Long-form POPULATION covariance per pair (same exactness
+    contract): ``cov = (n·Σxy − Σx·Σy) / n²`` evaluated in doubles on
+    exact sums."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("cov_matrix: need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("cov_matrix: duplicate columns")
+    one = df.agg(*_moments(cols, scale))
+    n = F.col("__n")
+    pairs: list[Column] = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = n * F.col(f"__p_{a}__{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            pairs.extend([F.lit(a), F.lit(b), num / (n * n)])
+    k = len(cols) * (len(cols) - 1) // 2
+    return one.select(
+        F.stack(F.lit(k), *pairs).alias("col_a", "col_b", "cov"))

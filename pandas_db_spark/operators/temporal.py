@@ -166,3 +166,90 @@ def range_join(points: DataFrame, intervals: DataFrame,
     return (joined.filter((F.col(point_ts) >= F.col(lo))
                           & (F.col(point_ts) <= F.col(hi)))
                   .drop("__bucket"))
+
+
+def resample_ffill(obs: DataFrame, by: Sequence[str], ts_col: str,
+                   step_s: int, tolerance_s: int | None = None,
+                   suffix: str = "_r") -> DataFrame:
+    """Resample irregular observations onto a regular ``step_s``-second
+    grid per key, forward-filling each grid point from the latest
+    observation at-or-before it — the standard time-series alignment
+    step before joining feeds of different cadences.
+
+    Grid contract (closed-form, engine-portable): per key, every epoch
+    multiple of ``step_s`` in ``[ceil(min_sec/step)·step,
+    floor(max_sec/step)·step]``; emitted as ``grid_sec`` (epoch seconds,
+    long) plus ``grid_ts`` (timestamp convenience).  Matching happens at
+    SECOND granularity (timestamps floor to epoch seconds — the same
+    documented truncation as rolling_range), so an observation at
+    12:00:00.7 fills the 12:00:00 grid point.  ``tolerance_s`` nulls
+    fills older than the given age (gap detection).
+
+    Scale shape: grid generation is one tiny per-key min/max aggregate +
+    a JVM ``sequence``/``explode`` (rows ∝ span/step, streamed — the
+    grid never materializes on the driver), then ONE :func:`asof_join`
+    — which is itself a single union + keyed running-last window, no
+    join node.  Hot keys: pass a finer ``by`` or use asof_join's
+    ``chunk_s`` escape hatch downstream.
+    """
+    if step_s <= 0:
+        raise ValueError("resample_ffill: step_s must be positive")
+    by = list(by)
+    sec = F.unix_timestamp(F.col(ts_col))
+    bounds = (obs.groupBy(*by)
+              .agg(F.min(sec).alias("__lo"), F.max(sec).alias("__hi")))
+    lo = (F.ceil(F.col("__lo") / F.lit(step_s)) * step_s).cast("long")
+    hi = (F.floor(F.col("__hi") / F.lit(step_s)) * step_s).cast("long")
+    grid = (bounds
+            .where(lo <= hi)
+            .select(*by,
+                    F.explode(F.sequence(lo, hi, F.lit(step_s)))
+                    .alias("grid_sec"))
+            .withColumn("grid_ts",
+                        F.timestamp_seconds(F.col("grid_sec"))))
+    obs2 = obs.withColumn("__obs_sec", sec)
+    out = asof_join(grid, obs2, by=by, left_ts="grid_sec",
+                    right_ts="__obs_sec", suffix=suffix,
+                    tolerance_s=tolerance_s)
+    return out.drop(f"__obs_sec{suffix}")
+
+
+def history_intervals(changes: DataFrame, by: Sequence[str], ts_col: str,
+                      attr_cols: Sequence[str],
+                      collapse_unchanged: bool = True) -> DataFrame:
+    """Build SCD-type-2 validity intervals from a change log: one row per
+    (key, attribute version) with ``valid_from`` / ``valid_to``
+    (``valid_to`` NULL = current).  The standard dimension-history shape
+    for incremental warehouses.
+
+    ``collapse_unchanged`` drops change rows whose ``attr_cols`` all equal
+    the previous row's (no-op updates), so consecutive intervals always
+    differ — compared null-safely (``<=>``), a NULL→NULL attribute is
+    "unchanged".
+
+    Determinism: rows tie-broken by the full attribute tuple after
+    ``ts_col``; two changes at the SAME timestamp with different attrs
+    produce a zero-length interval for the lesser tuple (documented —
+    dedup upstream if the log can carry same-instant conflicts).
+
+    Scale shape: one keyed shuffle; both the collapse filter and the
+    ``lead`` ride the SAME window sort (Catalyst folds the two windows
+    over one partitioning into one Exchange + one in-task sort)."""
+    by, attr_cols = list(by), list(attr_cols)
+    if not attr_cols:
+        raise ValueError("history_intervals: need attr_cols")
+    order = [F.asc(ts_col)] + [F.asc_nulls_first(c) for c in attr_cols]
+    w = Window.partitionBy(*by).orderBy(*order)
+    out = changes
+    if collapse_unchanged:
+        # lag(attr) is NULL both when there IS no previous row and when
+        # the previous attr IS NULL — a first row with NULL attrs must
+        # not collapse, so gate on an explicit has-previous marker.
+        same = F.lag(F.lit(1)).over(w).isNotNull()
+        for c in attr_cols:
+            same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
+        out = (out.withColumn("__dup", F.coalesce(same, F.lit(False)))
+                  .where(~F.col("__dup")).drop("__dup"))
+    out = (out.withColumn("valid_from", F.col(ts_col))
+              .withColumn("valid_to", F.lead(ts_col).over(w)))
+    return out.select(*by, *attr_cols, "valid_from", "valid_to")

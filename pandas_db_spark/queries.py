@@ -100,6 +100,112 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Exact-moment statistics (operators/stats.py)
+# =====================================================================
+
+@q("corr_lineitem",
+   "WITH m AS (SELECT count(*)::DOUBLE AS n, "
+   "SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS s_q, "
+   "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
+   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS ss_q, "
+   "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS s_e, "
+   "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS ss_e, "
+   "SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS s_d, "
+   "SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS ss_d, "
+   "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS p_qe, "
+   "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS p_qd, "
+   "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS p_ed "
+   "FROM lineitem) "
+   "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+   "(n*p_qe - s_q*s_e) / sqrt((n*ss_q - s_q*s_q) * (n*ss_e - s_e*s_e)) "
+   "AS corr FROM m "
+   "UNION ALL SELECT 'l_quantity', 'l_discount', "
+   "(n*p_qd - s_q*s_d) / sqrt((n*ss_q - s_q*s_q) * (n*ss_d - s_d*s_d)) FROM m "
+   "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+   "(n*p_ed - s_e*s_d) / sqrt((n*ss_e - s_e*s_e) * (n*ss_d - s_d*s_d)) FROM m")
+def corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation (operators/stats.corr_matrix): all
+    moments accumulated as exact decimals in ONE aggregate over ONE scan
+    (order-independent), final formula one fixed IEEE-double sequence —
+    bit-identical across engines, unlike native corr()'s running
+    moments."""
+    from pandas_db_spark.operators import stats as ST
+    li = get_db(spark, sf_dir).lineitem.df
+    return ST.corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+# =====================================================================
+# Time-grid resampling + SCD2 history (operators/temporal.py)
+# =====================================================================
+
+@q("events_resample_10m",
+   "WITH o0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, "
+   "ts, event_id, value FROM events), "
+   "o AS (SELECT user_id, sec, value FROM (SELECT *, row_number() OVER "
+   "(PARTITION BY user_id, sec ORDER BY ts DESC, event_id DESC) AS rn "
+   "FROM o0) WHERE rn = 1), "
+   "b AS (SELECT user_id, CAST(ceil(min(sec)/600.0)*600 AS BIGINT) AS lo, "
+   "CAST(floor(max(sec)/600.0)*600 AS BIGINT) AS hi FROM o GROUP BY 1), "
+   "g AS (SELECT user_id, unnest(range(lo, hi+1, 600)) AS grid_sec "
+   "FROM b WHERE lo <= hi) "
+   "SELECT g.user_id, g.grid_sec, o.sec AS obs_sec, o.value AS value_r "
+   "FROM g ASOF LEFT JOIN o "
+   "ON g.user_id = o.user_id AND g.grid_sec >= o.sec")
+def events_resample_10m(spark, sf_dir):
+    """Regular 10-minute grid per user, forward-filled from the latest
+    observation (operators/temporal.resample_ffill): per-key min/max agg
+    → JVM sequence/explode grid → ONE as-of join (union + running-last,
+    no join node).  Observations deduped to one per (user, second) with
+    an explicit latest-(ts, event_id) rule so both engines fill from the
+    same row."""
+    from pyspark.sql import Window
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    o0 = e.select("user_id", "ts", "event_id", "value").withColumn(
+        "sec", F.unix_timestamp("ts"))
+    w = Window.partitionBy("user_id", "sec").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    o2 = (o0.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id",
+                    F.timestamp_seconds("sec").alias("ts"), "value"))
+    r = T.resample_ffill(o2, ["user_id"], "ts", step_s=600)
+    return r.select("user_id", "grid_sec",
+                    F.unix_timestamp("ts_r").alias("obs_sec"),
+                    F.col("value_r"))
+
+
+@q("events_scd2",
+   "WITH f AS (SELECT user_id, ts, event_type, lag(event_type) OVER "
+   "(PARTITION BY user_id ORDER BY ts, event_type) AS prev FROM events), "
+   "k AS (SELECT user_id, ts, event_type FROM f "
+   "WHERE prev IS NULL OR prev <> event_type) "
+   "SELECT user_id, event_type, "
+   "CAST(floor(epoch(ts)) AS BIGINT) AS vf, "
+   "CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id "
+   "ORDER BY ts, event_type))) AS BIGINT) AS vt FROM k")
+def events_scd2(spark, sf_dir):
+    """SCD-type-2 validity intervals (operators/temporal.history_intervals)
+    over the per-user event_type change log: no-op updates collapsed
+    null-safely, valid_to = next retained change (NULL = current).  One
+    keyed shuffle; both windows share one sort.  Epoch-seconds output for
+    engine neutrality."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df.select(
+        "user_id", "ts", "event_type")
+    h = T.history_intervals(e, ["user_id"], "ts", ["event_type"])
+    return h.select("user_id", "event_type",
+                    F.unix_timestamp("valid_from").alias("vf"),
+                    F.unix_timestamp("valid_to").alias("vt"))
+
+
+# =====================================================================
 # Data-quality expectations (operators/quality.py)
 # =====================================================================
 
