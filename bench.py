@@ -67,6 +67,10 @@ HEADLINE = [
     "events_enrich_nation",  # stream-static broadcast join, availableNow (r6 op)
     "doc_chunks",         # zero-shuffle sliding token windows (r6 op)
     "events_funnel",      # keyed HOF scan over sorted per-user events (r6 op)
+    "quality_checks",     # 6-rule expectation suite in one agg pass (r6 op)
+    "events_rolling_avg", # trailing-5 keyed window, decimal frame sums (r6 op)
+    "corr_lineitem",      # exact-moment correlation, one scan (r6 op)
+    "events_resample_10m",  # grid explode + as-of ffill, no join node (r6 op)
 ]
 
 

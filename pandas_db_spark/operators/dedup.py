@@ -580,3 +580,42 @@ def keep_first(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     the SQL oracle).  One broadcast-or-shuffle anti-join."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against a persisted fingerprint store
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_store(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(digest, id) fingerprints of a corpus — the persistable state for
+    incremental dedup across ingest batches.  Write with
+    ``sources.registry.write_bucketed`` bucketed on ``digest`` so every
+    later :func:`dedup_incremental` anti-join is co-located (zero store
+    shuffle)."""
+    digest = F.sha2(normalized_text(F.col(text_col)), 256)
+    return df.select(digest.alias("digest"), F.col(id_col).alias("id"))
+
+
+def dedup_incremental(new_docs: DataFrame, store: DataFrame,
+                      text_col: str, id_col: str) -> DataFrame:
+    """IDs of ``new_docs`` that survive exact dedup against BOTH the
+    current batch and a previously-built :func:`fingerprint_store` — the
+    rolling-corpus ingest primitive (today's crawl vs. yesterday's
+    corpus).
+
+    Plan, in scale order: (1) in-batch keep-min-id groupBy — one shuffle
+    of (digest, id) pairs, the documents never move; (2) LEFT ANTI join
+    of the surviving (digest, id) pairs against the store on ``digest``.
+    The batch side of (2) is post-dedup and tiny relative to a 100 TB
+    store; the store side shuffles only its digest column — and not at
+    all when the store was written digest-bucketed (sort-merge reuses
+    the bucketing) or small enough to broadcast.  Payload re-attachment
+    is the caller's join (usually a broadcast of the surviving ids).
+    """
+    digest = F.sha2(normalized_text(F.col(text_col)), 256)
+    batch = (new_docs.select(digest.alias("digest"), F.col(id_col))
+                     .groupBy("digest")
+                     .agg(F.min(id_col).alias(id_col)))
+    return (batch.join(store.select("digest"), "digest", "left_anti")
+                 .select(id_col))

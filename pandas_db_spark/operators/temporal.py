@@ -191,6 +191,11 @@ def resample_ffill(obs: DataFrame, by: Sequence[str], ts_col: str,
     — which is itself a single union + keyed running-last window, no
     join node.  Hot keys: pass a finer ``by`` or use asof_join's
     ``chunk_s`` escape hatch downstream.
+
+    Honest cost note: ``obs`` is scanned TWICE (once for the bounds agg,
+    once as the fill side) — ``.persist()`` the projected observation
+    frame first when the upstream is expensive; the planner cannot share
+    the scan across the two differently-shaped jobs.
     """
     if step_s <= 0:
         raise ValueError("resample_ffill: step_s must be positive")

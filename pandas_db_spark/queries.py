@@ -100,6 +100,32 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Incremental dedup vs a fingerprint store (operators/dedup.py)
+# =====================================================================
+
+@q("dedup_incremental",
+   "WITH nt AS (SELECT doc_id, "
+   "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS k "
+   "FROM documents), "
+   "b AS (SELECT k, min(doc_id) AS doc_id FROM nt "
+   "WHERE doc_id % 3 <> 0 GROUP BY 1) "
+   "SELECT b.doc_id FROM b WHERE NOT EXISTS "
+   "(SELECT 1 FROM nt s WHERE s.doc_id % 3 = 0 AND s.k = b.k)")
+def dedup_incremental(spark, sf_dir):
+    """Rolling-corpus ingest dedup (operators/dedup.dedup_incremental):
+    the batch (doc_id % 3 != 0) dedups in-batch (keep-min-id digest
+    groupBy) then anti-joins a previously-built fingerprint store
+    (doc_id % 3 == 0 playing yesterday's corpus).  The oracle keys on the
+    normalized text itself — same equivalence classes, hash-free."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents.df
+    store = D.fingerprint_store(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id")
+    batch = d.where(F.col("doc_id") % 3 != 0)
+    return D.dedup_incremental(batch, store, "text", "doc_id")
+
+
+# =====================================================================
 # Exact-moment statistics (operators/stats.py)
 # =====================================================================
 

@@ -554,3 +554,38 @@ def events_stream_reader(spark: SparkSession, sf_dir: str):
             ),
         )
     return stream
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSON-lines sink — the interchange format most LLM-data tooling
+    consumes.  One JSON object per line, written distributed (one file
+    per partition; ``repartition`` upstream to control file count).
+    Compressed by default: JSONL is ~10× parquet's footprint raw, and
+    gzip is the codec every downstream reader speaks.  Timestamps are
+    emitted ISO-8601 (Spark's JSON writer default)."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True, sep: str = ",",
+              compression: str | None = None) -> None:
+    """CSV sink (round-trips with ``load_csv``).  Nested/array columns
+    are rejected up front — CSV cannot represent them and Spark's writer
+    would error per-task deep in the job instead of at plan time."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    if bad:
+        raise TypeError(
+            f"write_csv: columns {bad} have nested types CSV cannot "
+            f"represent — to_json() them first or use write_jsonl")
+    w = df.write.mode(mode).option("header", str(header).lower()) \
+         .option("sep", sep)
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)

@@ -425,3 +425,32 @@ def test_compact_parquet_reduces_files(spark, db, tmp_path):
         compact_parquet(spark, frag, frag)
     with _pt.raises(ValueError, match="positive"):
         compact_parquet(spark, frag, out, target_mb=0)
+
+
+def test_write_jsonl_roundtrip(spark, db, tmp_path):
+    from pandas_db_spark.sources.registry import write_jsonl
+
+    src = db.nation.df.select("n_nationkey", "n_name")
+    path = str(tmp_path / "nation_jsonl")
+    write_jsonl(src, path)
+    back = spark.read.json(path)
+    assert back.count() == src.count()
+    assert {r["n_name"] for r in back.collect()} == \
+           {r["n_name"] for r in src.collect()}
+
+
+def test_write_csv_roundtrip_and_nested_guard(spark, db, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+    from pandas_db_spark.sources.registry import write_csv
+
+    src = db.region.df.select("r_regionkey", "r_name")
+    path = str(tmp_path / "region_csv")
+    write_csv(src, path)
+    back = (spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(path))
+    assert sorted(back.columns) == sorted(src.columns)
+    assert back.count() == src.count()
+    nested = src.withColumn("arr", F.array(F.lit(1)))
+    with pytest.raises(TypeError, match="nested"):
+        write_csv(nested, str(tmp_path / "nope"))

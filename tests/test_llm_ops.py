@@ -658,3 +658,27 @@ def test_clean_corpus_transitive_subset(spark, db):
     tr = {r["doc_id"]
           for r in clean_corpus(db.documents.df, transitive=True).collect()}
     assert tr <= pw and tr
+
+
+def test_dedup_incremental_against_store(spark):
+    store_docs = spark.createDataFrame(
+        [(100, "already ingested"), (101, "old news")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "Already  Ingested"),   # dup of store (normalized)
+         (2, "fresh content"),
+         (3, "fresh content"),       # in-batch dup of 2
+         (4, "more fresh")],
+        "doc_id long, text string")
+    store = D.fingerprint_store(store_docs, "text", "doc_id")
+    kept = {r[0] for r in
+            D.dedup_incremental(batch, store, "text", "doc_id").collect()}
+    assert kept == {2, 4}
+
+
+def test_fingerprint_store_schema(spark):
+    s = D.fingerprint_store(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        "text", "doc_id")
+    assert s.columns == ["digest", "id"]
+    assert s.collect()[0]["digest"] == s.collect()[0]["digest"]  # stable
