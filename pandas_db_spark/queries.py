@@ -100,6 +100,41 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Streaming quality monitor (streaming/quality.py)
+# =====================================================================
+
+@q("events_stream_quality",
+   "WITH t AS (SELECT count(*)::BIGINT AS nr, "
+   "sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v0, "
+   "sum(CASE WHEN value BETWEEN 0 AND 10000 THEN 0 ELSE 1 END)"
+   "::BIGINT AS v1, "
+   "sum(CASE WHEN event_type IN ('view','click','signup','purchase',"
+   "'error') THEN 0 ELSE 1 END)::BIGINT AS v2 FROM events) "
+   "SELECT 'not_null:value' AS rule, v0 AS violations, nr AS n_rows, "
+   "v0 = 0 AS ok FROM t "
+   "UNION ALL SELECT 'in_range:value', v1, nr, v1 = 0 FROM t "
+   "UNION ALL SELECT 'in_set:event_type', v2, nr, v2 = 0 FROM t")
+def events_stream_quality(spark, sf_dir):
+    """Streaming expectation monitor (streaming/quality.py): a REAL
+    availableNow streaming run — unkeyed streaming aggregation in
+    complete mode, one O(#rules) state row — whose converged sink equals
+    the batch suite, which is the oracle here."""
+    from pandas_db_spark.operators import quality as Q
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming.quality import run_quality_monitor
+    global _QUALITY_SINK_N
+    _QUALITY_SINK_N = globals().get("_QUALITY_SINK_N", 0) + 1
+    stream = events_stream_reader(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+    return run_quality_monitor(stream, [
+        Q.not_null("value"),
+        Q.in_range("value", 0, 10_000),
+        Q.in_set("event_type",
+                 ["view", "click", "signup", "purchase", "error"]),
+    ], sink_name=f"q_stream_quality_{_QUALITY_SINK_N}")
+
+
+# =====================================================================
 # Incremental dedup vs a fingerprint store (operators/dedup.py)
 # =====================================================================
 

@@ -236,6 +236,29 @@ class Table:
         return Table(winsorize(self._df, value_col, p_lo, p_hi),
                      self._name, self._cache)
 
+    def melt(self, id_cols: list[str], value_cols: list[str],
+             var_name: str = "variable",
+             value_name: str = "value") -> "Table":
+        from pandas_db_spark.operators.reshape import melt
+        return Table(melt(self._df, id_cols, value_cols, var_name,
+                          value_name), self._name, self._cache)
+
+    def rolling(self, key_cols, order_col: str, value_col: str, n: int,
+                tiebreak_cols: list[str] | None = None) -> "Table":
+        from pandas_db_spark.operators.rolling import rolling_rows
+        return Table(rolling_rows(self._df, key_cols, order_col,
+                                  value_col, n, tiebreak_cols or ()),
+                     self._name, self._cache)
+
+    def corr(self, cols: list[str]) -> "Table":
+        from pandas_db_spark.operators.stats import corr_matrix
+        return Table(corr_matrix(self._df, cols), self._name, self._cache)
+
+    def check(self, rules) -> "Table":
+        from pandas_db_spark.operators.quality import check_expectations
+        return Table(check_expectations(self._df, rules), self._name,
+                     self._cache)
+
     # -- actions -----------------------------------------------------------------
     def data(self, limit: int | None = None) -> list[tuple]:
         df = self._df if limit is None else self._df.limit(limit)

@@ -298,3 +298,26 @@ def test_stream_stream_interval_join_equals_batch(spark, db):
         .select("purchase_id", "view_id")
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_stream_quality_matches_batch(spark, db):
+    """Real availableNow run of the streaming expectation monitor equals
+    the batch suite row for row; unique rules are rejected up front."""
+    import pytest
+    from pandas_db_spark.operators import quality as Q
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming.quality import (run_quality_monitor,
+                                                   stream_expectations)
+
+    rules = [Q.not_null("value"), Q.in_range("value", 0, 10_000)]
+    stream = events_stream_reader(spark, str(db._path)).select(
+        "event_id", "value")
+    got = {r["rule"]: (r["violations"], r["n_rows"], r["ok"])
+           for r in run_quality_monitor(stream, rules,
+                                        "t_stream_quality").collect()}
+    exp = {r["rule"]: (r["violations"], r["n_rows"], r["ok"])
+           for r in Q.check_expectations(
+               db.events.df.select("event_id", "value"), rules).collect()}
+    assert got == exp
+    with pytest.raises(ValueError, match="unique"):
+        stream_expectations(stream, [Q.unique("event_id")])

@@ -184,3 +184,18 @@ def test_table_analytics_delegates(db):
     ords = db.orders
     merged = ords.upsert(ords.limit(3), "o_orderkey")
     assert len(merged) == len(ords)
+
+
+def test_new_analytics_delegates(db):
+    from pandas_db_spark.operators import quality as Q
+
+    e = db.events
+    m = e.melt(["event_id"], ["value"])
+    assert set(m.columns) == {"event_id", "variable", "value"}
+    r = e.rolling("user_id", "ts", "value", 3, tiebreak_cols=["event_id"])
+    assert "roll_avg" in r.columns
+    li = db.lineitem
+    c = li.corr(["l_quantity", "l_tax"]).data()
+    assert len(c) == 1 and c[0][0] == "l_quantity"
+    qc = e.check([Q.not_null("event_id")]).data()
+    assert qc[0][1] == 0 and qc[0][3] is True
