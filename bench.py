@@ -70,7 +70,7 @@ HEADLINE = [
     "quality_checks",     # 6-rule expectation suite in one agg pass (r6 op)
     "events_rolling_avg", # trailing-5 keyed window, decimal frame sums (r6 op)
     "corr_lineitem",      # exact-moment correlation, one scan (r6 op)
-    "events_resample_10m",  # grid explode + as-of ffill, no join node (r6 op)
+    "events_resample_1h",  # grid explode + as-of ffill, no join node (r6 op)
 ]
 
 

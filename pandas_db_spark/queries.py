@@ -205,21 +205,21 @@ def corr_lineitem(spark, sf_dir):
 # Time-grid resampling + SCD2 history (operators/temporal.py)
 # =====================================================================
 
-@q("events_resample_10m",
+@q("events_resample_1h",
    "WITH o0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, "
    "ts, event_id, value FROM events), "
    "o AS (SELECT user_id, sec, value FROM (SELECT *, row_number() OVER "
    "(PARTITION BY user_id, sec ORDER BY ts DESC, event_id DESC) AS rn "
    "FROM o0) WHERE rn = 1), "
-   "b AS (SELECT user_id, CAST(ceil(min(sec)/600.0)*600 AS BIGINT) AS lo, "
-   "CAST(floor(max(sec)/600.0)*600 AS BIGINT) AS hi FROM o GROUP BY 1), "
-   "g AS (SELECT user_id, unnest(range(lo, hi+1, 600)) AS grid_sec "
+   "b AS (SELECT user_id, CAST(ceil(min(sec)/3600.0)*3600 AS BIGINT) AS lo, "
+   "CAST(floor(max(sec)/3600.0)*3600 AS BIGINT) AS hi FROM o GROUP BY 1), "
+   "g AS (SELECT user_id, unnest(range(lo, hi+1, 3600)) AS grid_sec "
    "FROM b WHERE lo <= hi) "
    "SELECT g.user_id, g.grid_sec, o.sec AS obs_sec, o.value AS value_r "
    "FROM g ASOF LEFT JOIN o "
    "ON g.user_id = o.user_id AND g.grid_sec >= o.sec")
-def events_resample_10m(spark, sf_dir):
-    """Regular 10-minute grid per user, forward-filled from the latest
+def events_resample_1h(spark, sf_dir):
+    """Regular 1-hour grid per user, forward-filled from the latest
     observation (operators/temporal.resample_ffill): per-key min/max agg
     → JVM sequence/explode grid → ONE as-of join (union + running-last,
     no join node).  Observations deduped to one per (user, second) with
@@ -236,7 +236,7 @@ def events_resample_10m(spark, sf_dir):
             .where(F.col("rn") == 1)
             .select("user_id",
                     F.timestamp_seconds("sec").alias("ts"), "value"))
-    r = T.resample_ffill(o2, ["user_id"], "ts", step_s=600)
+    r = T.resample_ffill(o2, ["user_id"], "ts", step_s=3600)
     return r.select("user_id", "grid_sec",
                     F.unix_timestamp("ts_r").alias("obs_sec"),
                     F.col("value_r"))
