@@ -130,3 +130,51 @@ def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     return stacked.select(
         "rule", "violations", "n_rows",
         (F.col("violations") == 0).alias("ok"))
+
+
+def check_expectations_by(df: DataFrame, group_cols: Sequence[str],
+                          rules: Sequence[Rule]) -> DataFrame:
+    """Per-group expectation suite — corpus health sliced by provenance
+    (source, language, ingest date): ``(group_cols..., rule, violations,
+    n_rows, ok)``, one row per (group, rule).
+
+    Same one-pass shape as :func:`check_expectations`, keyed: all row
+    rules and any ``unique`` rules ride ONE ``groupBy(group_cols)``
+    aggregate (one keyed shuffle with map-side partial aggregation —
+    the distinct for a unique rule expands within the same job), then
+    the per-group unpivot happens inside the plan.  Group count is the
+    output size; at 100 TB slice by low-cardinality provenance columns,
+    not by document id."""
+    if not group_cols:
+        raise ValueError("check_expectations_by: empty group_cols — use "
+                         "check_expectations for the whole-table suite")
+    if not rules:
+        raise ValueError("check_expectations_by: empty rule list")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"check_expectations_by: duplicate rule names in {names}")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    for i, r in enumerate(rules):
+        if r.kind == "row":
+            viol = F.when(r._cond, F.lit(0)).otherwise(F.lit(1))
+            aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
+        else:  # unique within each group
+            aggs.append(
+                (F.count(F.lit(1)) -
+                 F.count_distinct(*[F.col(c) for c in r.cols]))
+                .cast("long").alias(f"__v{i}"))
+    one = df.groupBy(*group_cols).agg(*aggs)
+
+    pairs: list[Column] = []
+    for i, r in enumerate(rules):
+        pairs.append(F.lit(r.name))
+        pairs.append(F.col(f"__v{i}"))
+    stacked = one.select(
+        *group_cols,
+        F.stack(F.lit(len(rules)), *pairs).alias("rule", "violations"),
+        F.col("__rows").alias("n_rows"))
+    return stacked.select(
+        *group_cols, "rule", "violations", "n_rows",
+        (F.col("violations") == 0).alias("ok"))

@@ -100,6 +100,39 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Per-group data quality (operators/quality.py)
+# =====================================================================
+
+@q("quality_by_source",
+   "WITH t AS (SELECT source, count(*)::BIGINT AS nr, "
+   "sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v0, "
+   "sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 0 ELSE 1 END)"
+   "::BIGINT AS v1, "
+   "sum(CASE WHEN regexp_matches(lang, '^[a-z][a-z]$') THEN 0 ELSE 1 END)"
+   "::BIGINT AS v2, "
+   "(count(*) - count(DISTINCT doc_id))::BIGINT AS v3 "
+   "FROM documents GROUP BY source) "
+   "SELECT source, 'not_null:text' AS rule, v0 AS violations, "
+   "nr AS n_rows, v0 = 0 AS ok FROM t "
+   "UNION ALL SELECT source, 'in_range:n_chars', v1, nr, v1 = 0 FROM t "
+   "UNION ALL SELECT source, 'matches:lang', v2, nr, v2 = 0 FROM t "
+   "UNION ALL SELECT source, 'unique:doc_id', v3, nr, v3 = 0 FROM t")
+def quality_by_source(spark, sf_dir):
+    """Corpus health sliced by provenance
+    (operators/quality.check_expectations_by): the full rule suite per
+    source in ONE keyed aggregate (map-side partial) + in-plan unpivot —
+    the per-source dashboard a 100 TB ingest pipeline watches."""
+    from pandas_db_spark.operators import quality as Q
+    d = get_db(spark, sf_dir).documents.df
+    return Q.check_expectations_by(d, ["source"], [
+        Q.not_null("text"),
+        Q.in_range("n_chars", 1, 100_000),
+        Q.matches("lang", "^[a-z][a-z]$"),
+        Q.unique("doc_id"),
+    ])
+
+
+# =====================================================================
 # Streaming quality monitor (streaming/quality.py)
 # =====================================================================
 

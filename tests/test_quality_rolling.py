@@ -203,3 +203,23 @@ def test_length_buckets_deterministic_and_validated(db, spark):
     s = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with pytest.raises(TypeError, match="numeric id_col"):
         length_buckets(s, [64], 8)
+
+
+def test_expectations_by_group(dirty, spark):
+    grouped = Q.check_expectations_by(dirty, ["status"], [
+        Q.not_null("val"), Q.unique("id")])
+    rows = {(r["status"], r["rule"]): (r["violations"], r["n_rows"])
+            for r in grouped.collect()}
+    assert rows[("O", "unique:id")] == (1, 2)       # both O rows share id 1
+    assert rows[("F", "not_null:val")] == (1, 1)
+    assert rows[("X", "not_null:val")] == (0, 1)
+    assert len(rows) == 8                            # 4 groups x 2 rules
+    with pytest.raises(ValueError, match="empty group_cols"):
+        Q.check_expectations_by(dirty, [], [Q.not_null("val")])
+
+
+def test_expectations_by_is_one_keyed_pass(db):
+    out = Q.check_expectations_by(db.documents.df, ["source"],
+                                  [Q.not_null("text"), Q.unique("doc_id")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
