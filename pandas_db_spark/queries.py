@@ -100,6 +100,38 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Windowed quality trend (streaming/quality.py)
+# =====================================================================
+
+@q("events_quality_trend",
+   "WITH t AS (SELECT (epoch_us(ts) // 86400000000) * 86400 AS ws, "
+   "count(*)::BIGINT AS nr, "
+   "sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END)::BIGINT AS v0, "
+   "sum(CASE WHEN value BETWEEN 0 AND 10000 THEN 0 ELSE 1 END)"
+   "::BIGINT AS v1, "
+   "(count(*) - count(DISTINCT event_id))::BIGINT AS v2 "
+   "FROM events GROUP BY 1) "
+   "SELECT ws AS window_start, 'not_null:value' AS rule, v0 AS violations, "
+   "nr AS n_rows, v0 = 0 AS ok FROM t "
+   "UNION ALL SELECT ws, 'in_range:value', v1, nr, v1 = 0 FROM t "
+   "UNION ALL SELECT ws, 'unique:event_id', v2, nr, v2 = 0 FROM t")
+def events_quality_trend(spark, sf_dir):
+    """Per-day violation-count trend (streaming/quality.
+    windowed_expectations, batch form — identical plan runs on the
+    stream with a watermark; stream-vs-batch equality pytest-asserted):
+    window start as epoch seconds, ONE keyed aggregate + in-plan
+    unpivot."""
+    from pandas_db_spark.operators import quality as Q
+    from pandas_db_spark.streaming.quality import windowed_expectations
+    e = get_db(spark, sf_dir).events.df
+    return windowed_expectations(e, "ts", [
+        Q.not_null("value"),
+        Q.in_range("value", 0, 10_000),
+        Q.unique("event_id"),
+    ], duration="1 day")
+
+
+# =====================================================================
 # Per-group data quality (operators/quality.py)
 # =====================================================================
 

@@ -61,3 +61,66 @@ def run_quality_monitor(stream_df: DataFrame, rules: Sequence[Rule],
     finally:
         qr.stop()
     return stream_df.sparkSession.table(sink_name)
+
+
+def windowed_expectations(df: DataFrame, ts_col: str,
+                          rules: Sequence[Rule],
+                          duration: str = "1 hour",
+                          watermark: str | None = None) -> DataFrame:
+    """Quality TREND: violation counts per tumbling time window — one row
+    per (window_start, rule), window start as epoch seconds (the same
+    engine-neutral contract as ``streaming/windows.py``).
+
+    Works identically on a batch frame (the oracle) and on a stream:
+    pass ``watermark`` on a stream so the keyed aggregation state is
+    bounded and windows emit once the watermark passes (append mode).
+    Row-level rules only on streams (same Spark distinct restriction as
+    :func:`stream_expectations`); on a batch frame ``unique`` rules work
+    and count duplicate keys WITHIN each window."""
+    from pyspark.sql import functions as F
+
+    if not rules:
+        raise ValueError("windowed_expectations: empty rule list")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"windowed_expectations: duplicate rule names in {names}")
+    if df.isStreaming:
+        bad = [r.name for r in rules if r.kind != "row"]
+        if bad:
+            raise ValueError(
+                f"windowed_expectations: rules {bad} need distinct "
+                "aggregates, unsupported in streaming aggregations")
+        if watermark is None:
+            raise ValueError(
+                "windowed_expectations: a stream needs a watermark to "
+                "bound window state")
+        # Watermarks require TIMESTAMP, not NTZ; session tz is pinned
+        # UTC (session.py) so the cast is value-preserving — same
+        # discipline as streaming/windows.py.
+        df = (df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                .withWatermark(ts_col, watermark))
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    for i, r in enumerate(rules):
+        if r.kind == "row":
+            viol = F.when(r._cond, F.lit(0)).otherwise(F.lit(1))
+            aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
+        else:
+            aggs.append(
+                (F.count(F.lit(1)) -
+                 F.count_distinct(*[F.col(c) for c in r.cols]))
+                .cast("long").alias(f"__v{i}"))
+    one = df.groupBy(F.window(ts_col, duration).alias("w")).agg(*aggs)
+
+    pairs = []
+    for i, r in enumerate(rules):
+        pairs.append(F.lit(r.name))
+        pairs.append(F.col(f"__v{i}"))
+    return (one.select(
+                F.unix_timestamp("w.start").alias("window_start"),
+                F.stack(F.lit(len(rules)), *pairs)
+                 .alias("rule", "violations"),
+                F.col("__rows").alias("n_rows"))
+            .select("window_start", "rule", "violations", "n_rows",
+                    (F.col("violations") == 0).alias("ok")))

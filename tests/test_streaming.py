@@ -321,3 +321,38 @@ def test_stream_quality_matches_batch(spark, db):
     assert got == exp
     with pytest.raises(ValueError, match="unique"):
         stream_expectations(stream, [Q.unique("event_id")])
+
+
+def test_windowed_quality_stream_matches_batch(spark, db):
+    import pytest
+    from pandas_db_spark.operators import quality as Q
+    from pandas_db_spark.sources.registry import events_stream_reader
+    from pandas_db_spark.streaming.quality import windowed_expectations
+
+    rules = [Q.not_null("value"), Q.in_range("value", 0, 10_000)]
+    batch = windowed_expectations(db.events.df, "ts", rules,
+                                  duration="1 day")
+    stream = events_stream_reader(spark, str(db._path)).select(
+        "event_id", "ts", "value")
+    out = windowed_expectations(stream, "ts", rules, duration="1 day",
+                                watermark="2 days")
+    qr = (out.writeStream.format("memory").queryName("t_quality_trend")
+          .outputMode("append").trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+    got = {(r["window_start"], r["rule"]): (r["violations"], r["n_rows"])
+           for r in spark.table("t_quality_trend").collect()}
+    exp = {(r["window_start"], r["rule"]): (r["violations"], r["n_rows"])
+           for r in batch.collect()}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch totals exactly, and all but the last
+    # few watermark-open days must have emitted
+    assert got and all(got[k] == exp[k] for k in got)
+    assert len(got) >= len(exp) - len({r for _, r in exp}) * 4
+    with pytest.raises(ValueError, match="watermark"):
+        windowed_expectations(stream, "ts", rules)
+    with pytest.raises(ValueError, match="distinct"):
+        windowed_expectations(stream, "ts", [Q.unique("event_id")],
+                              watermark="1 day")
