@@ -161,3 +161,26 @@ def load_sql_to_sqlite(sql_file):
     with open(sql_file, encoding="utf-8") as fh:
         conn.executescript(fh.read())
     return conn
+
+
+def schema_diff(old_df, new_df) -> dict:
+    """Schema drift report between two frames (yesterday's corpus vs
+    today's ingest): ``{"added": {name: type}, "removed": {name: type},
+    "changed": {name: (old_type, new_type)}, "unchanged": [names]}``.
+
+    Pure metadata — zero Spark jobs; types compared as Catalyst
+    ``simpleString`` (so ``decimal(18,2)`` vs ``decimal(10,0)`` IS a
+    change).  The ingest-gate companion of ``operators.chunking.
+    snapshot_diff`` (which diffs rows): run both before appending a new
+    drop to a 100 TB table — a silent widening upstream otherwise turns
+    into a scan-time schema-merge surprise later."""
+    old = {f.name: f.dataType.simpleString() for f in old_df.schema.fields}
+    new = {f.name: f.dataType.simpleString() for f in new_df.schema.fields}
+    return {
+        "added": {k: v for k, v in new.items() if k not in old},
+        "removed": {k: v for k, v in old.items() if k not in new},
+        "changed": {k: (old[k], new[k])
+                    for k in old.keys() & new.keys() if old[k] != new[k]},
+        "unchanged": sorted(k for k in old.keys() & new.keys()
+                            if old[k] == new[k]),
+    }

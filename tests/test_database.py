@@ -522,3 +522,18 @@ def test_zorder_key_validation(db):
         zorder_key(e, ["value"])
     with pytest.raises(ValueError, match="overflows"):
         zorder_key(e, ["user_id", "value"], bits=32)
+
+
+def test_schema_diff(spark, db):
+    from pyspark.sql import functions as F
+    from pandas_db_spark.utils import schema_diff
+
+    old = db.events.df
+    new = (old.drop("props")
+              .withColumn("value", F.col("value").cast("float"))
+              .withColumn("ingest_day", F.lit("2026-08-14")))
+    d = schema_diff(old, new)
+    assert d["added"] == {"ingest_day": "string"}
+    assert d["removed"] == {"props": "string"}
+    assert d["changed"] == {"value": ("double", "float")}
+    assert "user_id" in d["unchanged"]
