@@ -100,6 +100,23 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# BPE tokenizer training (operators/bpe.py) — iterative, no SQL oracle
+# =====================================================================
+
+@q("bpe_tokens")  # rows-only by design: iterative fixpoint, not SQL-expressible
+def bpe_tokens(spark, sf_dir):
+    """Train 6 BPE merges on a deterministic corpus slice (doc_id < 200)
+    and segment it: (doc_id, n_tokens).  Correctness is gated by
+    test_bpe.py's line-for-line reference-implementation comparison
+    (same policy as ann_ivf); the driver records rows+schema."""
+    from pandas_db_spark.operators import bpe as B
+    d = get_db(spark, sf_dir).documents.df.where(F.col("doc_id") < 200)
+    merges = B.bpe_train(d, "text", 6)
+    seg = B.bpe_segment(d, "text", merges, "doc_id")
+    return seg.select("doc_id", F.size("tokens").alias("n_tokens"))
+
+
+# =====================================================================
 # Windowed quality trend (streaming/quality.py)
 # =====================================================================
 
