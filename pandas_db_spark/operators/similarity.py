@@ -185,6 +185,44 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 
+def _fit_centroids(emb: DataFrame, nlist: int, sample_n: int,
+                   id_col: str, vec_col: str) -> np.ndarray:
+    """Coarse spherical centroids: deterministic sample (lowest ids) +
+    one Lloyd iteration — shared by the on-the-fly and persisted-index
+    IVF paths so both produce identical list geometry."""
+    sample = (emb.orderBy(id_col)
+                 .select(vec_col)
+                 .limit(sample_n).collect())
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = mat[:nlist].copy()
+    assign = (mat @ cent.T).argmax(axis=1)
+    for c in range(nlist):
+        members = mat[assign == c]
+        if len(members):
+            m = members.mean(axis=0)
+            cent[c] = m / np.linalg.norm(m)
+    return cent
+
+
+def _assign_lists(emb: DataFrame, cent: np.ndarray, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(id, list_id): nearest-centroid assignment — one narrow
+    Arrow-batched numpy pass, no shuffle."""
+
+    def assigner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            out = pdf[[id_col]].copy()
+            out["list_id"] = (vs @ cent.T).argmax(axis=1).astype(np.int64)
+            yield out
+
+    return emb.mapInPandas(assigner, f"{id_col} long, list_id long")
+
+
 def ivf_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
              nlist: int = 16, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", sample_n: int = 2048) -> DataFrame:
@@ -195,32 +233,8 @@ def ivf_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
     At 100 TB: the assignment pass writes a bucketed copy once; per-query
     work drops from a full scan to nprobe/nlist of the data.  Approximate →
     exposed as a rows-only (non-oracle) query."""
-    sample = (emb.orderBy(id_col)  # deterministic sample: lowest ids
-                 .select(vec_col)
-                 .limit(sample_n).collect())
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    cent = mat[:nlist].copy()
-    # one Lloyd iteration
-    assign = (mat @ cent.T).argmax(axis=1)
-    for c in range(nlist):
-        members = mat[assign == c]
-        if len(members):
-            m = members.mean(axis=0)
-            cent[c] = m / np.linalg.norm(m)
-
-    def assigner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
-            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
-            pdf = pdf[[id_col]].copy()
-            pdf["list_id"] = (vs @ cent.T).argmax(axis=1).astype(np.int64)
-            yield pdf
-
-    lists = emb.mapInPandas(
-        assigner, f"{id_col} long, list_id long").join(emb, id_col)
+    cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
+    lists = _assign_lists(emb, cent, id_col, vec_col).join(emb, id_col)
 
     qids = sorted(set(int(q) for q in query_ids))
     qrows = (emb.filter(F.col(id_col).isin(qids))
@@ -237,6 +251,77 @@ def ivf_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
     shortlisted = lists.join(F.broadcast(probes), "list_id")
     q = emb.filter(F.col(id_col).isin(qids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (shortlisted.join(F.broadcast(q), "query_id")
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      cosine_sim(F.col(vec_col), F.col("qv")).alias("sim")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          "neighbor_id"))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (serving path)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(emb: DataFrame, path: str, nlist: int = 16,
+                    sample_n: int = 2048, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Materialize the IVF index once: vectors written PARTITIONED BY
+    ``list_id`` (Hive layout → later probes prune whole list directories
+    at planning time, the same lever as ``write_parquet(partition_by)``)
+    plus a tiny centroid table.  The build cost — one assignment pass +
+    one partitioned write — is paid once; every query afterwards reads
+    ``nprobe/nlist`` of the files instead of re-fitting and re-scanning,
+    which is what makes IVF an INDEX rather than a per-call approximation
+    (mirrors the ``build_inverted_index`` / ``bm25_topk_indexed`` pair)."""
+    cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
+    lists = _assign_lists(emb, cent, id_col, vec_col).join(emb, id_col)
+    (lists.write.mode("overwrite").partitionBy("list_id")
+          .parquet(path + "/vectors"))
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c.tolist()) for i, c in enumerate(cent)],
+        "list_id long, centroid array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_indexed(spark, path: str, query_ids: Iterable[int],
+                     k: int = 10, nprobe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Serve top-k from a :func:`build_ivf_index` directory: centroids
+    (tiny) pick the ``nprobe`` lists per query on the driver; the vector
+    scan carries an ``isin(list_ids)`` partition filter so only those
+    directories are read (PartitionFilters, asserted in tests); scoring
+    and the per-query top-k window are identical to :func:`ivf_topk` —
+    same geometry, same results, fraction of the IO."""
+    crows = sorted(spark.read.parquet(path + "/centroids").collect(),
+                   key=lambda r: r["list_id"])
+    cent = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    vectors = spark.read.parquet(path + "/vectors")
+
+    qids = sorted(set(int(q) for q in query_ids))
+    qrows = (vectors.filter(F.col(id_col).isin(qids))
+                    .select(id_col, vec_col).collect())
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        order = np.argsort(-(cent @ qv))[:nprobe]
+        probe_rows.extend((int(r[0]), int(c)) for c in order)
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+    probe_lists = sorted({lid for _, lid in probe_rows})
+
+    shortlisted = (vectors.filter(F.col("list_id").isin(probe_lists))
+                          .join(F.broadcast(probes), "list_id"))
+    q = (vectors.filter(F.col(id_col).isin(qids))
+                .select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv")))
     scored = (shortlisted.join(F.broadcast(q), "query_id")
               .filter(F.col(id_col) != F.col("query_id"))
               .select("query_id", F.col(id_col).alias("neighbor_id"),

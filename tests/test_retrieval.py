@@ -189,3 +189,25 @@ def test_bigram_vs_unigram_flags_shuffled_text(spark):
             R.bigram_surprisal(docs, "text", "doc_id").collect()}
     coherent_avg = sum(v for k, v in rows.items() if k < 100) / 20
     assert rows[100] > coherent_avg
+
+
+def test_ivf_index_roundtrip_and_prunes(spark, db, tmp_path):
+    """Persisted IVF index serves the SAME results as the on-the-fly
+    path (identical centroid geometry), and the vector scan carries a
+    list_id partition filter — only the probed directories are read."""
+    from pandas_db_spark.operators.similarity import (build_ivf_index,
+                                                      ivf_topk,
+                                                      ivf_topk_indexed)
+    from pandas_db_spark.plans.explain import formatted_plan
+
+    emb = db.embeddings.df
+    qids = [1, 5, 11]
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, nlist=8, sample_n=512)
+    served = ivf_topk_indexed(spark, path, qids, k=5, nprobe=3)
+    plan = formatted_plan(served)
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    live = ivf_topk(emb, qids, k=5, nlist=8, nprobe=3, sample_n=512)
+    assert sorted(map(tuple, served.collect())) == \
+           sorted(map(tuple, live.collect()))
