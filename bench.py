@@ -24,7 +24,12 @@ r5 best-of-3 = 1.88 s ≈ the r2 value.
 
 ``value`` is the total of per-query minimums over the headline set
 (collect() to exhaust the plan, but results stay on the executors until the
-final fetch — no driver-side loops).  Query set covers the engine's main
+final fetch — no driver-side loops).  For queries whose RESULT is large
+(events_resample_1h returns the full 1M-row grid at sf0.1) the number is
+dominated by driver row materialization, not the plan: measured r6, the
+resample plan executes in 0.76 s (count) vs 3.99 s (collect).  The
+estimator stays collect() for comparability; read large-result rows with
+that in mind.  Query set covers the engine's main
 cost centers: scan + filter pushdown, hash-agg groupBy, broadcast join,
 partitioned window, raw SQL join, and the LLM-pipeline operators
 (dedup / ANN / text analysis).

@@ -436,12 +436,11 @@ def minhash_signatures(sh: DataFrame, id_col: str,
     return sh.select(F.col(id_col), expand(hashes).alias("sig"))
 
 
-def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
-                rows: int) -> DataFrame:
-    """Candidate pairs sharing ≥ 1 LSH band: explode (band_idx, band_hash)
-    keys, group by them, expand pairs inside each bucket.  The bucket key
-    includes the band index, so bucket sizes stay |docs with identical r-row
-    slice| — independent of corpus-wide term frequencies."""
+def _band_keys(sig_df: DataFrame, id_col: str, bands: int,
+               rows: int) -> DataFrame:
+    """(id, band, bh) LSH band-bucket keys — the bucket key includes the
+    band index, so bucket sizes stay |docs with identical r-row slice| —
+    independent of corpus-wide term frequencies."""
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda i: F.struct(
@@ -449,10 +448,17 @@ def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
             F.xxhash64(F.slice("sig", i * rows + 1, rows)).alias("bh"),
         ),
     )
-    keyed = (sig_df.select(F.col(id_col), F.explode(band_structs).alias("b"))
-                   .select(id_col, F.col("b.band").alias("band"),
-                           F.col("b.bh").alias("bh")))
-    return _bucket_pairs(keyed, ["band", "bh"], id_col)
+    return (sig_df.select(F.col(id_col), F.explode(band_structs).alias("b"))
+                  .select(id_col, F.col("b.band").alias("band"),
+                          F.col("b.bh").alias("bh")))
+
+
+def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
+                rows: int) -> DataFrame:
+    """Candidate pairs sharing ≥ 1 LSH band: explode band keys, group by
+    them, expand pairs inside each bucket."""
+    return _bucket_pairs(_band_keys(sig_df, id_col, bands, rows),
+                         ["band", "bh"], id_col)
 
 
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -619,3 +625,72 @@ def dedup_incremental(new_docs: DataFrame, store: DataFrame,
                      .agg(F.min(id_col).alias(id_col)))
     return (batch.join(store.select("digest"), "digest", "left_anti")
                  .select(id_col))
+
+
+def minhash_store(docs: DataFrame, text_col: str, id_col: str,
+                  num_perm: int = 128, n: int = 3,
+                  hash_bits: int = 31) -> DataFrame:
+    """(id, sig) MinHash signatures of a corpus — the compact persistable
+    state for INCREMENTAL near-dup dedup (128 longs per document ≈ 1 KB,
+    ~10⁻⁴ of the text it summarizes).  Write with ``write_parquet`` and
+    reload across ingest batches; the near-dup sibling of
+    :func:`fingerprint_store`."""
+    sh = shingle_sets(_ensure_parallelism(docs), text_col, id_col, n)
+    return minhash_signatures(sh, id_col, num_perm, hash_bits=hash_bits)
+
+
+def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
+                        text_col: str, id_col: str,
+                        threshold: float = 0.8, n: int = 3,
+                        num_perm: int = 128, bands: int = 32, rows: int = 4,
+                        hash_bits: int = 31,
+                        store_sigs: DataFrame | None = None) -> DataFrame:
+    """IDs of ``new_docs`` that are NOT near-duplicates (exact-verified
+    Jaccard ≥ threshold) of any document in the existing corpus — the
+    rolling-ingest form of :func:`minhash_pairs` (today's crawl vs.
+    yesterday's corpus; in-batch near-dedup is a separate
+    ``minhash_pairs`` + keep policy, composed by the caller).
+
+    Scale shape, in order:
+
+    1. new-batch shingles are computed ONCE (persisted — reused by the
+       signature pass and the verify join);
+    2. band keys of both sides hash-join on (band, bh) — the store side
+       is the precomputed ``store_sigs`` when given (pass the reloaded
+       :func:`minhash_store` output; only then is the old corpus's TEXT
+       untouched until step 3), else recomputed here;
+    3. exact verification fetches old shingles ONLY for candidate store
+       docs (left-semi join first, so a 100 TB store is probed, not
+       scanned — at most |candidates| old documents are re-shingled);
+    4. survivors = new ids with no verified match (left-anti).
+
+    Recall follows the same 1-(1-t^rows)^bands curve as minhash_pairs
+    (≈1-5e-8 at the defaults for t=0.8): a kept doc is a true novel doc
+    with overwhelming probability, and every DROP is exact-verified."""
+    new_sh = _shared_shingles(new_docs, text_col, id_col, n, persist=True)
+    new_sig = minhash_signatures(new_sh, id_col, num_perm,
+                                 hash_bits=hash_bits)
+    if store_sigs is None:
+        store_sigs = minhash_store(store_docs, text_col, id_col,
+                                   num_perm, n, hash_bits)
+    nk = (_band_keys(new_sig, id_col, bands, rows)
+          .withColumnRenamed(id_col, "id_a"))
+    ok = (_band_keys(store_sigs, id_col, bands, rows)
+          .withColumnRenamed(id_col, "id_b"))
+    cand = (nk.join(ok, ["band", "bh"])
+              .select("id_a", "id_b").distinct())
+
+    old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+    old_sh = shingle_sets(
+        store_docs.join(old_ids, id_col, "left_semi"), text_col, id_col, n)
+    a = new_sh.select(F.col(id_col).alias("id_a"),
+                      F.col("shingles").alias("sh_a"))
+    b = old_sh.select(F.col(id_col).alias("id_b"),
+                      F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    dup_new = (cand.join(a, "id_a").join(b, "id_b")
+                   .filter((inter.cast("double") / union) >= threshold)
+                   .select(F.col("id_a").alias(id_col)).distinct())
+    return (new_docs.select(id_col)
+                    .join(dup_new, id_col, "left_anti"))

@@ -100,6 +100,31 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Incremental near-dup dedup vs a signature store (operators/dedup.py)
+# =====================================================================
+
+@q("dedup_minhash_incremental",
+   _SHINGLES +
+   "SELECT a.doc_id FROM s a WHERE a.doc_id % 3 <> 0 AND NOT EXISTS ("
+   "SELECT 1 FROM s b WHERE b.doc_id % 3 = 0 AND "
+   "len(list_intersect(a.sh, b.sh))::DOUBLE "
+   "/ len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)")
+def dedup_minhash_incremental(spark, sf_dir):
+    """Rolling-ingest NEAR-dup dedup (operators/dedup.minhash_incremental):
+    the batch (doc_id % 3 != 0) probes a precomputed signature store
+    (doc_id % 3 == 0) via banded LSH keys; drops are exact-verified, so
+    the oracle is the exact cross-side NOT EXISTS (recall 1-5e-8 at
+    these settings, same argument as dedup_minhash)."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents.df
+    store_docs = d.where(F.col("doc_id") % 3 == 0)
+    batch = d.where(F.col("doc_id") % 3 != 0)
+    sigs = D.minhash_store(store_docs, "text", "doc_id")
+    return D.minhash_incremental(batch, store_docs, "text", "doc_id",
+                                 threshold=0.8, store_sigs=sigs)
+
+
+# =====================================================================
 # BPE tokenizer training (operators/bpe.py) — iterative, no SQL oracle
 # =====================================================================
 

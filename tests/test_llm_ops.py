@@ -682,3 +682,26 @@ def test_fingerprint_store_schema(spark):
         "text", "doc_id")
     assert s.columns == ["digest", "id"]
     assert s.collect()[0]["digest"] == s.collect()[0]["digest"]  # stable
+
+
+def test_minhash_incremental_store_probe(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    store_docs = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated content about spark")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, base + " indeed"),        # near-dup of store doc 100
+         (2, "novel text that matches nothing in the old corpus at all "
+             "with plenty of fresh words to shingle properly today"),
+         (3, base)],                   # exact dup of store doc 100
+        "doc_id long, text string")
+    kept = {r[0] for r in D.minhash_incremental(
+        batch, store_docs, "text", "doc_id", threshold=0.5).collect()}
+    assert kept == {2}
+    # precomputed-store path gives the identical answer
+    sigs = D.minhash_store(store_docs, "text", "doc_id")
+    kept2 = {r[0] for r in D.minhash_incremental(
+        batch, store_docs, "text", "doc_id", threshold=0.5,
+        store_sigs=sigs).collect()}
+    assert kept2 == kept
