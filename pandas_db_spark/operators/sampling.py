@@ -184,3 +184,45 @@ def mix_corpora(corpora: dict[str, tuple[DataFrame, float]],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def balance_classes(df: DataFrame, label_col: str, key_col: str,
+                    max_ratio: float = 1.0, salt: str = "",
+                    counts: dict | None = None) -> DataFrame:
+    """Deterministic class rebalancing: downsample every class so no
+    class exceeds ``max_ratio`` × the SMALLEST class's count — the
+    standard majority-class downsampling step before training on skewed
+    labels (max_ratio=1.0 → fully balanced; 3.0 → at most 3:1).
+
+    Shape: one tiny ``groupBy(label)`` count (or pass precomputed
+    ``counts`` to skip it), per-class keep-fractions computed on the
+    driver (O(#classes) rows), then ONE narrow md5-threshold filter —
+    the same scan-level predicate as :func:`hash_sample`, with the
+    threshold chosen per row by a small CASE on the label.  No shuffle
+    of the data, reproducible across runs, engines and partitioning.
+
+    Expected (not exact-n) class sizes — the md5 Bernoulli keeps
+    ~fraction of each class; for exact-n per class use
+    :func:`stratified_sample`.  NULL labels are dropped (documented:
+    they are not a class)."""
+    if max_ratio < 1.0:
+        raise ValueError("balance_classes: max_ratio must be >= 1")
+    if counts is None:
+        counts = {r[0]: r[1]
+                  for r in df.where(F.col(label_col).isNotNull())
+                             .groupBy(label_col).count().collect()}
+    if not counts:
+        return df.filter(F.lit(False))
+    floor_n = min(counts.values())
+    cap = floor_n * max_ratio
+    hexp = F.substring(_hash_hex(F.col(key_col), salt), 1, _PREFIX_LEN)
+    keep = F.lit(False)
+    for label, cnt in counts.items():
+        frac = 1.0 if cnt <= cap else cap / cnt
+        cond = F.col(label_col) == F.lit(label)
+        if frac >= 1.0:
+            keep = F.when(cond, F.lit(True)).otherwise(keep)
+        else:
+            keep = F.when(
+                cond, hexp < F.lit(fraction_threshold(frac))).otherwise(keep)
+    return df.filter(keep)

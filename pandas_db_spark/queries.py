@@ -100,6 +100,33 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Class rebalancing (operators/sampling.py)
+# =====================================================================
+
+@q("sample_balanced_langs",
+   "WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents "
+   "WHERE lang IS NOT NULL GROUP BY 1), "
+   "m AS (SELECT min(cnt) AS cap FROM c), "
+   "th AS (SELECT lang, CASE WHEN cnt <= (SELECT cap FROM m) "
+   "THEN 'zzzzzzzz' ELSE printf('%08x', LEAST(CAST(round("
+   "(SELECT cap FROM m) / cnt * 4294967296.0) AS BIGINT), 4294967295)) "
+   "END AS thr FROM c) "
+   "SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang "
+   "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr")
+def sample_balanced_langs(spark, sf_dir):
+    """Deterministic class rebalancing (operators/sampling.
+    balance_classes): every language downsampled to ~the smallest
+    class's size via per-class md5 thresholds — one tiny class-count
+    agg, then a single narrow scan-level filter (no data shuffle).  The
+    oracle recomputes the identical thresholds in SQL (same
+    round-to-u32 + 8-hex compare)."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents.df
+    return (SA.balance_classes(d, "lang", "doc_id", max_ratio=1.0)
+            .select("doc_id", "lang"))
+
+
+# =====================================================================
 # Incremental near-dup dedup vs a signature store (operators/dedup.py)
 # =====================================================================
 

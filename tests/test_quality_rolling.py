@@ -223,3 +223,32 @@ def test_expectations_by_is_one_keyed_pass(db):
                                   [Q.not_null("text"), Q.unique("doc_id")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+# ------------------------------------------------------------- balancing
+
+def test_balance_classes_ratios_and_determinism(db):
+    from pandas_db_spark.operators.sampling import balance_classes
+
+    d = db.documents.df
+    before = {r[0]: r[1] for r in d.groupBy("lang").count().collect()}
+    floor_n = min(before.values())
+    out = balance_classes(d, "lang", "doc_id", max_ratio=1.0)
+    after = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    # every class lands near the floor (Bernoulli: allow 40% slack both
+    # ways), and the smallest class is untouched
+    for lang, n in after.items():
+        assert n <= before[lang]
+        assert n >= 0.6 * min(floor_n, before[lang])
+        assert n <= 1.4 * floor_n
+    assert after[min(before, key=before.get)] == floor_n
+    # deterministic across repartitioning
+    a = sorted(r[0] for r in out.select("doc_id").collect())
+    b = sorted(r[0] for r in balance_classes(
+        d.repartition(7), "lang", "doc_id").select("doc_id").collect())
+    assert a == b
+    # ratio cap >1 keeps more of the majority
+    cap3 = balance_classes(d, "lang", "doc_id", max_ratio=3.0).count()
+    assert cap3 > out.count()
+    with pytest.raises(ValueError, match=">= 1"):
+        balance_classes(d, "lang", "doc_id", max_ratio=0.5)
