@@ -239,3 +239,25 @@ def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
         *[F.col(c).cast(value_type).alias(c) for c in value_cols])
     return cast.unpivot(list(id_cols), list(value_cols),
                         var_name, value_name)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 20,
+                  min_count: int = 1) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``col`` with deterministic
+    tie-breaking (count DESC, value ASC) — the hot-key / vocabulary-head
+    report.
+
+    100 TB shape: map-side partial counts collapse each partition to its
+    distinct values BEFORE the shuffle (one Exchange of (value, partial)
+    pairs), and the final top-k is a ``TakeOrderedAndProject`` — never a
+    global sort.  Driver receives exactly k rows.  The classic failure
+    mode this avoids: ``orderBy(count).limit(k)`` without the combine
+    shuffles every raw row.  For columns whose DISTINCT count itself
+    explodes (near-unique ids), no exact method beats a sketch — see
+    ``column.nunique_approx`` for the diagnosis tool."""
+    if k <= 0:
+        raise ValueError("heavy_hitters: k must be positive")
+    counts = (df.where(F.col(col).isNotNull())
+                .groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+                .where(F.col("count") >= min_count))
+    return (counts.orderBy(F.desc("count"), F.asc(col)).limit(k))

@@ -100,6 +100,23 @@ _EXACT_PAIRS = (
 
 
 # =====================================================================
+# Heavy hitters (operators/reshape.py)
+# =====================================================================
+
+@q("events_heavy_users",
+   "SELECT user_id, count(*) AS count FROM events "
+   "WHERE user_id IS NOT NULL GROUP BY 1 "
+   "ORDER BY count DESC, user_id ASC LIMIT 15")
+def events_heavy_users(spark, sf_dir):
+    """Exact top-15 hottest keys (operators/reshape.heavy_hitters):
+    map-side partial counts + TakeOrdered — one Exchange of (value,
+    partial) pairs, no global sort, deterministic tiebreak."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events.df
+    return RS.heavy_hitters(e, "user_id", k=15)
+
+
+# =====================================================================
 # Class rebalancing (operators/sampling.py)
 # =====================================================================
 

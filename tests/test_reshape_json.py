@@ -201,3 +201,21 @@ def test_standardize_moments_and_nulls(spark, db):
     empty = db.events.df.where(F.lit(False))
     with _pt.raises(ValueError, match="no non-null"):
         RS.standardize(empty, "value")
+
+
+def test_heavy_hitters_exact_and_plan(db):
+    import pytest
+    from pandas_db_spark.operators.reshape import heavy_hitters
+
+    e = db.events.df
+    out = heavy_hitters(e, "event_type", k=3).collect()
+    exact = sorted(
+        ((r[0], r[1]) for r in e.groupBy("event_type").count().collect()),
+        key=lambda t: (-t[1], t[0]))[:3]
+    assert [(r[0], r[1]) for r in out] == exact
+    plan = (heavy_hitters(e, "user_id", k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan   # no global sort
+    assert plan.count("HashAggregate") >= 2  # map-side partial present
+    with pytest.raises(ValueError, match="positive"):
+        heavy_hitters(e, "user_id", k=0)
