@@ -623,10 +623,13 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
                              and hi > lo) else 1.0
         scaled = F.floor(((F.col(c).cast("double") - F.lit(lo))
                           / F.lit(span)) * max_pos)
+        # NULL must resolve BEFORE the clamp: Spark's least/greatest SKIP
+        # null arguments (least(max, NULL) = max), so clamping first
+        # would silently send NULLs to max_pos instead of 0.
+        scaled = F.coalesce(scaled, F.lit(0))
         positions.append(
-            F.coalesce(F.greatest(F.lit(0), F.least(F.lit(max_pos),
-                                                    scaled)),
-                       F.lit(0)).cast("long"))
+            F.greatest(F.lit(0), F.least(F.lit(max_pos), scaled))
+             .cast("long"))
     key = F.lit(0).cast("long")
     # bit b of column i lands at interleaved position b*n + i
     for b in range(bits):

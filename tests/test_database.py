@@ -537,3 +537,22 @@ def test_schema_diff(spark, db):
     assert d["removed"] == {"props": "string"}
     assert d["changed"] == {"value": ("double", "float")}
     assert "user_id" in d["unchanged"]
+
+
+def test_zorder_null_maps_to_zero(spark):
+    from pyspark.sql import functions as F
+    from pandas_db_spark.sources.registry import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, None, 100.0), (3, 100.0, 100.0)],
+        "id long, x double, y double")
+    keys = {r["id"]: r["z"] for r in
+            df.withColumn("z", zorder_key(df, ["x", "y"], bits=4)).collect()}
+    # NULL x -> position 0: row 2's key must equal (x=0, y=100)'s key,
+    # NOT (x=100, y=100)'s
+    ref = {r["id"]: r["z"] for r in
+           spark.createDataFrame(
+               [(2, 0.0, 100.0)], "id long, x double, y double")
+           .withColumn("z", zorder_key(df, ["x", "y"], bits=4)).collect()}
+    assert keys[2] == ref[2]
+    assert keys[2] != keys[3]
