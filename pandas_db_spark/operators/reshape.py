@@ -234,6 +234,17 @@ def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str],
     missing = [c for c in [*id_cols, *value_cols] if c not in df.columns]
     if missing:
         raise ValueError(f"melt: unknown columns {missing}")
+    if value_type != "string":
+        # A numeric value_type would silently NULL a string column via
+        # the cast — make the lossy mix a plan-time error instead.
+        from pyspark.sql.types import NumericType
+        bad = [c for c in value_cols
+               if not isinstance(df.schema[c].dataType, NumericType)]
+        if bad:
+            raise TypeError(
+                f"melt: columns {bad} are non-numeric but value_type="
+                f"{value_type!r} — pass value_type='string' to unpivot "
+                "mixed/text columns losslessly")
     cast = df.select(
         *id_cols,
         *[F.col(c).cast(value_type).alias(c) for c in value_cols])

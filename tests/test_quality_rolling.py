@@ -252,3 +252,11 @@ def test_balance_classes_ratios_and_determinism(db):
     assert cap3 > out.count()
     with pytest.raises(ValueError, match=">= 1"):
         balance_classes(d, "lang", "doc_id", max_ratio=0.5)
+
+
+def test_melt_rejects_lossy_cast_and_allows_string(db):
+    d = db.documents.df
+    with pytest.raises(TypeError, match="non-numeric"):
+        melt(d, ["doc_id"], ["text", "n_chars"])
+    out = melt(d, ["doc_id"], ["text", "lang"], value_type="string")
+    assert out.count() == 2 * d.count()
