@@ -692,5 +692,7 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
     dup_new = (cand.join(a, "id_a").join(b, "id_b")
                    .filter((inter.cast("double") / union) >= threshold)
                    .select(F.col("id_a").alias(id_col)).distinct())
-    return (new_docs.select(id_col)
-                    .join(dup_new, id_col, "left_anti"))
+    # survivors come from the PERSISTED shingle frame, not a third scan
+    # of the new corpus
+    return (new_sh.select(id_col)
+                  .join(dup_new, id_col, "left_anti"))
