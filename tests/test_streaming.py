@@ -356,3 +356,36 @@ def test_windowed_quality_stream_matches_batch(spark, db):
     with pytest.raises(ValueError, match="distinct"):
         windowed_expectations(stream, "ts", [Q.unique("event_id")],
                               watermark="1 day")
+
+
+def test_dedup_ingest_pipeline(spark, tmp_path):
+    """Multi-batch streaming ingest never admits a seen document: plant
+    duplicates across micro-batches, assert the final corpus holds
+    exactly one doc per normalized-text equivalence class."""
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    src = tmp_path / "incoming"
+    batches = [
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha  TEXT")],
+        [(4, "beta text"), (5, "gamma text")],
+        [(6, "GAMMA text"), (7, "delta text"), (8, "delta text")],
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    from pandas_db_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+    classes = corpus.select(
+        normalized_text(F.col("text")).alias("k")).distinct().count()
+    # 4 equivalence classes (alpha/beta/gamma/delta), one survivor each
+    assert corpus.count() == 4 and classes == 4
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 4 and store.select("digest").distinct().count() == 4
