@@ -15,11 +15,21 @@ deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine —
 ``operators/dedup.py``), similarity search over embeddings (brute-force,
 sign-LSH, IVF — ``operators/similarity.py``), text analysis (tokenization,
 quality, language ID, fingerprinting — ``functions/text.py``), temporal
-joins (as-of / range — ``operators/temporal.py``), skew salting and
-approximate sketches (``operators/skew.py``, ``Column.nunique_approx`` /
-``quantile_approx``), multimodal column plumbing (``operators/
-multimodal.py``), and streaming windows + stateful operators over ``events``
-(``streaming/``).
+joins (as-of / range / grid resampling / SCD2 history —
+``operators/temporal.py``), skew salting and approximate sketches
+(``operators/skew.py``, ``Column.nunique_approx`` / ``quantile_approx``),
+declarative data-quality expectations (whole-table, per-group, streaming,
+windowed trend — ``operators/quality.py``, ``streaming/quality.py``),
+rolling/cumulative windows and exact-moment statistics
+(``operators/rolling.py``, ``operators/stats.py``), incremental dedup
+against persisted fingerprint/signature stores plus a foreachBatch ingest
+pipeline (``operators/dedup.py``, ``streaming/ingest.py``), BPE tokenizer
+training (``operators/bpe.py``), lexical retrieval and ANN serving indexes
+(``operators/retrieval.py``, ``operators/similarity.py``),
+data-skipping sinks (range-sorted, z-ordered, bucketed, Hive-partitioned —
+``sources/registry.py``), multimodal column plumbing
+(``operators/multimodal.py``), and streaming windows + stateful operators
+over ``events`` (``streaming/``).
 """
 
 from pandas_db_spark.session import get_spark

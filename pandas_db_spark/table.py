@@ -259,6 +259,24 @@ class Table:
         return Table(check_expectations(self._df, rules), self._name,
                      self._cache)
 
+    def resample(self, by, ts_col: str, step_s: int,
+                 tolerance_s: int | None = None) -> "Table":
+        from pandas_db_spark.operators.temporal import resample_ffill
+        by = [by] if isinstance(by, str) else list(by)
+        return Table(resample_ffill(self._df, by, ts_col, step_s,
+                                    tolerance_s), self._name, self._cache)
+
+    def history(self, by, ts_col: str, attr_cols: list[str]) -> "Table":
+        from pandas_db_spark.operators.temporal import history_intervals
+        by = [by] if isinstance(by, str) else list(by)
+        return Table(history_intervals(self._df, by, ts_col, attr_cols),
+                     self._name, self._cache)
+
+    def heavy_hitters(self, col: str, k: int = 20) -> "Table":
+        from pandas_db_spark.operators.reshape import heavy_hitters
+        return Table(heavy_hitters(self._df, col, k), self._name,
+                     self._cache)
+
     # -- actions -----------------------------------------------------------------
     def data(self, limit: int | None = None) -> list[tuple]:
         df = self._df if limit is None else self._df.limit(limit)

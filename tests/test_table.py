@@ -199,3 +199,13 @@ def test_new_analytics_delegates(db):
     assert len(c) == 1 and c[0][0] == "l_quantity"
     qc = e.check([Q.not_null("event_id")]).data()
     assert qc[0][1] == 0 and qc[0][3] is True
+
+
+def test_temporal_and_hitters_delegates(db):
+    e = db.events
+    r = e.resample("user_id", "ts", 3600)
+    assert {"grid_sec", "grid_ts"} <= set(r.columns)
+    h = e.history("user_id", "ts", ["event_type"])
+    assert {"valid_from", "valid_to"} <= set(h.columns)
+    hh = e.heavy_hitters("event_type", k=2).data()
+    assert len(hh) == 2 and hh[0][1] >= hh[1][1]
