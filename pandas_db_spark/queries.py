@@ -65,15 +65,18 @@ def oracle_sql() -> dict[str, str]:
 # arranged least-recently-driver-verified FIRST so the gate's prefix always
 # lands on the code with the weakest external evidence:
 #
-#   * first: the queries added in round 6 (retrieval, rarity, stream-static
-#     enrich, JSON, pivot/upsert/histogram, chunking, snapshot diff,
-#     funnel/cohorts, top-k, winsorize, connected components, clustering) —
-#     never driver-verified;
-#   * then: the 16 queries added in round 5, likewise without a driver
-#     correctness receipt (CORRECTNESS_r05.json covered earlier
-#     registrations);
-#   * everything after: queries already driver-verified in the r4/r5
-#     windows, in their original thematic order.
+#   * first: the 19 queries added late in round 6 (quality suite +
+#     per-group/stream/trend, rolling/cumulative, melt, length buckets,
+#     semi/anti, exact correlation, resample, SCD2, incremental dedup x2,
+#     balanced sampling, heavy hitters, BPE) — never driver-verified;
+#   * then the 16 round-5 queries VERDICT r5 item #1 named (packing,
+#     decontamination, deterministic sampling/splits, PII redaction,
+#     repetition, grouped quantiles, minhash_keep, tumbling_by_type,
+#     mm_resize, ann_ivf) — likewise without a driver receipt;
+#   * then the highest-novelty earlier-round-6 queries up to the ~50
+#     boundary; everything after: either already driver-verified
+#     (r4/r5 windows) or locally-oracle-verified analytics awaiting a
+#     later window.
 #
 # The FULL registry is additionally verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).  Full or
@@ -82,6 +85,11 @@ def oracle_sql() -> dict[str, str]:
 
 
 # Shared oracle fragment: distinct 3-gram shingle sets per document.
+
+
+
+
+
 _SHINGLES = (
     "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
     "FROM documents), "
@@ -99,6 +107,45 @@ _EXACT_PAIRS = (
 )
 
 
+_DECON = (
+    "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+    "FROM documents), "
+    "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 8 THEN "
+    "[ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)] "
+    "ELSE [array_to_string(ws, ' ')] END) AS sh FROM w), "
+    "p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, "
+    "len(list_intersect(a.sh, b.sh))::BIGINT AS n_shared "
+    "FROM s a, s b WHERE a.doc_id >= 50 AND b.doc_id < 50) ")
+
+_PACK = (
+    "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT "
+    "AS n_tokens FROM documents), "
+    "s AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
+    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "0)::BIGINT AS start_offset FROM t) ")
+
+_CC_CLOSURE = (
+    _SHINGLES.replace("WITH w AS", "WITH RECURSIVE w AS") +
+    ", p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM s a JOIN s b "
+    "ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
+    "/ len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
+    ", sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p) "
+    ", reach(u, v) AS (SELECT u, v FROM sym UNION "
+    "SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u) "
+    ", cc AS (SELECT u AS id, least(u, min(v)) AS component "
+    "FROM reach GROUP BY u) "
+)
+
+_CLUSTER_ASSIGN = (
+    "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
+    "WHERE vec_id < 8), "
+    "r AS (SELECT e.vec_id, c.cid, row_number() OVER ("
+    "PARTITION BY e.vec_id ORDER BY "
+    "list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) "
+    "DESC, c.cid) AS rnk FROM embeddings e CROSS JOIN c) ")
+
+_TOK = "string_split(trim(text), ' ')"
 # =====================================================================
 # Heavy hitters (operators/reshape.py)
 # =====================================================================
@@ -607,6 +654,271 @@ def join_anti(spark, sf_dir):
                   how="left_anti").df
 
 
+@q("pack_sequences",
+   _PACK + "SELECT doc_id, n_tokens, start_offset, "
+   "(start_offset // 512)::BIGINT AS seq_id FROM s")
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (budget=512): deterministic
+    token-offset chunking in doc_id order.  The Spark plan decomposes the
+    global running sum into per-chunk distributed windows + a broadcast
+    chunk-offset join (operators/packing.py) — the oracle's global
+    SUM() OVER (ORDER BY) is the same closed form."""
+    from pandas_db_spark.operators import packing as P
+    d = get_db(spark, sf_dir).documents
+    return P.pack_sequences(d.df, budget=512, chunk_ids=100)
+
+
+@q("pack_summary",
+   _PACK + "SELECT (start_offset // 512)::BIGINT AS seq_id, "
+   "count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
+   "FROM s GROUP BY 1")
+def pack_summary(spark, sf_dir):
+    """Per-sequence roll-up of pack_sequences: document count and total
+    member tokens per packed training sequence."""
+    from pandas_db_spark.operators import packing as P
+    d = get_db(spark, sf_dir).documents
+    return P.pack_summary(d.df, budget=512, chunk_ids=100)
+
+
+@q("decontam_pairs",
+   _DECON + "SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 1")
+def decontam_pairs(spark, sf_dir):
+    """Train/eval 8-gram contamination pairs (eval = doc_id < 50): the
+    eval shingle index is broadcast, the training corpus never shuffles,
+    and only matches reach the groupBy.  The oracle is the exact all-pairs
+    intersection — feasible at sf0.01, never run at scale."""
+    from pandas_db_spark.operators import decontam as DC
+    d = get_db(spark, sf_dir).documents.df
+    return DC.contamination_pairs(
+        d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50))
+
+
+@q("decontam_clean",
+   _DECON + "SELECT doc_id FROM documents WHERE doc_id >= 50 "
+   "AND doc_id NOT IN (SELECT train_id FROM p WHERE n_shared >= 1)")
+def decontam_clean(spark, sf_dir):
+    """Training ids surviving decontamination — broadcast probe +
+    left-anti join on the flagged set."""
+    from pandas_db_spark.operators import decontam as DC
+    d = get_db(spark, sf_dir).documents.df
+    return DC.decontaminate(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50)).select("doc_id")
+
+
+# =====================================================================
+# Deterministic hash sampling / corpus mixing (operators/sampling.py)
+# =====================================================================
+
+@q("sample_hash",
+   "SELECT doc_id, lang FROM documents "
+   "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' "
+   "ORDER BY doc_id")
+def sample_hash(spark, sf_dir):
+    """Deterministic ~20% Bernoulli sample keyed on md5(doc_id) — unlike
+    rand() sampling this is reproducible across runs/engines, so it is a
+    full hash-checked oracle query (threshold 0x33333333 = 0.2 * 2^32)."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return SA.hash_sample(d.df, 0.2, "doc_id").select("doc_id", "lang")
+
+
+@q("sample_stratified",
+   "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
+   "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || 's'), doc_id"
+   ") AS r FROM documents) t WHERE r <= 5")
+def sample_stratified(spark, sf_dir):
+    """Exactly 5 docs per language, hash-smallest by md5(doc_id||'s') —
+    deterministic take-n-per-group via the two-phase (partition-local then
+    global) top-n, so no stratum ever lands whole on one reducer."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.stratified_sample(d.df, ["lang"], 5, "doc_id", salt="s")
+            .select("doc_id", "lang"))
+
+
+# =====================================================================
+# Deterministic train/val/test split (operators/sampling.py)
+# =====================================================================
+
+@q("split_assign",
+   "SELECT doc_id, CASE "
+   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < '0ccccccd' "
+   "THEN 'test' "
+   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < 'e6666666' "
+   "THEN 'train' ELSE 'val' END AS split FROM documents")
+def split_assign(spark, sf_dir):
+    """Deterministic 85/10/5 train/val/test assignment keyed on
+    md5(doc_id||'v1') — stable under reruns, repartitioning, and corpus
+    growth.  Thresholds: 0.05*2^32=0x0ccccccd, 0.90*2^32=0xe6666666
+    (buckets in sorted-name order: test, train, val)."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.hash_split(d.df, {"train": 0.85, "val": 0.10, "test": 0.05},
+                          "doc_id", salt="v1")
+            .select("doc_id", "split"))
+
+
+@q("mix_corpora",
+   "SELECT doc_id, source FROM ("
+   "SELECT doc_id, 'en' AS source FROM documents WHERE lang = 'en' "
+   "AND substr(md5(CAST(doc_id AS VARCHAR) || '|en'), 1, 8) < '80000000' "
+   "UNION ALL "
+   "SELECT doc_id, 'rest' AS source FROM documents WHERE lang <> 'en' "
+   "AND substr(md5(CAST(doc_id AS VARCHAR) || '|rest'), 1, 8) < '40000000'"
+   ") t")
+def mix_corpora(spark, sf_dir):
+    """Weighted corpus mixing: 50% of the English slice + 25% of the rest,
+    independent deterministic draws (per-corpus salt), provenance-tagged.
+    Pure narrow filters + union — zero shuffle at any scale."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents.df
+    mixed = SA.mix_corpora(
+        {"en": (d.filter(F.col("lang") == "en"), 0.5),
+         "rest": (d.filter(F.col("lang") != "en"), 0.25)},
+        key_col="doc_id")
+    return mixed.select("doc_id", "source")
+
+
+# =====================================================================
+# Deterministic global exact-n sample (operators/sampling.py)
+# =====================================================================
+
+@q("sample_exact_n_det",
+   "SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("
+   "ORDER BY md5(CAST(doc_id AS VARCHAR) || 'g'), doc_id) AS r "
+   "FROM documents) t WHERE r <= 20")
+def sample_exact_n_det(spark, sf_dir):
+    """Deterministic global exact-20 sample (hash-smallest by
+    md5(doc_id||'g')) — the reproducible counterpart to the parity
+    Table.sample(n), which is rand()-based and can only be rows-only
+    checked; this one is a full hash-checked oracle.  strata_cols=[]
+    routes through the two-phase top-n, so the single-partition final
+    window sees only per-partition survivors, never the corpus."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.stratified_sample(d.df, [], 20, "doc_id", salt="g")
+            .select("doc_id"))
+
+
+# =====================================================================
+# Eval-set decontamination (operators/decontam.py)
+# =====================================================================
+
+
+
+# =====================================================================
+# PII redaction (functions/text.py)
+# =====================================================================
+
+@q("text_redact_pii",
+   "WITH p AS (SELECT doc_id, 'contact user' || doc_id || "
+   "'@example.com or 10.0.' || (doc_id % 256) || '.7 call 555-01' "
+   "|| (doc_id % 10) || '-4567 re: ' || text AS raw FROM documents) "
+   "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw, "
+   r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+   r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), "
+   r"'\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g') "
+   "AS clean FROM p")
+def text_redact_pii(spark, sf_dir):
+    """Regex PII scrub (emails/IPs/phones -> typed tags).  The corpus has
+    no natural PII, so the query PLANTS synthetic doc_id-derived PII and
+    both engines must scrub the identical string — a non-trivial
+    hash-checked oracle for the full redaction chain."""
+    from pandas_db_spark.functions import text as X
+    d = get_db(spark, sf_dir).documents
+    raw = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-01"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("-4567 re: "), F.col("text"))
+    return d.df.select("doc_id", X.redact_pii(raw).alias("clean"))
+
+
+# =====================================================================
+# Gopher-style repetition signals (functions/text.py)
+# =====================================================================
+
+@q("text_repetition",
+   "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "r AS (SELECT doc_id, len(ws) AS n, "
+   "len(ws) - len(list_distinct(ws)) AS rep, "
+   "CASE WHEN len(ws) >= 2 THEN "
+   "[ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] "
+   "ELSE [] END AS bg FROM w) "
+   "SELECT doc_id, "
+   "CASE WHEN n > 0 THEN rep::DOUBLE / n ELSE 0.0 END AS rep_frac, "
+   "CASE WHEN n >= 2 THEN (list_max(list_transform(list_distinct(bg), "
+   "x -> len(list_filter(bg, y -> y = x))))::DOUBLE * 2.0) / n "
+   "ELSE 0.0 END AS top_bigram_frac FROM r")
+def text_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style quality rules):
+    repeated-token fraction + most-frequent-bigram coverage.  Pure JVM
+    higher-order expressions, identical IEEE op order in the oracle.
+    The input is spread to defaultParallelism first: interpreted HOF
+    lambdas are the per-row cost center here, and a single small parquet
+    file would otherwise run them on one core (a no-op on a real
+    multi-split scan)."""
+    from pandas_db_spark.functions import text as X
+    from pandas_db_spark.operators.dedup import _ensure_parallelism
+    d = get_db(spark, sf_dir).documents
+    return _ensure_parallelism(d.df).select(
+        "doc_id",
+        X.repeated_token_frac(F.col("text")).alias("rep_frac"),
+        X.top_bigram_frac(F.col("text")).alias("top_bigram_frac"))
+
+
+# =====================================================================
+# Grouped exact quantiles (beyond-parity SS2.5 depth)
+# =====================================================================
+
+@q("groupby_quantiles",
+   "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med, "
+   "quantile_cont(o_totalprice, 0.9) AS p90 "
+   "FROM orders GROUP BY o_orderstatus")
+def groupby_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (median + p90) via Spark's percentile
+    (sort-based, linear interpolation) — verified bit-identical to
+    DuckDB's quantile_cont.  One keyed shuffle, and ONE percentile
+    aggregate with an array argument so each group buffers and sorts its
+    values once, not per-quantile; for sketch-based constant-memory
+    quantiles at extreme group cardinality see Column.quantile_approx
+    (agg_sketches)."""
+    o = get_db(spark, sf_dir).orders
+    ps = F.percentile("o_totalprice",
+                      F.array(F.lit(0.5), F.lit(0.9))).alias("__ps")
+    return (o.df.groupBy("o_orderstatus").agg(ps)
+             .select("o_orderstatus",
+                     F.col("__ps")[0].alias("med"),
+                     F.col("__ps")[1].alias("p90")))
+
+
+@q("mm_resize",
+   "WITH d AS (SELECT doc_id, (octet_length(text::BLOB) % 640)::INT AS width, "
+   "((octet_length(text::BLOB) * 7) % 480)::INT AS height FROM documents), "
+   "s AS (SELECT doc_id, width, height, greatest(width, 1)::DOUBLE AS w, "
+   "greatest(height, 1)::DOUBLE AS h FROM d) "
+   "SELECT doc_id, width, height, "
+   "greatest(1, floor(w * least(224.0 / w, 224.0 / h)))::INT AS out_w, "
+   "greatest(1, floor(h * least(224.0 / w, 224.0 / h)))::INT AS out_h FROM s")
+def mm_resize(spark, sf_dir):
+    """Aspect-preserving resize of decoded dimensions — identical IEEE
+    double op sequence on both engines (floor, not round)."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    return M.resize_media(media, target_w=224, target_h=224)
+
+
+# =====================================================================
+# Sequence packing (operators/packing.py)
+# =====================================================================
+
+
+
 @q("events_enrich_nation",
    "SELECT event_id, user_id, event_type, c_nationkey AS nationkey "
    "FROM events LEFT JOIN customer ON user_id = c_custkey")
@@ -628,66 +940,6 @@ def events_enrich_nation(spark, sf_dir):
                    F.col("c_nationkey").alias("nationkey")))
     return EN.run_enriched(stream, dim, "user_id",
                            f"q_enrich_nation_{_ENRICH_SINK_N}")
-
-
-@q("events_props_hist",
-   "SELECT (props->>'k')::INT AS k, count(*) AS n FROM events GROUP BY 1")
-def events_props_hist(spark, sf_dir):
-    """Semi-structured extraction (functions/json.py): ONE vectorized
-    from_json parse per row (never per-field get_json_object re-parses)
-    pulls ``k`` out of the props JSON, then a keyed count.  Integer
-    output."""
-    from pandas_db_spark.functions import json as J
-    e = get_db(spark, sf_dir).events
-    return (J.with_json_fields(e.df, "props", {"k": "int"})
-            .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
-
-
-@q("events_pivot_types",
-   "SELECT user_id, "
-   + ", ".join(
-       f"count(*) FILTER (event_type = '{t}') AS {t}"
-       for t in ("click", "error", "purchase", "signup", "view"))
-   + " FROM events GROUP BY user_id")
-def events_pivot_types(spark, sf_dir):
-    """Long→wide pivot (operators/reshape.pivot_agg): per-user event
-    counts, one column per event type.  Pivot values are PINNED (the
-    implicit form's distinct-scan + unbounded schema is the scale
-    hazard); plan is a single keyed shuffle."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return RS.pivot_agg(e.df, ["user_id"], "event_type",
-                        ["click", "error", "purchase", "signup", "view"])
-
-
-@q("orders_upsert",
-   "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN 'U' "
-   "ELSE o_orderstatus END AS o_orderstatus FROM orders")
-def orders_upsert(spark, sf_dir):
-    """Incremental merge (operators/reshape.upsert): a delta (every
-    100th order flipped to status 'U') replaces same-key history rows
-    via broadcast anti-join + union — the history side never shuffles.
-    Output is the merged key→status map."""
-    from pandas_db_spark.operators import reshape as RS
-    o = get_db(spark, sf_dir).orders.df.select("o_orderkey",
-                                               "o_orderstatus")
-    delta = (o.where(F.col("o_orderkey") % 100 == 0)
-             .withColumn("o_orderstatus", F.lit("U")))
-    return RS.upsert(o, delta, "o_orderkey")
-
-
-@q("events_value_hist",
-   "SELECT bucket, bucket * 500 AS lo_cents, count(*) AS n FROM ("
-   "SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bucket "
-   "FROM events) GROUP BY bucket")
-def events_value_hist(spark, sf_dir):
-    """Exact $5-wide value histogram (operators/reshape.fixed_width_hist):
-    integer-cents bucketing — decimal(18,2) cast, never width_bucket on
-    raw doubles, so bucket assignment has no float-boundary ambiguity and
-    hash-matches across engines."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return RS.fixed_width_hist(e.df, "value", width_cents=500)
 
 
 @q("doc_chunks",
@@ -767,76 +1019,6 @@ def events_funnel(spark, sf_dir):
     return FU.funnel_depth(e.df, ["view", "click", "purchase"])
 
 
-@q("events_cohorts",
-   "WITH a AS (SELECT DISTINCT user_id, "
-   "epoch_us(ts) // 604800000000 AS week FROM events), "
-   "f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) "
-   "SELECT cohort_week, week - cohort_week AS week_offset, "
-   "count(*) AS n_users FROM a JOIN f ON a.user_id = f.user_id "
-   "GROUP BY 1, 2")
-def events_cohorts(spark, sf_dir):
-    """Weekly cohort retention (operators/funnel.cohort_retention):
-    integer epoch-week arithmetic (exact — modulo-subtracted before the
-    division so no float truncation boundary), two keyed shuffles."""
-    from pandas_db_spark.operators import funnel as FU
-    e = get_db(spark, sf_dir).events
-    return FU.cohort_retention(e.df)
-
-
-@q("events_top_per_user",
-   "SELECT user_id, event_id, rk::INT AS rk FROM ("
-   "SELECT user_id, event_id, row_number() OVER ("
-   "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
-   "FROM events) WHERE rk <= 2")
-def events_top_per_user(spark, sf_dir):
-    """Top-2 events by value per user (operators/reshape.
-    top_k_per_group): rank-limited window — Spark's WindowGroupLimit
-    keeps per-group state at k rows, no group ever fully sorts;
-    event_id tiebreak makes the boundary deterministic."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.top_k_per_group(e.df, ["user_id"], "value", 2,
-                               tiebreak_cols=["event_id"])
-            .select("user_id", "event_id",
-                    F.col("rk").cast("int").alias("rk")))
-
-
-@q("events_winsorized",
-   "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, "
-   "quantile_cont(value, 0.95) AS hi FROM events) "
-   "SELECT event_id, least(greatest(value, lo), hi) AS value_w "
-   "FROM events, b")
-def events_winsorized(spark, sf_dir):
-    """[p05, p95] winsorization (operators/reshape.winsorize): exact
-    percentile boundaries (bit-identical to quantile_cont) folded back
-    as literals, narrow least/greatest clip — in-range doubles pass
-    through untouched so the hash compare is exact."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.winsorize(e.df, "value", 0.05, 0.95, out_col="value_w")
-            .select("event_id", "value_w"))
-
-
-@q("events_sessionize",
-   "SELECT event_id, user_id, session_idx FROM ("
-   "SELECT event_id, user_id, sum(CASE WHEN prev IS NOT NULL AND "
-   "epoch_us(ts) - epoch_us(prev) > 900000000 THEN 1 ELSE 0 END) "
-   "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-   "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM ("
-   "SELECT event_id, user_id, ts, lag(ts) OVER ("
-   "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events))")
-def events_sessionize(spark, sf_dir):
-    """Per-event session labels at a 15-minute gap
-    (operators/funnel.sessionize): lag + running sum over one keyed
-    (user, ts, event_id) window — one shuffle, no self-join;
-    deterministic via the event_id tiebreak.  The per-row sibling of
-    the events_session aggregate."""
-    from pandas_db_spark.operators import funnel as FU
-    e = get_db(spark, sf_dir).events
-    return (FU.sessionize(e.df, gap_minutes=15)
-            .select("event_id", "user_id", "session_idx"))
-
-
 @q("sample_weighted",
    "SELECT doc_id FROM documents WHERE "
    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'w'), 1, 8))::BIGINT "
@@ -853,25 +1035,6 @@ def sample_weighted(spark, sf_dir):
     w = d.df.withColumn("__w", F.col("n_chars") / 256.0)
     return (SA.weighted_hash_sample(w, 0.5, "__w", "doc_id", salt="w")
             .select("doc_id"))
-
-
-@q("profile_documents",
-   "SELECT c AS column, (SELECT count(*) FROM documents) AS n_rows, "
-   "n_nulls, n_distinct FROM ("
-   "SELECT 'doc_id' AS c, count(*) FILTER (doc_id IS NULL) AS n_nulls, "
-   "count(DISTINCT doc_id) AS n_distinct FROM documents "
-   "UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), "
-   "count(DISTINCT lang) FROM documents "
-   "UNION ALL SELECT 'source', count(*) FILTER (source IS NULL), "
-   "count(DISTINCT source) FROM documents)")
-def profile_documents(spark, sf_dir):
-    """One-pass table profile (operators/reshape.profile_table): row,
-    null and exact distinct counts for every column from a SINGLE
-    aggregate job + a stack unpivot — the first query against an
-    unfamiliar table."""
-    from pandas_db_spark.operators import reshape as RS
-    d = get_db(spark, sf_dir).documents
-    return RS.profile_table(d.df, ["doc_id", "lang", "source"])
 
 
 @q("events_attribution",
@@ -903,71 +1066,6 @@ def events_attribution(spark, sf_dir):
         "-1 hour", "0 seconds",
         f"q_attribution_{_SSJOIN_SINK_N}")
     return out.select("user_id", "purchase_id", "view_id")
-
-
-@q("events_value_zscore",
-   "WITH m AS (SELECT count(value) AS n, "
-   "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, "
-   "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * "
-   "CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sq "
-   "FROM events), "
-   "p AS (SELECT s / n AS mean, "
-   "sqrt(sq / n - (s / n) * (s / n)) AS std FROM m) "
-   "SELECT event_id, (value - mean) / std AS value_z FROM events, p")
-def events_value_zscore(spark, sf_dir):
-    """Z-score standardization (operators/reshape.standardize): moments
-    from exact decimal sums — order-independent, so the mean is the
-    same on every run/engine regardless of shuffle order — then a fixed
-    single-IEEE-op sequence for (x − μ)/σ; bit-identical across
-    engines (sqrt is correctly rounded; pow(x, .5) would not be)."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.standardize(e.df, "value", out_col="value_z")
-            .select("event_id", "value_z"))
-
-
-@q("events_value_deciles",
-   "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
-   "0.7,0.8,0.9]) AS bs FROM events) "
-   "SELECT bucket, count(*) AS n FROM (SELECT 1 + len(list_filter(b.bs, "
-   "x -> value > x))::INT AS bucket FROM events, b) GROUP BY bucket")
-def events_value_deciles(spark, sf_dir):
-    """Decile occupancy (operators/reshape.quantile_buckets): exact
-    boundaries from ONE percentile aggregate + a narrow
-    count-boundaries-below pass — the scale-safe replacement for a
-    global-sort ntile (whose empty-partition window funnels the whole
-    table through one task).  Equal-value ties share a bucket, so
-    counts need not be exactly n/10 each."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.quantile_buckets(e.df, "value", 10)
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
-
-
-@q("terms_by_source",
-   "SELECT source, term, n, rk::INT AS rk FROM ("
-   "SELECT source, term, n, row_number() OVER (PARTITION BY source "
-   "ORDER BY n DESC, term) AS rk FROM ("
-   "SELECT source, t AS term, count(*) AS n FROM ("
-   "SELECT source, unnest(string_split(trim(text), ' ')) AS t "
-   "FROM documents) GROUP BY 1, 2)) WHERE rk <= 3")
-def terms_by_source(spark, sf_dir):
-    """Top-3 terms per source — retrieval term counting composed with
-    the rank-limited top-k operator (WindowGroupLimit, no full sort per
-    group).  The per-subcorpus vocabulary fingerprint used to spot
-    domain drift between corpus slices."""
-    from pandas_db_spark.operators import reshape as RS
-    d = get_db(spark, sf_dir).documents
-    counts = (d.df.select("source",
-                          F.explode_outer(F.split(F.trim("text"),
-                                                  r"\s+")).alias("term"))
-              .where(F.col("term").isNotNull())
-              .groupBy("source", "term")
-              .agg(F.count(F.lit(1)).alias("n")))
-    return (RS.top_k_per_group(counts, ["source"], "n", 3,
-                               tiebreak_cols=["term"])
-            .select("source", "term", "n", F.col("rk").cast("int")
-                    .alias("rk")))
 
 
 @q("text_term_stats",
@@ -1040,18 +1138,6 @@ def text_rarity(spark, sf_dir):
 # Transitive closure of the near-dup pair graph (recursive CTE) — the
 # oracle for the connected-components queries.  ``cc`` maps every doc that
 # appears in a ≥0.8-Jaccard pair to the smallest doc_id reachable from it.
-_CC_CLOSURE = (
-    _SHINGLES.replace("WITH w AS", "WITH RECURSIVE w AS") +
-    ", p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM s a JOIN s b "
-    "ON a.doc_id < b.doc_id "
-    "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
-    "/ len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8) "
-    ", sym AS (SELECT u, v FROM p UNION SELECT v, u FROM p) "
-    ", reach(u, v) AS (SELECT u, v FROM sym UNION "
-    "SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u) "
-    ", cc AS (SELECT u AS id, least(u, min(v)) AS component "
-    "FROM reach GROUP BY u) "
-)
 
 
 @q("dedup_components",
@@ -1093,13 +1179,6 @@ def dedup_keep_components(spark, sf_dir):
 # round-6 additions.
 # =====================================================================
 
-_CLUSTER_ASSIGN = (
-    "WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings "
-    "WHERE vec_id < 8), "
-    "r AS (SELECT e.vec_id, c.cid, row_number() OVER ("
-    "PARTITION BY e.vec_id ORDER BY "
-    "list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) "
-    "DESC, c.cid) AS rnk FROM embeddings e CROSS JOIN c) ")
 
 
 @q("cluster_assign",
@@ -1198,284 +1277,218 @@ def events_tumbling_by_type(spark, sf_dir):
     return W.tumbling(e.df, duration="1 hour", keys=("event_type",))
 
 
-@q("mm_resize",
-   "WITH d AS (SELECT doc_id, (octet_length(text::BLOB) % 640)::INT AS width, "
-   "((octet_length(text::BLOB) * 7) % 480)::INT AS height FROM documents), "
-   "s AS (SELECT doc_id, width, height, greatest(width, 1)::DOUBLE AS w, "
-   "greatest(height, 1)::DOUBLE AS h FROM d) "
-   "SELECT doc_id, width, height, "
-   "greatest(1, floor(w * least(224.0 / w, 224.0 / h)))::INT AS out_w, "
-   "greatest(1, floor(h * least(224.0 / w, 224.0 / h)))::INT AS out_h FROM s")
-def mm_resize(spark, sf_dir):
-    """Aspect-preserving resize of decoded dimensions — identical IEEE
-    double op sequence on both engines (floor, not round)."""
-    from pandas_db_spark.operators import multimodal as M
+@q("events_props_hist",
+   "SELECT (props->>'k')::INT AS k, count(*) AS n FROM events GROUP BY 1")
+def events_props_hist(spark, sf_dir):
+    """Semi-structured extraction (functions/json.py): ONE vectorized
+    from_json parse per row (never per-field get_json_object re-parses)
+    pulls ``k`` out of the props JSON, then a keyed count.  Integer
+    output."""
+    from pandas_db_spark.functions import json as J
+    e = get_db(spark, sf_dir).events
+    return (J.with_json_fields(e.df, "props", {"k": "int"})
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("events_pivot_types",
+   "SELECT user_id, "
+   + ", ".join(
+       f"count(*) FILTER (event_type = '{t}') AS {t}"
+       for t in ("click", "error", "purchase", "signup", "view"))
+   + " FROM events GROUP BY user_id")
+def events_pivot_types(spark, sf_dir):
+    """Long→wide pivot (operators/reshape.pivot_agg): per-user event
+    counts, one column per event type.  Pivot values are PINNED (the
+    implicit form's distinct-scan + unbounded schema is the scale
+    hazard); plan is a single keyed shuffle."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return RS.pivot_agg(e.df, ["user_id"], "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+
+
+@q("orders_upsert",
+   "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN 'U' "
+   "ELSE o_orderstatus END AS o_orderstatus FROM orders")
+def orders_upsert(spark, sf_dir):
+    """Incremental merge (operators/reshape.upsert): a delta (every
+    100th order flipped to status 'U') replaces same-key history rows
+    via broadcast anti-join + union — the history side never shuffles.
+    Output is the merged key→status map."""
+    from pandas_db_spark.operators import reshape as RS
+    o = get_db(spark, sf_dir).orders.df.select("o_orderkey",
+                                               "o_orderstatus")
+    delta = (o.where(F.col("o_orderkey") % 100 == 0)
+             .withColumn("o_orderstatus", F.lit("U")))
+    return RS.upsert(o, delta, "o_orderkey")
+
+
+@q("events_value_hist",
+   "SELECT bucket, bucket * 500 AS lo_cents, count(*) AS n FROM ("
+   "SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bucket "
+   "FROM events) GROUP BY bucket")
+def events_value_hist(spark, sf_dir):
+    """Exact $5-wide value histogram (operators/reshape.fixed_width_hist):
+    integer-cents bucketing — decimal(18,2) cast, never width_bucket on
+    raw doubles, so bucket assignment has no float-boundary ambiguity and
+    hash-matches across engines."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return RS.fixed_width_hist(e.df, "value", width_cents=500)
+
+
+@q("events_winsorized",
+   "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, "
+   "quantile_cont(value, 0.95) AS hi FROM events) "
+   "SELECT event_id, least(greatest(value, lo), hi) AS value_w "
+   "FROM events, b")
+def events_winsorized(spark, sf_dir):
+    """[p05, p95] winsorization (operators/reshape.winsorize): exact
+    percentile boundaries (bit-identical to quantile_cont) folded back
+    as literals, narrow least/greatest clip — in-range doubles pass
+    through untouched so the hash compare is exact."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.winsorize(e.df, "value", 0.05, 0.95, out_col="value_w")
+            .select("event_id", "value_w"))
+
+
+@q("events_value_zscore",
+   "WITH m AS (SELECT count(value) AS n, "
+   "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+   "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * "
+   "CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sq "
+   "FROM events), "
+   "p AS (SELECT s / n AS mean, "
+   "sqrt(sq / n - (s / n) * (s / n)) AS std FROM m) "
+   "SELECT event_id, (value - mean) / std AS value_z FROM events, p")
+def events_value_zscore(spark, sf_dir):
+    """Z-score standardization (operators/reshape.standardize): moments
+    from exact decimal sums — order-independent, so the mean is the
+    same on every run/engine regardless of shuffle order — then a fixed
+    single-IEEE-op sequence for (x − μ)/σ; bit-identical across
+    engines (sqrt is correctly rounded; pow(x, .5) would not be)."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.standardize(e.df, "value", out_col="value_z")
+            .select("event_id", "value_z"))
+
+
+@q("events_value_deciles",
+   "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
+   "0.7,0.8,0.9]) AS bs FROM events) "
+   "SELECT bucket, count(*) AS n FROM (SELECT 1 + len(list_filter(b.bs, "
+   "x -> value > x))::INT AS bucket FROM events, b) GROUP BY bucket")
+def events_value_deciles(spark, sf_dir):
+    """Decile occupancy (operators/reshape.quantile_buckets): exact
+    boundaries from ONE percentile aggregate + a narrow
+    count-boundaries-below pass — the scale-safe replacement for a
+    global-sort ntile (whose empty-partition window funnels the whole
+    table through one task).  Equal-value ties share a bucket, so
+    counts need not be exactly n/10 each."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.quantile_buckets(e.df, "value", 10)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("events_top_per_user",
+   "SELECT user_id, event_id, rk::INT AS rk FROM ("
+   "SELECT user_id, event_id, row_number() OVER ("
+   "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
+   "FROM events) WHERE rk <= 2")
+def events_top_per_user(spark, sf_dir):
+    """Top-2 events by value per user (operators/reshape.
+    top_k_per_group): rank-limited window — Spark's WindowGroupLimit
+    keeps per-group state at k rows, no group ever fully sorts;
+    event_id tiebreak makes the boundary deterministic."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.top_k_per_group(e.df, ["user_id"], "value", 2,
+                               tiebreak_cols=["event_id"])
+            .select("user_id", "event_id",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+@q("events_cohorts",
+   "WITH a AS (SELECT DISTINCT user_id, "
+   "epoch_us(ts) // 604800000000 AS week FROM events), "
+   "f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) "
+   "SELECT cohort_week, week - cohort_week AS week_offset, "
+   "count(*) AS n_users FROM a JOIN f ON a.user_id = f.user_id "
+   "GROUP BY 1, 2")
+def events_cohorts(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.cohort_retention):
+    integer epoch-week arithmetic (exact — modulo-subtracted before the
+    division so no float truncation boundary), two keyed shuffles."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return FU.cohort_retention(e.df)
+
+
+@q("terms_by_source",
+   "SELECT source, term, n, rk::INT AS rk FROM ("
+   "SELECT source, term, n, row_number() OVER (PARTITION BY source "
+   "ORDER BY n DESC, term) AS rk FROM ("
+   "SELECT source, t AS term, count(*) AS n FROM ("
+   "SELECT source, unnest(string_split(trim(text), ' ')) AS t "
+   "FROM documents) GROUP BY 1, 2)) WHERE rk <= 3")
+def terms_by_source(spark, sf_dir):
+    """Top-3 terms per source — retrieval term counting composed with
+    the rank-limited top-k operator (WindowGroupLimit, no full sort per
+    group).  The per-subcorpus vocabulary fingerprint used to spot
+    domain drift between corpus slices."""
+    from pandas_db_spark.operators import reshape as RS
     d = get_db(spark, sf_dir).documents
-    media = M.attach_media(d.df, "text", "doc_id")
-    return M.resize_media(media, target_w=224, target_h=224)
+    counts = (d.df.select("source",
+                          F.explode_outer(F.split(F.trim("text"),
+                                                  r"\s+")).alias("term"))
+              .where(F.col("term").isNotNull())
+              .groupBy("source", "term")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (RS.top_k_per_group(counts, ["source"], "n", 3,
+                               tiebreak_cols=["term"])
+            .select("source", "term", "n", F.col("rk").cast("int")
+                    .alias("rk")))
 
 
-# =====================================================================
-# Sequence packing (operators/packing.py)
-# =====================================================================
-
-_PACK = (
-    "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT "
-    "AS n_tokens FROM documents), "
-    "s AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER ("
-    "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
-    "0)::BIGINT AS start_offset FROM t) ")
-
-
-@q("pack_sequences",
-   _PACK + "SELECT doc_id, n_tokens, start_offset, "
-   "(start_offset // 512)::BIGINT AS seq_id FROM s")
-def pack_sequences(spark, sf_dir):
-    """Token-budget sequence packing (budget=512): deterministic
-    token-offset chunking in doc_id order.  The Spark plan decomposes the
-    global running sum into per-chunk distributed windows + a broadcast
-    chunk-offset join (operators/packing.py) — the oracle's global
-    SUM() OVER (ORDER BY) is the same closed form."""
-    from pandas_db_spark.operators import packing as P
+@q("profile_documents",
+   "SELECT c AS column, (SELECT count(*) FROM documents) AS n_rows, "
+   "n_nulls, n_distinct FROM ("
+   "SELECT 'doc_id' AS c, count(*) FILTER (doc_id IS NULL) AS n_nulls, "
+   "count(DISTINCT doc_id) AS n_distinct FROM documents "
+   "UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), "
+   "count(DISTINCT lang) FROM documents "
+   "UNION ALL SELECT 'source', count(*) FILTER (source IS NULL), "
+   "count(DISTINCT source) FROM documents)")
+def profile_documents(spark, sf_dir):
+    """One-pass table profile (operators/reshape.profile_table): row,
+    null and exact distinct counts for every column from a SINGLE
+    aggregate job + a stack unpivot — the first query against an
+    unfamiliar table."""
+    from pandas_db_spark.operators import reshape as RS
     d = get_db(spark, sf_dir).documents
-    return P.pack_sequences(d.df, budget=512, chunk_ids=100)
+    return RS.profile_table(d.df, ["doc_id", "lang", "source"])
 
 
-@q("pack_summary",
-   _PACK + "SELECT (start_offset // 512)::BIGINT AS seq_id, "
-   "count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens "
-   "FROM s GROUP BY 1")
-def pack_summary(spark, sf_dir):
-    """Per-sequence roll-up of pack_sequences: document count and total
-    member tokens per packed training sequence."""
-    from pandas_db_spark.operators import packing as P
-    d = get_db(spark, sf_dir).documents
-    return P.pack_summary(d.df, budget=512, chunk_ids=100)
-
-
-# =====================================================================
-# PII redaction (functions/text.py)
-# =====================================================================
-
-@q("text_redact_pii",
-   "WITH p AS (SELECT doc_id, 'contact user' || doc_id || "
-   "'@example.com or 10.0.' || (doc_id % 256) || '.7 call 555-01' "
-   "|| (doc_id % 10) || '-4567 re: ' || text AS raw FROM documents) "
-   "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw, "
-   r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
-   r"'\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'), "
-   r"'\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g') "
-   "AS clean FROM p")
-def text_redact_pii(spark, sf_dir):
-    """Regex PII scrub (emails/IPs/phones -> typed tags).  The corpus has
-    no natural PII, so the query PLANTS synthetic doc_id-derived PII and
-    both engines must scrub the identical string — a non-trivial
-    hash-checked oracle for the full redaction chain."""
-    from pandas_db_spark.functions import text as X
-    d = get_db(spark, sf_dir).documents
-    raw = F.concat(
-        F.lit("contact user"), F.col("doc_id").cast("string"),
-        F.lit("@example.com or 10.0."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit(".7 call 555-01"),
-        (F.col("doc_id") % 10).cast("string"),
-        F.lit("-4567 re: "), F.col("text"))
-    return d.df.select("doc_id", X.redact_pii(raw).alias("clean"))
-
-
-# =====================================================================
-# Grouped exact quantiles (beyond-parity SS2.5 depth)
-# =====================================================================
-
-@q("groupby_quantiles",
-   "SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med, "
-   "quantile_cont(o_totalprice, 0.9) AS p90 "
-   "FROM orders GROUP BY o_orderstatus")
-def groupby_quantiles(spark, sf_dir):
-    """Exact per-group quantiles (median + p90) via Spark's percentile
-    (sort-based, linear interpolation) — verified bit-identical to
-    DuckDB's quantile_cont.  One keyed shuffle, and ONE percentile
-    aggregate with an array argument so each group buffers and sorts its
-    values once, not per-quantile; for sketch-based constant-memory
-    quantiles at extreme group cardinality see Column.quantile_approx
-    (agg_sketches)."""
-    o = get_db(spark, sf_dir).orders
-    ps = F.percentile("o_totalprice",
-                      F.array(F.lit(0.5), F.lit(0.9))).alias("__ps")
-    return (o.df.groupBy("o_orderstatus").agg(ps)
-             .select("o_orderstatus",
-                     F.col("__ps")[0].alias("med"),
-                     F.col("__ps")[1].alias("p90")))
-
-
-# =====================================================================
-# Deterministic global exact-n sample (operators/sampling.py)
-# =====================================================================
-
-@q("sample_exact_n_det",
-   "SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("
-   "ORDER BY md5(CAST(doc_id AS VARCHAR) || 'g'), doc_id) AS r "
-   "FROM documents) t WHERE r <= 20")
-def sample_exact_n_det(spark, sf_dir):
-    """Deterministic global exact-20 sample (hash-smallest by
-    md5(doc_id||'g')) — the reproducible counterpart to the parity
-    Table.sample(n), which is rand()-based and can only be rows-only
-    checked; this one is a full hash-checked oracle.  strata_cols=[]
-    routes through the two-phase top-n, so the single-partition final
-    window sees only per-partition survivors, never the corpus."""
-    from pandas_db_spark.operators import sampling as SA
-    d = get_db(spark, sf_dir).documents
-    return (SA.stratified_sample(d.df, [], 20, "doc_id", salt="g")
-            .select("doc_id"))
-
-
-# =====================================================================
-# Eval-set decontamination (operators/decontam.py)
-# =====================================================================
-
-_DECON = (
-    "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
-    "FROM documents), "
-    "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 8 THEN "
-    "[ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] for i in range(1, len(ws)-6)] "
-    "ELSE [array_to_string(ws, ' ')] END) AS sh FROM w), "
-    "p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, "
-    "len(list_intersect(a.sh, b.sh))::BIGINT AS n_shared "
-    "FROM s a, s b WHERE a.doc_id >= 50 AND b.doc_id < 50) ")
-
-
-@q("decontam_pairs",
-   _DECON + "SELECT train_id, eval_id, n_shared FROM p WHERE n_shared >= 1")
-def decontam_pairs(spark, sf_dir):
-    """Train/eval 8-gram contamination pairs (eval = doc_id < 50): the
-    eval shingle index is broadcast, the training corpus never shuffles,
-    and only matches reach the groupBy.  The oracle is the exact all-pairs
-    intersection — feasible at sf0.01, never run at scale."""
-    from pandas_db_spark.operators import decontam as DC
-    d = get_db(spark, sf_dir).documents.df
-    return DC.contamination_pairs(
-        d.filter(F.col("doc_id") >= 50), d.filter(F.col("doc_id") < 50))
-
-
-@q("decontam_clean",
-   _DECON + "SELECT doc_id FROM documents WHERE doc_id >= 50 "
-   "AND doc_id NOT IN (SELECT train_id FROM p WHERE n_shared >= 1)")
-def decontam_clean(spark, sf_dir):
-    """Training ids surviving decontamination — broadcast probe +
-    left-anti join on the flagged set."""
-    from pandas_db_spark.operators import decontam as DC
-    d = get_db(spark, sf_dir).documents.df
-    return DC.decontaminate(
-        d.filter(F.col("doc_id") >= 50),
-        d.filter(F.col("doc_id") < 50)).select("doc_id")
-
-
-# =====================================================================
-# Deterministic train/val/test split (operators/sampling.py)
-# =====================================================================
-
-@q("split_assign",
-   "SELECT doc_id, CASE "
-   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < '0ccccccd' "
-   "THEN 'test' "
-   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < 'e6666666' "
-   "THEN 'train' ELSE 'val' END AS split FROM documents")
-def split_assign(spark, sf_dir):
-    """Deterministic 85/10/5 train/val/test assignment keyed on
-    md5(doc_id||'v1') — stable under reruns, repartitioning, and corpus
-    growth.  Thresholds: 0.05*2^32=0x0ccccccd, 0.90*2^32=0xe6666666
-    (buckets in sorted-name order: test, train, val)."""
-    from pandas_db_spark.operators import sampling as SA
-    d = get_db(spark, sf_dir).documents
-    return (SA.hash_split(d.df, {"train": 0.85, "val": 0.10, "test": 0.05},
-                          "doc_id", salt="v1")
-            .select("doc_id", "split"))
-
-
-# =====================================================================
-# Gopher-style repetition signals (functions/text.py)
-# =====================================================================
-
-@q("text_repetition",
-   "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
-   "FROM documents), "
-   "r AS (SELECT doc_id, len(ws) AS n, "
-   "len(ws) - len(list_distinct(ws)) AS rep, "
-   "CASE WHEN len(ws) >= 2 THEN "
-   "[ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] "
-   "ELSE [] END AS bg FROM w) "
-   "SELECT doc_id, "
-   "CASE WHEN n > 0 THEN rep::DOUBLE / n ELSE 0.0 END AS rep_frac, "
-   "CASE WHEN n >= 2 THEN (list_max(list_transform(list_distinct(bg), "
-   "x -> len(list_filter(bg, y -> y = x))))::DOUBLE * 2.0) / n "
-   "ELSE 0.0 END AS top_bigram_frac FROM r")
-def text_repetition(spark, sf_dir):
-    """Within-document repetition signals (Gopher-style quality rules):
-    repeated-token fraction + most-frequent-bigram coverage.  Pure JVM
-    higher-order expressions, identical IEEE op order in the oracle.
-    The input is spread to defaultParallelism first: interpreted HOF
-    lambdas are the per-row cost center here, and a single small parquet
-    file would otherwise run them on one core (a no-op on a real
-    multi-split scan)."""
-    from pandas_db_spark.functions import text as X
-    from pandas_db_spark.operators.dedup import _ensure_parallelism
-    d = get_db(spark, sf_dir).documents
-    return _ensure_parallelism(d.df).select(
-        "doc_id",
-        X.repeated_token_frac(F.col("text")).alias("rep_frac"),
-        X.top_bigram_frac(F.col("text")).alias("top_bigram_frac"))
-
-
-# =====================================================================
-# Deterministic hash sampling / corpus mixing (operators/sampling.py)
-# =====================================================================
-
-@q("sample_hash",
-   "SELECT doc_id, lang FROM documents "
-   "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' "
-   "ORDER BY doc_id")
-def sample_hash(spark, sf_dir):
-    """Deterministic ~20% Bernoulli sample keyed on md5(doc_id) — unlike
-    rand() sampling this is reproducible across runs/engines, so it is a
-    full hash-checked oracle query (threshold 0x33333333 = 0.2 * 2^32)."""
-    from pandas_db_spark.operators import sampling as SA
-    d = get_db(spark, sf_dir).documents
-    return SA.hash_sample(d.df, 0.2, "doc_id").select("doc_id", "lang")
-
-
-@q("sample_stratified",
-   "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER ("
-   "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR) || 's'), doc_id"
-   ") AS r FROM documents) t WHERE r <= 5")
-def sample_stratified(spark, sf_dir):
-    """Exactly 5 docs per language, hash-smallest by md5(doc_id||'s') —
-    deterministic take-n-per-group via the two-phase (partition-local then
-    global) top-n, so no stratum ever lands whole on one reducer."""
-    from pandas_db_spark.operators import sampling as SA
-    d = get_db(spark, sf_dir).documents
-    return (SA.stratified_sample(d.df, ["lang"], 5, "doc_id", salt="s")
-            .select("doc_id", "lang"))
-
-
-@q("mix_corpora",
-   "SELECT doc_id, source FROM ("
-   "SELECT doc_id, 'en' AS source FROM documents WHERE lang = 'en' "
-   "AND substr(md5(CAST(doc_id AS VARCHAR) || '|en'), 1, 8) < '80000000' "
-   "UNION ALL "
-   "SELECT doc_id, 'rest' AS source FROM documents WHERE lang <> 'en' "
-   "AND substr(md5(CAST(doc_id AS VARCHAR) || '|rest'), 1, 8) < '40000000'"
-   ") t")
-def mix_corpora(spark, sf_dir):
-    """Weighted corpus mixing: 50% of the English slice + 25% of the rest,
-    independent deterministic draws (per-corpus salt), provenance-tagged.
-    Pure narrow filters + union — zero shuffle at any scale."""
-    from pandas_db_spark.operators import sampling as SA
-    d = get_db(spark, sf_dir).documents.df
-    mixed = SA.mix_corpora(
-        {"en": (d.filter(F.col("lang") == "en"), 0.5),
-         "rest": (d.filter(F.col("lang") != "en"), 0.25)},
-        key_col="doc_id")
-    return mixed.select("doc_id", "source")
+@q("events_sessionize",
+   "SELECT event_id, user_id, session_idx FROM ("
+   "SELECT event_id, user_id, sum(CASE WHEN prev IS NOT NULL AND "
+   "epoch_us(ts) - epoch_us(prev) > 900000000 THEN 1 ELSE 0 END) "
+   "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM ("
+   "SELECT event_id, user_id, ts, lag(ts) OVER ("
+   "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events))")
+def events_sessionize(spark, sf_dir):
+    """Per-event session labels at a 15-minute gap
+    (operators/funnel.sessionize): lag + running sum over one keyed
+    (user, ts, event_id) window — one shuffle, no self-join;
+    deterministic via the event_id tiebreak.  The per-row sibling of
+    the events_session aggregate."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return (FU.sessionize(e.df, gap_minutes=15)
+            .select("event_id", "user_id", "session_idx"))
 
 
 # =====================================================================
@@ -2136,7 +2149,7 @@ def applymap(spark, sf_dir):
 # LLM-pipeline: text analysis (functions/text.py)
 # =====================================================================
 
-_TOK = "string_split(trim(text), ' ')"
+
 
 @q("text_stats",
    f"SELECT doc_id, len({_TOK})::INT AS n_tokens, length(text)::INT AS n_chars_m "
