@@ -36,23 +36,52 @@ from pyspark.sql import DataFrame, functions as F
 def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      corpus_dir: str, store_dir: str,
                      checkpoint_dir: str,
-                     partition_by_batch: bool = True) -> None:
+                     partition_by_batch: bool = True,
+                     mode: str = "exact",
+                     threshold: float = 0.8) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
-    ``store_dir`` the (digest, id) fingerprints.  Both readable by any
-    batch job between runs; re-running with new input continues where
-    the store left off."""
+    ``store_dir`` the dedup state.  Both readable by any batch job
+    between runs; re-running with new input continues where the store
+    left off.
+
+    ``mode="exact"`` (default): store = (digest, id) fingerprints,
+    a new doc is dropped only on exact normalized-text identity.
+    ``mode="near"``: store = (id, sig) MinHash signatures
+    (:func:`operators.dedup.minhash_store`); a new doc is dropped when
+    its exact-verified Jaccard vs ANY stored doc reaches ``threshold`` —
+    NOTE the verify step re-shingles matched store docs, so the near
+    mode also persists the store docs' id+text beside the signatures
+    (``store_dir + "/docs"``), read back only for candidates."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
-                                                 fingerprint_store)
+                                                 fingerprint_store,
+                                                 minhash_incremental,
+                                                 minhash_store)
+
+    if mode not in ("exact", "near"):
+        raise ValueError(f"run_dedup_ingest: unknown mode {mode!r}")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            store = spark.read.parquet(store_dir)
-        except Exception:   # first batch ever: empty store
-            store = spark.createDataFrame([], "digest string, id long")
-        kept_ids = dedup_incremental(batch_df, store, text_col, id_col)
+        if mode == "exact":
+            try:
+                store = spark.read.parquet(store_dir)
+            except Exception:   # first batch ever: empty store
+                store = spark.createDataFrame([], "digest string, id long")
+            kept_ids = dedup_incremental(batch_df, store, text_col, id_col)
+        else:
+            try:
+                sigs = spark.read.parquet(store_dir + "/sigs")
+                docs = spark.read.parquet(store_dir + "/docs")
+            except Exception:
+                sigs = spark.createDataFrame([], f"{id_col} long, "
+                                                 "sig array<long>")
+                docs = spark.createDataFrame([], f"{id_col} long, "
+                                                 f"{text_col} string")
+            kept_ids = minhash_incremental(
+                batch_df, docs, text_col, id_col,
+                threshold=threshold, store_sigs=sigs)
         kept = batch_df.join(F.broadcast(kept_ids), id_col, "left_semi")
         if partition_by_batch:
             kept = kept.withColumn("batch_id", F.lit(batch_id))
@@ -60,8 +89,15 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                  .parquet(corpus_dir))
         else:
             kept.write.mode("append").parquet(corpus_dir)
-        (fingerprint_store(kept.drop("batch_id"), text_col, id_col)
-         .write.mode("append").parquet(store_dir))
+        kept = kept.drop("batch_id")
+        if mode == "exact":
+            (fingerprint_store(kept, text_col, id_col)
+             .write.mode("append").parquet(store_dir))
+        else:
+            (minhash_store(kept, text_col, id_col)
+             .write.mode("append").parquet(store_dir + "/sigs"))
+            (kept.select(id_col, text_col)
+             .write.mode("append").parquet(store_dir + "/docs"))
 
     qr = (stream_df.writeStream.foreachBatch(handle)
           .option("checkpointLocation", checkpoint_dir)

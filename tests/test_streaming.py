@@ -389,3 +389,37 @@ def test_dedup_ingest_pipeline(spark, tmp_path):
     assert corpus.count() == 4 and classes == 4
     store = spark.read.parquet(str(tmp_path / "store"))
     assert store.count() == 4 and store.select("digest").distinct().count() == 4
+
+
+def test_near_dup_ingest_pipeline(spark, tmp_path):
+    """mode='near': a later batch's near-duplicate (not exact) of an
+    ingested doc is dropped; novel docs survive."""
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen")
+    src = tmp_path / "in"
+    batches = [
+        [(1, base), (2, "totally different words that share nothing "
+                        "with the first document at all here")],
+        [(3, base + " seventeen"),   # near-dup of doc 1 (J ~ 0.8+)
+         (4, "another genuinely novel piece of text with its own "
+             "vocabulary and no overlap whatsoever")],
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     mode="near", threshold=0.5)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {1, 2, 4}
+    import pytest
+    with pytest.raises(ValueError, match="unknown mode"):
+        run_dedup_ingest(stream, "text", "doc_id", "x", "y", "z",
+                         mode="fuzzy")
