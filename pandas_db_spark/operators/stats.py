@@ -37,17 +37,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _moments(cols: Sequence[str], scale: int) -> list[Column]:
-    """n, per-column Σx and Σx², per-pair Σxy — all exact decimals."""
+    """n, per-column Σx and Σx², per-pair Σxy — all exact decimals.
+
+    Product sums carry scale ``2*scale`` — the EXACT scale of a
+    scale-``scale`` × scale-``scale`` product, and no more: a wider
+    scale (say 8) makes the final decimal→double cast land on values
+    whose scaled integer exceeds 2⁵³, where engines' conversion paths
+    round differently (measured: DuckDB's int128→double double-rounds
+    off-by-one-ulp vs the correctly-rounded cast).  At the minimal
+    scale the scaled integer stays exactly representable far longer, so
+    both engines produce the identical correctly-rounded double."""
     dt = f"decimal(18,{scale})"
+    pt = f"decimal(38,{2 * scale})"
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for c in cols:
         x = F.col(c).cast(dt)
         aggs.append(F.sum(x).cast("double").alias(f"__s_{c}"))
-        aggs.append(F.sum((x * x).cast("decimal(38,8)"))
+        aggs.append(F.sum((x * x).cast(pt))
                     .cast("double").alias(f"__ss_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            xy = (F.col(a).cast(dt) * F.col(b).cast(dt)).cast("decimal(38,8)")
+            xy = (F.col(a).cast(dt) * F.col(b).cast(dt)).cast(pt)
             aggs.append(F.sum(xy).cast("double").alias(f"__p_{a}__{b}"))
     return aggs
 
@@ -102,3 +112,38 @@ def cov_matrix(df: DataFrame, cols: Sequence[str],
     k = len(cols) * (len(cols) - 1) // 2
     return one.select(
         F.stack(F.lit(k), *pairs).alias("col_a", "col_b", "cov"))
+
+
+def corr_by(df: DataFrame, group_cols: Sequence[str],
+            cols: Sequence[str], scale: int = 2) -> DataFrame:
+    """Per-group pairwise Pearson correlation — e.g. quality-vs-length
+    per source: ``(group_cols..., col_a, col_b, corr)``.
+
+    Same exactness contract as :func:`corr_matrix`, keyed: all moments
+    for every pair ride ONE ``groupBy`` aggregate (one keyed shuffle,
+    map-side partials), the per-group unpivot happens in-plan.  Groups
+    with fewer than 2 rows or a constant column yield NULL corr (0/0 →
+    NULL via nullif) rather than a misleading number."""
+    cols, group_cols = list(cols), list(group_cols)
+    if not group_cols:
+        raise ValueError("corr_by: empty group_cols — use corr_matrix")
+    if len(cols) < 2:
+        raise ValueError("corr_by: need at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError("corr_by: duplicate columns")
+    one = df.groupBy(*group_cols).agg(*_moments(cols, scale))
+
+    n = F.col("__n")
+    pairs: list[Column] = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = n * F.col(f"__p_{a}__{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+            va = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+            vb = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+            pairs.extend([
+                F.lit(a), F.lit(b),
+                num / F.nullif(F.sqrt(va * vb), F.lit(0.0))])
+    k = len(cols) * (len(cols) - 1) // 2
+    return one.select(
+        *group_cols,
+        F.stack(F.lit(k), *pairs).alias("col_a", "col_b", "corr"))

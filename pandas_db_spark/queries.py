@@ -150,6 +150,31 @@ _TOK = "string_split(trim(text), ' ')"
 # Heavy hitters (operators/reshape.py)
 # =====================================================================
 
+@q("corr_by_returnflag",
+   "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
+   "SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS s_q, "
+   "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
+   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_q, "
+   "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS s_e, "
+   "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_e, "
+   "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_qe "
+   "FROM lineitem GROUP BY 1) "
+   "SELECT l_returnflag, 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+   "(n*p_qe - s_q*s_e) / NULLIF(sqrt((n*ss_q - s_q*s_q) * "
+   "(n*ss_e - s_e*s_e)), 0) AS corr FROM m")
+def corr_by_returnflag(spark, sf_dir):
+    """Per-group exact-moment correlation (operators/stats.corr_by):
+    quantity-vs-price correlation per return flag — one keyed aggregate,
+    in-plan unpivot, NULL on degenerate groups, bit-identical across
+    engines (same decimal-moment discipline as corr_lineitem)."""
+    from pandas_db_spark.operators import stats as ST
+    li = get_db(spark, sf_dir).lineitem.df
+    return ST.corr_by(li, ["l_returnflag"],
+                      ["l_quantity", "l_extendedprice"])
+
+
 @q("events_heavy_users",
    "SELECT user_id, count(*) AS count FROM events "
    "WHERE user_id IS NOT NULL GROUP BY 1 "
@@ -366,19 +391,19 @@ def dedup_incremental(spark, sf_dir):
    "WITH m AS (SELECT count(*)::DOUBLE AS n, "
    "SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS s_q, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS ss_q, "
+   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_q, "
    "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS s_e, "
    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS ss_e, "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_e, "
    "SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS s_d, "
    "SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * "
-   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS ss_d, "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_d, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS p_qe, "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_qe, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS p_qd, "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_qd, "
    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,8)))::DOUBLE AS p_ed "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_ed "
    "FROM lineitem) "
    "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
    "(n*p_qe - s_q*s_e) / sqrt((n*ss_q - s_q*s_q) * (n*ss_e - s_e*s_e)) "

@@ -131,3 +131,24 @@ def test_history_intervals_one_exchange(db):
     out = history_intervals(e, ["user_id"], "ts", ["event_type"])
     # collapse-filter lag + valid_to lead share one keyed sort
     assert exchange_count(out) == 1
+
+
+def test_corr_by_groups_and_degenerate(spark, db):
+    import numpy as np
+
+    li = db.lineitem.df
+    out = {r["l_returnflag"]: r["corr"] for r in
+           ST.corr_by(li, ["l_returnflag"],
+                      ["l_quantity", "l_extendedprice"]).collect()}
+    pdf = li.select("l_returnflag", "l_quantity",
+                    "l_extendedprice").toPandas()
+    for flag, g in pdf.groupby("l_returnflag"):
+        exp = np.corrcoef(g["l_quantity"], g["l_extendedprice"])[0, 1]
+        assert out[flag] == pytest.approx(exp, abs=1e-9)
+    # degenerate group (constant column) -> NULL, not NaN/garbage
+    d = spark.createDataFrame([(1, 5.0, 1.0), (1, 5.0, 2.0)],
+                              "g long, x double, y double")
+    row = ST.corr_by(d, ["g"], ["x", "y"]).collect()[0]
+    assert row["corr"] is None
+    with pytest.raises(ValueError, match="empty group_cols"):
+        ST.corr_by(li, [], ["l_quantity", "l_tax"])
