@@ -40,25 +40,32 @@ def _moments(cols: Sequence[str], scale: int) -> list[Column]:
     """n, per-column Σx and Σx², per-pair Σxy — all exact decimals.
 
     Product sums carry scale ``2*scale`` — the EXACT scale of a
-    scale-``scale`` × scale-``scale`` product, and no more: a wider
-    scale (say 8) makes the final decimal→double cast land on values
-    whose scaled integer exceeds 2⁵³, where engines' conversion paths
-    round differently (measured: DuckDB's int128→double double-rounds
-    off-by-one-ulp vs the correctly-rounded cast).  At the minimal
-    scale the scaled integer stays exactly representable far longer, so
-    both engines produce the identical correctly-rounded double."""
+    scale-``scale`` × scale-``scale`` product.
+
+    The decimal→double conversion goes THROUGH A STRING.  A direct
+    decimal cast is engine-dependent once the scaled integer exceeds
+    2⁵³ (measured: DuckDB's int128→double path double-rounds an ulp
+    away from Java BigDecimal.doubleValue's correctly-rounded result),
+    but decimal→string is exact everywhere and string→double is the
+    correctly-rounded conversion in every engine — so both sides land
+    on the identical double at ANY magnitude.  Cost: one tiny string
+    per aggregate output row."""
     dt = f"decimal(18,{scale})"
     pt = f"decimal(38,{2 * scale})"
+
+    def as_double(col: Column) -> Column:
+        return col.cast("string").cast("double")
+
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for c in cols:
         x = F.col(c).cast(dt)
-        aggs.append(F.sum(x).cast("double").alias(f"__s_{c}"))
-        aggs.append(F.sum((x * x).cast(pt))
-                    .cast("double").alias(f"__ss_{c}"))
+        aggs.append(as_double(F.sum(x)).alias(f"__s_{c}"))
+        aggs.append(as_double(F.sum((x * x).cast(pt)))
+                    .alias(f"__ss_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             xy = (F.col(a).cast(dt) * F.col(b).cast(dt)).cast(pt)
-            aggs.append(F.sum(xy).cast("double").alias(f"__p_{a}__{b}"))
+            aggs.append(as_double(F.sum(xy)).alias(f"__p_{a}__{b}"))
     return aggs
 
 

@@ -152,14 +152,14 @@ _TOK = "string_split(trim(text), ' ')"
 
 @q("corr_by_returnflag",
    "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
-   "SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS s_q, "
+   "SUM(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_q, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_q, "
-   "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS s_e, "
+   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS ss_q, "
+   "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_e, "
    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_e, "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS ss_e, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_qe "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS p_qe "
    "FROM lineitem GROUP BY 1) "
    "SELECT l_returnflag, 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
    "(n*p_qe - s_q*s_e) / NULLIF(sqrt((n*ss_q - s_q*s_q) * "
@@ -389,21 +389,21 @@ def dedup_incremental(spark, sf_dir):
 
 @q("corr_lineitem",
    "WITH m AS (SELECT count(*)::DOUBLE AS n, "
-   "SUM(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS s_q, "
+   "SUM(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_q, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_q, "
-   "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS s_e, "
+   "CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS ss_q, "
+   "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_e, "
    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_e, "
-   "SUM(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS s_d, "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS ss_e, "
+   "SUM(CAST(l_discount AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_d, "
    "SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * "
-   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS ss_d, "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS ss_d, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_qe, "
+   "CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS p_qe, "
    "SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * "
-   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_qd, "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS p_qd, "
    "SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::DOUBLE AS p_ed "
+   "CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4)))::VARCHAR::DOUBLE AS p_ed "
    "FROM lineitem) "
    "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
    "(n*p_qe - s_q*s_e) / sqrt((n*ss_q - s_q*s_q) * (n*ss_e - s_e*s_e)) "
