@@ -132,3 +132,37 @@ def _rows_eq(got, want):
             (isinstance(a, float) and math.isclose(a, b, rel_tol=1e-9))
             for a, b in zip(gr, wr))
         for gr, wr in zip(got, want))
+
+
+@PROP_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2),            # key
+                  st.integers(0, 50),           # order position
+                  st.integers(-10_000, 10_000)  # value in cents
+                  ),
+        min_size=1, max_size=40),
+    n=st.integers(1, 5),
+)
+def test_rolling_rows_matches_pandas_property(spark, rows, n):
+    """rolling_rows == pandas groupby().rolling() on arbitrary keyed
+    series (exact: integer-cents values, unique tiebreak ids)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pandas_db_spark.operators.rolling import rolling_rows
+
+    data = [(i, k, o, c / 100.0) for i, (k, o, c) in enumerate(rows)]
+    df = (spark.createDataFrame(
+            data, "id long, k long, o long, v double")
+          .withColumn("ts", F.timestamp_seconds("o")).drop("o"))
+    out = (rolling_rows(df, "k", "ts", "v", n=n, tiebreak_cols=["id"])
+           .select("id", "roll_sum", "roll_n").toPandas()
+           .set_index("id").sort_index())
+    pdf = pd.DataFrame(data, columns=["id", "k", "o", "v"]).sort_values(
+        ["k", "o", "id"])
+    g = pdf.groupby("k")["v"]
+    exp_sum = g.rolling(n, min_periods=1).sum().reset_index(level=0, drop=True)
+    exp_n = g.rolling(n, min_periods=1).count().reset_index(level=0, drop=True)
+    for rid, s, c in zip(pdf["id"], exp_sum, exp_n):
+        assert out.loc[rid, "roll_sum"] == pytest.approx(s, abs=1e-9)
+        assert out.loc[rid, "roll_n"] == int(c)
