@@ -150,6 +150,235 @@ _TOK = "string_split(trim(text), ' ')"
 # Heavy hitters (operators/reshape.py)
 # =====================================================================
 
+# ---- round-7 rotation: the 13 late-round-6 analytics queries that have
+# never had a driver CORRECTNESS row (VERDICT r6 next-round #1) go FIRST
+# so the driver's ~50-entry prefix window lands on them. ----
+
+@q("events_tumbling_by_type",
+   "SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
+   "count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, "
+   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
+   "FROM events GROUP BY 1, 2")
+def events_tumbling_by_type(spark, sf_dir):
+    from pandas_db_spark.streaming import windows as W
+    e = get_db(spark, sf_dir).events
+    return W.tumbling(e.df, duration="1 hour", keys=("event_type",))
+
+
+@q("events_props_hist",
+   "SELECT (props->>'k')::INT AS k, count(*) AS n FROM events GROUP BY 1")
+def events_props_hist(spark, sf_dir):
+    """Semi-structured extraction (functions/json.py): ONE vectorized
+    from_json parse per row (never per-field get_json_object re-parses)
+    pulls ``k`` out of the props JSON, then a keyed count.  Integer
+    output."""
+    from pandas_db_spark.functions import json as J
+    e = get_db(spark, sf_dir).events
+    return (J.with_json_fields(e.df, "props", {"k": "int"})
+            .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("events_pivot_types",
+   "SELECT user_id, "
+   + ", ".join(
+       f"count(*) FILTER (event_type = '{t}') AS {t}"
+       for t in ("click", "error", "purchase", "signup", "view"))
+   + " FROM events GROUP BY user_id")
+def events_pivot_types(spark, sf_dir):
+    """Long→wide pivot (operators/reshape.pivot_agg): per-user event
+    counts, one column per event type.  Pivot values are PINNED (the
+    implicit form's distinct-scan + unbounded schema is the scale
+    hazard); plan is a single keyed shuffle."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return RS.pivot_agg(e.df, ["user_id"], "event_type",
+                        ["click", "error", "purchase", "signup", "view"])
+
+
+@q("orders_upsert",
+   "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN 'U' "
+   "ELSE o_orderstatus END AS o_orderstatus FROM orders")
+def orders_upsert(spark, sf_dir):
+    """Incremental merge (operators/reshape.upsert): a delta (every
+    100th order flipped to status 'U') replaces same-key history rows
+    via broadcast anti-join + union — the history side never shuffles.
+    Output is the merged key→status map."""
+    from pandas_db_spark.operators import reshape as RS
+    o = get_db(spark, sf_dir).orders.df.select("o_orderkey",
+                                               "o_orderstatus")
+    delta = (o.where(F.col("o_orderkey") % 100 == 0)
+             .withColumn("o_orderstatus", F.lit("U")))
+    return RS.upsert(o, delta, "o_orderkey")
+
+
+@q("events_value_hist",
+   "SELECT bucket, bucket * 500 AS lo_cents, count(*) AS n FROM ("
+   "SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bucket "
+   "FROM events) GROUP BY bucket")
+def events_value_hist(spark, sf_dir):
+    """Exact $5-wide value histogram (operators/reshape.fixed_width_hist):
+    integer-cents bucketing — decimal(18,2) cast, never width_bucket on
+    raw doubles, so bucket assignment has no float-boundary ambiguity and
+    hash-matches across engines."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return RS.fixed_width_hist(e.df, "value", width_cents=500)
+
+
+@q("events_winsorized",
+   "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, "
+   "quantile_cont(value, 0.95) AS hi FROM events) "
+   "SELECT event_id, least(greatest(value, lo), hi) AS value_w "
+   "FROM events, b")
+def events_winsorized(spark, sf_dir):
+    """[p05, p95] winsorization (operators/reshape.winsorize): exact
+    percentile boundaries (bit-identical to quantile_cont) folded back
+    as literals, narrow least/greatest clip — in-range doubles pass
+    through untouched so the hash compare is exact."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.winsorize(e.df, "value", 0.05, 0.95, out_col="value_w")
+            .select("event_id", "value_w"))
+
+
+@q("events_value_zscore",
+   "WITH m AS (SELECT count(value) AS n, "
+   "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, "
+   "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * "
+   "CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sq "
+   "FROM events), "
+   "p AS (SELECT s / n AS mean, "
+   "sqrt(sq / n - (s / n) * (s / n)) AS std FROM m) "
+   "SELECT event_id, (value - mean) / std AS value_z FROM events, p")
+def events_value_zscore(spark, sf_dir):
+    """Z-score standardization (operators/reshape.standardize): moments
+    from exact decimal sums — order-independent, so the mean is the
+    same on every run/engine regardless of shuffle order — then a fixed
+    single-IEEE-op sequence for (x − μ)/σ; bit-identical across
+    engines (sqrt is correctly rounded; pow(x, .5) would not be)."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.standardize(e.df, "value", out_col="value_z")
+            .select("event_id", "value_z"))
+
+
+@q("events_value_deciles",
+   "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
+   "0.7,0.8,0.9]) AS bs FROM events) "
+   "SELECT bucket, count(*) AS n FROM (SELECT 1 + len(list_filter(b.bs, "
+   "x -> value > x))::INT AS bucket FROM events, b) GROUP BY bucket")
+def events_value_deciles(spark, sf_dir):
+    """Decile occupancy (operators/reshape.quantile_buckets): exact
+    boundaries from ONE percentile aggregate + a narrow
+    count-boundaries-below pass — the scale-safe replacement for a
+    global-sort ntile (whose empty-partition window funnels the whole
+    table through one task).  Equal-value ties share a bucket, so
+    counts need not be exactly n/10 each."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.quantile_buckets(e.df, "value", 10)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+@q("events_top_per_user",
+   "SELECT user_id, event_id, rk::INT AS rk FROM ("
+   "SELECT user_id, event_id, row_number() OVER ("
+   "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
+   "FROM events) WHERE rk <= 2")
+def events_top_per_user(spark, sf_dir):
+    """Top-2 events by value per user (operators/reshape.
+    top_k_per_group): rank-limited window — Spark's WindowGroupLimit
+    keeps per-group state at k rows, no group ever fully sorts;
+    event_id tiebreak makes the boundary deterministic."""
+    from pandas_db_spark.operators import reshape as RS
+    e = get_db(spark, sf_dir).events
+    return (RS.top_k_per_group(e.df, ["user_id"], "value", 2,
+                               tiebreak_cols=["event_id"])
+            .select("user_id", "event_id",
+                    F.col("rk").cast("int").alias("rk")))
+
+
+@q("events_cohorts",
+   "WITH a AS (SELECT DISTINCT user_id, "
+   "epoch_us(ts) // 604800000000 AS week FROM events), "
+   "f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) "
+   "SELECT cohort_week, week - cohort_week AS week_offset, "
+   "count(*) AS n_users FROM a JOIN f ON a.user_id = f.user_id "
+   "GROUP BY 1, 2")
+def events_cohorts(spark, sf_dir):
+    """Weekly cohort retention (operators/funnel.cohort_retention):
+    integer epoch-week arithmetic (exact — modulo-subtracted before the
+    division so no float truncation boundary), two keyed shuffles."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return FU.cohort_retention(e.df)
+
+
+@q("terms_by_source",
+   "SELECT source, term, n, rk::INT AS rk FROM ("
+   "SELECT source, term, n, row_number() OVER (PARTITION BY source "
+   "ORDER BY n DESC, term) AS rk FROM ("
+   "SELECT source, t AS term, count(*) AS n FROM ("
+   "SELECT source, unnest(string_split(trim(text), ' ')) AS t "
+   "FROM documents) GROUP BY 1, 2)) WHERE rk <= 3")
+def terms_by_source(spark, sf_dir):
+    """Top-3 terms per source — retrieval term counting composed with
+    the rank-limited top-k operator (WindowGroupLimit, no full sort per
+    group).  The per-subcorpus vocabulary fingerprint used to spot
+    domain drift between corpus slices."""
+    from pandas_db_spark.operators import reshape as RS
+    d = get_db(spark, sf_dir).documents
+    counts = (d.df.select("source",
+                          F.explode_outer(F.split(F.trim("text"),
+                                                  r"\s+")).alias("term"))
+              .where(F.col("term").isNotNull())
+              .groupBy("source", "term")
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (RS.top_k_per_group(counts, ["source"], "n", 3,
+                               tiebreak_cols=["term"])
+            .select("source", "term", "n", F.col("rk").cast("int")
+                    .alias("rk")))
+
+
+@q("profile_documents",
+   "SELECT c AS column, (SELECT count(*) FROM documents) AS n_rows, "
+   "n_nulls, n_distinct FROM ("
+   "SELECT 'doc_id' AS c, count(*) FILTER (doc_id IS NULL) AS n_nulls, "
+   "count(DISTINCT doc_id) AS n_distinct FROM documents "
+   "UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), "
+   "count(DISTINCT lang) FROM documents "
+   "UNION ALL SELECT 'source', count(*) FILTER (source IS NULL), "
+   "count(DISTINCT source) FROM documents)")
+def profile_documents(spark, sf_dir):
+    """One-pass table profile (operators/reshape.profile_table): row,
+    null and exact distinct counts for every column from a SINGLE
+    aggregate job + a stack unpivot — the first query against an
+    unfamiliar table."""
+    from pandas_db_spark.operators import reshape as RS
+    d = get_db(spark, sf_dir).documents
+    return RS.profile_table(d.df, ["doc_id", "lang", "source"])
+
+
+@q("events_sessionize",
+   "SELECT event_id, user_id, session_idx FROM ("
+   "SELECT event_id, user_id, sum(CASE WHEN prev IS NOT NULL AND "
+   "epoch_us(ts) - epoch_us(prev) > 900000000 THEN 1 ELSE 0 END) "
+   "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+   "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM ("
+   "SELECT event_id, user_id, ts, lag(ts) OVER ("
+   "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events))")
+def events_sessionize(spark, sf_dir):
+    """Per-event session labels at a 15-minute gap
+    (operators/funnel.sessionize): lag + running sum over one keyed
+    (user, ts, event_id) window — one shuffle, no self-join;
+    deterministic via the event_id tiebreak.  The per-row sibling of
+    the events_session aggregate."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return (FU.sessionize(e.df, gap_minutes=15)
+            .select("event_id", "user_id", "session_idx"))
+
+
 @q("corr_by_returnflag",
    "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
    "SUM(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_q, "
@@ -1289,231 +1518,6 @@ def ann_ivf(spark, sf_dir):
     from pandas_db_spark.operators import similarity as S
     e = get_db(spark, sf_dir).embeddings
     return S.ivf_topk(e.df, query_ids=range(5), k=10)
-
-
-@q("events_tumbling_by_type",
-   "SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
-   "count(*) AS n_events, min(value) AS min_value, max(value) AS max_value, "
-   "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value "
-   "FROM events GROUP BY 1, 2")
-def events_tumbling_by_type(spark, sf_dir):
-    from pandas_db_spark.streaming import windows as W
-    e = get_db(spark, sf_dir).events
-    return W.tumbling(e.df, duration="1 hour", keys=("event_type",))
-
-
-@q("events_props_hist",
-   "SELECT (props->>'k')::INT AS k, count(*) AS n FROM events GROUP BY 1")
-def events_props_hist(spark, sf_dir):
-    """Semi-structured extraction (functions/json.py): ONE vectorized
-    from_json parse per row (never per-field get_json_object re-parses)
-    pulls ``k`` out of the props JSON, then a keyed count.  Integer
-    output."""
-    from pandas_db_spark.functions import json as J
-    e = get_db(spark, sf_dir).events
-    return (J.with_json_fields(e.df, "props", {"k": "int"})
-            .groupBy("k").agg(F.count(F.lit(1)).alias("n")))
-
-
-@q("events_pivot_types",
-   "SELECT user_id, "
-   + ", ".join(
-       f"count(*) FILTER (event_type = '{t}') AS {t}"
-       for t in ("click", "error", "purchase", "signup", "view"))
-   + " FROM events GROUP BY user_id")
-def events_pivot_types(spark, sf_dir):
-    """Long→wide pivot (operators/reshape.pivot_agg): per-user event
-    counts, one column per event type.  Pivot values are PINNED (the
-    implicit form's distinct-scan + unbounded schema is the scale
-    hazard); plan is a single keyed shuffle."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return RS.pivot_agg(e.df, ["user_id"], "event_type",
-                        ["click", "error", "purchase", "signup", "view"])
-
-
-@q("orders_upsert",
-   "SELECT o_orderkey, CASE WHEN o_orderkey % 100 = 0 THEN 'U' "
-   "ELSE o_orderstatus END AS o_orderstatus FROM orders")
-def orders_upsert(spark, sf_dir):
-    """Incremental merge (operators/reshape.upsert): a delta (every
-    100th order flipped to status 'U') replaces same-key history rows
-    via broadcast anti-join + union — the history side never shuffles.
-    Output is the merged key→status map."""
-    from pandas_db_spark.operators import reshape as RS
-    o = get_db(spark, sf_dir).orders.df.select("o_orderkey",
-                                               "o_orderstatus")
-    delta = (o.where(F.col("o_orderkey") % 100 == 0)
-             .withColumn("o_orderstatus", F.lit("U")))
-    return RS.upsert(o, delta, "o_orderkey")
-
-
-@q("events_value_hist",
-   "SELECT bucket, bucket * 500 AS lo_cents, count(*) AS n FROM ("
-   "SELECT CAST(round(value * 100) AS BIGINT) // 500 AS bucket "
-   "FROM events) GROUP BY bucket")
-def events_value_hist(spark, sf_dir):
-    """Exact $5-wide value histogram (operators/reshape.fixed_width_hist):
-    integer-cents bucketing — decimal(18,2) cast, never width_bucket on
-    raw doubles, so bucket assignment has no float-boundary ambiguity and
-    hash-matches across engines."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return RS.fixed_width_hist(e.df, "value", width_cents=500)
-
-
-@q("events_winsorized",
-   "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo, "
-   "quantile_cont(value, 0.95) AS hi FROM events) "
-   "SELECT event_id, least(greatest(value, lo), hi) AS value_w "
-   "FROM events, b")
-def events_winsorized(spark, sf_dir):
-    """[p05, p95] winsorization (operators/reshape.winsorize): exact
-    percentile boundaries (bit-identical to quantile_cont) folded back
-    as literals, narrow least/greatest clip — in-range doubles pass
-    through untouched so the hash compare is exact."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.winsorize(e.df, "value", 0.05, 0.95, out_col="value_w")
-            .select("event_id", "value_w"))
-
-
-@q("events_value_zscore",
-   "WITH m AS (SELECT count(value) AS n, "
-   "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s, "
-   "CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * "
-   "CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sq "
-   "FROM events), "
-   "p AS (SELECT s / n AS mean, "
-   "sqrt(sq / n - (s / n) * (s / n)) AS std FROM m) "
-   "SELECT event_id, (value - mean) / std AS value_z FROM events, p")
-def events_value_zscore(spark, sf_dir):
-    """Z-score standardization (operators/reshape.standardize): moments
-    from exact decimal sums — order-independent, so the mean is the
-    same on every run/engine regardless of shuffle order — then a fixed
-    single-IEEE-op sequence for (x − μ)/σ; bit-identical across
-    engines (sqrt is correctly rounded; pow(x, .5) would not be)."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.standardize(e.df, "value", out_col="value_z")
-            .select("event_id", "value_z"))
-
-
-@q("events_value_deciles",
-   "WITH b AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,"
-   "0.7,0.8,0.9]) AS bs FROM events) "
-   "SELECT bucket, count(*) AS n FROM (SELECT 1 + len(list_filter(b.bs, "
-   "x -> value > x))::INT AS bucket FROM events, b) GROUP BY bucket")
-def events_value_deciles(spark, sf_dir):
-    """Decile occupancy (operators/reshape.quantile_buckets): exact
-    boundaries from ONE percentile aggregate + a narrow
-    count-boundaries-below pass — the scale-safe replacement for a
-    global-sort ntile (whose empty-partition window funnels the whole
-    table through one task).  Equal-value ties share a bucket, so
-    counts need not be exactly n/10 each."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.quantile_buckets(e.df, "value", 10)
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
-
-
-@q("events_top_per_user",
-   "SELECT user_id, event_id, rk::INT AS rk FROM ("
-   "SELECT user_id, event_id, row_number() OVER ("
-   "PARTITION BY user_id ORDER BY value DESC, event_id) AS rk "
-   "FROM events) WHERE rk <= 2")
-def events_top_per_user(spark, sf_dir):
-    """Top-2 events by value per user (operators/reshape.
-    top_k_per_group): rank-limited window — Spark's WindowGroupLimit
-    keeps per-group state at k rows, no group ever fully sorts;
-    event_id tiebreak makes the boundary deterministic."""
-    from pandas_db_spark.operators import reshape as RS
-    e = get_db(spark, sf_dir).events
-    return (RS.top_k_per_group(e.df, ["user_id"], "value", 2,
-                               tiebreak_cols=["event_id"])
-            .select("user_id", "event_id",
-                    F.col("rk").cast("int").alias("rk")))
-
-
-@q("events_cohorts",
-   "WITH a AS (SELECT DISTINCT user_id, "
-   "epoch_us(ts) // 604800000000 AS week FROM events), "
-   "f AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY 1) "
-   "SELECT cohort_week, week - cohort_week AS week_offset, "
-   "count(*) AS n_users FROM a JOIN f ON a.user_id = f.user_id "
-   "GROUP BY 1, 2")
-def events_cohorts(spark, sf_dir):
-    """Weekly cohort retention (operators/funnel.cohort_retention):
-    integer epoch-week arithmetic (exact — modulo-subtracted before the
-    division so no float truncation boundary), two keyed shuffles."""
-    from pandas_db_spark.operators import funnel as FU
-    e = get_db(spark, sf_dir).events
-    return FU.cohort_retention(e.df)
-
-
-@q("terms_by_source",
-   "SELECT source, term, n, rk::INT AS rk FROM ("
-   "SELECT source, term, n, row_number() OVER (PARTITION BY source "
-   "ORDER BY n DESC, term) AS rk FROM ("
-   "SELECT source, t AS term, count(*) AS n FROM ("
-   "SELECT source, unnest(string_split(trim(text), ' ')) AS t "
-   "FROM documents) GROUP BY 1, 2)) WHERE rk <= 3")
-def terms_by_source(spark, sf_dir):
-    """Top-3 terms per source — retrieval term counting composed with
-    the rank-limited top-k operator (WindowGroupLimit, no full sort per
-    group).  The per-subcorpus vocabulary fingerprint used to spot
-    domain drift between corpus slices."""
-    from pandas_db_spark.operators import reshape as RS
-    d = get_db(spark, sf_dir).documents
-    counts = (d.df.select("source",
-                          F.explode_outer(F.split(F.trim("text"),
-                                                  r"\s+")).alias("term"))
-              .where(F.col("term").isNotNull())
-              .groupBy("source", "term")
-              .agg(F.count(F.lit(1)).alias("n")))
-    return (RS.top_k_per_group(counts, ["source"], "n", 3,
-                               tiebreak_cols=["term"])
-            .select("source", "term", "n", F.col("rk").cast("int")
-                    .alias("rk")))
-
-
-@q("profile_documents",
-   "SELECT c AS column, (SELECT count(*) FROM documents) AS n_rows, "
-   "n_nulls, n_distinct FROM ("
-   "SELECT 'doc_id' AS c, count(*) FILTER (doc_id IS NULL) AS n_nulls, "
-   "count(DISTINCT doc_id) AS n_distinct FROM documents "
-   "UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), "
-   "count(DISTINCT lang) FROM documents "
-   "UNION ALL SELECT 'source', count(*) FILTER (source IS NULL), "
-   "count(DISTINCT source) FROM documents)")
-def profile_documents(spark, sf_dir):
-    """One-pass table profile (operators/reshape.profile_table): row,
-    null and exact distinct counts for every column from a SINGLE
-    aggregate job + a stack unpivot — the first query against an
-    unfamiliar table."""
-    from pandas_db_spark.operators import reshape as RS
-    d = get_db(spark, sf_dir).documents
-    return RS.profile_table(d.df, ["doc_id", "lang", "source"])
-
-
-@q("events_sessionize",
-   "SELECT event_id, user_id, session_idx FROM ("
-   "SELECT event_id, user_id, sum(CASE WHEN prev IS NOT NULL AND "
-   "epoch_us(ts) - epoch_us(prev) > 900000000 THEN 1 ELSE 0 END) "
-   "OVER (PARTITION BY user_id ORDER BY ts, event_id "
-   "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM ("
-   "SELECT event_id, user_id, ts, lag(ts) OVER ("
-   "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events))")
-def events_sessionize(spark, sf_dir):
-    """Per-event session labels at a 15-minute gap
-    (operators/funnel.sessionize): lag + running sum over one keyed
-    (user, ts, event_id) window — one shuffle, no self-join;
-    deterministic via the event_id tiebreak.  The per-row sibling of
-    the events_session aggregate."""
-    from pandas_db_spark.operators import funnel as FU
-    e = get_db(spark, sf_dir).events
-    return (FU.sessionize(e.df, gap_minutes=15)
-            .select("event_id", "user_id", "session_idx"))
 
 
 # =====================================================================
