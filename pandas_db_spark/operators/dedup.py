@@ -644,7 +644,8 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
                         threshold: float = 0.8, n: int = 3,
                         num_perm: int = 128, bands: int = 32, rows: int = 4,
                         hash_bits: int = 31,
-                        store_sigs: DataFrame | None = None) -> DataFrame:
+                        store_sigs: DataFrame | None = None,
+                        eager_cleanup: bool = False) -> DataFrame:
     """IDs of ``new_docs`` that are NOT near-duplicates (exact-verified
     Jaccard ≥ threshold) of any document in the existing corpus — the
     rolling-ingest form of :func:`minhash_pairs` (today's crawl vs.
@@ -666,7 +667,16 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
 
     Recall follows the same 1-(1-t^rows)^bands curve as minhash_pairs
     (≈1-5e-8 at the defaults for t=0.8): a kept doc is a true novel doc
-    with overwhelming probability, and every DROP is exact-verified."""
+    with overwhelming probability, and every DROP is exact-verified.
+
+    The new-batch shingle frame is persisted (MEMORY_AND_DISK) because
+    three consumers read it.  With the default ``eager_cleanup=False`` the
+    returned frame is fully lazy and the cache entry stays alive until LRU
+    eviction — long-running loops (one call per micro-batch) should either
+    manage ``spark.catalog.clearCache()`` themselves or pass
+    ``eager_cleanup=True``, which materializes the (tiny) survivor-id
+    frame via an eager ``localCheckpoint`` and unpersists the shingles
+    before returning."""
     new_sh = _shared_shingles(new_docs, text_col, id_col, n, persist=True)
     new_sig = minhash_signatures(new_sh, id_col, num_perm,
                                  hash_bits=hash_bits)
@@ -694,5 +704,9 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
                    .select(F.col("id_a").alias(id_col)).distinct())
     # survivors come from the PERSISTED shingle frame, not a third scan
     # of the new corpus
-    return (new_sh.select(id_col)
-                  .join(dup_new, id_col, "left_anti"))
+    survivors = (new_sh.select(id_col)
+                       .join(dup_new, id_col, "left_anti"))
+    if eager_cleanup:
+        survivors = survivors.localCheckpoint(eager=True)
+        new_sh.unpersist()
+    return survivors

@@ -13,9 +13,14 @@ pay; skewed keys fall under AQE's skew handling like any other keyed
 exchange.
 
 Float discipline: SUM/AVG over a frame depends on accumulation order,
-so both are computed over an exact DECIMAL(18,2) cast (associative —
+so both are computed over an exact DECIMAL cast (associative —
 engine-independent) and divided exactly for the mean; results cast back
 to double only at the end (one correctly-rounded operation).
+
+Input contract (same as ``stats.corr_matrix``): the cast ROUNDS
+``value_col`` at ``scale`` fractional digits (default 2 — currency
+cents) and NULLs values beyond the decimal's integer range
+(~10^(18-scale)); pass a wider ``scale`` for higher-precision inputs.
 
 Determinism: callers MUST pass ``tiebreak_cols`` reaching a total order
 (e.g. the primary key) — with ties in ``order_col`` alone, ROWS frames
@@ -43,16 +48,18 @@ def _keyed_window(key_cols: Sequence[str], order_cols: Sequence[str]
 def rolling_rows(df: DataFrame, key_cols: Sequence[str] | str,
                  order_col: str, value_col: str, n: int,
                  tiebreak_cols: Sequence[str] = (),
-                 out_prefix: str = "roll") -> DataFrame:
+                 out_prefix: str = "roll", scale: int = 2) -> DataFrame:
     """Trailing-``n``-rows sum/mean/count of ``value_col`` per key (the
     current row plus the n-1 before it in ``order_col`` order).  Adds
-    ``{out_prefix}_sum / _avg / _n`` columns; input columns untouched."""
+    ``{out_prefix}_sum / _avg / _n`` columns; input columns untouched.
+    ``value_col`` is rounded at ``scale`` digits by the exact-decimal
+    cast (module docstring)."""
     if n <= 0:
         raise ValueError("rolling_rows: n must be positive")
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = (_keyed_window(keys, [order_col, *tiebreak_cols])
          .rowsBetween(-(n - 1), Window.currentRow))
-    exact = F.col(value_col).cast("decimal(18,2)")
+    exact = F.col(value_col).cast(f"decimal(18,{scale})")
     s = F.sum(exact).over(w)
     cnt = F.count(exact).over(w)
     # avg = exact-sum-as-double / count-as-double: ONE IEEE division of
@@ -66,7 +73,7 @@ def rolling_rows(df: DataFrame, key_cols: Sequence[str] | str,
 
 def rolling_range(df: DataFrame, key_cols: Sequence[str] | str,
                   ts_col: str, value_col: str, window_s: int,
-                  out_prefix: str = "roll") -> DataFrame:
+                  out_prefix: str = "roll", scale: int = 2) -> DataFrame:
     """Trailing TIME-window aggregate: for each row, the sum/count of
     ``value_col`` over this key's rows with ``ts`` in
     ``(row.ts - window_s, row.ts]``.  RANGE frames bound by VALUE, not
@@ -84,7 +91,7 @@ def rolling_range(df: DataFrame, key_cols: Sequence[str] | str,
     tmp = df.withColumn("__sec", sec)
     w = (_keyed_window(keys, ["__sec"])
          .rangeBetween(-(window_s - 1), Window.currentRow))
-    exact = F.col(value_col).cast("decimal(18,2)")
+    exact = F.col(value_col).cast(f"decimal(18,{scale})")
     s = F.sum(exact).over(w)
     cnt = F.count(exact).over(w)
     return (tmp.withColumn(f"{out_prefix}_sum", s.cast("double"))
@@ -95,14 +102,15 @@ def rolling_range(df: DataFrame, key_cols: Sequence[str] | str,
 def cumulative(df: DataFrame, key_cols: Sequence[str] | str,
                order_col: str, value_col: str,
                tiebreak_cols: Sequence[str] = (),
-               out_prefix: str = "cum") -> DataFrame:
+               out_prefix: str = "cum", scale: int = 2) -> DataFrame:
     """Running (unbounded-preceding) sum and row index of ``value_col``
     per key in ``order_col`` order — the running-total / running-count
-    primitive."""
+    primitive.  ``value_col`` is rounded at ``scale`` digits by the
+    exact-decimal cast (module docstring)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = (_keyed_window(keys, [order_col, *tiebreak_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    exact = F.col(value_col).cast("decimal(18,2)")
+    exact = F.col(value_col).cast(f"decimal(18,{scale})")
     return (df.withColumn(f"{out_prefix}_sum",
                           F.sum(exact).over(w).cast("double"))
               .withColumn(f"{out_prefix}_n",

@@ -1,10 +1,12 @@
 """Streaming dedup ingest — the rolling-corpus pipeline, end to end.
 
-Every micro-batch of incoming documents is (1) exact-deduped in-batch,
-(2) deduped against the ACCUMULATED fingerprint store of everything
-ingested before it, then (3) survivors are appended to the corpus sink
-and their digests appended to the store — so the corpus never admits a
-document it has already seen, across batches, restarts and days.  This
+Every micro-batch of incoming documents is (1) deduped IN-BATCH —
+exact keep-min-id in both modes, plus in-batch near-dup pairs at the
+same threshold in ``mode="near"`` — then (2) deduped against the
+ACCUMULATED store of everything ingested before it, then (3) survivors
+are appended to the corpus sink and their state appended to the store —
+so the corpus never admits a document it has already seen, across
+batches, restarts and days.  This
 is the composition the whole dedup module builds toward:
 ``foreachBatch`` + :func:`operators.dedup.dedup_incremental` +
 :func:`operators.dedup.fingerprint_store`.
@@ -17,20 +19,38 @@ its state by TIME and forgets, which is the right tool within a stream
 but not across a corpus's lifetime.
 
 Exactly-once note (honest, not hand-waved): ``foreachBatch`` gives
-at-least-once on restart — a batch replay would re-append its
-survivors.  The replayed batch deduplicates against the store it
-already wrote, so CORPUS duplicates cannot arise from replays of LATER
-batches, but a crash between the corpus append and the store append can
-replay that one batch's rows into the corpus twice.  Production
-hardening is batch-id-keyed idempotent writes (partition the sink by
-``batch_id`` and overwrite-by-partition) — parameterized here via
-``partition_by_batch``; the checkpoint location makes replays rare
-rather than impossible.
+at-least-once on restart — a batch can replay after a crash.  The
+replayed batch deduplicates against the store it already wrote, so
+CORPUS duplicates cannot arise from replays of LATER batches; the
+dangerous case is a crash BETWEEN the corpus append and the store
+append, which replays that batch's rows with an empty store entry.
+``partition_by_batch=True`` (default) closes it: the corpus write is a
+batch-id-partitioned DYNAMIC overwrite, so a replayed batch_id rewrites
+its own partition idempotently instead of appending a second copy
+(crash-replay asserted in ``tests/test_streaming.py``).  The STORE
+append stays at-least-once — duplicate (digest, id) rows after a replay
+are harmless to the anti-join semantics and compactable offline.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
+
+
+def _read_store(spark, path: str, schema: str) -> DataFrame:
+    """Load a persisted dedup-state table, treating ONLY path-not-found as
+    'first batch ever'.  A corrupted store or transient IO/permission error
+    must propagate — silently falling back to an empty store would re-admit
+    every previously-seen document into the corpus."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if (cond and "PATH_NOT_FOUND" in cond) or \
+                "Path does not exist" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
@@ -55,8 +75,11 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     mode also persists the store docs' id+text beside the signatures
     (``store_dir + "/docs"``), read back only for candidates."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
+                                                 exact_dedup_keep,
                                                  fingerprint_store,
+                                                 keep_first,
                                                  minhash_incremental,
+                                                 minhash_pairs,
                                                  minhash_store)
 
     if mode not in ("exact", "near"):
@@ -65,28 +88,40 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if mode == "exact":
-            try:
-                store = spark.read.parquet(store_dir)
-            except Exception:   # first batch ever: empty store
-                store = spark.createDataFrame([], "digest string, id long")
+            store = _read_store(spark, store_dir, "digest string, id long")
+            # dedup_incremental dedupes IN-BATCH (keep-min-id groupBy)
+            # before anti-joining the store.
             kept_ids = dedup_incremental(batch_df, store, text_col, id_col)
         else:
-            try:
-                sigs = spark.read.parquet(store_dir + "/sigs")
-                docs = spark.read.parquet(store_dir + "/docs")
-            except Exception:
-                sigs = spark.createDataFrame([], f"{id_col} long, "
-                                                 "sig array<long>")
-                docs = spark.createDataFrame([], f"{id_col} long, "
-                                                 f"{text_col} string")
+            sigs = _read_store(spark, store_dir + "/sigs",
+                               f"{id_col} long, sig array<long>")
+            docs = _read_store(spark, store_dir + "/docs",
+                               f"{id_col} long, {text_col} string")
+            # In-batch dedup FIRST (minhash_incremental only compares new
+            # docs against the store): exact keep-min-id, then in-batch
+            # near-dup pairs with the same threshold, keep-first policy.
+            # Without this, two near-identical docs arriving in the same
+            # micro-batch would BOTH be admitted.
+            exact_ids = exact_dedup_keep(batch_df, text_col, id_col)
+            batch_kept = batch_df.join(F.broadcast(exact_ids), id_col,
+                                       "left_semi")
+            in_pairs = minhash_pairs(batch_kept, text_col, id_col,
+                                     threshold=threshold, persist=False)
+            batch_kept = keep_first(batch_kept, in_pairs, id_col)
             kept_ids = minhash_incremental(
-                batch_df, docs, text_col, id_col,
-                threshold=threshold, store_sigs=sigs)
+                batch_kept, docs, text_col, id_col,
+                threshold=threshold, store_sigs=sigs,
+                eager_cleanup=True)
         kept = batch_df.join(F.broadcast(kept_ids), id_col, "left_semi")
         if partition_by_batch:
+            # Idempotent replay: dynamic partition overwrite replaces ONLY
+            # the partitions present in this batch's data, so a replayed
+            # batch_id rewrites its own partition instead of appending a
+            # second copy (the crash-between-corpus-and-store-append case).
             kept = kept.withColumn("batch_id", F.lit(batch_id))
-            (kept.write.mode("append").partitionBy("batch_id")
-                 .parquet(corpus_dir))
+            (kept.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("batch_id").parquet(corpus_dir))
         else:
             kept.write.mode("append").parquet(corpus_dir)
         kept = kept.drop("batch_id")

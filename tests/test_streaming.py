@@ -423,3 +423,89 @@ def test_near_dup_ingest_pipeline(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown mode"):
         run_dedup_ingest(stream, "text", "doc_id", "x", "y", "z",
                          mode="fuzzy")
+
+
+def test_near_ingest_dedupes_within_batch(spark, tmp_path):
+    """mode='near' must dedupe INSIDE a micro-batch too: a batch carrying
+    an exact duplicate AND a near-duplicate of the same doc admits only
+    one representative (ADVICE r6 medium)."""
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen")
+    src = tmp_path / "in"
+    rows = [(1, base),
+            (2, base),                     # exact dup, same batch
+            (3, base + " seventeen"),      # near dup, same batch
+            (4, "a wholly different document with disjoint vocabulary "
+                "sharing nothing at all with the base text")]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(f"{src}/b0"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     mode="near", threshold=0.5)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {1, 4}
+
+
+def test_ingest_crash_replay_idempotent(spark, tmp_path):
+    """Crash between corpus append and store append, then replay of the
+    same batch: with partition_by_batch=True the batch-id partition is
+    dynamically overwritten, so the corpus holds no duplicates (VERDICT
+    r6 #7).  Simulated by wiping the store + checkpoint after a full run
+    and re-ingesting the same input."""
+    import shutil
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    src = tmp_path / "in"
+    rows = [(1, "alpha text"), (2, "beta text")]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(f"{src}/b0"))
+
+    def ingest():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(f"{src}/b*"))
+        run_dedup_ingest(stream, "text", "doc_id",
+                         corpus_dir=str(tmp_path / "corpus"),
+                         store_dir=str(tmp_path / "store"),
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         partition_by_batch=True)
+
+    ingest()
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 2
+    # crash before the store append + lost checkpoint → full replay of
+    # batch 0 with an empty store (worst case)
+    shutil.rmtree(tmp_path / "store")
+    shutil.rmtree(tmp_path / "ckpt")
+    ingest()
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert corpus.count() == 2
+    assert corpus.select("doc_id").distinct().count() == 2
+
+
+def test_ingest_store_read_error_propagates(spark, tmp_path):
+    """A corrupted store must fail the ingest loudly, not silently reset
+    dedup state (ADVICE r6 low): a store dir containing a non-parquet
+    file raises instead of being treated as 'first batch ever'."""
+    import pytest
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    src = tmp_path / "in"
+    (spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+     .coalesce(1).write.parquet(f"{src}/b0"))
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "garbage.parquet").write_bytes(b"not parquet at all")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(f"{src}/b*"))
+    with pytest.raises(Exception) as ei:
+        run_dedup_ingest(stream, "text", "doc_id",
+                         corpus_dir=str(tmp_path / "corpus"),
+                         store_dir=str(store),
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    assert "PATH_NOT_FOUND" not in str(ei.value)
