@@ -69,18 +69,25 @@ def winsorize(df: DataFrame, value_col: str, p_lo: float = 0.01,
 
     The two boundaries come from ONE exact ``percentile`` aggregate
     (sort-based, linear interpolation — bit-identical to DuckDB's
-    ``quantile_cont``, see groupby_quantiles) collected as two scalars
-    and folded back as literals; the clip itself is a narrow JVM
-    ``least/greatest`` pass.  In-range values pass through untouched, so
+    ``quantile_cont``, see groupby_quantiles) joined back as a broadcast
+    one-row frame (scalar-subquery shape) — construction is fully LAZY,
+    zero Spark jobs until the returned frame executes, and a discarded
+    plan costs nothing.  The clip itself is a narrow JVM
+    ``least/greatest`` pass; in-range values pass through untouched, so
     the output hashes exactly."""
     if not 0.0 <= p_lo < p_hi <= 1.0:
         raise ValueError("winsorize: need 0 <= p_lo < p_hi <= 1")
-    lo, hi = df.agg(
-        F.percentile(value_col, F.array(F.lit(p_lo), F.lit(p_hi)))
-    ).collect()[0][0]
+    bounds = (df.agg(F.percentile(value_col,
+                                  F.array(F.lit(p_lo), F.lit(p_hi)))
+                     .alias("__wb"))
+                .select(F.col("__wb")[0].alias("__w_lo"),
+                        F.col("__wb")[1].alias("__w_hi")))
     out = out_col or value_col
-    clipped = F.least(F.greatest(F.col(value_col), F.lit(lo)), F.lit(hi))
-    return df.withColumn(out, clipped)
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__w_lo")),
+                      F.col("__w_hi"))
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn(out, clipped)
+              .drop("__w_lo", "__w_hi"))
 
 
 def profile_table(df: DataFrame, columns: Sequence[str] | None = None,
@@ -122,27 +129,44 @@ def standardize(df: DataFrame, value_col: str,
     ``(x − μ)/σ`` is a fixed single-IEEE-op sequence over those exact
     inputs, hence bit-stable across runs AND engines.
 
-    Population variance (÷n); constant columns (σ = 0) yield null z."""
+    Population variance (÷n); constant columns (σ = 0) yield null z.
+
+    Construction is fully LAZY (scalar-subquery shape: the one-row
+    moment aggregate broadcast-crossJoins the data) — zero Spark jobs
+    until the returned frame executes.  ``value_col`` with rows but no
+    non-null values raises at EXECUTION time (``raise_error``), since
+    laziness means there is nothing to check at call time; a literally
+    empty input short-circuits to empty output (PropagateEmptyRelation
+    elides the whole plan, error branch included)."""
     out = out_col or f"{value_col}_z"
     v = F.col(value_col)
-    row = df.agg(
-        F.count(v).alias("n"),
-        F.sum(v.cast("decimal(18,2)")).alias("s"),
+    moments = df.agg(
+        F.count(v).alias("__z_n"),
+        F.sum(v.cast("decimal(18,2)")).alias("__z_s"),
         F.sum((v.cast("decimal(18,2)") * v.cast("decimal(18,2)"))
-              .cast("decimal(38,4)")).alias("sq")).collect()[0]
-    n = int(row["n"])
-    if n == 0:
-        raise ValueError(f"standardize: no non-null values in "
-                         f"{value_col!r}")
-    mean = float(row["s"]) / n
-    var = float(row["sq"]) / n - mean * mean
-    import math
-    # math.sqrt, not **0.5: sqrt is IEEE correctly-rounded (matches the
-    # SQL engines' sqrt); pow(x, 0.5) is not guaranteed to be.
-    std = math.sqrt(var) if var > 0 else 0.0
-    z = (F.lit(None).cast("double") if std == 0.0
-         else (v - F.lit(mean)) / F.lit(std))
-    return df.withColumn(out, z)
+              .cast("decimal(38,4)")).alias("__z_sq"))
+    # The op sequence mirrors the former driver-side math exactly:
+    # double(s)/double(n), double(sq)/n − mean², sqrt (IEEE correctly
+    # rounded — matching math.sqrt / the SQL engines' sqrt; pow(x, .5)
+    # would not be), so results are bit-identical to the eager version.
+    nn = F.col("__z_n").cast("double")
+    mean = F.when(
+        F.col("__z_n") == 0,
+        F.raise_error(F.lit(
+            f"standardize: no non-null values in {value_col!r}"))
+    ).otherwise(F.col("__z_s").cast("double") / nn)
+    params = moments.select(
+        mean.alias("__z_mean"),
+        (F.col("__z_sq").cast("double") / nn).alias("__z_sqn"))
+    var = F.col("__z_sqn") - F.col("__z_mean") * F.col("__z_mean")
+    std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0))
+    params = (params.withColumn("__z_std", std)
+                    .select("__z_mean", "__z_std"))
+    z = F.when(F.col("__z_std") != 0.0,
+               (v - F.col("__z_mean")) / F.col("__z_std"))
+    return (df.crossJoin(F.broadcast(params))
+              .withColumn(out, z)
+              .drop("__z_mean", "__z_std"))
 
 
 def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
@@ -158,17 +182,22 @@ def quantile_buckets(df: DataFrame, value_col: str, n_buckets: int = 10,
     one task.  Semantics differ from ntile only in tie handling: equal
     values always land in the same bucket here (ntile splits ties to
     even out counts), which is usually what quality-tiered sampling
-    wants anyway."""
+    wants anyway.
+
+    Construction is fully LAZY — the boundary aggregate rides the plan
+    as a broadcast one-row frame (scalar-subquery shape), zero Spark
+    jobs until execution."""
     if n_buckets < 2:
         raise ValueError("quantile_buckets: n_buckets must be >= 2")
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(
         F.percentile(value_col, F.array(*[F.lit(p) for p in probs]))
-    ).collect()[0][0]
-    bucket = F.lit(1)
-    for b in bounds:
-        bucket = bucket + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
-    return df.withColumn(out_col, bucket.cast("int"))
+         .alias("__qb_bounds"))
+    below = F.size(F.filter("__qb_bounds",
+                            lambda b: F.col(value_col) > b))
+    return (df.crossJoin(F.broadcast(bounds))
+              .withColumn(out_col, (F.lit(1) + below).cast("int"))
+              .drop("__qb_bounds"))
 
 
 def fixed_width_hist(df: DataFrame, value_col: str,

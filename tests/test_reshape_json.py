@@ -198,9 +198,39 @@ def test_standardize_moments_and_nulls(spark, db):
     assert RS.standardize(const, "value").where(
         F.col("value_z").isNotNull()).count() == 0
     import pytest as _pt
+    # laziness moved the no-data check to execution time (raise_error in
+    # the broadcast moment frame): constructing is free, acting raises.
+    # (A literally EMPTY input short-circuits to empty output via
+    # PropagateEmptyRelation, and a LITERAL null column null-propagates
+    # the whole expression away — no rows touched, no error — so the
+    # error case is rows whose value column is runtime-null.)
+    allnull = db.events.df.withColumn(
+        "value", F.when(F.col("value").isNull(), F.col("value")))
+    lazy = RS.standardize(allnull, "value")
+    with _pt.raises(Exception, match="no non-null"):
+        lazy.collect()
     empty = db.events.df.where(F.lit(False))
-    with _pt.raises(ValueError, match="no non-null"):
-        RS.standardize(empty, "value")
+    assert RS.standardize(empty, "value").count() == 0
+
+
+def test_lazy_boundary_construction_runs_zero_jobs(spark, db):
+    """r6 verdict #2: winsorize / standardize / quantile_buckets must not
+    run any Spark job at plan-construction time — boundaries/moments ride
+    the plan as broadcast one-row frames (scalar-subquery shape)."""
+    def n_jobs():
+        return spark._jsparkSession.sparkContext().statusStore() \
+            .jobsList(None).size()
+
+    e = db.events.df
+    before = n_jobs()
+    w = RS.winsorize(e, "value", 0.05, 0.95, out_col="w")
+    z = RS.standardize(e, "value")
+    q = RS.quantile_buckets(e, "value", 10)
+    assert n_jobs() == before, "construction ran a Spark job"
+    # the plans still execute correctly afterwards
+    assert w.limit(1).count() == 1
+    assert z.limit(1).count() == 1
+    assert q.limit(1).count() == 1
 
 
 def test_heavy_hitters_exact_and_plan(db):
