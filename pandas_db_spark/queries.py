@@ -379,6 +379,59 @@ def events_sessionize(spark, sf_dir):
             .select("event_id", "user_id", "session_idx"))
 
 
+@q("filter_raw_expr",
+   "SELECT o_orderkey, o_totalprice FROM orders "
+   "WHERE (o_totalprice BETWEEN 1000 AND 50000) "
+   "AND o_orderstatus = 'F'")
+def filter_raw_expr(spark, sf_dir):
+    """Raw-SQL-fragment Expression (reference pandasdb/table.py:256-259,
+    expression.py:10-21 — r7 addition): a manual ``str`` fragment parses
+    once via ``F.expr`` into the same native predicate tree as
+    operator-built filters, composed here with one under the same-table
+    guard.  Catalyst pushes the combined predicate to the parquet scan
+    exactly as if it were built from Column operators."""
+    from pandas_db_spark.expression import Expression
+    o = get_db(spark, sf_dir).orders
+    raw = Expression("o_totalprice BETWEEN 1000 AND 50000", "orders")
+    return (o.filter(raw & (o.o_orderstatus == "F"))
+            .df.select("o_orderkey", "o_totalprice"))
+
+
+@q("bm25_topk_indexed",
+   "WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "st AS (SELECT count(*) n, avg(len(ws)) avgdl FROM d), "
+   "p AS (SELECT doc_id, len(ws) dl, unnest(ws) term FROM d), "
+   "tf AS (SELECT doc_id, term, any_value(dl) dl, count(*) tf FROM p "
+   "WHERE term IN ('merge', 'vector', 'stream') GROUP BY doc_id, term), "
+   "dfq AS (SELECT term, count(*) df FROM tf GROUP BY term), "
+   "sc AS (SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) "
+   "/ (dfq.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 "
+   "+ 0.75 * tf.dl / st.avgdl))) AS score "
+   "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st "
+   "GROUP BY tf.doc_id) "
+   "SELECT rank::INT AS rank, doc_id FROM (SELECT row_number() OVER ("
+   "ORDER BY score DESC, doc_id) AS rank, doc_id FROM sc) WHERE rank <= 10")
+def bm25_topk_indexed_q(spark, sf_dir):
+    """Index-served BM25 top-10 (operators/retrieval.bm25_topk_indexed —
+    r7 registration per VERDICT r6 #8): builds the persisted bucketed+
+    sorted inverted index ONCE per session (catalog-guarded), then
+    serves the probe from bucket-pruned postings — no document scan in
+    the probe plan (SelectedBucketsCount asserted in
+    tests/test_retrieval.py).  Answer identical to the on-the-fly
+    bm25_topk, hence the same oracle; per-term df is computed globally
+    in the index vs post-filter on the fly — same value either way."""
+    import hashlib
+    from pandas_db_spark.operators import retrieval as R
+    prefix = "bm25q_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if not spark.catalog.tableExists(f"{prefix}_meta"):
+        d = get_db(spark, sf_dir).documents
+        R.build_inverted_index(d.df, "text", "doc_id", prefix,
+                               n_buckets=8)
+    return (R.bm25_topk_indexed(spark, prefix, "merge vector stream",
+                                k=10).select("rank", "doc_id"))
+
+
 @q("corr_by_returnflag",
    "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
    "SUM(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_q, "

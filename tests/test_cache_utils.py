@@ -65,9 +65,41 @@ def test_normalize_col():
     assert normalize_col("A-B") == "a_b"
 
 
-def test_expression_requires_spark_column():
+def test_expression_requires_column_or_str():
+    # reference tests/test_expression.py:8-13: non-str payloads raise
+    # TypeError at construction
     with pytest.raises(TypeError):
-        Expression("not a column", "t")
+        Expression(["a", "b", "c"], "region")
+    with pytest.raises(TypeError):
+        Expression(12345, "region")
+
+
+def test_expression_raw_sql_fragment(db):
+    """Reference pandasdb/table.py:256-259: a manual SQL fragment is a
+    first-class Expression payload, composable with operator-built
+    predicates under the same-table guard
+    (reference tests/test_expression.py:14-29)."""
+    from pandas_db_spark.exceptions import ExpressionError
+
+    o = db.orders
+    raw = Expression("o_totalprice BETWEEN 1000 AND 50000", "orders")
+    got = o.filter(raw).shape[0]
+    want = o.filter((o.o_totalprice >= 1000)
+                    & (o.o_totalprice <= 50000)).shape[0]
+    assert got == want > 0
+    # composes with operator-built predicates on the same table...
+    both = o.filter(raw & (o.o_orderstatus == "F")).shape[0]
+    assert 0 < both <= got
+    # ...but keeps the cross-table and non-Expression guards
+    with pytest.raises(ExpressionError,
+                       match="different tables"):
+        raw & (db.customer.c_acctbal > 0)
+    with pytest.raises(ExpressionError,
+                       match="must be an instance of Expression"):
+        raw & "o_orderkey IN (1, 2, 3)"
+    # bad fragments surface Spark's analysis error at filter time
+    with pytest.raises(Exception):
+        o.filter(Expression("no_such_col > 1", "orders")).shape
 
 
 def test_expression_cross_table_guard(db):
