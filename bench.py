@@ -76,6 +76,8 @@ HEADLINE = [
     "events_rolling_avg", # trailing-5 keyed window, decimal frame sums (r6 op)
     "corr_lineitem",      # exact-moment correlation, one scan (r6 op)
     "events_resample_1h",  # grid explode + as-of ffill, no join node (r6 op)
+    "dedup_minhash_incremental",  # banded probe vs signature store (r7 add per VERDICT r6 #6)
+    "events_attribution",  # stream-stream interval join, availableNow (r7 add)
 ]
 
 

@@ -741,6 +741,11 @@ def events_resample_1h(spark, sf_dir):
             .where(F.col("rn") == 1)
             .select("user_id",
                     F.timestamp_seconds("sec").alias("ts"), "value"))
+    # resample_ffill scans obs twice (bounds agg + fill side — its
+    # documented cost note): persist the deduped projection so the
+    # window-dedup shuffle runs once, not twice (r6 verdict #3).
+    from pyspark import StorageLevel
+    o2 = o2.persist(StorageLevel.MEMORY_AND_DISK)
     r = T.resample_ffill(o2, ["user_id"], "ts", step_s=3600)
     return r.select("user_id", "grid_sec",
                     F.unix_timestamp("ts_r").alias("obs_sec"),

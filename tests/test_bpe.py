@@ -84,3 +84,67 @@ def test_bpe_loop_stays_jvm_side(spark):
     plan2 = (bpe._merge_pair(seg, "e", "s")
              ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def ref_apply_merges(texts: list[str],
+                     merges: list[tuple[str, str]]) -> dict:
+    """Apply a fixed merge list sequentially (reference rewrite only)."""
+    words = set()
+    for t in texts:
+        words.update(t.split())
+    segs = {w: tuple(list(w) + ["</w>"]) for w in words}
+    for a, b in merges:
+        for w in segs:
+            out = []
+            for sym in segs[w]:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            segs[w] = tuple(out)
+    return segs
+
+
+def test_bpe_batched_equals_sequential_when_disjoint(spark):
+    """merges_per_round > 1: when the top pairs are symbol-disjoint and
+    strictly count-ordered above anything a fused symbol could create,
+    the batched train returns exactly the sequential merge list
+    (VERDICT r6 #5 property).  Corpus: four words over disjoint
+    alphabets with strictly decreasing frequencies — the dominant pair
+    of each alphabet outranks every pair a merge can create (a fused
+    pair's count is bounded by its word's frequency, 3× lower)."""
+    corpus = " ".join(["aaaa"] * 100 + ["bbbb"] * 90 +
+                      ["cccc"] * 80 + ["dddd"] * 70)
+    docs = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    seq = bpe.bpe_train(docs, "text", 4, merges_per_round=1)
+    bat = bpe.bpe_train(docs, "text", 4, merges_per_round=4)
+    assert seq == bat == [("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")]
+    texts = [corpus]
+    assert ref_apply_merges(texts, seq) == ref_apply_merges(texts, bat)
+
+
+@pytest.mark.parametrize("m", [2, 8])
+def test_bpe_batched_still_valid_merge_list(spark, m):
+    """Batched training on a real-shaped corpus: every returned merge
+    must be applicable (the pair actually occurs when applied in order)
+    and the segmentation stays lossless."""
+    docs = spark.createDataFrame(
+        [(1, SENNRICH), (2, "low lower banana banana band band band")],
+        "doc_id long, text string")
+    merges = bpe.bpe_train(docs, "text", 10, merges_per_round=m)
+    assert merges
+    seg = bpe.bpe_segment(docs, "text", merges, "doc_id")
+    joined = {r["doc_id"]: "".join(r["tokens"]).replace("</w>", " ").strip()
+              for r in seg.collect()}
+    for r in docs.collect():
+        assert joined[r["doc_id"]] == " ".join(r["text"].split())
+
+
+def test_select_disjoint_greedy():
+    rows = [{"a": "a", "b": "b"},   # taken
+            {"a": "b", "b": "c"},   # skipped: shares b
+            {"a": "c", "b": "ab"},  # skipped: collides with fused 'ab'
+            {"a": "x", "b": "y"},   # taken
+            {"a": "p", "b": "q"}]   # taken (m=3)
+    assert bpe._select_disjoint(rows, 3) == [("a", "b"), ("x", "y"),
+                                             ("p", "q")]
