@@ -193,3 +193,47 @@ def keep_components(df: DataFrame, pairs: DataFrame, id_col: str,
     drop = (cc.where(F.col("id") != F.col("component"))
             .select(F.col("id").alias(id_col)))
     return df.join(drop, id_col, "left_anti")
+
+
+def keep_components_by(df: DataFrame, pairs: DataFrame, id_col: str,
+                       score_col, ascending: bool = False,
+                       id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Transitive dedup policy with a QUALITY rule: keep the best-scoring
+    row per connected component (ties: minimum id), plus every row in no
+    pair — the curation-grade sibling of :func:`keep_components`, which
+    keeps the arbitrary minimum id.  In an LLM pipeline the survivor of
+    a near-dup cluster should be the longest / cleanest / highest-
+    quality variant, not whichever crawled first.
+
+    ``score_col`` is a column name or Column expression evaluated
+    against ``df`` (e.g. ``F.length("text")``); ``ascending=False``
+    (default) keeps the highest score.
+
+    Scale shape: CC runs on the (tiny) edge set; scores are computed
+    ONLY for component members (left-semi before the score projection —
+    at 100 TB the corpus is probed, not scored); one per-component
+    max_by aggregate over the member table; survivors = corpus
+    anti-join of (members − winners).  The corpus itself never
+    shuffles."""
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    member_ids = cc.select(F.col("id").alias(id_col))
+    scored = (df.join(member_ids, id_col, "left_semi")
+                .select(F.col(id_col), score.alias("__score")))
+    members = cc.join(scored, cc["id"] == scored[id_col]).select(
+        "component", "id", "__score")
+    # winner per component: best score, then min id — one keyed
+    # aggregate (max/min of an ordered struct), no window sort
+    if ascending:
+        agg = F.min(F.struct(F.col("__score"), F.col("id").alias("__id")))
+        keep_id = F.col("__w.__id")
+    else:
+        agg = F.max(F.struct(F.col("__score"),
+                             (-F.col("id")).alias("__neg_id")))
+        keep_id = -F.col("__w.__neg_id")
+    best = (members.groupBy("component").agg(agg.alias("__w"))
+            .select(keep_id.alias("__keep_id")))
+    drop = (members.join(best, members["id"] == best["__keep_id"],
+                         "left_anti")
+            .select(F.col("id").alias(id_col)))
+    return df.join(drop, id_col, "left_anti")

@@ -226,3 +226,37 @@ def balance_classes(df: DataFrame, label_col: str, key_col: str,
             keep = F.when(
                 cond, hexp < F.lit(fraction_threshold(frac))).otherwise(keep)
     return df.filter(keep)
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, seed: str = "0",
+                  pos_col: str = "pos",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle — the training-epoch row-order
+    primitive: every row gains a 1-based global position ``pos_col``
+    given by the lexicographic order of ``md5(key || ':' || seed)``
+    (ties broken by the key).  Same seed → the same permutation on any
+    run, partitioning, or engine; a new seed is a fresh independent
+    permutation — exactly the reproducible per-epoch reshuffle a
+    training pipeline needs (``rand()`` orderings change under retries
+    and AQE re-plans).
+
+    Scale shape: ONE range shuffle on the hash (Spark samples range
+    bounds — near-uniform by construction since md5 is uniform), an
+    in-partition sort, then the shuffle-free broadcast-offset ordinal
+    (``plans/ordinal.py``) — no global single-task sort, no window over
+    an empty partitionBy.  Writers consuming the result should write
+    ``sortWithinPartitions(pos)``-preserving formats to keep the order
+    on disk."""
+    from pandas_db_spark.plans import ordinal as O
+
+    key = F.col(key_col)
+    hexp = F.md5(F.concat(key.cast("string"), F.lit(":" + seed)))
+    tagged = df.withColumn("__shuf", hexp)
+    n_parts = (num_partitions
+               or df.sparkSession.sparkContext.defaultParallelism)
+    arranged = (tagged.repartitionByRange(n_parts, F.col("__shuf"), key)
+                      .sortWithinPartitions(F.col("__shuf"), key))
+    numbered, _n = O.with_ordinal_and_count(arranged)
+    return (numbered
+            .withColumn(pos_col, (F.col(O.ORDINAL_COL) + 1).cast("long"))
+            .drop(O.ORDINAL_COL, "__shuf"))
