@@ -276,3 +276,45 @@ def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (top.select(F.row_number().over(w).alias("rank"),
                        "doc_id", "score"))
+
+
+def build_vocab(docs: DataFrame, text_col: str, id_col: str,
+                min_df: int = 1, max_df_frac: float = 1.0,
+                max_size: int | None = None) -> DataFrame:
+    """Document-frequency-pruned vocabulary: ``(term, df, cf, term_id)``
+    with contiguous ids assigned by descending collection frequency
+    (ties: term ascending) — the feature-hashing-free vocabulary builder
+    (CountVectorizer-style pruning): ``min_df`` drops hapax/noise terms,
+    ``max_df_frac`` drops stopword-like terms present in more than that
+    fraction of documents, ``max_size`` caps the vocabulary at the most
+    frequent survivors.
+
+    Scale shape: one :func:`term_stats` pass (explode + keyed agg with
+    map-side partials), the df-bound filters are narrow, and the id
+    assignment sorts only the SURVIVING vocabulary (≈10⁵-10⁷ rows after
+    pruning — Zipf guarantees the blowup is in the pruned tail), via a
+    range-partitioned sort + the broadcast-offset ordinal, never a
+    single-task window."""
+    if min_df < 1:
+        raise ValueError("build_vocab: min_df must be >= 1")
+    if not 0.0 < max_df_frac <= 1.0:
+        raise ValueError("build_vocab: max_df_frac must be in (0, 1]")
+    from pandas_db_spark.plans import ordinal as O
+
+    n_docs = docs.select(F.countDistinct(F.col(id_col))).collect()[0][0]
+    stats = term_stats(docs, text_col, id_col).where(F.col("df") >= min_df)
+    if max_df_frac < 1.0:
+        stats = stats.where(
+            F.col("df") <= F.lit(int(max_df_frac * n_docs)))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    arranged = (stats.repartitionByRange(n_parts, F.desc("cf"),
+                                         F.asc("term"))
+                     .sortWithinPartitions(F.desc("cf"), F.asc("term")))
+    numbered, _n = O.with_ordinal_and_count(arranged)
+    out = numbered.withColumn(
+        "term_id", F.col(O.ORDINAL_COL).cast("long")).drop(O.ORDINAL_COL)
+    if max_size is not None:
+        if max_size < 1:
+            raise ValueError("build_vocab: max_size must be >= 1")
+        out = out.where(F.col("term_id") < max_size)
+    return out.select("term", "df", "cf", "term_id")

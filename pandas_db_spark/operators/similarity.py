@@ -333,3 +333,43 @@ def ivf_topk_indexed(spark, path: str, query_ids: Iterable[int],
                   .filter(F.col("rank") <= k)
                   .select("query_id", F.col("rank").cast("int").alias("rank"),
                           "neighbor_id"))
+
+
+def embedding_centroids(emb: DataFrame, group_col: str,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        scale: float = 1e7) -> DataFrame:
+    """Exact per-group embedding centroid: ``(group, dim, mean)`` in long
+    format — class prototypes / per-source semantic drift monitoring /
+    the seed step of prototype-based pruning.
+
+    Exactness discipline: each component is quantized ONCE to an integer
+    (``round(val · scale)`` — one IEEE multiply + a round that both
+    Spark and DuckDB perform identically away-from-zero), the integers
+    are summed EXACTLY (associative — partition-order invariant), and
+    the mean is a fixed two-division IEEE sequence — bit-identical
+    across runs, partitionings, and engines.  ``scale=1e7`` matches
+    float32's own ~1e-7 resolution, so quantization loses nothing a
+    float input ever had.  (A DECIMAL cast of arbitrary doubles is NOT
+    engine-portable — Java's shortest-string double→BigDecimal path and
+    DuckDB's exact-binary path round last-ulp cases differently; the
+    integer quantization sidesteps that entirely.  Overflow margin:
+    |q| ≤ scale per component ⇒ a 10¹¹-row group sums to ~10¹⁸, inside
+    long range.)
+
+    Scale shape: ``posexplode`` is a narrow row multiplier (rows ×
+    dim), then ONE keyed shuffle on (group, dim) with map-side partial
+    sums — at 100 TB the exchange carries (group × dim) partial rows
+    per task, not the vectors."""
+    q = F.round(F.col("val").cast("double") * F.lit(float(scale))
+                ).cast("long")
+    return (emb.select(F.col(group_col).alias("grp"),
+                       F.posexplode(F.col(vec_col)).alias("dim", "val"))
+               .groupBy("grp", "dim")
+               .agg(F.sum(q).alias("__s"),
+                    F.count(F.lit(1)).alias("__n"))
+               .select(F.col("grp").alias(group_col),
+                       F.col("dim").cast("long").alias("dim"),
+                       ((F.col("__s").cast("double")
+                         / F.col("__n").cast("double"))
+                        / F.lit(float(scale))).alias("mean")))

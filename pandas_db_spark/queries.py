@@ -432,6 +432,86 @@ def bm25_topk_indexed_q(spark, sf_dir):
                                 k=10).select("rank", "doc_id"))
 
 
+@q("dedup_keep_best",
+   _CC_CLOSURE +
+   ", mem AS (SELECT cc.component, cc.id, len(d.text) AS l "
+   "FROM cc JOIN documents d ON cc.id = d.doc_id) "
+   ", rk AS (SELECT id, row_number() OVER (PARTITION BY component "
+   "ORDER BY l DESC, id) AS rn FROM mem) "
+   "SELECT doc_id FROM documents "
+   "WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)")
+def dedup_keep_best(spark, sf_dir):
+    """Quality-ruled transitive dedup (operators/graph.keep_components_by
+    — r7): per near-dup cluster keep the LONGEST document (tie: min id)
+    instead of the arbitrary minimum id — the curation-grade survivor
+    policy.  Scores are computed only for cluster members (left-semi
+    probe), the winner is one keyed max-of-struct aggregate, and the
+    corpus itself never shuffles."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import graph as G
+    d = get_db(spark, sf_dir).documents
+    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    return G.keep_components_by(d.df, pairs, "doc_id",
+                                F.length("text")).select("doc_id")
+
+
+@q("epoch_shuffle",
+   "SELECT doc_id, pos FROM (SELECT doc_id, row_number() OVER ("
+   "ORDER BY md5(doc_id::VARCHAR || ':7'), doc_id)::BIGINT AS pos "
+   "FROM documents)")
+def epoch_shuffle_q(spark, sf_dir):
+    """Deterministic global shuffle (operators/sampling.epoch_shuffle —
+    r7): every doc gets its 1-based training-epoch position from the
+    md5(key:seed) order — reproducible across runs/partitionings/
+    engines, unlike rand() orderings.  Plan: one RANGE shuffle on the
+    hash + in-partition sort + the broadcast-offset ordinal (no global
+    single-task sort)."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.epoch_shuffle(d.df, "doc_id", seed="7")
+            .select("doc_id", "pos"))
+
+
+@q("vocab_top",
+   "WITH p AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) t "
+   "FROM documents), "
+   "st AS (SELECT t AS term, count(DISTINCT doc_id) AS df, "
+   "count(*) AS cf FROM p GROUP BY 1), "
+   "n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents), "
+   "f AS (SELECT term, df, cf FROM st, n WHERE df >= 2 "
+   "AND df <= CAST(floor(nd * 0.9) AS BIGINT)) "
+   "SELECT term, df, cf, term_id FROM (SELECT term, df, cf, "
+   "(row_number() OVER (ORDER BY cf DESC, term) - 1)::BIGINT AS term_id "
+   "FROM f) WHERE term_id < 50")
+def vocab_top(spark, sf_dir):
+    """Document-frequency-pruned vocabulary (operators/retrieval.
+    build_vocab — r7): min_df=2 drops hapax noise, max_df_frac=0.9
+    drops stopword-like terms, top-50 by collection frequency with
+    contiguous ids from the range-sort + broadcast-offset ordinal (no
+    single-task window over the whole vocabulary)."""
+    from pandas_db_spark.operators import retrieval as R
+    d = get_db(spark, sf_dir).documents
+    return R.build_vocab(d.df, "text", "doc_id", min_df=2,
+                         max_df_frac=0.9, max_size=50)
+
+
+@q("embedding_centroids",
+   "WITH e AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS "
+   "dim, unnest(embedding) AS val FROM embeddings) "
+   "SELECT label, dim::BIGINT AS dim, (CAST(sum(CAST(round("
+   "CAST(val AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE) "
+   "/ count(*)) / 10000000.0 AS mean FROM e GROUP BY 1, 2")
+def embedding_centroids_q(spark, sf_dir):
+    """Exact per-label embedding centroids (operators/similarity.
+    embedding_centroids — r7): components quantized once at float32's
+    own 1e-7 resolution, summed as exact longs (order-invariant), then a
+    fixed two-division IEEE sequence — bit-identical means on any
+    engine.  Class prototypes / drift monitoring primitive."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    return S.embedding_centroids(e.df, "label")
+
+
 @q("corr_by_returnflag",
    "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
    "SUM(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_q, "

@@ -111,3 +111,35 @@ def test_matches_recursive_closure_on_real_pairs(spark, db, duck):
 def test_driver_and_distributed_paths_agree(spark):
     edges = [(i, i + 1) for i in range(0, 60, 2)] + [(5, 90), (91, 3)]
     assert _cc(spark, edges) == _cc(spark, edges, driver_threshold=0)
+
+
+def test_keep_components_by_quality_rule(spark):
+    """r7: keep the best-scoring member per component (tie: min id);
+    singletons always survive; ascending flips the rule."""
+    from pyspark.sql import functions as F
+    from pandas_db_spark.operators.graph import keep_components_by
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaa"),     # cluster {1,2,3}
+         (4, "bb"), (5, "bb"),                   # cluster {4,5} tie
+         (9, "zzzzz")],                          # singleton
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+
+    kept = {r["doc_id"] for r in
+            keep_components_by(docs, pairs, "doc_id",
+                               F.length("text")).collect()}
+    assert kept == {2, 4, 9}   # longest of {1,2,3}; tie {4,5} -> min id
+
+    kept_asc = {r["doc_id"] for r in
+                keep_components_by(docs, pairs, "doc_id",
+                                   F.length("text"),
+                                   ascending=True).collect()}
+    assert kept_asc == {1, 4, 9}  # shortest of {1,2,3} is id 1
+
+    # string column name works too
+    kept_s = {r["doc_id"] for r in
+              keep_components_by(docs, pairs, "doc_id",
+                                 "doc_id").collect()}
+    assert kept_s == {3, 5, 9}   # max doc_id per cluster

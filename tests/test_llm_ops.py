@@ -705,3 +705,77 @@ def test_minhash_incremental_store_probe(spark):
         batch, store_docs, "text", "doc_id", threshold=0.5,
         store_sigs=sigs).collect()}
     assert kept2 == kept
+
+
+def test_epoch_shuffle_deterministic_permutation(spark, docs):
+    """r7: epoch_shuffle assigns a 1..n permutation, identical across
+    calls and partitionings for the same seed, different for another
+    seed, and equal to the manual md5 sort."""
+    from pandas_db_spark.operators.sampling import epoch_shuffle
+    import hashlib
+
+    n = docs.count()
+    out = epoch_shuffle(docs, "doc_id", seed="s1")
+    rows = {r["doc_id"]: r["pos"] for r in out.collect()}
+    assert sorted(rows.values()) == list(range(1, n + 1))
+    # deterministic across a different input partitioning
+    out2 = epoch_shuffle(docs.repartition(7), "doc_id", seed="s1")
+    assert {r["doc_id"]: r["pos"] for r in out2.collect()} == rows
+    # new seed => a different permutation
+    out3 = epoch_shuffle(docs, "doc_id", seed="s2")
+    assert {r["doc_id"]: r["pos"] for r in out3.collect()} != rows
+    # equals the manual md5 order
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    manual = sorted(ids, key=lambda i: (
+        hashlib.md5(f"{i}:s1".encode()).hexdigest(), i))
+    assert [i for i, _ in sorted(rows.items(), key=lambda kv: kv[1])] \
+        == manual
+
+
+def test_build_vocab_bounds_and_ids(spark, docs):
+    """r7: df bounds respected, term_ids contiguous from 0 in
+    (cf desc, term) order, max_size caps, validation raises."""
+    import pytest
+    from pandas_db_spark.operators.retrieval import build_vocab, term_stats
+
+    n_docs = docs.count()
+    vocab = build_vocab(docs, "text", "doc_id", min_df=2,
+                        max_df_frac=0.9, max_size=10).collect()
+    assert 0 < len(vocab) <= 10
+    assert all(2 <= r["df"] <= int(0.9 * n_docs) for r in vocab)
+    order = sorted(vocab, key=lambda r: (-r["cf"], r["term"]))
+    assert [r["term_id"] for r in order] == list(range(len(vocab)))
+    # ids agree with a full recount
+    st = {r["term"]: (r["df"], r["cf"])
+          for r in term_stats(docs, "text", "doc_id").collect()}
+    for r in vocab:
+        assert st[r["term"]] == (r["df"], r["cf"])
+    with pytest.raises(ValueError, match="min_df"):
+        build_vocab(docs, "text", "doc_id", min_df=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        build_vocab(docs, "text", "doc_id", max_df_frac=1.5)
+    with pytest.raises(ValueError, match="max_size"):
+        build_vocab(docs, "text", "doc_id", max_size=0)
+
+
+def test_embedding_centroids_exact_and_partition_invariant(spark, db):
+    """r7: centroids equal the numpy mean of 1e-7-quantized components,
+    and are BIT-identical under a different partitioning (exact long
+    sums are order-invariant)."""
+    import numpy as np
+    from pandas_db_spark.operators.similarity import embedding_centroids
+
+    e = db.embeddings.df
+    got = {(r["label"], r["dim"]): r["mean"]
+           for r in embedding_centroids(e, "label").collect()}
+    pdf = e.toPandas()
+    for lbl, grp in pdf.groupby("label"):
+        mat = np.vstack(grp["embedding"].values).astype("float64")
+        q = np.round(mat * 1e7)
+        want = (q.sum(axis=0) / len(grp)) / 1e7
+        for d in range(mat.shape[1]):
+            assert got[(lbl, d)] == want[d]
+    re = {(r["label"], r["dim"]): r["mean"]
+          for r in embedding_centroids(e.repartition(13),
+                                       "label").collect()}
+    assert re == got
