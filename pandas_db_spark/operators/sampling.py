@@ -260,3 +260,82 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: str = "0",
     return (numbered
             .withColumn(pos_col, (F.col(O.ORDINAL_COL) + 1).cast("long"))
             .drop(O.ORDINAL_COL, "__shuf"))
+
+
+def take_until_budget(df: DataFrame, weight_col, budget: int,
+                      order_col, id_col: str,
+                      ascending: bool = False,
+                      chunk_rows: int = 1 << 20,
+                      out_col: str = "budget_before") -> DataFrame:
+    """Greedy corpus selection under a GLOBAL budget: walk the rows in
+    ``order_col`` order (descending by default — best-first) and keep
+    each row while the running ``weight_col`` total before it is still
+    under ``budget`` — "take the highest-quality documents until the
+    token budget is spent", the curation step between scoring and
+    training.  The kept frame gains ``out_col`` = exact running total
+    before the row (the first overflowing row IS kept — partial-budget
+    spill is the dataloader's concern, same contract as
+    ``packing.pack_sequences``).
+
+    Never a single-task global cumsum (``SUM() OVER (ORDER BY …)`` with
+    no PARTITION BY is the classic scale-killer).  Shape:
+
+    1. one RANGE shuffle on (order, id) + in-partition sort — global
+       order established distributively;
+    2. the shuffle-free broadcast-offset ordinal (``plans/ordinal.py``)
+       numbers the rows;
+    3. ``chunk = ordinal div chunk_rows`` decomposes the running sum:
+       per-chunk exclusive window (ONE keyed shuffle) + per-chunk
+       totals through the driver (≈rows/chunk_rows rows — a few KB per
+       10⁹ input rows) broadcast back, exactly the ``pack_sequences``
+       two-level pattern;
+    4. survivors filter + a broadcast semi-join re-attaches the full
+       row payload — the corpus itself never shuffles.
+
+    ``weight_col``/``order_col`` are names or Column expressions over
+    ``df``; weights must be non-negative for the greedy semantics to be
+    monotone."""
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError("take_until_budget: budget must be positive")
+    if chunk_rows <= 0:
+        raise ValueError("take_until_budget: chunk_rows must be positive")
+    from pandas_db_spark.plans import ordinal as O
+
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    proj = df.select(F.col(id_col),
+                     weight.cast("long").alias("__w"),
+                     order.alias("__o"))
+    sort_cols = ([F.asc("__o"), F.asc(id_col)] if ascending
+                 else [F.desc("__o"), F.asc(id_col)])
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    arranged = (proj.repartitionByRange(n_parts, *sort_cols)
+                    .sortWithinPartitions(*sort_cols))
+    numbered, _n = O.with_ordinal_and_count(arranged)
+    numbered = numbered.withColumn(
+        "__chunk", (F.col(O.ORDINAL_COL) / F.lit(chunk_rows)).cast("long"))
+
+    w = (Window.partitionBy("__chunk").orderBy(O.ORDINAL_COL)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = numbered.withColumn(
+        "__local", F.coalesce(F.sum("__w").over(w), F.lit(0)).cast("long"))
+
+    totals = (numbered.groupBy("__chunk")
+              .agg(F.sum("__w").alias("__t"))
+              .orderBy("__chunk").collect())
+    rows, running = [], 0
+    for r in totals:
+        rows.append((r["__chunk"], running))
+        running += r["__t"]
+    offsets = df.sparkSession.createDataFrame(
+        rows or [(0, 0)], "__chunk long, __chunk_off long")
+
+    kept = (local.join(F.broadcast(offsets), "__chunk")
+            .withColumn(out_col,
+                        (F.col("__chunk_off") + F.col("__local"))
+                        .cast("long"))
+            .where(F.col(out_col) < budget)
+            .select(F.col(id_col), F.col(out_col)))
+    return df.join(F.broadcast(kept), id_col)

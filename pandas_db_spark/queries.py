@@ -512,6 +512,27 @@ def embedding_centroids_q(spark, sf_dir):
     return S.embedding_centroids(e.df, "label")
 
 
+@q("take_until_budget",
+   "WITH t AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS w, "
+   "len(text) AS o FROM documents), "
+   "r AS (SELECT doc_id, coalesce(sum(w) OVER (ORDER BY o DESC, doc_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+   "AS budget_before FROM t) "
+   "SELECT doc_id, budget_before FROM r WHERE budget_before < 10000")
+def take_until_budget_q(spark, sf_dir):
+    """Budget-capped greedy curation (operators/sampling.
+    take_until_budget — r7): keep the longest documents first until a
+    10k-token budget is spent (binding: the sf corpus holds ~25k).  The global running sum is decomposed
+    into range-sort + broadcast-offset ordinal + per-chunk windows —
+    never the single-task SUM() OVER (ORDER BY) the oracle uses."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    out = SA.take_until_budget(d.df, toks, 10000,
+                               F.length("text"), "doc_id")
+    return out.select("doc_id", "budget_before")
+
+
 @q("corr_by_returnflag",
    "WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
    "SUM(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR::DOUBLE AS s_q, "

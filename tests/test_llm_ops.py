@@ -779,3 +779,40 @@ def test_embedding_centroids_exact_and_partition_invariant(spark, db):
           for r in embedding_centroids(e.repartition(13),
                                        "label").collect()}
     assert re == got
+
+
+def test_take_until_budget_greedy_and_chunked(spark, docs):
+    """r7: best-first selection under a global budget — matches a pandas
+    greedy walk exactly, first overflowing row kept, chunk decomposition
+    invariant (tiny chunk_rows == one-chunk result), validation."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pandas_db_spark.operators.sampling import take_until_budget
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    budget = 400
+    out = take_until_budget(docs, toks, budget, F.length("text"),
+                            "doc_id").collect()
+    got = {r["doc_id"]: r["budget_before"] for r in out}
+
+    pdf = docs.selectExpr(
+        "doc_id", "size(split(trim(text), '\\\\s+')) AS w",
+        "length(text) AS o").toPandas()
+    pdf = pdf.sort_values(["o", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    want, run = {}, 0
+    for _, r in pdf.iterrows():
+        if run < budget:
+            want[r["doc_id"]] = run
+        run += r["w"]
+    assert got == want
+    assert 0 < len(got) < docs.count()   # budget binds, keeps something
+    # the LAST kept row overflows past the budget (kept by contract)
+    assert max(got.values()) < budget <= max(got.values()) + \
+        int(pdf.set_index("doc_id").loc[max(got, key=got.get), "w"])
+    # chunk decomposition is semantics-free
+    out2 = take_until_budget(docs, toks, budget, F.length("text"),
+                             "doc_id", chunk_rows=16).collect()
+    assert {r["doc_id"]: r["budget_before"] for r in out2} == got
+    with pytest.raises(ValueError, match="budget"):
+        take_until_budget(docs, toks, 0, F.length("text"), "doc_id")
