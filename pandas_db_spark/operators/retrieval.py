@@ -75,6 +75,29 @@ def tf_idf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
                                          F.col("df"))).alias("tfidf")))
 
 
+def _drop_table_and_location(spark, table_name: str) -> None:
+    """DROP the catalog table AND remove any orphaned managed-table
+    directory.  A rebuilt index in a FRESH session (in-memory catalog)
+    otherwise hits LOCATION_ALREADY_EXISTS: the previous session's
+    warehouse directory survives while the new catalog has no entry for
+    it, so ``saveAsTable`` refuses the location.  Uses the Hadoop
+    FileSystem API, so it works identically on local / HDFS / S3A
+    warehouses."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:
+        # best-effort: if cleanup fails, saveAsTable will surface the
+        # location conflict with its own precise error
+        pass
+
+
 def build_inverted_index(docs: DataFrame, text_col: str, id_col: str,
                          table_prefix: str, n_buckets: int = 32) -> None:
     """Materialize a BM25-ready inverted index as THREE catalog tables:
@@ -92,6 +115,10 @@ def build_inverted_index(docs: DataFrame, text_col: str, id_col: str,
     :func:`bm25_topk` pays a corpus scan per query, the index pays it
     once."""
     from pandas_db_spark.sources.registry import write_bucketed
+
+    spark = docs.sparkSession
+    for suffix in ("_postings", "_terms", "_meta"):
+        _drop_table_and_location(spark, table_prefix + suffix)
 
     p = _postings(docs, text_col, id_col)
     tf = (p.groupBy("term", "doc_id")

@@ -340,3 +340,18 @@ class Table:
 
     def _repr_html_(self) -> str:
         return self._repr_df()._repr_html_()
+
+    def shuffle(self, key_col: str, seed: str = "0") -> "Table":
+        """Deterministic epoch shuffle delegate (operators/sampling.
+        epoch_shuffle): adds a 1-based ``pos`` global position from the
+        md5(key:seed) order — reproducible across runs and engines."""
+        from pandas_db_spark.operators.sampling import epoch_shuffle
+        return Table(epoch_shuffle(self._df, key_col, seed),
+                     self._name, self._cache)
+
+    def sessionize(self, gap_minutes: int = 30) -> "Table":
+        """Session labels delegate (operators/funnel.sessionize) for
+        event tables carrying user_id/ts."""
+        from pandas_db_spark.operators.funnel import sessionize
+        return Table(sessionize(self._df, gap_minutes=gap_minutes),
+                     self._name, self._cache)

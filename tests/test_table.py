@@ -209,3 +209,16 @@ def test_temporal_and_hitters_delegates(db):
     assert {"valid_from", "valid_to"} <= set(h.columns)
     hh = e.heavy_hitters("event_type", k=2).data()
     assert len(hh) == 2 and hh[0][1] >= hh[1][1]
+
+
+def test_shuffle_and_sessionize_delegates(db):
+    """r7 facade delegates: Table.shuffle adds a 1..n pos permutation;
+    Table.sessionize labels sessions on event tables."""
+    d = db.documents
+    sh = d.shuffle("doc_id", seed="x")
+    assert "pos" in sh.columns
+    n = d.shape[0]
+    poss = sorted(r[-1] for r in sh[["doc_id", "pos"]].data())
+    assert poss == list(range(1, n + 1))
+    ev = db.events.sessionize(gap_minutes=15)
+    assert "session_idx" in ev.columns
