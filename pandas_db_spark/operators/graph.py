@@ -209,31 +209,44 @@ def keep_components_by(df: DataFrame, pairs: DataFrame, id_col: str,
     against ``df`` (e.g. ``F.length("text")``); ``ascending=False``
     (default) keeps the highest score.
 
+    Like :func:`connected_components`, ids only need to be ORDERABLE
+    (long, string, …) — the tie-break never negates or casts the id, so
+    string ids work, unlike a ``max(struct(score, -id))`` formulation
+    whose unary minus NULLs string ids under non-ANSI coercion (and
+    errors under ANSI).  NULL scores follow aggregate semantics: they
+    lose to any non-NULL score; an all-NULL component keeps its min id.
+
     Scale shape: CC runs on the (tiny) edge set; scores are computed
     ONLY for component members (left-semi before the score projection —
-    at 100 TB the corpus is probed, not scored); one per-component
-    max_by aggregate over the member table; survivors = corpus
-    anti-join of (members − winners).  The corpus itself never
+    at 100 TB the corpus is probed, not scored); winner = best score
+    per component (one keyed agg) → null-safe join-back to members →
+    min id among the tied best (second keyed agg over the tied subset);
+    survivors = corpus anti-join of (members − winners).  All three
+    shuffles move only the member table; the corpus itself never
     shuffles."""
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     cc = connected_components(pairs, id_a=id_a, id_b=id_b)
     member_ids = cc.select(F.col("id").alias(id_col))
+    # alias the scored side so the join is unambiguous even when
+    # id_col == "id" (cc also carries an "id" column)
     scored = (df.join(member_ids, id_col, "left_semi")
-                .select(F.col(id_col), score.alias("__score")))
-    members = cc.join(scored, cc["id"] == scored[id_col]).select(
-        "component", "id", "__score")
-    # winner per component: best score, then min id — one keyed
-    # aggregate (max/min of an ordered struct), no window sort
-    if ascending:
-        agg = F.min(F.struct(F.col("__score"), F.col("id").alias("__id")))
-        keep_id = F.col("__w.__id")
-    else:
-        agg = F.max(F.struct(F.col("__score"),
-                             (-F.col("id")).alias("__neg_id")))
-        keep_id = -F.col("__w.__neg_id")
-    best = (members.groupBy("component").agg(agg.alias("__w"))
-            .select(keep_id.alias("__keep_id")))
-    drop = (members.join(best, members["id"] == best["__keep_id"],
+                .select(F.col(id_col).alias("__sid"),
+                        score.alias("__score")))
+    members = (cc.join(scored, F.col("id") == F.col("__sid"))
+                 .select("component", "id", "__score"))
+    best_fn = F.min if ascending else F.max
+    best = (members.groupBy("component")
+            .agg(best_fn("__score").alias("__best"))
+            .withColumnRenamed("component", "__bc"))
+    # eqNullSafe: an all-NULL-score component has __best = NULL and
+    # still matches all its members, so its min id survives instead of
+    # the whole cluster being dropped.
+    winners = (members.join(best,
+                            (F.col("component") == F.col("__bc"))
+                            & F.col("__score").eqNullSafe(F.col("__best")))
+               .groupBy("component")
+               .agg(F.min("id").alias("__keep_id")))
+    drop = (members.join(winners, members["id"] == winners["__keep_id"],
                          "left_anti")
             .select(F.col("id").alias(id_col)))
     return df.join(drop, id_col, "left_anti")

@@ -68,22 +68,45 @@ def tf_idf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tf = (p.groupBy("doc_id", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.countDistinct(F.col(id_col))).collect()[0][0]
+    # N rides the plan as a broadcast one-row frame (scalar-subquery
+    # shape) instead of an eager collect — zero jobs at construction
+    # (r8, same discipline as reshape's winsorize/standardize).
+    nd = docs.agg(F.countDistinct(F.col(id_col))
+                  .cast("double").alias("__n_docs"))
     return (tf.join(df, "term")
+            .crossJoin(F.broadcast(nd))
             .select("doc_id", "term", "tf", "df",
-                    (F.col("tf") * F.log(F.lit(float(n_docs)) /
+                    (F.col("tf") * F.log(F.col("__n_docs") /
                                          F.col("df"))).alias("tfidf")))
 
 
 def _drop_table_and_location(spark, table_name: str) -> None:
-    """DROP the catalog table AND remove any orphaned managed-table
-    directory.  A rebuilt index in a FRESH session (in-memory catalog)
-    otherwise hits LOCATION_ALREADY_EXISTS: the previous session's
-    warehouse directory survives while the new catalog has no entry for
-    it, so ``saveAsTable`` refuses the location.  Uses the Hadoop
+    """DROP the catalog table, then remove an ORPHANED managed-table
+    directory if one survives.  A rebuilt index in a FRESH session
+    (in-memory catalog) otherwise hits LOCATION_ALREADY_EXISTS: the
+    previous session's warehouse directory persists while the new
+    catalog has no entry for it, so ``saveAsTable`` refuses the location.
+
+    Safety contract (r8, per ADVICE r7): a REGISTERED table is removed
+    only through ``DROP TABLE`` — the catalog deletes the table's real
+    location, wherever it is; we never guess a path for it.  The
+    filesystem delete runs only when the table is ABSENT from the
+    catalog, and only against the default-database managed location
+    ``<warehouse>/<name>`` — the one ``saveAsTable`` would claim next.
+    Qualified names (``db.tbl`` lives at ``<warehouse>/db.db/tbl``) are
+    rejected rather than mapped to the wrong directory.  Uses the Hadoop
     FileSystem API, so it works identically on local / HDFS / S3A
     warehouses."""
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if "." in table_name:
+        raise ValueError(
+            "_drop_table_and_location supports only unqualified "
+            f"default-database table names, got {table_name!r} — a "
+            "qualified name's managed location is not <warehouse>/<name>")
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    if spark.catalog.tableExists(table_name):
+        # DROP failed to unregister (e.g. a view shadows the name):
+        # surface that through saveAsTable's own error, don't touch disk.
+        return
     try:
         jvm = spark._jvm
         jsc = spark._jsc
@@ -328,11 +351,20 @@ def build_vocab(docs: DataFrame, text_col: str, id_col: str,
         raise ValueError("build_vocab: max_df_frac must be in (0, 1]")
     from pandas_db_spark.plans import ordinal as O
 
-    n_docs = docs.select(F.countDistinct(F.col(id_col))).collect()[0][0]
     stats = term_stats(docs, text_col, id_col).where(F.col("df") >= min_df)
     if max_df_frac < 1.0:
-        stats = stats.where(
-            F.col("df") <= F.lit(int(max_df_frac * n_docs)))
+        # The df bound rides the plan as a broadcast one-row frame —
+        # the corpus countDistinct fires only when the bound is actually
+        # used (this branch) and only at execution, never construction
+        # (r8; previously an unconditional eager collect).  The double
+        # multiply + bigint cast reproduces Python's int(frac * n)
+        # truncation bit-for-bit, so oracle hashes are unchanged.
+        nd = docs.agg(F.countDistinct(F.col(id_col)).alias("__nd"))
+        stats = (stats.crossJoin(F.broadcast(nd))
+                 .where(F.col("df") <=
+                        (F.lit(max_df_frac) * F.col("__nd"))
+                        .cast("bigint"))
+                 .drop("__nd"))
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
     arranged = (stats.repartitionByRange(n_parts, F.desc("cf"),
                                          F.asc("term"))

@@ -34,6 +34,19 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, WindowSpec, functions as F
 
 
+def _check_scale(scale: int) -> None:
+    """``decimal(18, scale)`` has ``18 - scale`` integer digits, so a
+    larger ``scale`` buys precision by SHRINKING the representable value
+    range (scale=10 NULLs values ≥ ~1e8); scale > 18 is not a valid
+    decimal type at all.  Validated here with a clear error instead of
+    the analysis-time decimal failure (r8, per ADVICE r7)."""
+    if not 0 <= scale <= 18:
+        raise ValueError(
+            f"rolling: scale must be in [0, 18], got {scale} — the "
+            "exact cast is decimal(18, scale), which has 18 - scale "
+            "integer digits")
+
+
 def _keyed_window(key_cols: Sequence[str], order_cols: Sequence[str]
                   ) -> WindowSpec:
     if not key_cols:
@@ -56,6 +69,7 @@ def rolling_rows(df: DataFrame, key_cols: Sequence[str] | str,
     cast (module docstring)."""
     if n <= 0:
         raise ValueError("rolling_rows: n must be positive")
+    _check_scale(scale)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = (_keyed_window(keys, [order_col, *tiebreak_cols])
          .rowsBetween(-(n - 1), Window.currentRow))
@@ -86,6 +100,7 @@ def rolling_range(df: DataFrame, key_cols: Sequence[str] | str,
     into micros and risking long overflow on interval arithmetic."""
     if window_s <= 0:
         raise ValueError("rolling_range: window_s must be positive")
+    _check_scale(scale)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     sec = F.unix_timestamp(F.col(ts_col))
     tmp = df.withColumn("__sec", sec)
@@ -107,6 +122,7 @@ def cumulative(df: DataFrame, key_cols: Sequence[str] | str,
     per key in ``order_col`` order — the running-total / running-count
     primitive.  ``value_col`` is rounded at ``scale`` digits by the
     exact-decimal cast (module docstring)."""
+    _check_scale(scale)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = (_keyed_window(keys, [order_col, *tiebreak_cols])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -143,3 +143,59 @@ def test_keep_components_by_quality_rule(spark):
               keep_components_by(docs, pairs, "doc_id",
                                  "doc_id").collect()}
     assert kept_s == {3, 5, 9}   # max doc_id per cluster
+
+
+def test_keep_components_by_string_ids(spark):
+    """r8 (ADVICE): string ids must survive the tie-break — the old
+    max(struct(score, -id)) negated the id, which NULLs strings under
+    non-ANSI coercion and silently deleted whole clusters."""
+    from pandas_db_spark.operators.graph import keep_components_by
+
+    docs = spark.createDataFrame(
+        [("a", "xx"), ("b", "xxxx"), ("c", "xxx"),   # cluster {a,b,c}
+         ("d", "yy"), ("e", "yy"),                   # cluster {d,e} tie
+         ("z", "zzzzz")],                            # singleton
+        "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string")
+
+    kept = {r["doc_id"] for r in
+            keep_components_by(docs, pairs, "doc_id",
+                               F.length("text")).collect()}
+    assert kept == {"b", "d", "z"}  # longest of {a,b,c}; tie -> min id
+
+    kept_asc = {r["doc_id"] for r in
+                keep_components_by(docs, pairs, "doc_id",
+                                   F.length("text"),
+                                   ascending=True).collect()}
+    assert kept_asc == {"a", "d", "z"}
+
+
+def test_keep_components_by_id_col_named_id(spark):
+    """r8 (ADVICE): id_col == "id" must not collide with cc's own "id"
+    column (AMBIGUOUS_REFERENCE in the pre-fix join)."""
+    from pandas_db_spark.operators.graph import keep_components_by
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (7, 5)], "id long, score long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = {r["id"] for r in
+            keep_components_by(docs, pairs, "id", "score").collect()}
+    assert kept == {2, 7}
+
+
+def test_keep_components_by_null_scores(spark):
+    """NULL scores lose to any non-NULL; an all-NULL component keeps its
+    min id (eqNullSafe join-back) instead of being deleted wholesale."""
+    from pandas_db_spark.operators.graph import keep_components_by
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 1),      # mixed: best non-NULL is id 2
+         (4, None), (5, None),           # all-NULL cluster -> min id 4
+         (9, None)],                     # NULL-scored singleton survives
+        "doc_id long, score int")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in
+            keep_components_by(docs, pairs, "doc_id", "score").collect()}
+    assert kept == {2, 4, 9}

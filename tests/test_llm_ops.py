@@ -816,3 +816,33 @@ def test_take_until_budget_greedy_and_chunked(spark, docs):
     assert {r["doc_id"]: r["budget_before"] for r in out2} == got
     with pytest.raises(ValueError, match="budget"):
         take_until_budget(docs, toks, 0, F.length("text"), "doc_id")
+
+
+def test_take_until_budget_construction_only_ordinal_jobs(spark, docs):
+    """r8 (VERDICT r7 #3): the per-chunk offsets are a lazy prefix-sum
+    window, not a driver collect — after pre-warming the ordinal cache
+    with an identical arranged frame, construction fires ZERO further
+    jobs (the old code collected the chunk totals eagerly)."""
+    from pyspark.sql import functions as F
+    from pandas_db_spark.plans import ordinal as O
+    from pandas_db_spark.operators.sampling import take_until_budget
+
+    def n_jobs():
+        return spark._jsparkSession.sparkContext().statusStore() \
+            .jobsList(None).size()
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # replicate the internal arranged frame (same semantic hash) to warm
+    # the ordinal's plan-keyed cache
+    proj = docs.select(F.col("doc_id"), toks.cast("long").alias("__w"),
+                       F.length("text").alias("__o"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    arranged = (proj.repartitionByRange(
+        n_parts, F.desc("__o"), F.asc("doc_id"))
+        .sortWithinPartitions(F.desc("__o"), F.asc("doc_id")))
+    O.with_ordinal_and_count(arranged)
+    before = n_jobs()
+    out = take_until_budget(docs, toks, 400, F.length("text"), "doc_id")
+    assert n_jobs() == before, \
+        "take_until_budget construction ran non-ordinal jobs"
+    assert out.count() > 0

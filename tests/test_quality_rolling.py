@@ -260,3 +260,21 @@ def test_melt_rejects_lossy_cast_and_allows_string(db):
         melt(d, ["doc_id"], ["text", "n_chars"])
     out = melt(d, ["doc_id"], ["text", "lang"], value_type="string")
     assert out.count() == 2 * d.count()
+
+
+def test_rolling_scale_validation(spark):
+    """r8 (ADVICE r7): scale outside [0, 18] raises a clear ValueError
+    instead of an analysis-time decimal failure; boundary scales pass."""
+    import pytest
+    from pandas_db_spark.operators import rolling as RO
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, t long, v double")
+    for bad in (-1, 19, 40):
+        with pytest.raises(ValueError, match="scale"):
+            RO.rolling_rows(df, "k", "t", "v", 2, scale=bad)
+        with pytest.raises(ValueError, match="scale"):
+            RO.rolling_range(df, "k", "t", "v", 10, scale=bad)
+        with pytest.raises(ValueError, match="scale"):
+            RO.cumulative(df, "k", "t", "v", scale=bad)
+    assert RO.rolling_rows(df, "k", "t", "v", 2, scale=0).count() == 1
+    assert RO.cumulative(df, "k", "t", "v", scale=18).count() == 1
