@@ -122,9 +122,15 @@ def _diag_candidate_counts(spark, sf_dir: str) -> None:
         print(f"# diag failed: {exc!r}", file=sys.stderr)
 
 
+# Result sizes above this get the extra noop-sink "engine time" row —
+# below it, fetch cost is noise and the split would just slow the bench.
+ENGINE_SPLIT_MIN_ROWS = 50_000
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    load_start = os.getloadavg()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from pandas_db_spark.session import get_spark
@@ -146,7 +152,10 @@ def main() -> int:
         pass
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    result_rows: dict[str, int] = {}
+    engine: dict[str, float] = {}
     failed: list[str] = []
     total = 0.0
     for name in HEADLINE:
@@ -155,11 +164,12 @@ def main() -> int:
             continue
         samples: list[float] = []
         errored = False
+        n_rows = 0
         for _ in range(iters):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                df.collect()
+                n_rows = len(df.collect())
                 samples.append(time.perf_counter() - t0)
             except Exception:
                 errored = True
@@ -171,9 +181,26 @@ def main() -> int:
             # make the output line invalid JSON.
             failed.append(name)
             continue
+        result_rows[name] = n_rows
         best = min(samples)
         timings[name] = round(best, 4)
+        medians[name] = round(sorted(samples)[len(samples) // 2], 4)
         total += best
+        # Engine-vs-fetch split (VERDICT r7 #7): when the RESULT is large
+        # the collect number is dominated by driver row materialization,
+        # not the plan — time a noop-sink execution alongside so plan
+        # improvements aren't masked by fetch cost.
+        if n_rows > ENGINE_SPLIT_MIN_ROWS:
+            es: list[float] = []
+            try:
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop") \
+                        .mode("overwrite").save()
+                    es.append(time.perf_counter() - t0)
+                engine[name] = round(min(es), 4)
+            except Exception:
+                pass  # the split is diagnostic; never fails the bench
 
     if os.environ.get("SPARK_GRAFT_BENCH_DIAG", "1") != "0":
         _diag_candidate_counts(spark, sf_dir)
@@ -195,8 +222,18 @@ def main() -> int:
         "unit": "sec",
         "first_iter_total": round(first_iter_total, 4),
         "queries": timings,
+        "queries_median": medians,
         "iters": iters,
         "runs": runs,
+        # engine-only (noop sink) time for large-result queries: the
+        # matching `queries` entry minus this is driver-fetch cost
+        "engine_queries": engine,
+        "result_rows": {n: r for n, r in result_rows.items()
+                        if r > ENGINE_SPLIT_MIN_ROWS},
+        # 1/5/15-min load BEFORE and AFTER the run: a shared-machine
+        # artifact carries its own noise context (VERDICT r7 #1)
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf_val,
     }
     if failed:

