@@ -539,12 +539,20 @@ def events_stream_reader(spark: SparkSession, sf_dir: str):
         # terminate would restore the conf from under this one).
         _arm_nanos_restore(spark, prior)
     schema = spark.read.parquet(path).schema
-    # File stream sources need a directory; select just the events file(s)
-    # from the sf dir with a glob (works for both single-file and
-    # directory-shaped parquet datasets).
-    stream = (spark.readStream.schema(schema)
-              .option("pathGlobFilter", "events.parquet*")
-              .parquet(sf_dir))
+    # File stream sources need a directory.  Two dataset shapes exist:
+    # a DIRECTORY named events.parquet (anything Spark wrote — the
+    # production shape) streams directly from that directory; a single
+    # FILE (the driver's testdata layout) needs the parent dir plus a
+    # filename glob.  pathGlobFilter matches FILE names only, so using
+    # the glob against a directory dataset silently matches zero part
+    # files and streams nothing (r8 fix — caught by the sf1 rehearsal
+    # where enrich "finished" in 0.2 s with 0 rows).
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet*")
+                  .parquet(sf_dir))
     for c in ns_cols:
         stream = stream.withColumn(
             c,

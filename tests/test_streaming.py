@@ -509,3 +509,19 @@ def test_ingest_store_read_error_propagates(spark, tmp_path):
                          store_dir=str(store),
                          checkpoint_dir=str(tmp_path / "ckpt"))
     assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_events_stream_reader_directory_dataset(spark, tmp_path, db):
+    """r8: a directory-shaped events.parquet (anything Spark wrote — the
+    production layout) must stream its rows; the filename glob used for
+    the single-file testdata layout matches zero part files inside a
+    directory dataset and silently streamed nothing."""
+    from pandas_db_spark.sources.registry import events_stream_reader
+
+    out = str(tmp_path / "sfdir")
+    db.events.df.limit(123).write.parquet(out + "/events.parquet")
+    stream = events_stream_reader(spark, out)
+    q = (stream.writeStream.format("memory").queryName("r8_dirstream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("r8_dirstream").count() == 123
