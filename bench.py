@@ -112,10 +112,16 @@ def _diag_candidate_counts(spark, sf_dir: str) -> None:
             sig, "doc_id", 32, 4).count()
 
         # sign-LSH candidates (shared by ann_cosine_pairs + dedup_embedding)
+        # — auto geometry since r8, so the diag reports the same bands/rows
+        # the queries actually use at this corpus size
+        n_vec = db.embeddings.df.count()
+        bands, rows = S.auto_sign_geometry(n_vec, 0.95)
         keyed = S._sign_bands(db.embeddings.df, "vec_id", "embedding",
-                              dim=64, bands=64, rows=16, seed=42)
+                              dim=64, bands=bands, rows=rows, seed=42)
         diag["signlsh_candidates"] = D._bucket_pairs(
             keyed, ["band", "bh"], "id").count()
+        diag["signlsh_bands"] = bands
+        diag["signlsh_rows"] = rows
 
         print("# diag " + json.dumps(diag), file=sys.stderr)
     except Exception as exc:  # diagnostics must never fail the bench
@@ -151,6 +157,12 @@ def main() -> int:
     except Exception:
         pass
 
+    # Optional comma-separated subset (scaling rehearsals run the top-N
+    # most expensive queries at big SFs in bounded chunks).
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = ([n for n in HEADLINE if n in only_env.split(",")]
+                if only_env else HEADLINE)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -158,7 +170,7 @@ def main() -> int:
     engine: dict[str, float] = {}
     failed: list[str] = []
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.get(name)
         if fn is None:
             continue

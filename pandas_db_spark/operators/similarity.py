@@ -149,24 +149,68 @@ def _sign_bands(emb: DataFrame, id_col: str, vec_col: str, dim: int,
                .mapInPandas(signer, "id long, band long, bh long"))
 
 
+def auto_sign_geometry(n: int, threshold: float,
+                       miss_target: float = 1e-6,
+                       cand_per_vec: float = 10.0) -> tuple[int, int]:
+    """Density-adaptive ``(bands, rows)`` for sign-LSH at corpus size
+    ``n``: the smallest ``rows`` whose EXPECTED random-pair candidate
+    volume (≈ C(n,2) · bands / 2^rows for decorrelated vectors) stays
+    under ``cand_per_vec · n``, with ``bands`` sized so a true pair at
+    ``cosine == threshold`` is missed with probability ≤ ``miss_target``
+    (per-hyperplane agreement p = 1 − arccos(threshold)/π; miss =
+    (1 − p^rows)^bands).
+
+    This is the fix for the r8 scaling finding that FIXED 16-bit bands
+    go quadratic in candidates as density rises (4k candidates at
+    n=2000 → 398k at n=20000, ~n²·bands/2^rows): candidate volume is a
+    LINEAR budget here, paid for with more (longer) bands — hashing
+    cost grows O(n · bands · rows) while verify work stays O(n).
+    Examples at threshold 0.95: n=2e3 → (69, 16); n=2e4 → (110, 20);
+    n=1e9 → (632, 36)."""
+    import math
+    if n < 2:
+        return 1, 16
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for r in range(16, 62):
+        b = max(1, math.ceil(math.log(miss_target)
+                             / math.log(1.0 - p ** r)))
+        exp_rand = (n * (n - 1) / 2) * b * (0.5 ** r)
+        if exp_rand <= cand_per_vec * n:
+            return b, r
+    return 4096, 61
+
+
 def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     dim: int = 64, bands: int = 64, rows: int = 16,
+                     dim: int = 64, bands="auto", rows="auto",
                      seed: int = 42) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via sign-LSH
     banding + exact verification.  Precision is exact (every candidate is
     re-scored with the deterministic JVM cosine); recall follows the LSH
-    S-curve — at cos ≥ 0.95 a pair agrees with a random hyperplane with
-    p ≈ 0.90, so a true pair misses all 64 16-row bands with prob
-    (1-0.9¹⁶)⁶⁴ ≈ 2e-6.
+    S-curve, held at miss ≤ 1e-6 per true pair by the band sizing.
 
-    ``rows`` is the candidate-volume dial: a RANDOM pair collides in some
-    band with prob ≈ bands/2^rows, so rows must stay ≳ log₂(corpus size) or
-    the verify step degenerates toward all-pairs (rows=4 at n=5000 produced
-    25M candidates — 2000× the rows=16 cost).  At larger corpora raise
-    ``rows`` (and ``bands`` to hold recall); beyond ~10⁸ vectors prefer
-    :func:`ivf_topk` partitioning."""
+    ``bands``/``rows`` default to ``"auto"`` (r8): one cheap ``count()``
+    sizes the geometry to the corpus via :func:`auto_sign_geometry`, so
+    candidate volume stays ~linear in n instead of ~quadratic — the
+    fixed (64, 16) default measured 99× candidate growth for a 10×
+    corpus step.  Pass explicit ints to pin a geometry (the pre-r8
+    behavior); both must then be given.
+
+    Scope of the auto sizing: it budgets the RANDOM-pair collision mass
+    (sim ≈ 0), which is what explodes quadratically on decorrelated
+    corpora.  Pairs at moderate similarity (0.5-0.9 — tight embedding
+    clusters) sit high on the S-curve and still collide at any
+    practical geometry; when a corpus is mostly such clusters, route
+    dedup through IVF-style partitioning (:func:`ivf_topk` /
+    :func:`build_ivf_index`) instead of flat banding — measured at the
+    sf1 rehearsal, the auto geometry cut candidates 398k → 263k at
+    n=20k with the remainder being exactly that cluster mass."""
     from pandas_db_spark.operators.dedup import _bucket_pairs
+    if bands == "auto" or rows == "auto":
+        if not (bands == "auto" and rows == "auto"):
+            raise ValueError("cosine_pairs_lsh: bands and rows must both "
+                             "be 'auto' or both explicit ints")
+        bands, rows = auto_sign_geometry(emb.count(), threshold)
     keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
     # groupBy-bucket + in-bucket expansion: the sign-projection plan runs
     # once and shuffles once (a self-join would execute it per side).

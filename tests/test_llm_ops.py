@@ -846,3 +846,33 @@ def test_take_until_budget_construction_only_ordinal_jobs(spark, docs):
     assert n_jobs() == before, \
         "take_until_budget construction ran non-ordinal jobs"
     assert out.count() > 0
+
+
+def test_auto_sign_geometry_scales_with_density(spark):
+    """r8: the sf1 rehearsal showed fixed (64, 16) bands go ~quadratic in
+    candidates as corpora densify (4k at n=2e3 -> 398k at n=2e4).  The
+    auto geometry must (a) grow rows with n so the expected RANDOM-pair
+    candidate mass stays <= ~10/vector, (b) size bands to keep true-pair
+    miss <= 1e-6 at the threshold, (c) reject half-explicit calls."""
+    import math
+    import pytest
+    from pandas_db_spark.operators.similarity import (auto_sign_geometry,
+                                                      cosine_pairs_lsh)
+
+    prev_rows = 0
+    for n in (2_000, 20_000, 10**6, 10**9):
+        b, r = auto_sign_geometry(n, 0.95)
+        assert r >= prev_rows          # monotone with density
+        prev_rows = r
+        # recall bound: miss at sim == threshold <= 1e-6
+        p = 1.0 - math.acos(0.95) / math.pi
+        assert (1.0 - p ** r) ** b <= 1e-6
+        # random-pair budget: expected collisions <= 10 per vector
+        assert (n * (n - 1) / 2) * b * 0.5 ** r <= 10 * n
+        assert r <= 61                 # bh packs into a signed long
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(4)],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="both"):
+        cosine_pairs_lsh(df, bands=32, rows="auto")
