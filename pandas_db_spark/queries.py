@@ -280,6 +280,42 @@ def bpe_roundtrip(spark, sf_dir):
                  F.lit(len(merges)).cast("long").alias("n_merges")))
 
 
+# ---- moved into the driver prefix window in r8: both queries run the
+# AUTO sign-LSH geometry now (bands/rows sized to corpus density), so
+# they need fresh external receipts on the new code path. ----
+
+@q("ann_cosine_pairs",
+   "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+   "JOIN embeddings b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+   "b.embedding::DOUBLE[]) >= 0.95")
+def ann_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs at cosine ≥ 0.95 via sign-LSH banding +
+    exact verify (operators/similarity.py cosine_pairs_lsh).  Precision is
+    exact; recall at this threshold ≈ 1 - 2e-15."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    return S.cosine_pairs_lsh(e.df, threshold=0.95)
+
+
+@q("dedup_embedding",
+   "WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+   "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+   "b.embedding::DOUBLE[]) >= 0.95) "
+   "SELECT vec_id FROM embeddings "
+   "WHERE vec_id NOT IN (SELECT id_b FROM pairs)")
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP: surviving ids after dropping the
+    larger member of every cosine-≥0.95 pair (sign-LSH banded candidates,
+    exact verify, anti-join keep policy — no all-pairs join anywhere)."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings
+    pairs = S.cosine_pairs_lsh(e.df, threshold=0.95)
+    return D.keep_first(e.df, pairs, "vec_id").select("vec_id")
+
+
 # ---- round-7 rotation: the 13 late-round-6 analytics queries that have
 # never had a driver CORRECTNESS row (VERDICT r6 next-round #1) go FIRST
 # so the driver's ~50-entry prefix window lands on them. ----
@@ -2701,38 +2737,6 @@ def ann_topk(spark, sf_dir):
     from pandas_db_spark.operators import similarity as S
     e = get_db(spark, sf_dir).embeddings
     return S.ann_topk_brute(e.df, query_ids=range(5), k=10)
-
-
-@q("ann_cosine_pairs",
-   "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
-   "JOIN embeddings b ON a.vec_id < b.vec_id "
-   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
-   "b.embedding::DOUBLE[]) >= 0.95")
-def ann_cosine_pairs(spark, sf_dir):
-    """Embedding near-dup pairs at cosine ≥ 0.95 via sign-LSH banding +
-    exact verify (operators/similarity.py cosine_pairs_lsh).  Precision is
-    exact; recall at this threshold ≈ 1 - 2e-15."""
-    from pandas_db_spark.operators import similarity as S
-    e = get_db(spark, sf_dir).embeddings
-    return S.cosine_pairs_lsh(e.df, threshold=0.95)
-
-
-@q("dedup_embedding",
-   "WITH pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
-   "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
-   "b.embedding::DOUBLE[]) >= 0.95) "
-   "SELECT vec_id FROM embeddings "
-   "WHERE vec_id NOT IN (SELECT id_b FROM pairs)")
-def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup DEDUP: surviving ids after dropping the
-    larger member of every cosine-≥0.95 pair (sign-LSH banded candidates,
-    exact verify, anti-join keep policy — no all-pairs join anywhere)."""
-    from pandas_db_spark.operators import dedup as D
-    from pandas_db_spark.operators import similarity as S
-    e = get_db(spark, sf_dir).embeddings
-    pairs = S.cosine_pairs_lsh(e.df, threshold=0.95)
-    return D.keep_first(e.df, pairs, "vec_id").select("vec_id")
 
 
 # =====================================================================
