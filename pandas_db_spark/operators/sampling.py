@@ -262,6 +262,58 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: str = "0",
             .drop(O.ORDINAL_COL, "__shuf"))
 
 
+def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
+                        budget: int, weight_col, id_col: str,
+                        salt: str = "",
+                        out_col: str = "budget_before") -> DataFrame:
+    """TOKEN-budgeted corpus mixing — the production form of
+    :func:`mix_corpora`: real training mixes are specified as "X % of
+    the token budget from web, Y % from code", not as row fractions
+    (documents have wildly different lengths, so row sampling does not
+    hit token targets).  ``budget`` total weight (tokens) is split
+    across the named corpora in proportion to their weights
+    (``floor(budget · wᵢ / Σw)``), and each corpus's allocation is
+    filled greedily in deterministic ``md5(key || salt || name)`` order
+    — an unbiased reproducible draw (each corpus's hash order is an
+    independent permutation, :func:`epoch_shuffle`'s device), NOT
+    best-first; pass a scored ``order`` through
+    :func:`take_until_budget` directly when curation should be
+    quality-ranked.  Rows gain ``source`` (corpus name) and ``out_col``
+    (the exact within-corpus running total before the row; the first
+    overflowing row is kept — same contract as
+    :func:`take_until_budget`, which supplies the machinery and its
+    scale shape: range sort + broadcast-offset ordinal + chunked
+    prefix windows per corpus, never a single-task cumsum).
+
+    All inputs must share a schema.  ``weight_col`` is a name or Column
+    expression valid against every corpus."""
+    if budget <= 0:
+        raise ValueError("mix_by_token_budget: budget must be positive")
+    if not corpora:
+        raise ValueError("mix_by_token_budget: corpora must be non-empty")
+    total_w = float(sum(w for _, w in corpora.values()))
+    if total_w <= 0:
+        raise ValueError("mix_by_token_budget: weights must sum > 0")
+    parts = []
+    for name, (df, w) in sorted(corpora.items()):
+        alloc = int(budget * w / total_w)
+        if alloc <= 0:
+            continue  # corpus weighted out of the mix at this budget
+        order = F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit(f"|{salt}|{name}")))
+        kept = take_until_budget(df, weight_col, alloc, order, id_col,
+                                 ascending=True, out_col=out_col)
+        parts.append(kept.withColumn("source", F.lit(name)))
+    if not parts:
+        raise ValueError(
+            "mix_by_token_budget: no corpus received a positive "
+            "allocation — raise budget or weights")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def take_until_budget(df: DataFrame, weight_col, budget: int,
                       order_col, id_col: str,
                       ascending: bool = False,

@@ -280,6 +280,36 @@ def bpe_roundtrip(spark, sf_dir):
                  F.lit(len(merges)).cast("long").alias("n_merges")))
 
 
+@q("mix_tokens",
+   "WITH t AS (SELECT doc_id, source, "
+   "len(string_split(trim(text), ' ')) AS w, "
+   "md5(doc_id::VARCHAR || '|m|' || source) AS o FROM documents "
+   "WHERE source IN ('src0', 'src1', 'src2')), "
+   "r AS (SELECT doc_id, source, coalesce(sum(w) OVER ("
+   "PARTITION BY source ORDER BY o, doc_id "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT "
+   "AS budget_before FROM t) "
+   "SELECT doc_id, source, budget_before FROM r "
+   "WHERE (source = 'src0' AND budget_before < 600) "
+   "OR (source = 'src1' AND budget_before < 400) "
+   "OR (source = 'src2' AND budget_before < 200)")
+def mix_tokens(spark, sf_dir):
+    """Token-budgeted corpus mixing (operators/sampling.
+    mix_by_token_budget — r8): a 1200-token budget split 3:2:1 across
+    three sources, each allocation filled in deterministic md5 order —
+    the production mixing spec ("X % of tokens from web") that row-
+    fraction mixing can't hit.  Built on take_until_budget's range-sort
+    + broadcast-offset + chunked-prefix-window machinery per corpus."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents.df
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    corpora = {name: (d.where(F.col("source") == name), w)
+               for name, w in (("src0", 3.0), ("src1", 2.0),
+                               ("src2", 1.0))}
+    out = SA.mix_by_token_budget(corpora, 1200, toks, "doc_id", salt="m")
+    return out.select("doc_id", "source", "budget_before")
+
+
 # ---- moved into the driver prefix window in r8: both queries run the
 # AUTO sign-LSH geometry now (bands/rows sized to corpus density), so
 # they need fresh external receipts on the new code path. ----

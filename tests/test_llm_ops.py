@@ -876,3 +876,51 @@ def test_auto_sign_geometry_scales_with_density(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="both"):
         cosine_pairs_lsh(df, bands=32, rows="auto")
+
+
+def test_mix_by_token_budget_allocations(spark):
+    """r8: budget splits proportionally (floor), each corpus fills in its
+    own md5 order with the first-overflow row kept, sources tagged,
+    validation raises; a zero-allocation corpus drops out."""
+    import hashlib
+    import pytest
+    from pyspark.sql import functions as F
+    from pandas_db_spark.operators.sampling import mix_by_token_budget
+
+    a = spark.createDataFrame(
+        [(i, "x " * 10) for i in range(20)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(100 + i, "y " * 10) for i in range(20)], "doc_id long, text string")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+    out = mix_by_token_budget({"a": (a, 3.0), "b": (b, 1.0)},
+                              80, toks, "doc_id", salt="t").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # allocs: a=60, b=20 tokens at 10 tokens/doc -> 6 and 2 docs
+    assert len(by_src["a"]) == 6 and len(by_src["b"]) == 2
+    # each corpus's kept set = the md5-smallest ids for ITS salt|name
+    for name, frame, alloc_docs in (("a", a, 6), ("b", b, 2)):
+        ids = [r[0] for r in frame.select("doc_id").collect()]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(f"{i}|t|{name}".encode()).hexdigest(), i))[:alloc_docs]
+        assert sorted(r["doc_id"] for r in by_src[name]) == sorted(want)
+    # running totals are exact multiples of the 10-token doc weight
+    assert {r["budget_before"] % 10 for r in out} == {0}
+
+    # overflow contract: an alloc that lands mid-document keeps that doc
+    out2 = mix_by_token_budget({"a": (a, 1.0)}, 25, toks, "doc_id").collect()
+    assert len(out2) == 3 and max(r["budget_before"] for r in out2) == 20
+
+    # corpus weighted out of the mix at this budget disappears
+    out3 = mix_by_token_budget({"a": (a, 1000.0), "b": (b, 1.0)},
+                               100, toks, "doc_id").collect()
+    assert {r["source"] for r in out3} == {"a"}
+
+    with pytest.raises(ValueError, match="budget"):
+        mix_by_token_budget({"a": (a, 1.0)}, 0, toks, "doc_id")
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_by_token_budget({}, 10, toks, "doc_id")
+    with pytest.raises(ValueError, match="sum"):
+        mix_by_token_budget({"a": (a, 0.0)}, 10, toks, "doc_id")
