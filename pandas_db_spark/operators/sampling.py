@@ -262,6 +262,87 @@ def epoch_shuffle(df: DataFrame, key_col: str, seed: str = "0",
             .drop(O.ORDINAL_COL, "__shuf"))
 
 
+def take_until_budget_by(df: DataFrame, group_col: str, budgets: dict,
+                         weight_col, order_col, id_col: str,
+                         ascending: bool = False,
+                         chunk_rows: int = 1 << 20,
+                         out_col: str = "budget_before") -> DataFrame:
+    """PER-GROUP greedy budget selection — :func:`take_until_budget` for
+    many groups in ONE pass: each group in ``budgets`` independently
+    walks its rows in ``order_col`` order and keeps them while its own
+    running ``weight_col`` total is under its budget (first overflowing
+    row kept, same contract).  Groups absent from ``budgets`` are
+    dropped.
+
+    Scale shape — the point of the keyed form: the per-group loop costs
+    one range shuffle + one ordinal + one keyed window PER GROUP; this
+    runs ONE of each for ALL groups (a 100-domain token mix is 1 pass,
+    not 100), and no step depends on any group's size fitting one task:
+
+    1. one RANGE shuffle on (group, order, id) + in-partition sort —
+       groups contiguous, each group globally ordered;
+    2. the broadcast-offset ordinal numbers the rows once;
+    3. ``chunk = ordinal div chunk_rows`` + per-(group, chunk) exclusive
+       windows + a lazy per-group prefix-sum over the tiny (group,
+       chunk) totals decompose every group's running sum — a group
+       spanning 10⁵ chunks never sorts in one task;
+    4. budgets ride in as a broadcast map; survivors re-attach to the
+       corpus by id (AQE picks the strategy).
+    """
+    from pyspark.sql import Window
+
+    if not budgets:
+        raise ValueError("take_until_budget_by: budgets must be non-empty")
+    if any(b <= 0 for b in budgets.values()):
+        raise ValueError("take_until_budget_by: budgets must be positive")
+    if chunk_rows <= 0:
+        raise ValueError("take_until_budget_by: chunk_rows must be positive")
+    from pandas_db_spark.plans import ordinal as O
+
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    spark = df.sparkSession
+    bdf = F.broadcast(spark.createDataFrame(
+        [(g, int(b)) for g, b in sorted(budgets.items())],
+        f"{group_col} string, __budget long"))
+    proj = (df.select(F.col(group_col).cast("string").alias(group_col),
+                      F.col(id_col),
+                      weight.cast("long").alias("__w"),
+                      order.alias("__o"))
+              .join(bdf.select(group_col), group_col, "left_semi"))
+    o_dir = F.asc("__o") if ascending else F.desc("__o")
+    sort_cols = [F.asc(group_col), o_dir, F.asc(id_col)]
+    n_parts = spark.sparkContext.defaultParallelism
+    arranged = (proj.repartitionByRange(n_parts, *sort_cols)
+                    .sortWithinPartitions(*sort_cols))
+    numbered, _n = O.with_ordinal_and_count(arranged)
+    numbered = numbered.withColumn(
+        "__chunk", (F.col(O.ORDINAL_COL) / F.lit(chunk_rows)).cast("long"))
+
+    w = (Window.partitionBy(group_col, "__chunk").orderBy(O.ORDINAL_COL)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    local = numbered.withColumn(
+        "__local", F.coalesce(F.sum("__w").over(w), F.lit(0)).cast("long"))
+
+    totals = (numbered.groupBy(group_col, "__chunk")
+              .agg(F.sum("__w").alias("__t")))
+    w_off = (Window.partitionBy(group_col).orderBy("__chunk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = totals.select(
+        group_col, "__chunk",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+         .cast("long").alias("__chunk_off"))
+
+    kept = (local.join(F.broadcast(offsets), [group_col, "__chunk"])
+            .join(bdf, group_col)
+            .withColumn(out_col,
+                        (F.col("__chunk_off") + F.col("__local"))
+                        .cast("long"))
+            .where(F.col(out_col) < F.col("__budget"))
+            .select(F.col(id_col), F.col(out_col)))
+    return df.join(kept, id_col)
+
+
 def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
                         budget: int, weight_col, id_col: str,
                         salt: str = "",
@@ -285,8 +366,14 @@ def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
     scale shape: range sort + broadcast-offset ordinal + chunked
     prefix windows per corpus, never a single-task cumsum).
 
-    All inputs must share a schema.  ``weight_col`` is a name or Column
-    expression valid against every corpus."""
+    All inputs must share a schema, and ``id_col`` must be unique ACROSS
+    corpora (the survivor re-attach joins on it).  ``weight_col`` is a
+    name or Column expression valid against every corpus.
+
+    One pass for any number of corpora: the tagged union runs through
+    :func:`take_until_budget_by` (single range shuffle + ordinal +
+    keyed windows for ALL corpora — a 100-domain mix costs the same
+    job count as one)."""
     if budget <= 0:
         raise ValueError("mix_by_token_budget: budget must be positive")
     if not corpora:
@@ -295,23 +382,27 @@ def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
     if total_w <= 0:
         raise ValueError("mix_by_token_budget: weights must sum > 0")
     parts = []
+    budgets: dict[str, int] = {}
     for name, (df, w) in sorted(corpora.items()):
         alloc = int(budget * w / total_w)
         if alloc <= 0:
             continue  # corpus weighted out of the mix at this budget
-        order = F.md5(F.concat(F.col(id_col).cast("string"),
-                               F.lit(f"|{salt}|{name}")))
-        kept = take_until_budget(df, weight_col, alloc, order, id_col,
-                                 ascending=True, out_col=out_col)
-        parts.append(kept.withColumn("source", F.lit(name)))
-    if not parts:
+        budgets[name] = alloc
+        parts.append(df.withColumn("__mix_source", F.lit(name)))
+    if not budgets:
         raise ValueError(
             "mix_by_token_budget: no corpus received a positive "
             "allocation — raise budget or weights")
-    out = parts[0]
+    u = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        u = u.unionByName(p)
+    order = F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"|{salt}|"), F.col("__mix_source")))
+    out = take_until_budget_by(u, "__mix_source", budgets, weight_col,
+                               order, id_col, ascending=True,
+                               out_col=out_col)
+    return (out.withColumn("source", F.col("__mix_source"))
+               .drop("__mix_source"))
 
 
 def take_until_budget(df: DataFrame, weight_col, budget: int,

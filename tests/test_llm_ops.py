@@ -924,3 +924,36 @@ def test_mix_by_token_budget_allocations(spark):
         mix_by_token_budget({}, 10, toks, "doc_id")
     with pytest.raises(ValueError, match="sum"):
         mix_by_token_budget({"a": (a, 0.0)}, 10, toks, "doc_id")
+
+
+def test_take_until_budget_by_matches_per_group(spark, docs):
+    """r8: the single-pass keyed form must equal running
+    take_until_budget per group — including with tiny chunk_rows so
+    groups span many chunks — and drop groups without a budget."""
+    from pyspark.sql import functions as F
+    from pandas_db_spark.operators.sampling import (take_until_budget,
+                                                    take_until_budget_by)
+
+    d = docs.withColumn("grp", (F.col("doc_id") % 3).cast("string"))
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    budgets = {"0": 300, "1": 150}          # group "2" gets no budget
+    keyed = take_until_budget_by(d, "grp", budgets, toks,
+                                 F.length("text"), "doc_id",
+                                 chunk_rows=8).collect()
+    got = {r["doc_id"]: (r["grp"], r["budget_before"]) for r in keyed}
+
+    want = {}
+    for g, b in budgets.items():
+        sub = d.where(F.col("grp") == g)
+        for r in take_until_budget(sub, toks, b, F.length("text"),
+                                   "doc_id").collect():
+            want[r["doc_id"]] = (g, r["budget_before"])
+    assert got == want
+    assert all(g != "2" for g, _ in got.values())
+
+    import pytest
+    with pytest.raises(ValueError, match="non-empty"):
+        take_until_budget_by(d, "grp", {}, toks, F.length("text"), "doc_id")
+    with pytest.raises(ValueError, match="positive"):
+        take_until_budget_by(d, "grp", {"0": 0}, toks,
+                             F.length("text"), "doc_id")
