@@ -224,6 +224,80 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                   .select("id_a", "id_b"))
 
 
+def signlsh_store(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", dim: int = 64,
+                  bands: int = 64, rows: int = 16,
+                  seed: int = 42) -> DataFrame:
+    """(id, band, bh) sign-LSH band keys of a corpus — the compact
+    persistable state for INCREMENTAL embedding dedup (bands longs per
+    vector; the embedding sibling of ``dedup.minhash_store``).  Write
+    with ``write_parquet`` and reload across ingest batches.
+
+    The store PINS its geometry: ``bands``/``rows``/``seed`` used here
+    must be passed verbatim to :func:`cosine_incremental` (band keys
+    from different hyperplane sets never match) — record them next to
+    the store.  Size ``bands``/``rows`` for the corpus you expect via
+    :func:`auto_sign_geometry`."""
+    return _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
+
+
+def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       threshold: float = 0.95, dim: int = 64,
+                       bands="auto", rows="auto", seed: int = 42,
+                       store_keys: DataFrame | None = None) -> DataFrame:
+    """IDs of ``new_emb`` that are NOT near-duplicates (exact-verified
+    cosine ≥ threshold) of any vector in the existing corpus — the
+    rolling-ingest form of :func:`cosine_pairs_lsh` and the embedding
+    sibling of ``dedup.minhash_incremental`` (today's batch vs
+    yesterday's corpus; in-batch dedup is a separate
+    :func:`cosine_pairs_lsh` + keep policy, composed by the caller).
+
+    Scale shape: batch band keys hash-join the store keys on
+    (band, bh) — pass the reloaded :func:`signlsh_store` output as
+    ``store_keys`` (with ITS explicit bands/rows) and the store's
+    VECTORS are touched only for candidates (left-semi probe before the
+    exact verify); a 100 TB store is probed, not scanned.  Every drop
+    is exact-verified, so precision is exact; recall follows the band
+    S-curve (≤ 1e-6 miss under the auto geometry).
+
+    ``bands``/``rows`` default to auto-sizing over |store| + |batch|
+    (two count jobs) — only valid when this call computes the store
+    keys itself; with a prebuilt ``store_keys`` the store's pinned
+    geometry must be passed explicitly."""
+    from pandas_db_spark.operators.dedup import _ensure_parallelism
+
+    if bands == "auto" or rows == "auto":
+        if not (bands == "auto" and rows == "auto"):
+            raise ValueError("cosine_incremental: bands and rows must "
+                             "both be 'auto' or both explicit")
+        if store_keys is not None:
+            raise ValueError(
+                "cosine_incremental: a prebuilt store_keys pins its "
+                "geometry — pass the store's explicit bands/rows")
+        bands, rows = auto_sign_geometry(
+            store_emb.count() + new_emb.count(), threshold)
+    new_keys = (_sign_bands(_ensure_parallelism(new_emb), id_col, vec_col,
+                            dim, bands, rows, seed)
+                .withColumnRenamed("id", "id_a"))
+    if store_keys is None:
+        store_keys = _sign_bands(store_emb, id_col, vec_col, dim, bands,
+                                 rows, seed)
+    sk = store_keys.withColumnRenamed("id", "id_b")
+    cand = (new_keys.join(sk, ["band", "bh"])
+            .select("id_a", "id_b").distinct())
+    probe_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+    store_vec = (store_emb.join(probe_ids, id_col, "left_semi")
+                 .select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb")))
+    new_vec = new_emb.select(F.col(id_col).alias("id_a"),
+                             F.col(vec_col).alias("va"))
+    dup_a = (cand.join(new_vec, "id_a").join(store_vec, "id_b")
+             .where(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
+             .select(F.col("id_a").alias(id_col)).distinct())
+    return new_emb.select(id_col).join(dup_a, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # IVF approximate top-k
 # ---------------------------------------------------------------------------

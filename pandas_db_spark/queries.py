@@ -310,6 +310,61 @@ def mix_tokens(spark, sf_dir):
     return out.select("doc_id", "source", "budget_before")
 
 
+@q("ann_pairs_planted",
+   "WITH ext AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+   "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25) "
+   "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ext a JOIN ext b "
+   "ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+   "b.embedding::DOUBLE[]) >= 0.95")
+def ann_pairs_planted(spark, sf_dir):
+    """Sign-LSH near-dup pairs with PLANTED duplicates (r8): the base
+    embeddings corpus holds no cosine-≥0.95 pair at any sf, so the
+    ``ann_cosine_pairs`` oracle was trivially satisfied by an empty
+    result — recall was never externally exercised.  This query unions
+    25 exact copies (shifted ids) into the corpus; the LSH path MUST
+    surface all 25 planted pairs (cosine 1.0) plus whatever the copies
+    newly pair with, and the oracle recomputes the exact all-pairs
+    answer over the same extended corpus — an LSH recall failure now
+    breaks the external hash gate, not just pytest."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings.df.select("vec_id", "embedding")
+    planted = (e.where(F.col("vec_id") < 25)
+                .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    ext = e.unionByName(planted)
+    return S.cosine_pairs_lsh(ext, threshold=0.95)
+
+
+@q("dedup_embedding_incremental",
+   "WITH b AS (SELECT vec_id + 1000000 AS vec_id, embedding "
+   "FROM embeddings WHERE vec_id < 25 "
+   "UNION ALL SELECT vec_id + 2000000 AS vec_id, "
+   "list_transform(embedding, x -> -x) AS embedding "
+   "FROM embeddings WHERE vec_id >= 25 AND vec_id < 50) "
+   "SELECT b.vec_id FROM b WHERE NOT EXISTS ("
+   "SELECT 1 FROM embeddings s WHERE list_cosine_similarity("
+   "s.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95)")
+def dedup_embedding_incremental(spark, sf_dir):
+    """Rolling-ingest EMBEDDING dedup (operators/similarity.
+    cosine_incremental — r8, completing the incremental family: exact /
+    minhash / embedding): a 50-vector batch — 25 exact copies of store
+    vectors (must drop) and 25 negated vectors (cosine −1, must
+    survive) — probes the embeddings corpus as the store via sign-LSH
+    band keys; store vectors are fetched only for band-key candidates
+    (left-semi probe), drops exact-verified.  The oracle is the exact
+    cross-side NOT EXISTS over the same derived batch."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings.df.select("vec_id", "embedding")
+    copies = (e.where(F.col("vec_id") < 25)
+               .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    negated = (e.where((F.col("vec_id") >= 25) & (F.col("vec_id") < 50))
+                .withColumn("vec_id", F.col("vec_id") + 2_000_000)
+                .withColumn("embedding",
+                            F.transform("embedding", lambda x: -x)))
+    batch = copies.unionByName(negated)
+    return S.cosine_incremental(batch, e)
+
+
 # ---- moved into the driver prefix window in r8: both queries run the
 # AUTO sign-LSH geometry now (bands/rows sized to corpus density), so
 # they need fresh external receipts on the new code path. ----

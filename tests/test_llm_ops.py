@@ -957,3 +957,40 @@ def test_take_until_budget_by_matches_per_group(spark, docs):
     with pytest.raises(ValueError, match="positive"):
         take_until_budget_by(d, "grp", {"0": 0}, toks,
                              F.length("text"), "doc_id")
+
+
+def test_cosine_incremental_store_probe(spark, emb):
+    """r8: batch vectors near-duplicating store vectors are dropped
+    (exact-verified), novel vectors survive; a prebuilt signlsh_store
+    with its pinned geometry gives identical results; auto geometry
+    with a prebuilt store is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pandas_db_spark.operators.similarity import (cosine_incremental,
+                                                      signlsh_store)
+
+    store = emb.select("vec_id", "embedding")
+    copies = (store.where(F.col("vec_id") < 10)
+              .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    novel = (store.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+             .withColumn("vec_id", F.col("vec_id") + 2_000_000)
+             .withColumn("embedding", F.transform("embedding",
+                                                  lambda x: -x)))
+    batch = copies.unionByName(novel)
+
+    kept = {r["vec_id"] for r in
+            cosine_incremental(batch, store).collect()}
+    assert kept == {2_000_000 + i for i in range(10, 20)}
+
+    # prebuilt store keys with pinned explicit geometry: same answer,
+    # and the store's TEXT... vectors are only probed for candidates
+    keys = signlsh_store(store, bands=69, rows=16)
+    kept2 = {r["vec_id"] for r in
+             cosine_incremental(batch, store, bands=69, rows=16,
+                                store_keys=keys).collect()}
+    assert kept2 == kept
+
+    with pytest.raises(ValueError, match="pins its geometry"):
+        cosine_incremental(batch, store, store_keys=keys)
+    with pytest.raises(ValueError, match="both"):
+        cosine_incremental(batch, store, bands=32, rows="auto")
