@@ -58,7 +58,9 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      checkpoint_dir: str,
                      partition_by_batch: bool = True,
                      mode: str = "exact",
-                     threshold: float = 0.8) -> None:
+                     threshold: float = 0.8,
+                     vec_dim: int = 64,
+                     expected_corpus: int = 1_000_000) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
@@ -73,7 +75,18 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     its exact-verified Jaccard vs ANY stored doc reaches ``threshold`` —
     NOTE the verify step re-shingles matched store docs, so the near
     mode also persists the store docs' id+text beside the signatures
-    (``store_dir + "/docs"``), read back only for candidates."""
+    (``store_dir + "/docs"``), read back only for candidates.
+    ``mode="embedding"`` (r8): ``text_col`` names an ``array<float>``
+    VECTOR column (``vec_dim`` components); store = sign-LSH band keys
+    (``similarity.signlsh_store``) + the vectors beside them, and a new
+    vector is dropped when its exact-verified cosine vs ANY stored
+    vector reaches ``threshold`` (pass 0.95-ish — the 0.8 default is
+    the near-text convention).  The band geometry is sized ONCE from
+    ``expected_corpus`` via ``auto_sign_geometry`` and PINNED in
+    ``store_dir + "/meta"`` — keys from different geometries never
+    match, so every later batch (and crash replay) reloads the pinned
+    values; size ``expected_corpus`` for the corpus you expect at
+    steady state, not the first batch."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
@@ -81,8 +94,12 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                                                  minhash_incremental,
                                                  minhash_pairs,
                                                  minhash_store)
+    from pandas_db_spark.operators.similarity import (auto_sign_geometry,
+                                                      cosine_incremental,
+                                                      cosine_pairs_lsh,
+                                                      signlsh_store)
 
-    if mode not in ("exact", "near"):
+    if mode not in ("exact", "near", "embedding"):
         raise ValueError(f"run_dedup_ingest: unknown mode {mode!r}")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -92,6 +109,36 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
             # dedup_incremental dedupes IN-BATCH (keep-min-id groupBy)
             # before anti-joining the store.
             kept_ids = dedup_incremental(batch_df, store, text_col, id_col)
+        elif mode == "embedding":
+            meta_rows = _read_store(
+                spark, store_dir + "/meta", "bands long, rows long"
+            ).collect()
+            if meta_rows:
+                bands = int(meta_rows[0]["bands"])
+                rows = int(meta_rows[0]["rows"])
+            else:
+                # first batch ever: pin the geometry for the store's life
+                # (a crash replay re-derives the identical values from
+                # the same expected_corpus, so the pin is idempotent)
+                bands, rows = auto_sign_geometry(expected_corpus, threshold)
+                (spark.createDataFrame([(bands, rows)],
+                                       "bands long, rows long")
+                 .write.mode("overwrite").parquet(store_dir + "/meta"))
+            vecs = _read_store(spark, store_dir + "/vecs",
+                               f"{id_col} long, {text_col} array<float>")
+            keys = _read_store(spark, store_dir + "/keys",
+                               "id long, band long, bh long")
+            # in-batch near-dedup FIRST (cosine_incremental only compares
+            # the batch against the store)
+            in_pairs = cosine_pairs_lsh(batch_df, threshold=threshold,
+                                        id_col=id_col, vec_col=text_col,
+                                        dim=vec_dim, bands=bands,
+                                        rows=rows)
+            batch_kept = keep_first(batch_df, in_pairs, id_col)
+            kept_ids = cosine_incremental(
+                batch_kept, vecs, id_col=id_col, vec_col=text_col,
+                threshold=threshold, dim=vec_dim, bands=bands, rows=rows,
+                store_keys=keys)
         else:
             sigs = _read_store(spark, store_dir + "/sigs",
                                f"{id_col} long, sig array<long>")
@@ -128,6 +175,12 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
         if mode == "exact":
             (fingerprint_store(kept, text_col, id_col)
              .write.mode("append").parquet(store_dir))
+        elif mode == "embedding":
+            (signlsh_store(kept, id_col=id_col, vec_col=text_col,
+                           dim=vec_dim, bands=bands, rows=rows)
+             .write.mode("append").parquet(store_dir + "/keys"))
+            (kept.select(id_col, text_col)
+             .write.mode("append").parquet(store_dir + "/vecs"))
         else:
             (minhash_store(kept, text_col, id_col)
              .write.mode("append").parquet(store_dir + "/sigs"))

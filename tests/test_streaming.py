@@ -525,3 +525,50 @@ def test_events_stream_reader_directory_dataset(spark, tmp_path, db):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.table("r8_dirstream").count() == 123
+
+
+def test_embedding_ingest_pipeline(spark, tmp_path):
+    """r8 mode='embedding': a later batch's exact-copy vector of an
+    ingested one is dropped, an in-batch duplicate pair admits one, and
+    orthogonal/novel vectors survive; the pinned band geometry is
+    written once and reused."""
+    import math
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    def vec(i, dim=64):
+        # unit basis-ish vectors: v_i and v_j (i != j) are orthogonal
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    src = tmp_path / "in"
+    batches = [
+        [(1, vec(0)), (2, vec(1)),
+         (3, vec(1))],                 # in-batch duplicate of 2
+        [(4, vec(0)),                  # cross-batch duplicate of 1
+         (5, vec(2))],                 # novel
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    stream = (spark.readStream.schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "embedding", "vec_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     mode="embedding", threshold=0.95,
+                     expected_corpus=10_000)
+    kept = {r["vec_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {1, 2, 5}
+    meta = spark.read.parquet(str(tmp_path / "store/meta")).collect()
+    assert len(meta) == 1
+    # pinned geometry satisfies the documented recall bound at 0.95
+    b, r = int(meta[0]["bands"]), int(meta[0]["rows"])
+    p = 1.0 - math.acos(0.95) / math.pi
+    assert (1.0 - p ** r) ** b <= 1e-6
+    # store state: keys for the 3 survivors at `bands` rows each + vecs
+    keys = spark.read.parquet(str(tmp_path / "store/keys"))
+    assert keys.count() == 3 * b
+    assert spark.read.parquet(str(tmp_path / "store/vecs")).count() == 3
