@@ -303,21 +303,28 @@ def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
     if not q_terms:
         raise ValueError("bm25_topk: query has no terms")
 
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    # N and avgdl ride the plan as a broadcast one-row frame (r9, same
+    # lazy-construction discipline as tf_idf/build_vocab: the previous
+    # construction-time collect() tokenized the ENTIRE corpus eagerly
+    # before any action; the indexed sibling reads them from its meta
+    # table).  cast("double") of a count and the avg itself reproduce
+    # the collected float values bit-for-bit, so oracle hashes are
+    # unchanged.
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.size(tokens(F.col(text_col)))).alias("__avgdl"))
 
     p = (_postings(docs, text_col, id_col)
          .where(F.col("term").isin(q_terms)))
     tf = (p.groupBy("doc_id", "term")
           .agg(F.first("dl").alias("dl"), F.count(F.lit(1)).alias("tf")))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     norm = F.col("tf") * (k1 + 1) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl")))
     scored = (tf.join(F.broadcast(df), "term")
+              .crossJoin(F.broadcast(stats))
               .select("doc_id", (idf * norm).alias("s"))
               .groupBy("doc_id").agg(F.sum("s").alias("score")))
     top = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

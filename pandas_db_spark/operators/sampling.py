@@ -346,7 +346,8 @@ def take_until_budget_by(df: DataFrame, group_col: str, budgets: dict,
 def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
                         budget: int, weight_col, id_col: str,
                         salt: str = "",
-                        out_col: str = "budget_before") -> DataFrame:
+                        out_col: str = "budget_before",
+                        source_col: str = "source") -> DataFrame:
     """TOKEN-budgeted corpus mixing — the production form of
     :func:`mix_corpora`: real training mixes are specified as "X % of
     the token budget from web, Y % from code", not as row fractions
@@ -359,7 +360,9 @@ def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
     independent permutation, :func:`epoch_shuffle`'s device), NOT
     best-first; pass a scored ``order`` through
     :func:`take_until_budget` directly when curation should be
-    quality-ranked.  Rows gain ``source`` (corpus name) and ``out_col``
+    quality-ranked.  Rows gain ``source_col`` (the corpus name; inputs
+    that already carry a column of that name are REJECTED — pass a
+    different ``source_col`` rather than silently losing data) and ``out_col``
     (the exact within-corpus running total before the row; the first
     overflowing row is kept — same contract as
     :func:`take_until_budget`, which supplies the machinery and its
@@ -378,6 +381,16 @@ def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
         raise ValueError("mix_by_token_budget: budget must be positive")
     if not corpora:
         raise ValueError("mix_by_token_budget: corpora must be non-empty")
+    for name, (df, _) in corpora.items():
+        # withColumn REPLACES an existing column — a caller whose schema
+        # already carries `source` (or whatever source_col is) would lose
+        # that data silently.  Refuse and point at the rename lever.
+        if source_col in df.columns:
+            raise ValueError(
+                f"mix_by_token_budget: corpus {name!r} already has a "
+                f"column named {source_col!r}; pass a different "
+                "source_col= (or rename the input column) so the corpus "
+                "tag does not overwrite it")
     total_w = float(sum(w for _, w in corpora.values()))
     if total_w <= 0:
         raise ValueError("mix_by_token_budget: weights must sum > 0")
@@ -401,7 +414,7 @@ def mix_by_token_budget(corpora: dict[str, tuple[DataFrame, float]],
     out = take_until_budget_by(u, "__mix_source", budgets, weight_col,
                                order, id_col, ascending=True,
                                out_col=out_col)
-    return (out.withColumn("source", F.col("__mix_source"))
+    return (out.withColumn(source_col, F.col("__mix_source"))
                .drop("__mix_source"))
 
 

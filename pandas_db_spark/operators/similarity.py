@@ -48,6 +48,30 @@ def cosine_sim(a, b) -> F.Column:
 
 
 # ---------------------------------------------------------------------------
+# memoized corpus counts (geometry auto-sizing)
+# ---------------------------------------------------------------------------
+
+# The auto-geometry paths need |corpus| at construction.  A raw count()
+# re-runs the upstream plan every call — counter to the lazy-construction
+# discipline — so counts are memoized by the plan's semanticHash (the same
+# key discipline as `column._plan_key` / the reference's fetchall memo):
+# repeated LSH construction over the same registered table costs zero jobs
+# after the first.  Callers with a cheaper source of n (catalog stats, a
+# prior count) pass it via the `n=` hint and skip the count entirely.
+from pandas_db_spark.cache import Cache as _Cache
+
+_COUNT_CACHE = _Cache(max_item_size=1, max_dict_size=8)
+
+
+def _corpus_count(df: DataFrame) -> int:
+    try:
+        key = ("similarity_n", df.semanticHash())
+    except Exception:
+        return df.count()  # unkeyable plan → no memo (never a stale hit)
+    return _COUNT_CACHE.memo(key, df.count)
+
+
+# ---------------------------------------------------------------------------
 # brute-force exact top-k (baseline)
 # ---------------------------------------------------------------------------
 
@@ -171,6 +195,10 @@ def auto_sign_geometry(n: int, threshold: float,
     if n < 2:
         return 1, 16
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    # threshold=1.0 (exact-duplicate calls) gives p=1.0 → log(1-p^r) is
+    # log(0); clamp just below 1 so the loop degrades to b=1 bands of the
+    # candidate-budget-sized row count instead of a math domain error.
+    p = min(p, 1.0 - 1e-12)
     for r in range(16, 62):
         b = max(1, math.ceil(math.log(miss_target)
                              / math.log(1.0 - p ** r)))
@@ -183,7 +211,7 @@ def auto_sign_geometry(n: int, threshold: float,
 def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dim: int = 64, bands="auto", rows="auto",
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, n: int | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via sign-LSH
     banding + exact verification.  Precision is exact (every candidate is
     re-scored with the deterministic JVM cosine); recall follows the LSH
@@ -204,13 +232,20 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     dedup through IVF-style partitioning (:func:`ivf_topk` /
     :func:`build_ivf_index`) instead of flat banding — measured at the
     sf1 rehearsal, the auto geometry cut candidates 398k → 263k at
-    n=20k with the remainder being exactly that cluster mass."""
+    n=20k with the remainder being exactly that cluster mass.
+
+    The auto sizing needs |corpus|: pass it via ``n`` when known (catalog
+    stats, a prior count) — otherwise ONE ``count()`` runs at
+    construction, memoized by the plan's semanticHash so repeated calls
+    over the same frame cost zero extra jobs.  Cache expensive derived
+    inputs before calling, or supply ``n``."""
     from pandas_db_spark.operators.dedup import _bucket_pairs
     if bands == "auto" or rows == "auto":
         if not (bands == "auto" and rows == "auto"):
             raise ValueError("cosine_pairs_lsh: bands and rows must both "
                              "be 'auto' or both explicit ints")
-        bands, rows = auto_sign_geometry(emb.count(), threshold)
+        bands, rows = auto_sign_geometry(
+            n if n is not None else _corpus_count(emb), threshold)
     keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
     # groupBy-bucket + in-bucket expansion: the sign-projection plan runs
     # once and shuffles once (a self-join would execute it per side).
@@ -241,11 +276,118 @@ def signlsh_store(emb: DataFrame, id_col: str = "vec_id",
     return _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
 
 
+def _staged_overwrite(df: DataFrame, path: str,
+                      partition_by: str | None = None,
+                      n_files: int = 8) -> None:
+    """Rewrite a parquet directory THAT THE PLAN READS FROM: write to a
+    sibling tmp dir, then swap via two Hadoop FS renames (old → .old,
+    tmp → live, delete .old).  A direct ``mode("overwrite")`` truncates
+    the directory the lazy read still points at.  A crash mid-swap
+    leaves the data in exactly one of the three dirs — re-running the
+    caller completes or redoes the swap; no window loses both copies."""
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    tmp, old = base + ".__stage_tmp", base + ".__stage_old"
+    w = df.coalesce(n_files).write.mode("overwrite")
+    if partition_by:
+        w = df.repartition(n_files, partition_by).write.mode("overwrite") \
+              .partitionBy(partition_by)
+    w.parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(base).getFileSystem(conf)
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if fs.exists(P(base)):
+        fs.rename(P(base), P(old))
+    fs.rename(P(tmp), P(base))
+    fs.delete(P(old), True)
+
+
+def reband_store(spark, store_dir: str, threshold: float = 0.95,
+                 bands="auto", rows="auto", id_col: str = "vec_id",
+                 vec_col: str = "embedding", dim: int = 64,
+                 seed: int = 42,
+                 expected_corpus: int | None = None) -> tuple[int, int]:
+    """Migrate a persisted embedding-dedup store
+    (``store_dir/{meta,keys,vecs}`` — the :func:`signlsh_store` /
+    ``streaming.ingest`` embedding layout) to a NEW band geometry:
+    recompute every band key from the persisted VECTORS — one scan, no
+    pairs — swap the ``/keys`` table in place, and re-pin ``/meta``.
+
+    This is the escape hatch for the pinned-geometry scaling cliff: a
+    store sized for ``expected_corpus`` N goes ~quadratic in candidate
+    probes once the real corpus outgrows N (candidates ≈
+    n²·bands/2^rows), and band keys from different geometries never
+    match, so growing the pin REQUIRES re-keying.  ``bands``/``rows``
+    default to ``"auto"``: sized by :func:`auto_sign_geometry` for
+    ``expected_corpus`` (pass the corpus size you now expect at steady
+    state; defaults to the CURRENT ``/vecs`` count — i.e. "fit what I
+    already have", so pass headroom explicitly).
+
+    Offline maintenance contract: run between ingest runs, not under a
+    live stream.  The keys swap is staged (old keys survive a crash in
+    a ``.__stage_old`` sibling); meta is re-pinned only AFTER the keys
+    land, and a crash between the two leaves keys/meta mismatched —
+    re-run to completion, the operation is idempotent.  Returns the new
+    ``(bands, rows)``."""
+    vecs = spark.read.parquet(store_dir + "/vecs")
+    if bands == "auto" or rows == "auto":
+        if not (bands == "auto" and rows == "auto"):
+            raise ValueError("reband_store: bands and rows must both be "
+                             "'auto' or both explicit ints")
+        n = expected_corpus if expected_corpus is not None \
+            else vecs.select(id_col).distinct().count()
+        bands, rows = auto_sign_geometry(n, threshold)
+    keys = _sign_bands(vecs, id_col, vec_col, dim, bands, rows, seed)
+    part = None
+    if "batch_id" in vecs.columns:
+        # preserve the ingest's batch partitioning so later replayed /
+        # new batches keep their idempotent per-partition overwrites
+        keys = keys.join(
+            vecs.select(F.col(id_col).alias("id"), "batch_id"), "id")
+        part = "batch_id"
+    _staged_overwrite(keys, store_dir + "/keys", partition_by=part)
+    meta = [(int(bands), int(rows),
+             int(expected_corpus) if expected_corpus is not None else None)]
+    (spark.createDataFrame(meta,
+                           "bands long, rows long, expected_corpus long")
+     .write.mode("overwrite").parquet(store_dir + "/meta"))
+    return int(bands), int(rows)
+
+
+def compact_signlsh_store(spark, store_dir: str, id_col: str = "vec_id",
+                          n_files: int = 8) -> None:
+    """Offline compaction for an embedding-dedup store: drop the
+    duplicate ``/keys`` and ``/vecs`` rows that at-least-once appends
+    accumulate across replays, and coalesce thousands of micro-batch
+    small files into ``n_files`` per table.  Batch-partitioned stores
+    keep their layout with history collapsed into a ``batch_id = -1``
+    sentinel partition (never a real micro-batch id, so later dynamic
+    per-batch overwrites cannot touch the compacted rows); unpartitioned
+    stores stay unpartitioned.  Same offline contract and staged-swap
+    crash safety as :func:`reband_store`."""
+    for sub, dedup_cols in (("/keys", ["id", "band", "bh"]),
+                            ("/vecs", [id_col])):
+        df = spark.read.parquet(store_dir + sub)
+        part = None
+        if "batch_id" in df.columns:
+            df = (df.dropDuplicates(dedup_cols)
+                    .withColumn("batch_id", F.lit(-1)))
+            part = "batch_id"
+        else:
+            df = df.dropDuplicates(dedup_cols)
+        _staged_overwrite(df, store_dir + sub, partition_by=part,
+                          n_files=n_files)
+
+
 def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        threshold: float = 0.95, dim: int = 64,
                        bands="auto", rows="auto", seed: int = 42,
-                       store_keys: DataFrame | None = None) -> DataFrame:
+                       store_keys: DataFrame | None = None,
+                       n: int | None = None) -> DataFrame:
     """IDs of ``new_emb`` that are NOT near-duplicates (exact-verified
     cosine ≥ threshold) of any vector in the existing corpus — the
     rolling-ingest form of :func:`cosine_pairs_lsh` and the embedding
@@ -262,9 +404,10 @@ def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
     S-curve (≤ 1e-6 miss under the auto geometry).
 
     ``bands``/``rows`` default to auto-sizing over |store| + |batch|
-    (two count jobs) — only valid when this call computes the store
-    keys itself; with a prebuilt ``store_keys`` the store's pinned
-    geometry must be passed explicitly."""
+    (two count jobs, memoized by plan semanticHash; or pass the total
+    via ``n`` to skip them) — only valid when this call computes the
+    store keys itself; with a prebuilt ``store_keys`` the store's
+    pinned geometry must be passed explicitly."""
     from pandas_db_spark.operators.dedup import _ensure_parallelism
 
     if bands == "auto" or rows == "auto":
@@ -276,7 +419,9 @@ def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
                 "cosine_incremental: a prebuilt store_keys pins its "
                 "geometry — pass the store's explicit bands/rows")
         bands, rows = auto_sign_geometry(
-            store_emb.count() + new_emb.count(), threshold)
+            n if n is not None
+            else _corpus_count(store_emb) + _corpus_count(new_emb),
+            threshold)
     new_keys = (_sign_bands(_ensure_parallelism(new_emb), id_col, vec_col,
                             dim, bands, rows, seed)
                 .withColumnRenamed("id", "id_a"))
@@ -296,6 +441,99 @@ def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
              .where(cosine_sim(F.col("va"), F.col("vb")) >= threshold)
              .select(F.col("id_a").alias(id_col)).distinct())
     return new_emb.select(id_col).join(dup_a, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# IVF-routed near-duplicate pairs (cluster-heavy corpora)
+# ---------------------------------------------------------------------------
+
+
+def _assign_lists_multi(emb: DataFrame, cent: np.ndarray, nprobe: int,
+                        id_col: str, vec_col: str) -> DataFrame:
+    """(id, list_id) with each vector assigned to its ``nprobe`` NEAREST
+    coarse lists — the multi-probe variant of :func:`_assign_lists`
+    (same narrow Arrow-batched numpy pass, nprobe rows out per vector).
+    Stable argsort → deterministic under centroid-similarity ties."""
+
+    def assigner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            top = np.argsort(-(vs @ cent.T), axis=1,
+                             kind="stable")[:, :nprobe]
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, top.shape[1]),
+                "list_id": top.ravel().astype(np.int64),
+            })
+
+    return (emb.select(id_col, vec_col)
+               .mapInPandas(assigner, f"{id_col} long, list_id long"))
+
+
+def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
+                     nlist="auto", nprobe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     sample_n: int = 2048, target_list_size: int = 64,
+                     n: int | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs (exact-verified cosine ≥
+    threshold) routed through IVF coarse partitioning instead of flat
+    sign-LSH banding — the scale path for CLUSTER-HEAVY corpora (r9,
+    VERDICT r8 #3; previously only a docstring pointer in
+    :func:`cosine_pairs_lsh`).
+
+    Why a second dedup route exists: flat banding pays a tight cluster's
+    pair mass once PER BAND (every band of a ~0.9-similar pair collides
+    high on the S-curve), which is exactly what grew ``dedup_embedding``
+    5.1× at the sf1 step.  Here each vector lands in its ``nprobe``
+    nearest coarse lists (one Arrow-batched matmul pass — no banding, no
+    per-band hashing) and candidate pairs are generated WITHIN lists
+    only, so a cluster's pair mass is paid once, and moderate-similarity
+    non-duplicate mass is cut by the coarse partition boundary instead
+    of amplified ``bands``×.
+
+    Scale contract at 100 TB: candidate volume is Σ_list C(|list|, 2)
+    deduped across probes.  ``nlist`` defaults to ``"auto"`` =
+    ``max(16, ceil(n / target_list_size))`` (n via the memoized corpus
+    count, or the ``n`` hint), which BOUNDS expected verify work at
+    ≈ nprobe² · target_list_size / 2 candidates per vector — LINEAR in
+    n, independent of corpus growth — and keeps per-list occupancy
+    task-sized; the centroid fit costs only ``sample_n`` driver-side
+    rows and one broadcast, so nlist scales freely.  That per-vector
+    budget is HIGHER than flat banding's ~10 random-collision budget:
+    this route wins when tight-cluster pair mass (which flat banding
+    shuffles once per band — 110+ bands at auto geometry) dominates,
+    not on decorrelated corpora.  Every candidate is exact-verified
+    (precision exact).  Recall is APPROXIMATE: identical vectors are
+    co-listed by construction (deterministic stable assignment), near
+    pairs rely on ``nprobe`` multi-probe to cover list boundaries — no
+    S-curve guarantee, so certify recall with :func:`cosine_pairs_lsh`
+    where required (planted-pair gate: ``dedup_embedding_ivf``)."""
+    import math
+    from pandas_db_spark.operators.dedup import (_bucket_pairs,
+                                                 _ensure_parallelism)
+    if nlist == "auto":
+        nn = n if n is not None else _corpus_count(emb)
+        # the centroid fit needs ≥ nlist sampled rows, so the auto
+        # occupancy bound holds up to n ≈ sample_n · target_list_size
+        # (~131k at the defaults) — past that, raise sample_n (driver
+        # memory permitting) or pass an explicit coarser nlist
+        nlist = min(max(16, math.ceil(nn / max(1, target_list_size))),
+                    sample_n)
+    cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
+    assigns = _assign_lists_multi(_ensure_parallelism(emb), cent, nprobe,
+                                  id_col, vec_col)
+    cand = _bucket_pairs(assigns.withColumnRenamed(id_col, "id"),
+                         ["list_id"], "id")
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    return (joined.select("id_a", "id_b",
+                          cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+                  .filter(F.col("sim") >= threshold)
+                  .select("id_a", "id_b"))
 
 
 # ---------------------------------------------------------------------------

@@ -65,18 +65,13 @@ def oracle_sql() -> dict[str, str]:
 # arranged least-recently-driver-verified FIRST so the gate's prefix always
 # lands on the code with the weakest external evidence:
 #
-#   * first: the 19 queries added late in round 6 (quality suite +
-#     per-group/stream/trend, rolling/cumulative, melt, length buckets,
-#     semi/anti, exact correlation, resample, SCD2, incremental dedup x2,
-#     balanced sampling, heavy hitters, BPE) — never driver-verified;
-#   * then the 16 round-5 queries VERDICT r5 item #1 named (packing,
-#     decontamination, deterministic sampling/splits, PII redaction,
-#     repetition, grouped quantiles, minhash_keep, tumbling_by_type,
-#     mm_resize, ann_ivf) — likewise without a driver receipt;
-#   * then the highest-novelty earlier-round-6 queries up to the ~50
-#     boundary; everything after: either already driver-verified
-#     (r4/r5 windows) or locally-oracle-verified analytics awaiting a
-#     later window.
+#   * first (r9): the two never-verified round-9 queries (IVF-routed
+#     dedup, store-reband probe);
+#   * then the ~50 r4-vintage parity queries (scan/filter/agg/sort/iloc/
+#     join/groupby/window/set-op/apply) whose last DRIVER receipt is
+#     round 4 — rotated forward per VERDICT r8 #5;
+#   * everything after: driver-verified in r5-r8 windows, re-verified by
+#     every round's local full-registry oracle run.
 #
 # The FULL registry is additionally verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).  Full or
@@ -149,6 +144,756 @@ _TOK = "string_split(trim(text), ' ')"
 # =====================================================================
 # Heavy hitters (operators/reshape.py)
 # =====================================================================
+
+# ---- round-9 additions (never driver-verified) go FIRST: the
+# IVF-routed embedding dedup (VERDICT r8 #3) and the store-geometry
+# migration probe (VERDICT r8 #2). ----
+
+
+@q("dedup_embedding_ivf",
+   "WITH ext AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+   "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25), "
+   "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM ext a "
+   "JOIN ext b ON a.vec_id < b.vec_id "
+   "WHERE list_cosine_similarity(a.embedding::DOUBLE[], "
+   "b.embedding::DOUBLE[]) >= 0.95) "
+   "SELECT vec_id FROM ext WHERE vec_id NOT IN (SELECT id_b FROM pairs)")
+def dedup_embedding_ivf(spark, sf_dir):
+    """IVF-ROUTED embedding dedup (operators/similarity.cosine_pairs_ivf
+    — r9, VERDICT r8 #3): vectors partition into their nprobe nearest
+    coarse lists, candidate pairs are generated WITHIN lists only (a
+    cluster's pair mass is paid once, not once per LSH band), every
+    candidate exact-verified, keep-min-id policy.  25 exact copies are
+    planted (shifted ids): the IVF route MUST co-list and drop all 25 —
+    assignment is deterministic, so identical vectors always share
+    lists — and the oracle is the exact all-pairs survivor set over the
+    same extended corpus, so an IVF recall failure on the planted
+    cluster breaks the external hash gate."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings.df.select("vec_id", "embedding")
+    planted = (e.where(F.col("vec_id") < 25)
+                .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    ext = e.unionByName(planted)
+    pairs = S.cosine_pairs_ivf(ext, threshold=0.95)
+    return D.keep_first(ext, pairs, "vec_id").select("vec_id")
+
+
+@q("dedup_embedding_rebanded",
+   "WITH b AS (SELECT vec_id + 1000000 AS vec_id, embedding "
+   "FROM embeddings WHERE vec_id < 25 "
+   "UNION ALL SELECT vec_id + 2000000 AS vec_id, "
+   "list_transform(embedding, x -> -x) AS embedding "
+   "FROM embeddings WHERE vec_id >= 25 AND vec_id < 50) "
+   "SELECT b.vec_id FROM b WHERE NOT EXISTS ("
+   "SELECT 1 FROM embeddings s WHERE list_cosine_similarity("
+   "s.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95)")
+def dedup_embedding_rebanded(spark, sf_dir):
+    """Store-geometry MIGRATION probe (operators/similarity.reband_store
+    — r9, VERDICT r8 #2): a persisted sign-LSH store is first built at a
+    deliberately coarse pinned geometry (4×16), then migrated in place
+    to the density-matched auto geometry — band keys recomputed from the
+    persisted VECTORS in one scan, /keys swapped via the staged
+    overwrite, /meta re-pinned — and a planted batch (25 exact copies →
+    must drop, 25 negated vectors → must survive) probes the REBANDED
+    store through cosine_incremental with the new pinned geometry.  Same
+    exact NOT-EXISTS oracle as dedup_embedding_incremental: a
+    reband that corrupted keys, lost vectors, or left meta stale would
+    miss drops or invent them and break the hash."""
+    import hashlib
+    import os
+    import tempfile
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings.df.select("vec_id", "embedding")
+    store_dir = os.path.join(
+        tempfile.gettempdir(),
+        "pds_reband_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    marker = os.path.join(store_dir, "_REBANDED")
+    if not os.path.exists(marker):
+        e.write.mode("overwrite").parquet(store_dir + "/vecs")
+        (S.signlsh_store(e, bands=4, rows=16)
+         .write.mode("overwrite").parquet(store_dir + "/keys"))
+        (spark.createDataFrame([(4, 16, None)],
+                               "bands long, rows long, expected_corpus long")
+         .write.mode("overwrite").parquet(store_dir + "/meta"))
+        S.reband_store(spark, store_dir, threshold=0.95)
+        open(marker, "w").close()
+    meta = spark.read.parquet(store_dir + "/meta").collect()[0]
+    keys = spark.read.parquet(store_dir + "/keys")
+    vecs = spark.read.parquet(store_dir + "/vecs")
+    copies = (e.where(F.col("vec_id") < 25)
+               .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    negated = (e.where((F.col("vec_id") >= 25) & (F.col("vec_id") < 50))
+                .withColumn("vec_id", F.col("vec_id") + 2_000_000)
+                .withColumn("embedding",
+                            F.transform("embedding", lambda x: -x)))
+    batch = copies.unionByName(negated)
+    return S.cosine_incremental(
+        batch, vecs, threshold=0.95, bands=int(meta["bands"]),
+        rows=int(meta["rows"]), store_keys=keys)
+
+
+# ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
+# (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
+# queries) last held a DRIVER receipt in round 4 — four rounds of code
+# evolution ago.  They move into the gate's ~50-entry prefix so the
+# external receipts rotate forward; all remain hash-green in every
+# round's local full-registry oracle run. ----
+
+# =====================================================================
+# §2.1 scans / sources
+# =====================================================================
+
+@q("scan_region", "SELECT r_regionkey, r_name FROM region")
+def scan_region(spark, sf_dir):
+    """Full-table scan through the Database→Table façade (SURVEY §2.1)."""
+    return get_db(spark, sf_dir)["region"].df
+
+
+@q("column_slice",
+   "SELECT c_custkey, c_acctbal FROM customer")
+def column_slice(spark, sf_dir):
+    """t[[c1, c2]] column slice — ReadSchema pruned to 2 columns (§2.3)."""
+    db = get_db(spark, sf_dir)
+    return db.customer[["c_custkey", "c_acctbal"]].df
+
+
+# =====================================================================
+# §2.3 filters / predicates
+# =====================================================================
+
+@q("filter_gt",
+   "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 50000")
+def filter_gt(spark, sf_dir):
+    o = get_db(spark, sf_dir).orders
+    return o[o.o_totalprice > 50000][["o_orderkey", "o_totalprice"]].df
+
+
+@q("filter_and",
+   "SELECT o_orderkey FROM orders "
+   "WHERE o_totalprice >= 1000 AND o_orderstatus = 'F'")
+def filter_and(spark, sf_dir):
+    o = get_db(spark, sf_dir).orders
+    return o[(o.o_totalprice >= 1000) & (o.o_orderstatus == "F")][["o_orderkey"]].df
+
+
+@q("filter_or_not",
+   "SELECT o_orderkey FROM orders "
+   "WHERE o_orderpriority = '1-URGENT' OR NOT (o_orderstatus = 'O')")
+def filter_or_not(spark, sf_dir):
+    o = get_db(spark, sf_dir).orders
+    expr = (o.o_orderpriority == "1-URGENT") | (~(o.o_orderstatus == "O"))
+    return o[expr][["o_orderkey"]].df
+
+
+@q("filter_isin",
+   "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 2)")
+def filter_isin(spark, sf_dir):
+    n = get_db(spark, sf_dir).nation
+    return n[n.n_regionkey.isin([0, 2])][["n_nationkey", "n_name"]].df
+
+
+@q("filter_between",
+   "SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 10 AND 20")
+def filter_between(spark, sf_dir):
+    p = get_db(spark, sf_dir).part
+    return p[p.p_size.between(10, 20)][["p_partkey", "p_size"]].df
+
+
+@q("filter_like",
+   "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%red%'")
+def filter_like(spark, sf_dir):
+    """LIKE is case-insensitive for SQLite parity (ref tests/test_column.py:685)."""
+    p = get_db(spark, sf_dir).part
+    return p[p.p_name.like("%red%")][["p_partkey", "p_name"]].df
+
+
+@q("filter_eq_null",
+   "WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders) "
+   "SELECT o_orderkey FROM t WHERE st IS NULL")
+def filter_eq_null(spark, sf_dir):
+    """== None → IS NULL (ref column.py:709-727). Testdata has no NULLs, so
+    inject them with nullif on both sides."""
+    from pandas_db_spark.table import Table
+    db = get_db(spark, sf_dir)
+    t = Table(db.sql(
+        "SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders"
+    ), "t_null", db.cache)
+    return t[t.st == None][["o_orderkey"]].df  # noqa: E711
+
+
+@q("not_null",
+   "WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders) "
+   "SELECT st FROM t WHERE st IS NOT NULL")
+def not_null(spark, sf_dir):
+    from pandas_db_spark.table import Table
+    db = get_db(spark, sf_dir)
+    t = Table(db.sql(
+        "SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders"
+    ), "t_null", db.cache)
+    return t.st.not_null().dataframe
+
+
+@q("filter_contains",
+   "SELECT (EXISTS (SELECT 1 FROM region WHERE r_name = 'ASIA')) AS present")
+def filter_contains(spark, sf_dir):
+    """`value in column` probe (ref column.py:589-595)."""
+    r = get_db(spark, sf_dir).region
+    present = "ASIA" in r.r_name
+    return spark.createDataFrame([(present,)], "present boolean")
+
+
+# =====================================================================
+# §2.5 aggregates
+# =====================================================================
+
+@q("agg_minmax_num",
+   "SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem")
+def agg_minmax_num(spark, sf_dir):
+    c = get_db(spark, sf_dir).lineitem.l_extendedprice
+    return spark.createDataFrame([(c.min(), c.max())], "mn double, mx double")
+
+
+@q("agg_minmax_str",
+   "SELECT min(c_name) AS mn, max(c_name) AS mx FROM customer")
+def agg_minmax_str(spark, sf_dir):
+    """min/max on text — lexicographic, like SQLite (ref column.py:174-184)."""
+    c = get_db(spark, sf_dir).customer.c_name
+    return spark.createDataFrame([(c.min(), c.max())], "mn string, mx string")
+
+
+@q("agg_sum_avg",
+   "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty "
+   "FROM lineitem")
+def agg_sum_avg(spark, sf_dir):
+    """sum/avg with the exact decimal accumulation path (order-independent).
+    One plan, no driver round-trip: the avg is derived from the exact sum
+    inside the same job."""
+    li = get_db(spark, sf_dir).lineitem
+    return (li.df.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"),
+        F.count("l_quantity").alias("c"))
+        .select("sum_qty",
+                (F.col("sum_qty") / F.col("c")).alias("avg_qty")))
+
+
+@q("agg_median",
+   "SELECT (SELECT median(l_extendedprice) FROM lineitem) AS med_price, "
+   "(SELECT median(o_totalprice) FROM orders) AS med_total")
+def agg_median(spark, sf_dir):
+    """Exact median (ref column.py:210-231; F.median is exact in Spark ≥3.4)."""
+    db = get_db(spark, sf_dir)
+    m1 = db.lineitem.l_extendedprice.median()
+    m2 = db.orders.o_totalprice.median()
+    return spark.createDataFrame([(m1, m2)], "med_price double, med_total double")
+
+
+@q("agg_counts",
+   "WITH t AS (SELECT nullif(l_linenumber, 1) AS ln FROM lineitem) "
+   "SELECT count(*) AS n_len, count(ln) AS n_count, "
+   "count(*) - count(ln) AS n_nulls FROM t")
+def agg_counts(spark, sf_dir):
+    """len == count() + null_count() (ref column.py:155-172)."""
+    from pandas_db_spark.table import Table
+    db = get_db(spark, sf_dir)
+    t = Table(db.sql("SELECT nullif(l_linenumber, 1) AS ln FROM lineitem"),
+              "t_ln", db.cache)
+    c = t.ln
+    return spark.createDataFrame(
+        [(c.len, c.count(), c.null_count())],
+        "n_len long, n_count long, n_nulls long")
+
+
+@q("agg_mode",
+   "WITH c AS (SELECT c_mktsegment AS value, count(*) AS cnt "
+   "FROM customer GROUP BY 1) "
+   "SELECT value, cnt FROM c WHERE cnt = (SELECT max(cnt) FROM c)")
+def agg_mode(spark, sf_dir):
+    """mode(): all values tied at max count (ref column.py:233-249)."""
+    m = get_db(spark, sf_dir).customer.c_mktsegment.mode()
+    return spark.createDataFrame(
+        [(k, v) for k, v in m.items()], "value string, cnt long")
+
+
+@q("agg_unique",
+   "SELECT DISTINCT o_orderpriority AS value FROM orders")
+def agg_unique(spark, sf_dir):
+    u = get_db(spark, sf_dir).orders.o_orderpriority.unique()
+    return spark.createDataFrame([(v,) for v in u], "value string")
+
+
+@q("value_counts",
+   "SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem "
+   "WHERE l_returnflag IS NOT NULL GROUP BY 1")
+def value_counts(spark, sf_dir):
+    vc = get_db(spark, sf_dir).lineitem.l_returnflag.value_counts()
+    return spark.createDataFrame(
+        [(k, v) for k, v in vc.items()], "value string, cnt long")
+
+
+@q("describe_numeric",
+   "SELECT count(*) AS n_len, count(o_totalprice) AS n_count, "
+   "min(o_totalprice) AS mn, max(o_totalprice) AS mx, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm, "
+   "median(o_totalprice) AS med FROM orders")
+def describe_numeric(spark, sf_dir):
+    """describe() on a numeric column — ONE Spark job (ref column.py:251-279).
+    The float sum/avg from describe are order-dependent, so the oracle-checked
+    projection uses the internal ``sum_exact`` (decimal-path, computed in the
+    same single memoized agg — public describe() keeps the exact reference
+    key set per ADVICE r5) and drops avg (avg == sum/count is checked in
+    agg_sum_avg)."""
+    db = get_db(spark, sf_dir)
+    d = db.orders.o_totalprice._describe_full()
+    return spark.createDataFrame(
+        [(d["len"], d["count"], d["min"], d["max"], d["sum_exact"],
+          d["median"])],
+        "n_len long, n_count long, mn double, mx double, sm double, med double")
+
+
+@q("describe_text",
+   "SELECT count(*) AS n_len, count(p_type) AS n_count, min(p_type) AS mn, "
+   "max(p_type) AS mx, count(DISTINCT p_type) AS n_unique FROM part")
+def describe_text(spark, sf_dir):
+    d = get_db(spark, sf_dir).part.p_type.describe()
+    return spark.createDataFrame(
+        [(d["len"], d["count"], d["min"], d["max"], d["unique"])],
+        "n_len long, n_count long, mn string, mx string, n_unique long")
+
+
+# =====================================================================
+# §2.7 sort / limit / iloc
+# =====================================================================
+
+@q("sort_limit",
+   "SELECT o_orderkey, o_totalprice FROM orders "
+   "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20")
+def sort_limit(spark, sf_dir):
+    """dict-form sort_values + limit (ref table.py:286-329). Tie-broken on the
+    unique key so the top-20 set is deterministic."""
+    o = get_db(spark, sf_dir).orders
+    t = o.sort_values({"o_totalprice": "DESC", "o_orderkey": "ASC"}).limit(20)
+    return t[["o_orderkey", "o_totalprice"]].df
+
+
+@q("column_sort_limit",
+   "SELECT o_orderkey AS v FROM orders ORDER BY o_orderkey ASC LIMIT 50")
+def column_sort_limit(spark, sf_dir):
+    c = get_db(spark, sf_dir).orders.o_orderkey
+    return c.sort_values(ascending=True).limit(50).dataframe.toDF("v")
+
+
+@q("iloc_int",
+   "(SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 5) "
+   "UNION ALL "
+   "(SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey "
+   "LIMIT 1 OFFSET (SELECT count(*) - 3 FROM orders))")
+def iloc_int(spark, sf_dir):
+    """iloc[int] incl. negative indexing (ref table.py:58-81)."""
+    o = get_db(spark, sf_dir).orders.sort_values("o_orderkey")
+    t = o[["o_orderkey", "o_totalprice"]]
+    rows = [t.iloc[5], t.iloc[-3]]
+    return spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+
+
+@q("iloc_slice",
+   "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey "
+   "LIMIT 10 OFFSET 10")
+def iloc_slice(spark, sf_dir):
+    o = get_db(spark, sf_dir).orders.sort_values("o_orderkey")
+    rows = o[["o_orderkey", "o_orderstatus"]].iloc[10:20]
+    return spark.createDataFrame(rows, "o_orderkey long, o_orderstatus string")
+
+
+@q("iloc_list",
+   "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 0) "
+   "UNION ALL (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 7) "
+   "UNION ALL (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 3) "
+   "UNION ALL (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 7)")
+def iloc_list(spark, sf_dir):
+    """iloc[list] — repeatable indices, requested order kept (ref table.py:91-104)."""
+    c = get_db(spark, sf_dir).orders.sort_values("o_orderkey").o_orderkey
+    cells = c.iloc[[0, 7, 3, 7]]
+    return spark.createDataFrame([(v,) for v in cells], "o_orderkey long")
+
+
+@q("sample_n")  # random sample → rows-only check (exact-n contract)
+def sample_n(spark, sf_dir):
+    """Exact-n uniform sample (§2.7; ref table.py:195-203 ORDER BY RANDOM()
+    LIMIT n).  Values are nondeterministic so no value oracle; the driver's
+    rows-only check still enforces the exact-n contract (50 rows, always)."""
+    c = get_db(spark, sf_dir).customer
+    return c.sample(50).df.select("c_custkey")
+
+
+@q("table_len_shape",
+   "SELECT count(*) AS n_rows, 11 AS n_cols FROM lineitem")
+def table_len_shape(spark, sf_dir):
+    t = get_db(spark, sf_dir).lineitem
+    rows, cols = t.shape
+    return spark.createDataFrame([(rows, cols)], "n_rows long, n_cols int")
+
+
+# =====================================================================
+# §2.4 joins (raw SQL parity path + native beyond-parity)
+# =====================================================================
+
+@q("join_sql",
+   "SELECT c.c_name, n.n_name, r.r_name FROM customer c "
+   "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+   "JOIN region r ON n.n_regionkey = r.r_regionkey "
+   "WHERE r.r_name = 'ASIA'")
+def join_sql(spark, sf_dir):
+    """3-table equi join via the raw-SQL passthrough (ref connection.py:168-189,
+    README.md:602-628)."""
+    db = get_db(spark, sf_dir)
+    return db.sql(
+        "SELECT c.c_name, n.n_name, r.r_name FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA'")
+
+
+@q("join_native",
+   "SELECT n.n_name, count(*) AS n_customers FROM customer c "
+   "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name")
+def join_native(spark, sf_dir):
+    """Native broadcast join + group-by (beyond parity; the dim side is
+    explicitly broadcast — the 100 TB plan has no shuffle on the fact side
+    beyond the agg)."""
+    db = get_db(spark, sf_dir)
+    c, n = db.customer, db.nation
+    joined = c.join(n, on=c.df.c_nationkey == n.df.n_nationkey,
+                    how="inner", broadcast_other=True)
+    return (joined.df.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+@q("join_supplier_volume",
+   "SELECT n_name, "
+   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+   "AS DOUBLE) AS revenue "
+   "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+   "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name")
+def join_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-flavored supplier volume: fact → two broadcast dims → one
+    hash agg.  The fact side never shuffles for the joins (both dims are
+    broadcast); the discounted price is recovered to its exact 4-decimal
+    value before summing so the total is order-independent."""
+    db = get_db(spark, sf_dir)
+    li, s, n = db.lineitem, db.supplier, db.nation
+    j = (li.df.join(F.broadcast(s.df), li.df.l_suppkey == s.df.s_suppkey)
+              .join(F.broadcast(n.df), s.df.s_nationkey == n.df.n_nationkey))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(18,4)")
+    return (j.groupBy("n_name")
+             .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+@q("groupby_q1",
+   "SELECT l_returnflag, l_linestatus, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty, "
+   "count(*) AS count_order "
+   "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+   "GROUP BY l_returnflag, l_linestatus")
+def groupby_q1(spark, sf_dir):
+    """TPC-H Q1-flavored pricing summary — the flagship groupBy aggregate
+    (the reference's own TODO, README.md:643).  Exact decimal accumulation;
+    partial (map-side) aggregation before the single hash shuffle."""
+    li = get_db(spark, sf_dir).lineitem
+    flt = li[li.l_shipdate <= "1998-09-02 00:00:00"]
+    return (flt.df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+         / F.count("l_quantity")).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    ))
+
+
+@q("groupby_having",
+   "SELECT c_nationkey, count(*) AS n FROM customer "
+   "GROUP BY c_nationkey HAVING count(*) > 50")
+def groupby_having(spark, sf_dir):
+    c = get_db(spark, sf_dir).customer
+    g = c.groupby("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    return g.filter(F.col("n") > 50)
+
+
+@q("join_salted",
+   "SELECT c_nationkey, count(*) AS n, "
+   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+   "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1")
+def join_salted(spark, sf_dir):
+    """Skew-salted large-large equi join (operators/skew.py): the hot side
+    is salted, the other side replicated per salt, so one power-law key
+    spreads over n_salts reducers.  The salt is an execution detail — the
+    result is identical to the plain join, which is exactly what the oracle
+    checks."""
+    from pandas_db_spark.operators import skew as K
+    db = get_db(spark, sf_dir)
+    o = db.orders.df.select("o_custkey", "o_totalprice")
+    c = db.customer.df.select(F.col("c_custkey").alias("o_custkey"),
+                              "c_nationkey")
+    j = K.salted_join(o, c, ["o_custkey"], "inner", n_salts=8)
+    return (j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("double").alias("revenue")))
+
+
+@q("agg_sketches")  # sketch values are engine-specific → rows-only check
+def agg_sketches(spark, sf_dir):
+    """Approximate sketches (HLL++ distinct, GK quantiles) — the 100 TB
+    interactive path.  Values depend on the engine's sketch implementation,
+    so the driver records a rows-only check; tests/test_skew_and_sketches.py
+    asserts the error bounds against the exact answers."""
+    db = get_db(spark, sf_dir)
+    nd = db.orders.o_custkey.nunique_approx(rsd=0.05)
+    q25, q50, q75 = db.orders.o_totalprice.quantile_approx([0.25, 0.5, 0.75])
+    return spark.createDataFrame(
+        [(nd, q25, q50, q75)],
+        "nd_custkey long, q25 double, q50 double, q75 double")
+
+
+@q("groupby_rollup",
+   "SELECT coalesce(l_returnflag, '<all>') AS flag, "
+   "coalesce(l_linestatus, '<all>') AS status, "
+   "count(*) AS n, "
+   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+   "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
+def groupby_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (beyond parity — subtotal rows come
+    from Spark's Expand node, one pass over the fact table).  Group columns
+    are coalesced to a sentinel so the subtotal NULLs hash identically
+    across engines."""
+    li = get_db(spark, sf_dir).lineitem
+    return (li.df.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+         .cast("double").alias("sum_qty"))
+        .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+                F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+                "n", "sum_qty"))
+
+
+@q("groupby_cube",
+   "SELECT coalesce(o_orderstatus, '<all>') AS status, "
+   "coalesce(o_orderpriority, '<all>') AS priority, count(*) AS n "
+   "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)")
+def groupby_cube(spark, sf_dir):
+    """All grouping-set combinations via CUBE — same Expand-based single
+    pass."""
+    o = get_db(spark, sf_dir).orders
+    return (o.df.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+                    "n"))
+
+
+@q("window_rank",
+   "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+   "SELECT o_custkey, o_orderkey, o_totalprice, "
+   "row_number() OVER (PARTITION BY o_custkey "
+   "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1")
+def window_rank(spark, sf_dir):
+    """Top order per customer via a partitioned window (beyond parity —
+    partitionBy keeps the shuffle keyed, no global sort)."""
+    from pyspark.sql import Window
+    o = get_db(spark, sf_dir).orders
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+    return (o.df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+@q("join_asof",
+   "WITH p AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'purchase'), "
+   "c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
+   "WHERE event_type = 'click' GROUP BY 1, 2) "
+   "SELECT p.user_id, epoch_us(p.ts) // 1000000 AS purchase_ts, p.event_id, "
+   "epoch_us(c.ts) // 1000000 AS click_ts, c.click_id "
+   "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+def join_asof(spark, sf_dir):
+    """As-of join (operators/temporal.py): latest click at or before each
+    purchase, per user — union + keyed running-last window, ONE shuffle, no
+    join node at all.  Oracle is DuckDB's native ASOF LEFT JOIN.  The click
+    side is deduplicated on (user, ts) so the match is deterministic."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "event_id"))
+    c = (e.filter(F.col("event_type") == "click")
+          .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
+    j = T.asof_join(p, c, ["user_id"])
+    return j.select(
+        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), "event_id",
+        F.unix_timestamp("ts_r").alias("click_ts"),
+        F.col("click_id_r").alias("click_id"))
+
+
+@q("join_asof_chunked",
+   "WITH p AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'purchase'), "
+   "c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
+   "WHERE event_type = 'click' GROUP BY 1, 2) "
+   "SELECT p.user_id, epoch_us(p.ts) // 1000000 AS purchase_ts, p.event_id, "
+   "epoch_us(c.ts) // 1000000 AS click_ts, c.click_id "
+   "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
+def join_asof_chunked(spark, sf_dir):
+    """Hot-key-hardened as-of join (operators/temporal.py, chunk_s set):
+    the running-last window partitions on (user, 6-hour chunk) so a
+    power-law key spreads over many tasks, and a boundary pass carries the
+    last right row of each chunk forward.  Same DuckDB ASOF oracle as
+    `join_asof` — the hardening must be invisible in the result."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    p = (e.filter(F.col("event_type") == "purchase")
+          .select("user_id", "ts", "event_id"))
+    c = (e.filter(F.col("event_type") == "click")
+          .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
+    j = T.asof_join(p, c, ["user_id"], chunk_s=21600)
+    return j.select(
+        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), "event_id",
+        F.unix_timestamp("ts_r").alias("click_ts"),
+        F.col("click_id_r").alias("click_id"))
+
+
+@q("join_range",
+   "WITH v AS (SELECT user_id, ts, event_id FROM events "
+   "WHERE event_type = 'view'), "
+   "s AS (SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi, "
+   "event_id AS signup_id FROM events WHERE event_type = 'signup') "
+   "SELECT v.user_id, v.event_id, s.signup_id FROM v JOIN s "
+   "ON v.user_id = s.user_id AND v.ts >= s.lo AND v.ts <= s.hi")
+def join_range(spark, sf_dir):
+    """Range (interval-containment) join (operators/temporal.py): views
+    falling inside each user's 2-hour post-signup window.  Intervals explode
+    to coarse buckets, the join is a hash equi-join on (user, bucket) —
+    never |L|×|R|.  Oracle is DuckDB's inequality join (IEJoin)."""
+    from pandas_db_spark.operators import temporal as T
+    e = get_db(spark, sf_dir).events.df
+    v = (e.filter(F.col("event_type") == "view")
+          .select("user_id", "ts", "event_id"))
+    s = (e.filter(F.col("event_type") == "signup")
+          .select("user_id", F.col("ts").alias("lo"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+                  F.col("event_id").alias("signup_id")))
+    j = T.range_join(v, s, by=["user_id"], bucket_s=3600)
+    return j.select("user_id", "event_id", "signup_id")
+
+
+# =====================================================================
+# §2.8 set ops (beyond parity)
+# =====================================================================
+
+@q("drop_duplicates",
+   "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
+def drop_duplicates(spark, sf_dir):
+    """Full-row distinct through the Table façade — deterministic set
+    semantics (subset-keyed dedup keeps an arbitrary row, so only the
+    distinct form is oracle-checkable)."""
+    o = get_db(spark, sf_dir).orders
+    return o[["o_orderstatus", "o_orderpriority"]].drop_duplicates().df
+
+
+@q("set_union",
+   "SELECT r_regionkey, r_name FROM region UNION ALL "
+   "SELECT r_regionkey, r_name FROM region")
+def set_union(spark, sf_dir):
+    r = get_db(spark, sf_dir).region
+    return r.union(r).df
+
+
+@q("set_intersect",
+   "SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1) "
+   "INTERSECT SELECT n_nationkey FROM nation WHERE n_regionkey IN (1, 2)")
+def set_intersect(spark, sf_dir):
+    n = get_db(spark, sf_dir).nation
+    a = n[n.n_regionkey.isin([0, 1])][["n_nationkey"]]
+    b = n[n.n_regionkey.isin([1, 2])][["n_nationkey"]]
+    return a.intersect(b).df
+
+
+@q("set_except",
+   "SELECT n_nationkey FROM nation EXCEPT ALL "
+   "SELECT n_nationkey FROM nation WHERE n_regionkey = 0")
+def set_except(spark, sf_dir):
+    n = get_db(spark, sf_dir).nation
+    a = n[["n_nationkey"]]
+    b = n[n.n_regionkey == 0][["n_nationkey"]]
+    return a.except_(b).df
+
+
+# =====================================================================
+# §2.3 / §2.11 UDFs + arithmetic
+# =====================================================================
+
+@q("apply_udf_num",
+   "SELECT l_orderkey, l_quantity * 2 + 1 AS qty2 FROM lineitem")
+def apply_udf_num(spark, sf_dir):
+    """Column.apply through the Arrow-batched pandas-UDF path (ref
+    column.py:338-364)."""
+    li = get_db(spark, sf_dir).lineitem[["l_orderkey", "l_quantity"]]
+    derived = li.l_quantity.apply_column(
+        lambda x: x * 2 + 1, returnType="double")
+    return derived._df.select(
+        "l_orderkey", derived.spark_col.alias("qty2"))
+
+
+@q("apply_udf_str",
+   "SELECT p_partkey, lower(p_brand) AS brand_lc FROM part")
+def apply_udf_str(spark, sf_dir):
+    p = get_db(spark, sf_dir).part[["p_partkey", "p_brand"]]
+    derived = p.p_brand.apply_column(lambda s: s.lower())
+    return derived._df.select(
+        "p_partkey", derived.spark_col.alias("brand_lc"))
+
+
+@q("arith_exprs",
+   "SELECT l_orderkey, l_linenumber, "
+   "l_extendedprice * (1 - l_discount) AS disc_price, "
+   "l_quantity + 5 AS qty_plus, "
+   "CAST(floor(l_orderkey / 100) AS BIGINT) AS key_div "
+   "FROM lineitem")
+def arith_exprs(spark, sf_dir):
+    """Column arithmetic: col*col, col+scalar, col//scalar (ref
+    column.py:597-675) — all single-op IEEE math, bit-exact across engines."""
+    li = get_db(spark, sf_dir).lineitem
+    disc_price = li.l_extendedprice * (li.l_discount * (-1) + 1)
+    qty_plus = li.l_quantity + 5
+    key_div = li.l_orderkey // 100
+    return li.df.select(
+        "l_orderkey", "l_linenumber",
+        disc_price.spark_col.alias("disc_price"),
+        qty_plus.spark_col.alias("qty_plus"),
+        key_div.spark_col.alias("key_div"))
+
+
+@q("str_concat",
+   "SELECT c_custkey, c_name || '_' || c_mktsegment AS tag FROM customer")
+def str_concat(spark, sf_dir):
+    """String + → concat (ref column.py:597-611)."""
+    c = get_db(spark, sf_dir).customer
+    tag = (c.c_name + "_") + c.c_mktsegment
+    return c.df.select("c_custkey", tag.spark_col.alias("tag"))
+
+
+@q("applymap",
+   "SELECT l_tax * 10 AS l_tax, l_discount * 10 AS l_discount FROM lineitem")
+def applymap(spark, sf_dir):
+    """Table.applymap over every cell, distributed (ref table.py:211-234)."""
+    li = get_db(spark, sf_dir).lineitem[["l_tax", "l_discount"]]
+    return li._applymap_df(lambda x: x * 10, returnType="double")
+
+
 
 # ---- round-8 rotation: invariant-oracle versions of the 5 rows-only
 # queries (VERDICT r7 #4) go FIRST so the driver's ~50-entry prefix
@@ -303,7 +1048,11 @@ def mix_tokens(spark, sf_dir):
     from pandas_db_spark.operators import sampling as SA
     d = get_db(spark, sf_dir).documents.df
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    corpora = {name: (d.where(F.col("source") == name), w)
+    # drop the input `source` BEFORE mixing: mix_by_token_budget tags
+    # rows with the corpus name in source_col and (r9) REFUSES to
+    # overwrite an existing column of that name; here the corpus names
+    # ARE the source values, so dropping + re-tagging is lossless
+    corpora = {name: (d.where(F.col("source") == name).drop("source"), w)
                for name, w in (("src0", 3.0), ("src1", 2.0),
                                ("src2", 1.0))}
     out = SA.mix_by_token_budget(corpora, 1200, toks, "doc_id", salt="m")
@@ -1932,660 +2681,6 @@ def ann_ivf(spark, sf_dir):
     from pandas_db_spark.operators import similarity as S
     e = get_db(spark, sf_dir).embeddings
     return S.ivf_topk(e.df, query_ids=range(5), k=10)
-
-
-# =====================================================================
-# §2.1 scans / sources
-# =====================================================================
-
-@q("scan_region", "SELECT r_regionkey, r_name FROM region")
-def scan_region(spark, sf_dir):
-    """Full-table scan through the Database→Table façade (SURVEY §2.1)."""
-    return get_db(spark, sf_dir)["region"].df
-
-
-@q("column_slice",
-   "SELECT c_custkey, c_acctbal FROM customer")
-def column_slice(spark, sf_dir):
-    """t[[c1, c2]] column slice — ReadSchema pruned to 2 columns (§2.3)."""
-    db = get_db(spark, sf_dir)
-    return db.customer[["c_custkey", "c_acctbal"]].df
-
-
-# =====================================================================
-# §2.3 filters / predicates
-# =====================================================================
-
-@q("filter_gt",
-   "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 50000")
-def filter_gt(spark, sf_dir):
-    o = get_db(spark, sf_dir).orders
-    return o[o.o_totalprice > 50000][["o_orderkey", "o_totalprice"]].df
-
-
-@q("filter_and",
-   "SELECT o_orderkey FROM orders "
-   "WHERE o_totalprice >= 1000 AND o_orderstatus = 'F'")
-def filter_and(spark, sf_dir):
-    o = get_db(spark, sf_dir).orders
-    return o[(o.o_totalprice >= 1000) & (o.o_orderstatus == "F")][["o_orderkey"]].df
-
-
-@q("filter_or_not",
-   "SELECT o_orderkey FROM orders "
-   "WHERE o_orderpriority = '1-URGENT' OR NOT (o_orderstatus = 'O')")
-def filter_or_not(spark, sf_dir):
-    o = get_db(spark, sf_dir).orders
-    expr = (o.o_orderpriority == "1-URGENT") | (~(o.o_orderstatus == "O"))
-    return o[expr][["o_orderkey"]].df
-
-
-@q("filter_isin",
-   "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey IN (0, 2)")
-def filter_isin(spark, sf_dir):
-    n = get_db(spark, sf_dir).nation
-    return n[n.n_regionkey.isin([0, 2])][["n_nationkey", "n_name"]].df
-
-
-@q("filter_between",
-   "SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 10 AND 20")
-def filter_between(spark, sf_dir):
-    p = get_db(spark, sf_dir).part
-    return p[p.p_size.between(10, 20)][["p_partkey", "p_size"]].df
-
-
-@q("filter_like",
-   "SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%red%'")
-def filter_like(spark, sf_dir):
-    """LIKE is case-insensitive for SQLite parity (ref tests/test_column.py:685)."""
-    p = get_db(spark, sf_dir).part
-    return p[p.p_name.like("%red%")][["p_partkey", "p_name"]].df
-
-
-@q("filter_eq_null",
-   "WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders) "
-   "SELECT o_orderkey FROM t WHERE st IS NULL")
-def filter_eq_null(spark, sf_dir):
-    """== None → IS NULL (ref column.py:709-727). Testdata has no NULLs, so
-    inject them with nullif on both sides."""
-    from pandas_db_spark.table import Table
-    db = get_db(spark, sf_dir)
-    t = Table(db.sql(
-        "SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders"
-    ), "t_null", db.cache)
-    return t[t.st == None][["o_orderkey"]].df  # noqa: E711
-
-
-@q("not_null",
-   "WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders) "
-   "SELECT st FROM t WHERE st IS NOT NULL")
-def not_null(spark, sf_dir):
-    from pandas_db_spark.table import Table
-    db = get_db(spark, sf_dir)
-    t = Table(db.sql(
-        "SELECT o_orderkey, nullif(o_orderstatus, 'F') AS st FROM orders"
-    ), "t_null", db.cache)
-    return t.st.not_null().dataframe
-
-
-@q("filter_contains",
-   "SELECT (EXISTS (SELECT 1 FROM region WHERE r_name = 'ASIA')) AS present")
-def filter_contains(spark, sf_dir):
-    """`value in column` probe (ref column.py:589-595)."""
-    r = get_db(spark, sf_dir).region
-    present = "ASIA" in r.r_name
-    return spark.createDataFrame([(present,)], "present boolean")
-
-
-# =====================================================================
-# §2.5 aggregates
-# =====================================================================
-
-@q("agg_minmax_num",
-   "SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem")
-def agg_minmax_num(spark, sf_dir):
-    c = get_db(spark, sf_dir).lineitem.l_extendedprice
-    return spark.createDataFrame([(c.min(), c.max())], "mn double, mx double")
-
-
-@q("agg_minmax_str",
-   "SELECT min(c_name) AS mn, max(c_name) AS mx FROM customer")
-def agg_minmax_str(spark, sf_dir):
-    """min/max on text — lexicographic, like SQLite (ref column.py:174-184)."""
-    c = get_db(spark, sf_dir).customer.c_name
-    return spark.createDataFrame([(c.min(), c.max())], "mn string, mx string")
-
-
-@q("agg_sum_avg",
-   "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty "
-   "FROM lineitem")
-def agg_sum_avg(spark, sf_dir):
-    """sum/avg with the exact decimal accumulation path (order-independent).
-    One plan, no driver round-trip: the avg is derived from the exact sum
-    inside the same job."""
-    li = get_db(spark, sf_dir).lineitem
-    return (li.df.agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-         .cast("double").alias("sum_qty"),
-        F.count("l_quantity").alias("c"))
-        .select("sum_qty",
-                (F.col("sum_qty") / F.col("c")).alias("avg_qty")))
-
-
-@q("agg_median",
-   "SELECT (SELECT median(l_extendedprice) FROM lineitem) AS med_price, "
-   "(SELECT median(o_totalprice) FROM orders) AS med_total")
-def agg_median(spark, sf_dir):
-    """Exact median (ref column.py:210-231; F.median is exact in Spark ≥3.4)."""
-    db = get_db(spark, sf_dir)
-    m1 = db.lineitem.l_extendedprice.median()
-    m2 = db.orders.o_totalprice.median()
-    return spark.createDataFrame([(m1, m2)], "med_price double, med_total double")
-
-
-@q("agg_counts",
-   "WITH t AS (SELECT nullif(l_linenumber, 1) AS ln FROM lineitem) "
-   "SELECT count(*) AS n_len, count(ln) AS n_count, "
-   "count(*) - count(ln) AS n_nulls FROM t")
-def agg_counts(spark, sf_dir):
-    """len == count() + null_count() (ref column.py:155-172)."""
-    from pandas_db_spark.table import Table
-    db = get_db(spark, sf_dir)
-    t = Table(db.sql("SELECT nullif(l_linenumber, 1) AS ln FROM lineitem"),
-              "t_ln", db.cache)
-    c = t.ln
-    return spark.createDataFrame(
-        [(c.len, c.count(), c.null_count())],
-        "n_len long, n_count long, n_nulls long")
-
-
-@q("agg_mode",
-   "WITH c AS (SELECT c_mktsegment AS value, count(*) AS cnt "
-   "FROM customer GROUP BY 1) "
-   "SELECT value, cnt FROM c WHERE cnt = (SELECT max(cnt) FROM c)")
-def agg_mode(spark, sf_dir):
-    """mode(): all values tied at max count (ref column.py:233-249)."""
-    m = get_db(spark, sf_dir).customer.c_mktsegment.mode()
-    return spark.createDataFrame(
-        [(k, v) for k, v in m.items()], "value string, cnt long")
-
-
-@q("agg_unique",
-   "SELECT DISTINCT o_orderpriority AS value FROM orders")
-def agg_unique(spark, sf_dir):
-    u = get_db(spark, sf_dir).orders.o_orderpriority.unique()
-    return spark.createDataFrame([(v,) for v in u], "value string")
-
-
-@q("value_counts",
-   "SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem "
-   "WHERE l_returnflag IS NOT NULL GROUP BY 1")
-def value_counts(spark, sf_dir):
-    vc = get_db(spark, sf_dir).lineitem.l_returnflag.value_counts()
-    return spark.createDataFrame(
-        [(k, v) for k, v in vc.items()], "value string, cnt long")
-
-
-@q("describe_numeric",
-   "SELECT count(*) AS n_len, count(o_totalprice) AS n_count, "
-   "min(o_totalprice) AS mn, max(o_totalprice) AS mx, "
-   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm, "
-   "median(o_totalprice) AS med FROM orders")
-def describe_numeric(spark, sf_dir):
-    """describe() on a numeric column — ONE Spark job (ref column.py:251-279).
-    The float sum/avg from describe are order-dependent, so the oracle-checked
-    projection uses the internal ``sum_exact`` (decimal-path, computed in the
-    same single memoized agg — public describe() keeps the exact reference
-    key set per ADVICE r5) and drops avg (avg == sum/count is checked in
-    agg_sum_avg)."""
-    db = get_db(spark, sf_dir)
-    d = db.orders.o_totalprice._describe_full()
-    return spark.createDataFrame(
-        [(d["len"], d["count"], d["min"], d["max"], d["sum_exact"],
-          d["median"])],
-        "n_len long, n_count long, mn double, mx double, sm double, med double")
-
-
-@q("describe_text",
-   "SELECT count(*) AS n_len, count(p_type) AS n_count, min(p_type) AS mn, "
-   "max(p_type) AS mx, count(DISTINCT p_type) AS n_unique FROM part")
-def describe_text(spark, sf_dir):
-    d = get_db(spark, sf_dir).part.p_type.describe()
-    return spark.createDataFrame(
-        [(d["len"], d["count"], d["min"], d["max"], d["unique"])],
-        "n_len long, n_count long, mn string, mx string, n_unique long")
-
-
-# =====================================================================
-# §2.7 sort / limit / iloc
-# =====================================================================
-
-@q("sort_limit",
-   "SELECT o_orderkey, o_totalprice FROM orders "
-   "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20")
-def sort_limit(spark, sf_dir):
-    """dict-form sort_values + limit (ref table.py:286-329). Tie-broken on the
-    unique key so the top-20 set is deterministic."""
-    o = get_db(spark, sf_dir).orders
-    t = o.sort_values({"o_totalprice": "DESC", "o_orderkey": "ASC"}).limit(20)
-    return t[["o_orderkey", "o_totalprice"]].df
-
-
-@q("column_sort_limit",
-   "SELECT o_orderkey AS v FROM orders ORDER BY o_orderkey ASC LIMIT 50")
-def column_sort_limit(spark, sf_dir):
-    c = get_db(spark, sf_dir).orders.o_orderkey
-    return c.sort_values(ascending=True).limit(50).dataframe.toDF("v")
-
-
-@q("iloc_int",
-   "(SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 5) "
-   "UNION ALL "
-   "(SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey "
-   "LIMIT 1 OFFSET (SELECT count(*) - 3 FROM orders))")
-def iloc_int(spark, sf_dir):
-    """iloc[int] incl. negative indexing (ref table.py:58-81)."""
-    o = get_db(spark, sf_dir).orders.sort_values("o_orderkey")
-    t = o[["o_orderkey", "o_totalprice"]]
-    rows = [t.iloc[5], t.iloc[-3]]
-    return spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
-
-
-@q("iloc_slice",
-   "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey "
-   "LIMIT 10 OFFSET 10")
-def iloc_slice(spark, sf_dir):
-    o = get_db(spark, sf_dir).orders.sort_values("o_orderkey")
-    rows = o[["o_orderkey", "o_orderstatus"]].iloc[10:20]
-    return spark.createDataFrame(rows, "o_orderkey long, o_orderstatus string")
-
-
-@q("iloc_list",
-   "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 0) "
-   "UNION ALL (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 7) "
-   "UNION ALL (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 3) "
-   "UNION ALL (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1 OFFSET 7)")
-def iloc_list(spark, sf_dir):
-    """iloc[list] — repeatable indices, requested order kept (ref table.py:91-104)."""
-    c = get_db(spark, sf_dir).orders.sort_values("o_orderkey").o_orderkey
-    cells = c.iloc[[0, 7, 3, 7]]
-    return spark.createDataFrame([(v,) for v in cells], "o_orderkey long")
-
-
-@q("sample_n")  # random sample → rows-only check (exact-n contract)
-def sample_n(spark, sf_dir):
-    """Exact-n uniform sample (§2.7; ref table.py:195-203 ORDER BY RANDOM()
-    LIMIT n).  Values are nondeterministic so no value oracle; the driver's
-    rows-only check still enforces the exact-n contract (50 rows, always)."""
-    c = get_db(spark, sf_dir).customer
-    return c.sample(50).df.select("c_custkey")
-
-
-@q("table_len_shape",
-   "SELECT count(*) AS n_rows, 11 AS n_cols FROM lineitem")
-def table_len_shape(spark, sf_dir):
-    t = get_db(spark, sf_dir).lineitem
-    rows, cols = t.shape
-    return spark.createDataFrame([(rows, cols)], "n_rows long, n_cols int")
-
-
-# =====================================================================
-# §2.4 joins (raw SQL parity path + native beyond-parity)
-# =====================================================================
-
-@q("join_sql",
-   "SELECT c.c_name, n.n_name, r.r_name FROM customer c "
-   "JOIN nation n ON c.c_nationkey = n.n_nationkey "
-   "JOIN region r ON n.n_regionkey = r.r_regionkey "
-   "WHERE r.r_name = 'ASIA'")
-def join_sql(spark, sf_dir):
-    """3-table equi join via the raw-SQL passthrough (ref connection.py:168-189,
-    README.md:602-628)."""
-    db = get_db(spark, sf_dir)
-    return db.sql(
-        "SELECT c.c_name, n.n_name, r.r_name FROM customer c "
-        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
-        "JOIN region r ON n.n_regionkey = r.r_regionkey "
-        "WHERE r.r_name = 'ASIA'")
-
-
-@q("join_native",
-   "SELECT n.n_name, count(*) AS n_customers FROM customer c "
-   "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name")
-def join_native(spark, sf_dir):
-    """Native broadcast join + group-by (beyond parity; the dim side is
-    explicitly broadcast — the 100 TB plan has no shuffle on the fact side
-    beyond the agg)."""
-    db = get_db(spark, sf_dir)
-    c, n = db.customer, db.nation
-    joined = c.join(n, on=c.df.c_nationkey == n.df.n_nationkey,
-                    how="inner", broadcast_other=True)
-    return (joined.df.groupBy("n_name")
-            .agg(F.count(F.lit(1)).alias("n_customers")))
-
-
-@q("join_supplier_volume",
-   "SELECT n_name, "
-   "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
-   "AS DOUBLE) AS revenue "
-   "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
-   "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name")
-def join_supplier_volume(spark, sf_dir):
-    """TPC-H Q5-flavored supplier volume: fact → two broadcast dims → one
-    hash agg.  The fact side never shuffles for the joins (both dims are
-    broadcast); the discounted price is recovered to its exact 4-decimal
-    value before summing so the total is order-independent."""
-    db = get_db(spark, sf_dir)
-    li, s, n = db.lineitem, db.supplier, db.nation
-    j = (li.df.join(F.broadcast(s.df), li.df.l_suppkey == s.df.s_suppkey)
-              .join(F.broadcast(n.df), s.df.s_nationkey == n.df.n_nationkey))
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
-        .cast("decimal(18,4)")
-    return (j.groupBy("n_name")
-             .agg(F.sum(rev).cast("double").alias("revenue")))
-
-
-@q("groupby_q1",
-   "SELECT l_returnflag, l_linestatus, "
-   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
-   "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
-   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty, "
-   "count(*) AS count_order "
-   "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
-   "GROUP BY l_returnflag, l_linestatus")
-def groupby_q1(spark, sf_dir):
-    """TPC-H Q1-flavored pricing summary — the flagship groupBy aggregate
-    (the reference's own TODO, README.md:643).  Exact decimal accumulation;
-    partial (map-side) aggregation before the single hash shuffle."""
-    li = get_db(spark, sf_dir).lineitem
-    flt = li[li.l_shipdate <= "1998-09-02 00:00:00"]
-    return (flt.df.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
-        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-         / F.count("l_quantity")).alias("avg_qty"),
-        F.count(F.lit(1)).alias("count_order"),
-    ))
-
-
-@q("groupby_having",
-   "SELECT c_nationkey, count(*) AS n FROM customer "
-   "GROUP BY c_nationkey HAVING count(*) > 50")
-def groupby_having(spark, sf_dir):
-    c = get_db(spark, sf_dir).customer
-    g = c.groupby("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
-    return g.filter(F.col("n") > 50)
-
-
-@q("join_salted",
-   "SELECT c_nationkey, count(*) AS n, "
-   "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
-   "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1")
-def join_salted(spark, sf_dir):
-    """Skew-salted large-large equi join (operators/skew.py): the hot side
-    is salted, the other side replicated per salt, so one power-law key
-    spreads over n_salts reducers.  The salt is an execution detail — the
-    result is identical to the plain join, which is exactly what the oracle
-    checks."""
-    from pandas_db_spark.operators import skew as K
-    db = get_db(spark, sf_dir)
-    o = db.orders.df.select("o_custkey", "o_totalprice")
-    c = db.customer.df.select(F.col("c_custkey").alias("o_custkey"),
-                              "c_nationkey")
-    j = K.salted_join(o, c, ["o_custkey"], "inner", n_salts=8)
-    return (j.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-         .cast("double").alias("revenue")))
-
-
-@q("agg_sketches")  # sketch values are engine-specific → rows-only check
-def agg_sketches(spark, sf_dir):
-    """Approximate sketches (HLL++ distinct, GK quantiles) — the 100 TB
-    interactive path.  Values depend on the engine's sketch implementation,
-    so the driver records a rows-only check; tests/test_skew_and_sketches.py
-    asserts the error bounds against the exact answers."""
-    db = get_db(spark, sf_dir)
-    nd = db.orders.o_custkey.nunique_approx(rsd=0.05)
-    q25, q50, q75 = db.orders.o_totalprice.quantile_approx([0.25, 0.5, 0.75])
-    return spark.createDataFrame(
-        [(nd, q25, q50, q75)],
-        "nd_custkey long, q25 double, q50 double, q75 double")
-
-
-@q("groupby_rollup",
-   "SELECT coalesce(l_returnflag, '<all>') AS flag, "
-   "coalesce(l_linestatus, '<all>') AS status, "
-   "count(*) AS n, "
-   "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
-   "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
-def groupby_rollup(spark, sf_dir):
-    """Hierarchical totals via ROLLUP (beyond parity — subtotal rows come
-    from Spark's Expand node, one pass over the fact table).  Group columns
-    are coalesced to a sentinel so the subtotal NULLs hash identically
-    across engines."""
-    li = get_db(spark, sf_dir).lineitem
-    return (li.df.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-         .cast("double").alias("sum_qty"))
-        .select(F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
-                F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
-                "n", "sum_qty"))
-
-
-@q("groupby_cube",
-   "SELECT coalesce(o_orderstatus, '<all>') AS status, "
-   "coalesce(o_orderpriority, '<all>') AS priority, count(*) AS n "
-   "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)")
-def groupby_cube(spark, sf_dir):
-    """All grouping-set combinations via CUBE — same Expand-based single
-    pass."""
-    o = get_db(spark, sf_dir).orders
-    return (o.df.cube("o_orderstatus", "o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
-                    F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
-                    "n"))
-
-
-@q("window_rank",
-   "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
-   "SELECT o_custkey, o_orderkey, o_totalprice, "
-   "row_number() OVER (PARTITION BY o_custkey "
-   "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1")
-def window_rank(spark, sf_dir):
-    """Top order per customer via a partitioned window (beyond parity —
-    partitionBy keeps the shuffle keyed, no global sort)."""
-    from pyspark.sql import Window
-    o = get_db(spark, sf_dir).orders
-    w = (Window.partitionBy("o_custkey")
-         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
-    return (o.df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("o_custkey", "o_orderkey", "o_totalprice"))
-
-
-@q("join_asof",
-   "WITH p AS (SELECT user_id, ts, event_id FROM events "
-   "WHERE event_type = 'purchase'), "
-   "c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
-   "WHERE event_type = 'click' GROUP BY 1, 2) "
-   "SELECT p.user_id, epoch_us(p.ts) // 1000000 AS purchase_ts, p.event_id, "
-   "epoch_us(c.ts) // 1000000 AS click_ts, c.click_id "
-   "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
-def join_asof(spark, sf_dir):
-    """As-of join (operators/temporal.py): latest click at or before each
-    purchase, per user — union + keyed running-last window, ONE shuffle, no
-    join node at all.  Oracle is DuckDB's native ASOF LEFT JOIN.  The click
-    side is deduplicated on (user, ts) so the match is deterministic."""
-    from pandas_db_spark.operators import temporal as T
-    e = get_db(spark, sf_dir).events.df
-    p = (e.filter(F.col("event_type") == "purchase")
-          .select("user_id", "ts", "event_id"))
-    c = (e.filter(F.col("event_type") == "click")
-          .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
-    j = T.asof_join(p, c, ["user_id"])
-    return j.select(
-        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), "event_id",
-        F.unix_timestamp("ts_r").alias("click_ts"),
-        F.col("click_id_r").alias("click_id"))
-
-
-@q("join_asof_chunked",
-   "WITH p AS (SELECT user_id, ts, event_id FROM events "
-   "WHERE event_type = 'purchase'), "
-   "c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events "
-   "WHERE event_type = 'click' GROUP BY 1, 2) "
-   "SELECT p.user_id, epoch_us(p.ts) // 1000000 AS purchase_ts, p.event_id, "
-   "epoch_us(c.ts) // 1000000 AS click_ts, c.click_id "
-   "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts")
-def join_asof_chunked(spark, sf_dir):
-    """Hot-key-hardened as-of join (operators/temporal.py, chunk_s set):
-    the running-last window partitions on (user, 6-hour chunk) so a
-    power-law key spreads over many tasks, and a boundary pass carries the
-    last right row of each chunk forward.  Same DuckDB ASOF oracle as
-    `join_asof` — the hardening must be invisible in the result."""
-    from pandas_db_spark.operators import temporal as T
-    e = get_db(spark, sf_dir).events.df
-    p = (e.filter(F.col("event_type") == "purchase")
-          .select("user_id", "ts", "event_id"))
-    c = (e.filter(F.col("event_type") == "click")
-          .groupBy("user_id", "ts").agg(F.max("event_id").alias("click_id")))
-    j = T.asof_join(p, c, ["user_id"], chunk_s=21600)
-    return j.select(
-        "user_id", F.unix_timestamp("ts").alias("purchase_ts"), "event_id",
-        F.unix_timestamp("ts_r").alias("click_ts"),
-        F.col("click_id_r").alias("click_id"))
-
-
-@q("join_range",
-   "WITH v AS (SELECT user_id, ts, event_id FROM events "
-   "WHERE event_type = 'view'), "
-   "s AS (SELECT user_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi, "
-   "event_id AS signup_id FROM events WHERE event_type = 'signup') "
-   "SELECT v.user_id, v.event_id, s.signup_id FROM v JOIN s "
-   "ON v.user_id = s.user_id AND v.ts >= s.lo AND v.ts <= s.hi")
-def join_range(spark, sf_dir):
-    """Range (interval-containment) join (operators/temporal.py): views
-    falling inside each user's 2-hour post-signup window.  Intervals explode
-    to coarse buckets, the join is a hash equi-join on (user, bucket) —
-    never |L|×|R|.  Oracle is DuckDB's inequality join (IEJoin)."""
-    from pandas_db_spark.operators import temporal as T
-    e = get_db(spark, sf_dir).events.df
-    v = (e.filter(F.col("event_type") == "view")
-          .select("user_id", "ts", "event_id"))
-    s = (e.filter(F.col("event_type") == "signup")
-          .select("user_id", F.col("ts").alias("lo"),
-                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
-                  F.col("event_id").alias("signup_id")))
-    j = T.range_join(v, s, by=["user_id"], bucket_s=3600)
-    return j.select("user_id", "event_id", "signup_id")
-
-
-# =====================================================================
-# §2.8 set ops (beyond parity)
-# =====================================================================
-
-@q("drop_duplicates",
-   "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")
-def drop_duplicates(spark, sf_dir):
-    """Full-row distinct through the Table façade — deterministic set
-    semantics (subset-keyed dedup keeps an arbitrary row, so only the
-    distinct form is oracle-checkable)."""
-    o = get_db(spark, sf_dir).orders
-    return o[["o_orderstatus", "o_orderpriority"]].drop_duplicates().df
-
-
-@q("set_union",
-   "SELECT r_regionkey, r_name FROM region UNION ALL "
-   "SELECT r_regionkey, r_name FROM region")
-def set_union(spark, sf_dir):
-    r = get_db(spark, sf_dir).region
-    return r.union(r).df
-
-
-@q("set_intersect",
-   "SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1) "
-   "INTERSECT SELECT n_nationkey FROM nation WHERE n_regionkey IN (1, 2)")
-def set_intersect(spark, sf_dir):
-    n = get_db(spark, sf_dir).nation
-    a = n[n.n_regionkey.isin([0, 1])][["n_nationkey"]]
-    b = n[n.n_regionkey.isin([1, 2])][["n_nationkey"]]
-    return a.intersect(b).df
-
-
-@q("set_except",
-   "SELECT n_nationkey FROM nation EXCEPT ALL "
-   "SELECT n_nationkey FROM nation WHERE n_regionkey = 0")
-def set_except(spark, sf_dir):
-    n = get_db(spark, sf_dir).nation
-    a = n[["n_nationkey"]]
-    b = n[n.n_regionkey == 0][["n_nationkey"]]
-    return a.except_(b).df
-
-
-# =====================================================================
-# §2.3 / §2.11 UDFs + arithmetic
-# =====================================================================
-
-@q("apply_udf_num",
-   "SELECT l_orderkey, l_quantity * 2 + 1 AS qty2 FROM lineitem")
-def apply_udf_num(spark, sf_dir):
-    """Column.apply through the Arrow-batched pandas-UDF path (ref
-    column.py:338-364)."""
-    li = get_db(spark, sf_dir).lineitem[["l_orderkey", "l_quantity"]]
-    derived = li.l_quantity.apply_column(
-        lambda x: x * 2 + 1, returnType="double")
-    return derived._df.select(
-        "l_orderkey", derived.spark_col.alias("qty2"))
-
-
-@q("apply_udf_str",
-   "SELECT p_partkey, lower(p_brand) AS brand_lc FROM part")
-def apply_udf_str(spark, sf_dir):
-    p = get_db(spark, sf_dir).part[["p_partkey", "p_brand"]]
-    derived = p.p_brand.apply_column(lambda s: s.lower())
-    return derived._df.select(
-        "p_partkey", derived.spark_col.alias("brand_lc"))
-
-
-@q("arith_exprs",
-   "SELECT l_orderkey, l_linenumber, "
-   "l_extendedprice * (1 - l_discount) AS disc_price, "
-   "l_quantity + 5 AS qty_plus, "
-   "CAST(floor(l_orderkey / 100) AS BIGINT) AS key_div "
-   "FROM lineitem")
-def arith_exprs(spark, sf_dir):
-    """Column arithmetic: col*col, col+scalar, col//scalar (ref
-    column.py:597-675) — all single-op IEEE math, bit-exact across engines."""
-    li = get_db(spark, sf_dir).lineitem
-    disc_price = li.l_extendedprice * (li.l_discount * (-1) + 1)
-    qty_plus = li.l_quantity + 5
-    key_div = li.l_orderkey // 100
-    return li.df.select(
-        "l_orderkey", "l_linenumber",
-        disc_price.spark_col.alias("disc_price"),
-        qty_plus.spark_col.alias("qty_plus"),
-        key_div.spark_col.alias("key_div"))
-
-
-@q("str_concat",
-   "SELECT c_custkey, c_name || '_' || c_mktsegment AS tag FROM customer")
-def str_concat(spark, sf_dir):
-    """String + → concat (ref column.py:597-611)."""
-    c = get_db(spark, sf_dir).customer
-    tag = (c.c_name + "_") + c.c_mktsegment
-    return c.df.select("c_custkey", tag.spark_col.alias("tag"))
-
-
-@q("applymap",
-   "SELECT l_tax * 10 AS l_tax, l_discount * 10 AS l_discount FROM lineitem")
-def applymap(spark, sf_dir):
-    """Table.applymap over every cell, distributed (ref table.py:211-234)."""
-    li = get_db(spark, sf_dir).lineitem[["l_tax", "l_discount"]]
-    return li._applymap_df(lambda x: x * 10, returnType="double")
 
 
 # =====================================================================

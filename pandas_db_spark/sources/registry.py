@@ -521,6 +521,20 @@ def _arm_nanos_restore(spark: SparkSession, prior: str | None) -> None:
     spark.streams.addListener(_Restore())
 
 
+def _hadoop_isdir(spark: SparkSession, path: str) -> bool:
+    """Directory test through the Hadoop FileSystem API — correct for
+    local, HDFS and S3A paths alike (``os.path.isdir`` only sees the
+    driver's local filesystem).  Falls back to the local check if the
+    JVM gateway is unavailable (mocked sessions in tests)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(jpath).isDirectory())
+    except Exception:
+        return os.path.isdir(path)
+
+
 def events_stream_reader(spark: SparkSession, sf_dir: str):
     """``readStream`` over the events table directory — schema pinned from the
     batch read (Structured Streaming requires an explicit schema for files).
@@ -546,8 +560,11 @@ def events_stream_reader(spark: SparkSession, sf_dir: str):
     # filename glob.  pathGlobFilter matches FILE names only, so using
     # the glob against a directory dataset silently matches zero part
     # files and streams nothing (r8 fix — caught by the sf1 rehearsal
-    # where enrich "finished" in 0.2 s with 0 rows).
-    if os.path.isdir(path):
+    # where enrich "finished" in 0.2 s with 0 rows).  Directory-ness is
+    # tested through the Hadoop FileSystem API (r9, per ADVICE r8): an
+    # os.path check is driver-local, so an HDFS/S3A sf_dir would always
+    # take the glob branch and silently stream zero rows again.
+    if _hadoop_isdir(spark, path):
         stream = spark.readStream.schema(schema).parquet(path)
     else:
         stream = (spark.readStream.schema(schema)

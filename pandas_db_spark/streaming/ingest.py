@@ -24,12 +24,16 @@ replayed batch deduplicates against the store it already wrote, so
 CORPUS duplicates cannot arise from replays of LATER batches; the
 dangerous case is a crash BETWEEN the corpus append and the store
 append, which replays that batch's rows with an empty store entry.
-``partition_by_batch=True`` (default) closes it: the corpus write is a
-batch-id-partitioned DYNAMIC overwrite, so a replayed batch_id rewrites
-its own partition idempotently instead of appending a second copy
-(crash-replay asserted in ``tests/test_streaming.py``).  The STORE
-append stays at-least-once — duplicate (digest, id) rows after a replay
-are harmless to the anti-join semantics and compactable offline.
+``partition_by_batch=True`` (default) closes it: the corpus write AND
+every store write (exact fingerprints, near sigs/docs, embedding
+keys/vecs — r9, per ADVICE r8) are batch-id-partitioned DYNAMIC
+overwrites, so a replayed batch_id rewrites its own partitions
+idempotently instead of appending a second copy (crash-replay asserted
+in ``tests/test_streaming.py``).  With ``partition_by_batch=False``
+the stores stay plain at-least-once appends — duplicate rows after a
+replay are harmless to the anti-join semantics (they only inflate
+candidate probes) and compactable offline
+(:func:`operators.similarity.compact_signlsh_store`).
 """
 
 from __future__ import annotations
@@ -110,24 +114,51 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
             # before anti-joining the store.
             kept_ids = dedup_incremental(batch_df, store, text_col, id_col)
         elif mode == "embedding":
-            meta_rows = _read_store(
-                spark, store_dir + "/meta", "bands long, rows long"
-            ).collect()
+            meta_df = _read_store(
+                spark, store_dir + "/meta",
+                "bands long, rows long, expected_corpus long")
+            meta_rows = meta_df.collect()
             if meta_rows:
                 bands = int(meta_rows[0]["bands"])
                 rows = int(meta_rows[0]["rows"])
+                # pre-r9 metas carry no expected_corpus column → fall
+                # back to the run parameter for the growth check
+                pin = (int(meta_rows[0]["expected_corpus"])
+                       if "expected_corpus" in meta_df.columns
+                       and meta_rows[0]["expected_corpus"] is not None
+                       else expected_corpus)
             else:
                 # first batch ever: pin the geometry for the store's life
                 # (a crash replay re-derives the identical values from
                 # the same expected_corpus, so the pin is idempotent)
                 bands, rows = auto_sign_geometry(expected_corpus, threshold)
-                (spark.createDataFrame([(bands, rows)],
-                                       "bands long, rows long")
+                pin = expected_corpus
+                (spark.createDataFrame(
+                    [(bands, rows, expected_corpus)],
+                    "bands long, rows long, expected_corpus long")
                  .write.mode("overwrite").parquet(store_dir + "/meta"))
             vecs = _read_store(spark, store_dir + "/vecs",
                                f"{id_col} long, {text_col} array<float>")
             keys = _read_store(spark, store_dir + "/keys",
                                "id long, band long, bh long")
+            # Growth guard (r9): once the stored corpus outgrows the
+            # geometry pin's design density, random-pair candidates
+            # drift back toward ~n²·bands/2^rows and dedup cost goes
+            # quadratic SILENTLY.  One cheap row-count per batch buys
+            # the warning; the escape hatch is the offline
+            # similarity.reband_store migration.
+            stored_n = vecs.count()
+            if stored_n > pin:
+                import warnings
+                warnings.warn(
+                    f"dedup ingest store at {store_dir} holds "
+                    f"{stored_n} vectors — past its pinned design "
+                    f"density of {pin} (bands={bands}, rows={rows}); "
+                    "candidate volume is drifting quadratic.  Run "
+                    "operators.similarity.reband_store(store_dir, "
+                    "expected_corpus=<new steady-state size>) between "
+                    "ingest runs to migrate the geometry.",
+                    RuntimeWarning, stacklevel=2)
             # in-batch near-dedup FIRST (cosine_incremental only compares
             # the batch against the store)
             in_pairs = cosine_pairs_lsh(batch_df, threshold=threshold,
@@ -172,20 +203,40 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
         else:
             kept.write.mode("append").parquet(corpus_dir)
         kept = kept.drop("batch_id")
+
+        def store_write(df: DataFrame, path: str) -> None:
+            # Replay-idempotent store appends (r9, per ADVICE r8): the
+            # same batch-id-partitioned dynamic overwrite as the corpus
+            # sink, so a crash between the corpus write and the store
+            # write replays into the batch's OWN partition instead of
+            # double-appending (duplicate store rows were semantically
+            # harmless but inflated candidate probes over time).  With
+            # partition_by_batch=False the store stays plain append —
+            # at-least-once, compactable via compact_signlsh_store /
+            # an offline dropDuplicates.
+            if partition_by_batch:
+                (df.withColumn("batch_id", F.lit(batch_id))
+                   .write.mode("overwrite")
+                   .option("partitionOverwriteMode", "dynamic")
+                   .partitionBy("batch_id").parquet(path))
+            else:
+                df.write.mode("append").parquet(path)
+
         if mode == "exact":
-            (fingerprint_store(kept, text_col, id_col)
-             .write.mode("append").parquet(store_dir))
+            store_write(fingerprint_store(kept, text_col, id_col),
+                        store_dir)
         elif mode == "embedding":
-            (signlsh_store(kept, id_col=id_col, vec_col=text_col,
-                           dim=vec_dim, bands=bands, rows=rows)
-             .write.mode("append").parquet(store_dir + "/keys"))
-            (kept.select(id_col, text_col)
-             .write.mode("append").parquet(store_dir + "/vecs"))
+            store_write(signlsh_store(kept, id_col=id_col,
+                                      vec_col=text_col, dim=vec_dim,
+                                      bands=bands, rows=rows),
+                        store_dir + "/keys")
+            store_write(kept.select(id_col, text_col),
+                        store_dir + "/vecs")
         else:
-            (minhash_store(kept, text_col, id_col)
-             .write.mode("append").parquet(store_dir + "/sigs"))
-            (kept.select(id_col, text_col)
-             .write.mode("append").parquet(store_dir + "/docs"))
+            store_write(minhash_store(kept, text_col, id_col),
+                        store_dir + "/sigs")
+            store_write(kept.select(id_col, text_col),
+                        store_dir + "/docs")
 
     qr = (stream_df.writeStream.foreachBatch(handle)
           .option("checkpointLocation", checkpoint_dir)

@@ -994,3 +994,176 @@ def test_cosine_incremental_store_probe(spark, emb):
         cosine_incremental(batch, store, store_keys=keys)
     with pytest.raises(ValueError, match="both"):
         cosine_incremental(batch, store, bands=32, rows="auto")
+
+
+def test_auto_sign_geometry_exact_threshold(spark, emb):
+    """r9 (ADVICE r8): threshold=1.0 — a plausible exact-duplicate call —
+    gives per-hyperplane agreement p=1.0, which used to hit
+    log(1 - p^r) = log(0).  The clamp must return a valid geometry
+    (one band suffices when every true pair collides) that still
+    respects the random-candidate budget, and cosine_pairs_lsh must
+    construct and run at threshold=1.0."""
+    import math
+    b, r = S.auto_sign_geometry(20_000, 1.0)
+    assert b >= 1 and 16 <= r <= 61
+    assert (20_000 * 19_999 / 2) * b * 0.5 ** r <= 10 * 20_000
+    # end-to-end: exact copies are still found at threshold 1.0
+    copies = (emb.where(F.col("vec_id") < 5)
+              .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    ext = emb.select("vec_id", "embedding").unionByName(
+        copies.select("vec_id", "embedding"))
+    pairs = {(r2["id_a"], r2["id_b"])
+             for r2 in S.cosine_pairs_lsh(ext, threshold=1.0).collect()}
+    assert {(i, 1_000_000 + i) for i in range(5)} <= pairs
+
+
+def test_lsh_corpus_count_memoized(spark, emb):
+    """r9 (VERDICT r8 #6 + ADVICE): the auto-geometry corpus count is
+    memoized by plan semanticHash — constructing a second LSH plan over
+    the same frame fires ZERO jobs, and an explicit n= hint skips the
+    count entirely."""
+    def n_jobs():
+        return spark._jsparkSession.sparkContext().statusStore() \
+            .jobsList(None).size()
+
+    e = emb.select("vec_id", "embedding")
+    S.cosine_pairs_lsh(e, threshold=0.95)       # may run the count once
+    before = n_jobs()
+    S.cosine_pairs_lsh(e, threshold=0.95)       # memo hit
+    assert n_jobs() == before, "second auto-geometry construction ran a job"
+    S.cosine_incremental(e.limit(5), e)          # store count memoized too
+    mid = n_jobs()
+    S.cosine_incremental(e.limit(5), e)
+    assert n_jobs() == mid, "cosine_incremental re-counted a memoized plan"
+    before = n_jobs()
+    S.cosine_pairs_lsh(e, threshold=0.95, n=500)  # hint: no job at all
+    assert n_jobs() == before, "n= hint still ran a count job"
+    # (cosine_pairs_ivf's centroid fit is a documented construction-time
+    # sample collect — its n= hint skips only the geometry count)
+
+
+def test_cosine_pairs_ivf_matches_exact(spark, emb):
+    """r9 (VERDICT r8 #3): the IVF dedup route — within-list candidate
+    generation, exact verify — must recover EXACTLY the true cosine-0.95
+    pair set on a corpus with planted duplicates (identical vectors are
+    deterministically co-listed; the base corpus holds no natural pair,
+    verified here against the numpy exact answer, so precision+recall
+    are both externally checked)."""
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ext_ids = np.concatenate([ids, ids[:25] + 1_000_000])
+    ext_mat = np.vstack([mat, mat[:25]])
+    sims = ext_mat @ ext_mat.T
+    exact = set()
+    for i in range(len(ext_ids)):
+        for j in range(i + 1, len(ext_ids)):
+            if sims[i, j] >= 0.95:
+                a, b = sorted((int(ext_ids[i]), int(ext_ids[j])))
+                exact.add((a, b))
+    assert len(exact) == 25  # planted pairs only — corpus has no natural pair
+
+    copies = (emb.where(F.col("vec_id") < 25)
+              .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    ext = emb.select("vec_id", "embedding").unionByName(
+        copies.select("vec_id", "embedding"))
+    got = {(r["id_a"], r["id_b"])
+           for r in S.cosine_pairs_ivf(ext, threshold=0.95).collect()}
+    assert got == exact
+    # no cartesian product in the plan
+    assert "CartesianProduct" not in formatted_plan(
+        S.cosine_pairs_ivf(ext, threshold=0.95, n=525))
+
+
+def test_reband_store_identical_survivors(spark, emb, tmp_path):
+    """r9 (VERDICT r8 #2): migrating a store to a new geometry — keys
+    recomputed from the persisted vectors, /meta re-pinned — must yield
+    the IDENTICAL survivor set for a planted batch probed through the
+    store, before and after.  Also: meta records the new pin and the
+    keys table matches bands-per-vector."""
+    store_dir = str(tmp_path / "store")
+    e = emb.select("vec_id", "embedding")
+    e.write.parquet(store_dir + "/vecs")
+    S.signlsh_store(e, bands=4, rows=16).write.parquet(store_dir + "/keys")
+    (spark.createDataFrame([(4, 16, None)],
+                           "bands long, rows long, expected_corpus long")
+     .write.parquet(store_dir + "/meta"))
+
+    def probe(bands, rows):
+        vecs = spark.read.parquet(store_dir + "/vecs")
+        keys = spark.read.parquet(store_dir + "/keys")
+        copies = (e.where(F.col("vec_id") < 10)
+                  .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+        novel = (e.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+                 .withColumn("vec_id", F.col("vec_id") + 2_000_000)
+                 .withColumn("embedding",
+                             F.transform("embedding", lambda x: -x)))
+        return {r["vec_id"] for r in S.cosine_incremental(
+            copies.unionByName(novel), vecs, bands=bands, rows=rows,
+            store_keys=keys).collect()}
+
+    before = probe(4, 16)
+    nb, nr = S.reband_store(spark, store_dir, threshold=0.95,
+                            expected_corpus=100_000)
+    assert (nb, nr) == S.auto_sign_geometry(100_000, 0.95)
+    meta = spark.read.parquet(store_dir + "/meta").collect()[0]
+    assert (int(meta["bands"]), int(meta["rows"])) == (nb, nr)
+    assert int(meta["expected_corpus"]) == 100_000
+    keys = spark.read.parquet(store_dir + "/keys")
+    assert keys.count() == e.count() * nb
+    after = probe(nb, nr)
+    assert after == before == {2_000_000 + i for i in range(10, 20)}
+    with pytest.raises(ValueError, match="both"):
+        S.reband_store(spark, store_dir, bands=8, rows="auto")
+
+
+def test_compact_signlsh_store(spark, emb, tmp_path):
+    """r9 (VERDICT r8 #2): compaction dedups the duplicate rows that
+    at-least-once appends accumulate, collapses batch history into the
+    batch_id=-1 sentinel partition (so later per-batch dynamic
+    overwrites can't touch compacted rows), and survivor sets are
+    unchanged."""
+    import os
+    store_dir = str(tmp_path / "store")
+    e = emb.select("vec_id", "embedding").where(F.col("vec_id") < 50)
+    keys = S.signlsh_store(e, bands=4, rows=16)
+    for b in (0, 1):  # simulate two batches, each double-appended
+        for _ in range(2):
+            (e.withColumn("batch_id", F.lit(b)).write.mode("append")
+             .partitionBy("batch_id").parquet(store_dir + "/vecs"))
+            (keys.withColumn("batch_id", F.lit(b)).write.mode("append")
+             .partitionBy("batch_id").parquet(store_dir + "/keys"))
+    assert spark.read.parquet(store_dir + "/vecs").count() == 4 * 50
+
+    S.compact_signlsh_store(spark, store_dir)
+    vecs = spark.read.parquet(store_dir + "/vecs")
+    kdf = spark.read.parquet(store_dir + "/keys")
+    assert vecs.count() == 50                      # one row per vector
+    assert kdf.count() == 50 * 4                   # one key per (id, band)
+    assert {r["batch_id"] for r in vecs.select("batch_id")
+            .distinct().collect()} == {-1}
+    assert os.path.isdir(store_dir + "/vecs/batch_id=-1")
+    # the compacted store still answers probes correctly
+    copies = (e.where(F.col("vec_id") < 5)
+              .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    kept = {r["vec_id"] for r in S.cosine_incremental(
+        copies, vecs, bands=4, rows=16, store_keys=kdf).collect()}
+    assert kept == set()
+
+
+def test_mix_by_token_budget_source_col_guard(spark):
+    """r9 (ADVICE r8): an input corpus that already carries the source
+    column is REJECTED (withColumn would silently overwrite it);
+    source_col= renames the tag and preserves the caller's column."""
+    from pandas_db_spark.operators.sampling import mix_by_token_budget
+    a = spark.createDataFrame(
+        [(i, "x " * 10, "orig") for i in range(5)],
+        "doc_id long, text string, source string")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    with pytest.raises(ValueError, match="source"):
+        mix_by_token_budget({"a": (a, 1.0)}, 30, toks, "doc_id")
+    out = mix_by_token_budget({"a": (a, 1.0)}, 30, toks, "doc_id",
+                              source_col="corpus").collect()
+    assert all(r["corpus"] == "a" and r["source"] == "orig" for r in out)
+    assert len(out) == 3

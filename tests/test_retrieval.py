@@ -277,3 +277,17 @@ def test_drop_table_and_location_safety(spark, tmp_path):
     assert not spark.catalog.tableExists("r8_drop_probe")
     # idempotent when nothing exists
     R._drop_table_and_location(spark, "r8_drop_probe")
+
+
+def test_bm25_topk_construction_runs_zero_jobs(spark, db):
+    """r9 (VERDICT r8 #4): N and avgdl ride the plan as a broadcast
+    one-row frame — constructing the ad-hoc bm25_topk plan fires no
+    Spark job (the previous collect() tokenized the whole corpus at
+    construction), and the served ranking is unchanged."""
+    d = db.documents.df
+    before = _n_jobs(spark)
+    out = R.bm25_topk(d, "text", "doc_id", "merge vector stream", k=5)
+    assert _n_jobs(spark) == before, "bm25_topk construction ran a job"
+    rows = out.collect()
+    assert 1 <= len(rows) <= 5
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
