@@ -29,9 +29,11 @@ import time
 import numpy as np
 
 
+_VOCAB = np.array([f"w{i}" for i in range(5000)])
+
+
 def doc_text(rng, words: int = 60) -> str:
-    vocab = [f"w{i}" for i in range(5000)]
-    return " ".join(rng.choice(vocab) for _ in range(words))
+    return " ".join(_VOCAB[rng.randint(0, len(_VOCAB), size=words)])
 
 
 def main() -> None:
@@ -40,6 +42,7 @@ def main() -> None:
     batch_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
     out_path = sys.argv[4] if len(sys.argv) > 4 else None
 
+    sys.path.insert(0, "/root/repo")
     from pandas_db_spark.session import get_spark
     from pandas_db_spark.streaming.ingest import run_dedup_ingest
 
