@@ -88,6 +88,7 @@ HEADLINE = [
     "events_resample_1h",  # grid explode + as-of ffill, no join node (r6 op)
     "dedup_minhash_incremental",  # banded probe vs signature store (r7 add per VERDICT r6 #6)
     "events_attribution",  # stream-stream interval join, availableNow (r7 add)
+    "dedup_embedding_ivf",  # IVF-routed dedup: within-list pairs, exact verify (r9 add per VERDICT r8 #3)
 ]
 
 

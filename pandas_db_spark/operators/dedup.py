@@ -603,6 +603,44 @@ def fingerprint_store(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(digest.alias("digest"), F.col(id_col).alias("id"))
 
 
+def compact_dedup_store(spark, store_dir: str, mode: str = "exact",
+                        id_col: str = "doc_id",
+                        n_files: int = 8) -> None:
+    """Offline compaction for the exact / near streaming-ingest stores —
+    the text siblings of ``similarity.compact_signlsh_store`` (r9):
+    drop the duplicate rows that at-least-once appends accumulate across
+    replays and coalesce thousands of micro-batch small files into
+    ``n_files`` per table.  ``mode="exact"`` compacts the (digest, id)
+    fingerprints at ``store_dir`` itself; ``mode="near"`` compacts
+    ``store_dir + "/sigs"`` (id, sig) and ``store_dir + "/docs"``
+    (id, text).  Batch-partitioned stores keep their layout with history
+    collapsed into a ``batch_id = -1`` sentinel partition (never a real
+    micro-batch id, so later per-batch dynamic overwrites cannot touch
+    compacted rows); unpartitioned stores stay unpartitioned.  Offline
+    contract: run between ingest runs; the rewrite is staged (old data
+    survives a crash in a ``.__stage_old`` sibling), and re-running is
+    idempotent."""
+    from pandas_db_spark.operators.similarity import _staged_overwrite
+    if mode == "exact":
+        tables = [("", ["digest", "id"])]
+    elif mode == "near":
+        tables = [("/sigs", [id_col]), ("/docs", [id_col])]
+    else:
+        raise ValueError(f"compact_dedup_store: unknown mode {mode!r} "
+                         "(embedding stores: compact_signlsh_store)")
+    for sub, dedup_cols in tables:
+        df = spark.read.parquet(store_dir + sub)
+        part = None
+        if "batch_id" in df.columns:
+            df = (df.dropDuplicates(dedup_cols)
+                    .withColumn("batch_id", F.lit(-1)))
+            part = "batch_id"
+        else:
+            df = df.dropDuplicates(dedup_cols)
+        _staged_overwrite(df, store_dir + sub, partition_by=part,
+                          n_files=n_files)
+
+
 def dedup_incremental(new_docs: DataFrame, store: DataFrame,
                       text_col: str, id_col: str) -> DataFrame:
     """IDs of ``new_docs`` that survive exact dedup against BOTH the

@@ -653,3 +653,46 @@ def test_embedding_ingest_growth_warning(spark, tmp_path):
             if "reband_store" in str(w.message)]
     assert msgs, "growth past the pin did not warn"
     assert "design density" in msgs[0]
+
+
+def test_compact_dedup_store_exact_and_near(spark, tmp_path):
+    """r9: the exact/near ingest stores compact like the embedding one —
+    duplicate appended rows collapse, batch history lands in the
+    batch_id=-1 sentinel, and incremental dedup against the compacted
+    store answers unchanged."""
+    import os
+    from pandas_db_spark.operators.dedup import (compact_dedup_store,
+                                                 dedup_incremental,
+                                                 fingerprint_store,
+                                                 minhash_store)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body text alpha beta gamma") for i in range(20)],
+        "doc_id long, text string")
+
+    exact_dir = str(tmp_path / "exact")
+    fp = fingerprint_store(docs, "text", "doc_id")
+    for b in (0, 1):
+        for _ in range(2):  # double-append = simulated replays
+            (fp.withColumn("batch_id", F.lit(b)).write.mode("append")
+             .partitionBy("batch_id").parquet(exact_dir))
+    assert spark.read.parquet(exact_dir).count() == 80
+    compact_dedup_store(spark, exact_dir, mode="exact")
+    store = spark.read.parquet(exact_dir)
+    assert store.count() == 20
+    assert os.path.isdir(exact_dir + "/batch_id=-1")
+    # probe: the same docs are all recognized as already-ingested
+    assert dedup_incremental(docs, store, "text", "doc_id").count() == 0
+
+    near_dir = str(tmp_path / "near")
+    sigs = minhash_store(docs, "text", "doc_id")
+    for _ in range(2):  # unpartitioned store stays unpartitioned
+        sigs.write.mode("append").parquet(near_dir + "/sigs")
+        docs.write.mode("append").parquet(near_dir + "/docs")
+    compact_dedup_store(spark, near_dir, mode="near")
+    assert spark.read.parquet(near_dir + "/sigs").count() == 20
+    assert spark.read.parquet(near_dir + "/docs").count() == 20
+    assert "batch_id" not in spark.read.parquet(near_dir + "/sigs").columns
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        compact_dedup_store(spark, near_dir, mode="embedding")

@@ -61,6 +61,7 @@ def candidate_count(keyed) -> int:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    sys.path.insert(0, "/root/repo")
     from pandas_db_spark.session import get_spark
     from pandas_db_spark.operators.similarity import (_sign_bands,
                                                       auto_sign_geometry)
