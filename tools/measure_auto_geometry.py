@@ -9,7 +9,7 @@ expanding them: candidates = sum over buckets of C(size, 2), computed
 from bucket sizes — the same pre-dedup multiset the r8 scaling study
 counted.
 
-Usage: python tools/measure_auto_geometry.py [n] [out.json]
+Usage: python tools/measure_auto_geometry.py [n] [out.json] [dim]
 """
 
 from __future__ import annotations
@@ -61,6 +61,7 @@ def candidate_count(keyed) -> int:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
+    dim = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     sys.path.insert(0, "/root/repo")
     from pandas_db_spark.session import get_spark
     from pandas_db_spark.operators.similarity import (_sign_bands,
@@ -68,14 +69,14 @@ def main() -> None:
 
     spark = get_spark(app_name="auto-geometry-measure")
     spark.sparkContext.setLogLevel("ERROR")
-    vecs = make_vectors(spark, n).persist()
+    vecs = make_vectors(spark, n, dim=dim).persist()
     assert vecs.count() == n
 
-    results = {"n": n, "threshold": 0.95, "geometries": {}}
+    results = {"n": n, "dim": dim, "threshold": 0.95, "geometries": {}}
     ab, ar = auto_sign_geometry(n, 0.95)
     for label, (bands, rows) in (("auto", (ab, ar)), ("fixed_r7", (64, 16))):
         t0 = time.time()
-        keyed = _sign_bands(vecs, "vec_id", "embedding", 64, bands, rows, 42)
+        keyed = _sign_bands(vecs, "vec_id", "embedding", dim, bands, rows, 42)
         cand = candidate_count(keyed)
         results["geometries"][label] = {
             "bands": bands, "rows": rows, "candidates": cand,
