@@ -64,7 +64,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      mode: str = "exact",
                      threshold: float = 0.8,
                      vec_dim: int = 64,
-                     expected_corpus: int = 1_000_000) -> None:
+                     expected_corpus: int = 1_000_000,
+                     auto_migrate: bool = False) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
@@ -90,7 +91,14 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     ``store_dir + "/meta"`` — keys from different geometries never
     match, so every later batch (and crash replay) reloads the pinned
     values; size ``expected_corpus`` for the corpus you expect at
-    steady state, not the first batch."""
+    steady state, not the first batch.  When the stored corpus passes
+    the pinned design density the ingest WARNS each batch (candidate
+    volume drifts quadratic past the pin); with ``auto_migrate=True``
+    it instead re-bands the store BEFORE the stream starts — geometry
+    re-sized for 2x the current corpus via
+    :func:`operators.similarity.reband_store` (one vector scan, keys
+    swapped in place, meta re-pinned) — which is safe exactly because
+    it runs before any micro-batch is in flight."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
@@ -105,6 +113,29 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
 
     if mode not in ("exact", "near", "embedding"):
         raise ValueError(f"run_dedup_ingest: unknown mode {mode!r}")
+
+    if auto_migrate and mode == "embedding":
+        # Pre-stream migration window: no micro-batch is in flight, so
+        # re-keying the store here honors reband_store's offline
+        # contract.  The new pin (2x current) gives headroom so the
+        # migration amortizes over the next corpus doubling.
+        spark0 = stream_df.sparkSession
+        meta0 = _read_store(spark0, store_dir + "/meta",
+                            "bands long, rows long, expected_corpus long")
+        rows0 = meta0.collect()
+        if rows0:
+            pin0 = (int(rows0[0]["expected_corpus"])
+                    if "expected_corpus" in meta0.columns
+                    and rows0[0]["expected_corpus"] is not None
+                    else expected_corpus)
+            stored0 = _read_store(
+                spark0, store_dir + "/vecs",
+                "__id long").count()
+            if stored0 > pin0:
+                from pandas_db_spark.operators.similarity import reband_store
+                reband_store(spark0, store_dir, threshold=threshold,
+                             expected_corpus=max(2 * stored0, pin0),
+                             id_col=id_col, vec_col=text_col, dim=vec_dim)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -696,3 +696,58 @@ def test_compact_dedup_store_exact_and_near(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown mode"):
         compact_dedup_store(spark, near_dir, mode="embedding")
+
+
+def test_embedding_ingest_auto_migrate(spark, tmp_path):
+    """r9: with auto_migrate=True a store that outgrew its pin is
+    re-banded BEFORE the stream starts — meta re-pinned for 2x the
+    current corpus, keys re-keyed — and the migrated store still drops
+    cross-run duplicates exactly."""
+    import warnings
+    from pandas_db_spark.operators.similarity import auto_sign_geometry
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    def vec(i, dim=64):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        return v
+
+    src = tmp_path / "in"
+    (spark.createDataFrame([(i, vec(i)) for i in (1, 2, 3)],
+                           "vec_id long, embedding array<float>")
+     .coalesce(1).write.parquet(f"{src}/b0"))
+
+    def ingest(auto_migrate):
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .parquet(f"{src}/b*"))
+        run_dedup_ingest(stream, "embedding", "vec_id",
+                         corpus_dir=str(tmp_path / "corpus"),
+                         store_dir=str(tmp_path / "store"),
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         mode="embedding", threshold=0.95,
+                         expected_corpus=2,  # pinned too small on purpose
+                         auto_migrate=auto_migrate)
+
+    ingest(auto_migrate=False)  # first run: builds the tiny-pinned store
+    meta0 = spark.read.parquet(str(tmp_path / "store/meta")).collect()[0]
+    assert (int(meta0["bands"]), int(meta0["rows"])) == \
+        auto_sign_geometry(2, 0.95)
+
+    # second run: 3 stored > pin 2 → migrate to geometry for 2*3=6,
+    # then batch 1 (one dup of vec 1, one novel) probes the REBANDED keys
+    (spark.createDataFrame([(10, vec(1)), (11, vec(5))],
+                           "vec_id long, embedding array<float>")
+     .coalesce(1).write.parquet(f"{src}/b1"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ingest(auto_migrate=True)
+    meta1 = spark.read.parquet(str(tmp_path / "store/meta")).collect()[0]
+    assert (int(meta1["bands"]), int(meta1["rows"])) == \
+        auto_sign_geometry(6, 0.95)
+    assert int(meta1["expected_corpus"]) == 6
+    kept = {r["vec_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {1, 2, 3, 11}  # dup of vec 1 dropped via migrated keys
+    # pin now covers the corpus → no growth warning during the run
+    assert not [w for w in caught if "reband_store" in str(w.message)]
