@@ -124,6 +124,19 @@ def _diag_candidate_counts(spark, sf_dir: str) -> None:
         diag["signlsh_bands"] = bands
         diag["signlsh_rows"] = rows
 
+        # IVF within-list candidates (dedup_embedding_ivf, r9): volume is
+        # Σ_list C(occupancy, 2) deduped across probes — drift here means
+        # list occupancy changed (corpus density), not environment
+        import math
+        ext = db.embeddings.df.select("vec_id", "embedding")
+        nlist = min(max(16, math.ceil((n_vec + 25) / 64)), 2048)
+        cent = S._fit_centroids(ext, nlist, 2048, "vec_id", "embedding")
+        assigns = S._assign_lists_multi(ext, cent, 2, "vec_id", "embedding")
+        diag["ivf_candidates"] = D._bucket_pairs(
+            assigns.withColumnRenamed("vec_id", "id"),
+            ["list_id"], "id").count()
+        diag["ivf_nlist"] = nlist
+
         print("# diag " + json.dumps(diag), file=sys.stderr)
     except Exception as exc:  # diagnostics must never fail the bench
         print(f"# diag failed: {exc!r}", file=sys.stderr)
