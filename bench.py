@@ -126,10 +126,15 @@ def _diag_candidate_counts(spark, sf_dir: str) -> None:
 
         # IVF within-list candidates (dedup_embedding_ivf, r9): volume is
         # Σ_list C(occupancy, 2) deduped across probes — drift here means
-        # list occupancy changed (corpus density), not environment
-        import math
-        ext = db.embeddings.df.select("vec_id", "embedding")
-        nlist = min(max(16, math.ceil((n_vec + 25) / 64)), 2048)
+        # list occupancy changed (corpus density), not environment.
+        # Same corpus as the query (25 planted copies) and the operator's
+        # own auto_nlist, so the diag tracks exactly what the query runs.
+        from pyspark.sql import functions as F
+        e = db.embeddings.df.select("vec_id", "embedding")
+        planted = (e.where(F.col("vec_id") < 25)
+                   .withColumn("vec_id", F.col("vec_id") + 1_000_000))
+        ext = e.unionByName(planted)
+        nlist = S.auto_nlist(n_vec + 25)
         cent = S._fit_centroids(ext, nlist, 2048, "vec_id", "embedding")
         assigns = S._assign_lists_multi(ext, cent, 2, "vec_id", "embedding")
         diag["ivf_candidates"] = D._bucket_pairs(

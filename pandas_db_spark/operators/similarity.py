@@ -58,6 +58,13 @@ def cosine_sim(a, b) -> F.Column:
 # repeated LSH construction over the same registered table costs zero jobs
 # after the first.  Callers with a cheaper source of n (catalog stats, a
 # prior count) pass it via the `n=` hint and skip the count entirely.
+#
+# Staleness contract: semanticHash keys the PLAN (for file sources, the
+# path), not the file listing — in a long-lived session over a GROWING
+# parquet dataset the memoized n lags reality and the geometry under-sizes.
+# The order of magnitude is what matters to the geometry (2x error moves
+# rows by ~1 bit), the ingest growth guard catches sustained drift, and a
+# long-lived caller can `_COUNT_CACHE.clear()` or pass `n=` per call.
 from pandas_db_spark.cache import Cache as _Cache
 
 _COUNT_CACHE = _Cache(max_item_size=1, max_dict_size=8)
@@ -276,32 +283,75 @@ def signlsh_store(emb: DataFrame, id_col: str = "vec_id",
     return _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
 
 
+def _fs_for(spark, path: str):
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, P
+
+
+def recover_staged(spark, path: str) -> bool:
+    """Roll a crashed :func:`_staged_overwrite` swap forward/back so the
+    live directory exists again.  A crash between the two renames leaves
+    the data only in ``.__stage_old`` (and possibly a complete
+    ``.__stage_tmp``); readers of the live path would otherwise see
+    PATH_NOT_FOUND — which the ingest's ``_read_store`` deliberately
+    treats as "first batch ever", i.e. a SILENTLY EMPTY dedup store.
+    Called by :func:`reband_store` / the compactors before reading, and
+    safe to call any time (no-op when the live dir exists).  Returns
+    True when a recovery was performed."""
+    base = path.rstrip("/")
+    fs, P = _fs_for(spark, base)
+    if fs.exists(P(base)):
+        return False
+    old, tmp = base + ".__stage_old", base + ".__stage_tmp"
+    if fs.exists(P(old)):
+        # roll BACK to the pre-swap state (tmp may be incomplete; old is
+        # by construction the complete previous live copy)
+        if not fs.rename(P(old), P(base)):
+            raise IOError(f"recover_staged: rename {old} -> {base} failed")
+        if fs.exists(P(tmp)):
+            fs.delete(P(tmp), True)
+        return True
+    return False
+
+
 def _staged_overwrite(df: DataFrame, path: str,
                       partition_by: str | None = None,
                       n_files: int = 8) -> None:
     """Rewrite a parquet directory THAT THE PLAN READS FROM: write to a
     sibling tmp dir, then swap via two Hadoop FS renames (old → .old,
     tmp → live, delete .old).  A direct ``mode("overwrite")`` truncates
-    the directory the lazy read still points at.  A crash mid-swap
-    leaves the data in exactly one of the three dirs — re-running the
-    caller completes or redoes the swap; no window loses both copies."""
+    the directory the lazy read still points at.  Every rename's boolean
+    result is CHECKED (Hadoop rename reports failure by returning false,
+    e.g. renaming into an existing destination) — the old copy is
+    deleted only after the new one is verifiably live.  A crash mid-swap
+    leaves the previous copy in ``.__stage_old``; :func:`recover_staged`
+    rolls it back, and the r9 callers invoke it before reading."""
     spark = df.sparkSession
     base = path.rstrip("/")
     tmp, old = base + ".__stage_tmp", base + ".__stage_old"
-    w = df.coalesce(n_files).write.mode("overwrite")
     if partition_by:
-        w = df.repartition(n_files, partition_by).write.mode("overwrite") \
-              .partitionBy(partition_by)
+        w = (df.repartition(n_files, partition_by)
+               .write.mode("overwrite").partitionBy(partition_by))
+    else:
+        w = df.coalesce(n_files).write.mode("overwrite")
     w.parquet(tmp)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(base).getFileSystem(conf)
+    fs, P = _fs_for(spark, base)
     if fs.exists(P(old)):
         fs.delete(P(old), True)
     if fs.exists(P(base)):
-        fs.rename(P(base), P(old))
-    fs.rename(P(tmp), P(base))
+        if not fs.rename(P(base), P(old)):
+            raise IOError(
+                f"_staged_overwrite: rename {base} -> {old} failed; "
+                f"live data untouched, new data left in {tmp}")
+    if not fs.rename(P(tmp), P(base)):
+        # put the old copy back before failing — never leave the live
+        # path missing with the data stranded in a stage sibling
+        fs.rename(P(old), P(base))
+        raise IOError(
+            f"_staged_overwrite: rename {tmp} -> {base} failed; "
+            "previous data restored")
     fs.delete(P(old), True)
 
 
@@ -327,11 +377,15 @@ def reband_store(spark, store_dir: str, threshold: float = 0.95,
     already have", so pass headroom explicitly).
 
     Offline maintenance contract: run between ingest runs, not under a
-    live stream.  The keys swap is staged (old keys survive a crash in
-    a ``.__stage_old`` sibling); meta is re-pinned only AFTER the keys
+    live stream.  Every rewrite is staged (the previous copy survives a
+    crash in a ``.__stage_old`` sibling and :func:`recover_staged` rolls
+    it back — invoked here on entry, so re-running after any crash
+    completes the migration); meta is re-pinned only AFTER the keys
     land, and a crash between the two leaves keys/meta mismatched —
     re-run to completion, the operation is idempotent.  Returns the new
     ``(bands, rows)``."""
+    for sub in ("/vecs", "/keys", "/meta"):
+        recover_staged(spark, store_dir + sub)
     vecs = spark.read.parquet(store_dir + "/vecs")
     if bands == "auto" or rows == "auto":
         if not (bands == "auto" and rows == "auto"):
@@ -340,6 +394,11 @@ def reband_store(spark, store_dir: str, threshold: float = 0.95,
         n = expected_corpus if expected_corpus is not None \
             else vecs.select(id_col).distinct().count()
         bands, rows = auto_sign_geometry(n, threshold)
+        if expected_corpus is None:
+            # the pin must record the density the geometry was SIZED for
+            # — a NULL pin would make the ingest growth guard fall back
+            # to its own (typically much larger) default and never warn
+            expected_corpus = n
     keys = _sign_bands(vecs, id_col, vec_col, dim, bands, rows, seed)
     part = None
     if "batch_id" in vecs.columns:
@@ -351,9 +410,13 @@ def reband_store(spark, store_dir: str, threshold: float = 0.95,
     _staged_overwrite(keys, store_dir + "/keys", partition_by=part)
     meta = [(int(bands), int(rows),
              int(expected_corpus) if expected_corpus is not None else None)]
-    (spark.createDataFrame(meta,
-                           "bands long, rows long, expected_corpus long")
-     .write.mode("overwrite").parquet(store_dir + "/meta"))
+    # staged as well: a plain overwrite that crashes mid-write leaves an
+    # EMPTY meta, which a later ingest would mistake for "first batch
+    # ever" and re-pin a geometry that no longer matches the keys
+    _staged_overwrite(
+        spark.createDataFrame(meta,
+                              "bands long, rows long, expected_corpus long"),
+        store_dir + "/meta", n_files=1)
     return int(bands), int(rows)
 
 
@@ -370,6 +433,7 @@ def compact_signlsh_store(spark, store_dir: str, id_col: str = "vec_id",
     crash safety as :func:`reband_store`."""
     for sub, dedup_cols in (("/keys", ["id", "band", "bh"]),
                             ("/vecs", [id_col])):
+        recover_staged(spark, store_dir + sub)
         df = spark.read.parquet(store_dir + sub)
         part = None
         if "batch_id" in df.columns:
@@ -473,6 +537,19 @@ def _assign_lists_multi(emb: DataFrame, cent: np.ndarray, nprobe: int,
                .mapInPandas(assigner, f"{id_col} long, list_id long"))
 
 
+def auto_nlist(n: int, target_list_size: int = 64,
+               sample_n: int = 2048) -> int:
+    """Coarse-list count for :func:`cosine_pairs_ivf`'s auto sizing:
+    ``max(16, ceil(n / target_list_size))`` capped at ``sample_n`` (the
+    centroid fit needs ≥ nlist sampled rows, so the occupancy bound
+    holds up to n ≈ sample_n · target_list_size, ~131k at the defaults
+    — past that, raise sample_n or pass an explicit coarser nlist).
+    Exposed so diagnostics (bench.py) use the SAME formula as the
+    operator instead of re-deriving it."""
+    import math
+    return min(max(16, math.ceil(n / max(1, target_list_size))), sample_n)
+
+
 def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
                      nlist="auto", nprobe: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -511,17 +588,16 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
     pairs rely on ``nprobe`` multi-probe to cover list boundaries — no
     S-curve guarantee, so certify recall with :func:`cosine_pairs_lsh`
     where required (planted-pair gate: ``dedup_embedding_ivf``)."""
-    import math
     from pandas_db_spark.operators.dedup import (_bucket_pairs,
                                                  _ensure_parallelism)
+    nn = n if n is not None else _corpus_count(emb)
+    if nn < 2:
+        # _fit_centroids cannot fit on an empty/singleton sample (and
+        # there are no pairs to find) — return the empty pair frame the
+        # flat route would produce
+        return emb.sparkSession.createDataFrame([], "id_a long, id_b long")
     if nlist == "auto":
-        nn = n if n is not None else _corpus_count(emb)
-        # the centroid fit needs ≥ nlist sampled rows, so the auto
-        # occupancy bound holds up to n ≈ sample_n · target_list_size
-        # (~131k at the defaults) — past that, raise sample_n (driver
-        # memory permitting) or pass an explicit coarser nlist
-        nlist = min(max(16, math.ceil(nn / max(1, target_list_size))),
-                    sample_n)
+        nlist = auto_nlist(nn, target_list_size, sample_n)
     cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
     assigns = _assign_lists_multi(_ensure_parallelism(emb), cent, nprobe,
                                   id_col, vec_col)

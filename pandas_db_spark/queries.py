@@ -205,9 +205,18 @@ def dedup_embedding_rebanded(spark, sf_dir):
     import tempfile
     from pandas_db_spark.operators import similarity as S
     e = get_db(spark, sf_dir).embeddings.df.select("vec_id", "embedding")
+    # cache key includes the source file's mtime+size so a regenerated
+    # embeddings table invalidates the cached store instead of serving
+    # a probe built from stale vectors
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        stamp = sf_dir
     store_dir = os.path.join(
         tempfile.gettempdir(),
-        "pds_reband_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+        "pds_reband_" + hashlib.md5(stamp.encode()).hexdigest()[:10])
     marker = os.path.join(store_dir, "_REBANDED")
     if not os.path.exists(marker):
         e.write.mode("overwrite").parquet(store_dir + "/vecs")

@@ -524,15 +524,24 @@ def _arm_nanos_restore(spark: SparkSession, prior: str | None) -> None:
 def _hadoop_isdir(spark: SparkSession, path: str) -> bool:
     """Directory test through the Hadoop FileSystem API — correct for
     local, HDFS and S3A paths alike (``os.path.isdir`` only sees the
-    driver's local filesystem).  Falls back to the local check if the
-    JVM gateway is unavailable (mocked sessions in tests)."""
+    driver's local filesystem).  Falls back to the local check ONLY when
+    the JVM gateway itself is unavailable (mocked sessions in tests);
+    a nonexistent path is False, but any OTHER remote-FS error
+    propagates — swallowing a transient RPC failure here would route a
+    directory dataset to the filename-glob branch and silently stream
+    zero rows, the exact r8 bug this function exists to prevent."""
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    except AttributeError:
+        return os.path.isdir(path)  # no JVM gateway (mocked session)
+    try:
         return bool(fs.getFileStatus(jpath).isDirectory())
-    except Exception:
-        return os.path.isdir(path)
+    except Exception as exc:
+        if "FileNotFoundException" in type(exc).__name__ + str(exc):
+            return False
+        raise
 
 
 def events_stream_reader(spark: SparkSession, sf_dir: str):

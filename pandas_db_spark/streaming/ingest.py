@@ -46,13 +46,31 @@ def _read_store(spark, path: str, schema: str) -> DataFrame:
     """Load a persisted dedup-state table, treating ONLY path-not-found as
     'first batch ever'.  A corrupted store or transient IO/permission error
     must propagate — silently falling back to an empty store would re-admit
-    every previously-seen document into the corpus."""
+    every previously-seen document into the corpus.  A missing path whose
+    ``.__stage_old`` sibling EXISTS is an interrupted staged rewrite
+    (reband/compact crashed between renames), not a first batch: raise and
+    name the recovery instead of silently emptying the store (r9)."""
     try:
         return spark.read.parquet(path)
     except AnalysisException as exc:
         cond = exc.getCondition() if hasattr(exc, "getCondition") else None
         if (cond and "PATH_NOT_FOUND" in cond) or \
                 "Path does not exist" in str(exc):
+            try:
+                from pandas_db_spark.operators.similarity import _fs_for
+                fs, P = _fs_for(spark, path)
+                stale = fs.exists(P(path.rstrip("/") + ".__stage_old"))
+            except Exception:
+                stale = False
+            if stale:
+                raise RuntimeError(
+                    f"dedup store table {path} is missing but its "
+                    ".__stage_old sibling exists — a staged rewrite "
+                    "(reband_store / compaction) crashed mid-swap.  Run "
+                    "operators.similarity.recover_staged(spark, path) "
+                    "(or re-run the migration) before ingesting; "
+                    "treating this as an empty store would re-admit "
+                    "every previously-seen document.") from exc
             return spark.createDataFrame([], schema)
         raise
 
@@ -149,6 +167,11 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                 spark, store_dir + "/meta",
                 "bands long, rows long, expected_corpus long")
             meta_rows = meta_df.collect()
+            vecs = _read_store(spark, store_dir + "/vecs",
+                               f"{id_col} long, {text_col} array<float>")
+            keys = _read_store(spark, store_dir + "/keys",
+                               "id long, band long, bh long")
+            stored_n = vecs.count()
             if meta_rows:
                 bands = int(meta_rows[0]["bands"])
                 rows = int(meta_rows[0]["rows"])
@@ -158,6 +181,18 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                        if "expected_corpus" in meta_df.columns
                        and meta_rows[0]["expected_corpus"] is not None
                        else expected_corpus)
+            elif stored_n > 0:
+                # keys/vecs exist but the geometry pin is gone (e.g. a
+                # crash during a meta rewrite): re-pinning a FRESH
+                # geometry here would silently mismatch every stored
+                # band key and admit all duplicates — fail loudly and
+                # point at the repair
+                raise RuntimeError(
+                    f"dedup ingest store at {store_dir} has {stored_n} "
+                    "vectors but no geometry pin in /meta — the store is "
+                    "mid-migration or its meta write crashed.  Run "
+                    "operators.similarity.reband_store(store_dir, ...) "
+                    "to re-key and re-pin it before ingesting.")
             else:
                 # first batch ever: pin the geometry for the store's life
                 # (a crash replay re-derives the identical values from
@@ -168,17 +203,12 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                     [(bands, rows, expected_corpus)],
                     "bands long, rows long, expected_corpus long")
                  .write.mode("overwrite").parquet(store_dir + "/meta"))
-            vecs = _read_store(spark, store_dir + "/vecs",
-                               f"{id_col} long, {text_col} array<float>")
-            keys = _read_store(spark, store_dir + "/keys",
-                               "id long, band long, bh long")
             # Growth guard (r9): once the stored corpus outgrows the
             # geometry pin's design density, random-pair candidates
             # drift back toward ~n²·bands/2^rows and dedup cost goes
             # quadratic SILENTLY.  One cheap row-count per batch buys
             # the warning; the escape hatch is the offline
             # similarity.reband_store migration.
-            stored_n = vecs.count()
             if stored_n > pin:
                 import warnings
                 warnings.warn(

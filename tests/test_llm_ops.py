@@ -1167,3 +1167,55 @@ def test_mix_by_token_budget_source_col_guard(spark):
                               source_col="corpus").collect()
     assert all(r["corpus"] == "a" and r["source"] == "orig" for r in out)
     assert len(out) == 3
+
+
+def test_cosine_pairs_ivf_empty_input(spark):
+    """r9 review: an empty corpus must yield an empty pair frame (the
+    flat route's behavior), not a numpy AxisError from the centroid
+    fit."""
+    e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.cosine_pairs_ivf(e, threshold=0.95).count() == 0
+
+
+def test_recover_staged_rolls_back(spark, emb, tmp_path):
+    """r9 review: a crash between _staged_overwrite's two renames leaves
+    the live dir missing and the previous copy in .__stage_old;
+    recover_staged must restore it, and reband_store must self-recover
+    on entry."""
+    import os
+    import shutil
+    store_dir = str(tmp_path / "store")
+    e = emb.select("vec_id", "embedding").where(F.col("vec_id") < 30)
+    e.write.parquet(store_dir + "/vecs")
+    S.signlsh_store(e, bands=4, rows=16).write.parquet(store_dir + "/keys")
+    (spark.createDataFrame([(4, 16, 100)],
+                           "bands long, rows long, expected_corpus long")
+     .write.parquet(store_dir + "/meta"))
+    # simulate the mid-swap crash: live keys renamed away, tmp gone
+    os.rename(store_dir + "/keys", store_dir + "/keys.__stage_old")
+    assert S.recover_staged(spark, store_dir + "/keys")
+    assert spark.read.parquet(store_dir + "/keys").count() == 30 * 4
+    # and reband_store recovers by itself when entered mid-crash
+    os.rename(store_dir + "/keys", store_dir + "/keys.__stage_old")
+    nb, nr = S.reband_store(spark, store_dir, threshold=0.95,
+                            expected_corpus=1000)
+    meta = spark.read.parquet(store_dir + "/meta").collect()[0]
+    assert (int(meta["bands"]), int(meta["rows"])) == (nb, nr)
+    assert spark.read.parquet(store_dir + "/keys").count() == 30 * nb
+    shutil.rmtree(store_dir)
+
+
+def test_reband_store_auto_pins_sized_density(spark, emb, tmp_path):
+    """r9 review: auto-sized reband must persist the corpus size the
+    geometry was actually SIZED for as the new expected_corpus pin — a
+    NULL pin would disarm the ingest growth guard."""
+    store_dir = str(tmp_path / "store")
+    e = emb.select("vec_id", "embedding").where(F.col("vec_id") < 40)
+    e.write.parquet(store_dir + "/vecs")
+    S.signlsh_store(e, bands=4, rows=16).write.parquet(store_dir + "/keys")
+    (spark.createDataFrame([(4, 16, None)],
+                           "bands long, rows long, expected_corpus long")
+     .write.parquet(store_dir + "/meta"))
+    S.reband_store(spark, store_dir, threshold=0.95)  # no expected_corpus
+    meta = spark.read.parquet(store_dir + "/meta").collect()[0]
+    assert int(meta["expected_corpus"]) == 40
