@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines.
 
-Five families, all **bucketed/banded — never an all-pairs cross join** (the
+Six families, all **bucketed/banded — never an all-pairs cross join** (the
 100 TB requirement: candidate generation must shuffle by a key whose buckets
 are small, and only verify within buckets):
 
@@ -15,6 +15,9 @@ are small, and only verify within buckets):
 * SimHash              — 28-bit sign-aggregated signature → 4 × 7-bit band
                          buckets → Hamming cutoff → exact Jaccard verify
 * embedding cosine     — see operators/similarity.py (sign-LSH banding)
+* span-level (substring) — positional k-gram index → strip duplicated
+                         spans from every doc but one canonical owner
+                         (:func:`strip_duplicate_spans`)
 
 Candidate generation is **groupBy-bucket + within-bucket pair expansion**,
 not a self-join: a self-join would execute the (expensive) signature plan
@@ -586,6 +589,77 @@ def keep_first(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     the SQL oracle).  One broadcast-or-shuffle anti-join."""
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# span-level (substring) dedup — Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better": repeated substrings ≥ k tokens are
+# memorization magnets; remove every copy but one.  Their suffix-array
+# construction is single-machine; the distributed re-expression is a
+# positional k-gram index (the standard winnowing/fingerprinting shape).
+# ---------------------------------------------------------------------------
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Remove every cross-document duplicated span of ≥ ``k`` tokens,
+    keeping exactly one copy corpus-wide.
+
+    A *span* is any run of ``k`` consecutive whitespace tokens.  For each
+    k-gram appearing in ≥ 2 distinct documents, the document with the
+    smallest id is the span's canonical owner; every other document has
+    the tokens covered by that k-gram's occurrences deleted.  Overlapping
+    duplicated spans merge naturally (covered positions are a set), so a
+    shared run of m ≥ k tokens is removed wholesale, not per-k-gram.
+
+    Returns ``(id_col, clean_text, n_removed)`` for EVERY input document
+    (untouched docs pass through with ``n_removed = 0``; ``clean_text``
+    is whitespace-normalized by tokenization).
+
+    Scale: one positional-k-gram explode (narrow), one map-side-combined
+    ``groupBy(gram)`` for owner/document-frequency, one join back on the
+    gram (AQE-planned; the duplicated-gram side is df ≥ 2 only, far
+    smaller than the corpus), one per-doc covered-set aggregation, one
+    id join to rebuild text — no all-pairs stage anywhere, no UDFs, and
+    per-doc state is bounded by document length.  At petabyte scale the
+    gram shuffle key would be the engine-neutral rolling hash
+    (functions/text.fingerprint) with an in-bucket string verify — the
+    same exact-verify discipline as the Jaccard families above."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    ge = (t.where(F.size("toks") >= k)
+           .select("id", F.explode(F.transform(
+               F.sequence(F.lit(1), F.size("toks") - k + 1),
+               lambda i: F.struct(
+                   i.alias("pos"),
+                   F.concat_ws(" ", F.slice("toks", i, k)).alias("gram"))))
+               .alias("pg"))
+           .select("id", "pg.pos", "pg.gram"))
+    stats = (ge.groupBy("gram")
+               .agg(F.min("id").alias("owner"),
+                    F.count_distinct("id").alias("nd")))
+    dup_pos = (ge.join(stats.where(F.col("nd") >= 2), ["gram"])
+                 .where(F.col("id") != F.col("owner"))
+                 .select("id", "pos"))
+    cov = (dup_pos
+           .select("id", F.explode(
+               F.sequence(F.col("pos"),
+                          F.col("pos") + F.lit(k - 1))).alias("cp"))
+           .groupBy("id")
+           .agg(F.collect_set("cp").alias("cps")))
+    # rebuild text by filtering the ORIGINAL token array against the
+    # covered-position set (token index i is 0-based; positions 1-based)
+    out = (t.join(cov, ["id"], "left")
+            .select(F.col("id").alias(id_col),
+                    F.concat_ws(" ", F.filter(
+                        "toks",
+                        lambda x, i: F.when(
+                            F.col("cps").isNull(), F.lit(True)
+                        ).otherwise(~F.array_contains("cps", i + 1))))
+                    .alias("clean_text"),
+                    F.coalesce(F.size("cps"), F.lit(0))
+                     .cast("long").alias("n_removed")))
+    return out
 
 
 # ---------------------------------------------------------------------------

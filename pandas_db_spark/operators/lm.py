@@ -1,0 +1,252 @@
+"""Corpus-statistics language-model operators for LLM data curation.
+
+Two famous pipeline stages, re-expressed Spark-first:
+
+* **Bigram-LM quality scoring** — the CCNet recipe (Wenzek et al. 2020)
+  buckets CommonCrawl by language-model perplexity; here the model is an
+  add-one-smoothed bigram LM trained on the corpus itself, and each
+  document is scored by its mean smoothed bigram probability.
+* **DSIR importance weights** — Data Selection via Importance Resampling
+  (Xie et al. 2023): hash n-gram features into a small bucket space,
+  estimate feature distributions for a *target* subset and the *source*
+  corpus, and weight every document by the product of target/source
+  probability ratios of its features.  High-weight documents "look like"
+  the target distribution and are kept/upsampled.
+
+Design for 100 TB:
+
+* Model building is ``explode → groupBy count`` — map-side partial
+  aggregation, one shuffle per count table, linear in corpus size.
+* Corpus scalars (vocab size, total feature counts) ride the plan as
+  broadcast one-row frames via ``crossJoin`` — **zero jobs at
+  construction** (the same lazy discipline as ``tf_idf``/``build_vocab``,
+  operators/retrieval.py).
+* Scoring joins exploded document features against the count tables;
+  the model side is typically orders of magnitude smaller than the
+  corpus, so AQE picks a broadcast join — no hand-forced strategy.
+* Per-document reduction collects a bounded array (one element per
+  token), never a whole partition; no Python UDFs anywhere.
+
+Cross-engine bit-stability (the driver hashes values exactly): classic
+LM scores sum ``log p`` terms, but libm ``log`` is not required to be
+correctly rounded and differs in the last ulp between the JVM and
+DuckDB.  Both operators therefore stay in *linear* space using only
+IEEE-correctly-rounded ops (+, ×, ÷) applied in a deterministic order:
+per-document factors are collected, **sorted, then folded left-to-right**
+(``array_sort`` + ``aggregate`` here, ``list_sort`` + ``list_reduce`` in
+the oracle), so both engines execute the identical floating-point
+sequence.  The linear forms are monotone transforms of the log forms
+(mean probability vs mean log-probability ranks differently in theory,
+but both are standard quality signals; the importance *weight* is
+exactly ``exp`` of the DSIR log-weight).
+
+The reference has no LM/data-selection surface (its scalar functions
+stop at LIKE/arithmetic, reference pandasdb/column.py:748-754); this
+module is part of the beyond-parity LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandas_db_spark.functions.text import tokens, _FP_MOD
+
+
+# ---------------------------------------------------------------------------
+# bigram LM: model + document scoring
+# ---------------------------------------------------------------------------
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias("toks"))
+
+
+def bigram_model(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id"
+                 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train an add-one bigram LM over ``docs``.
+
+    Returns ``(uni, bi, vocab)``:
+
+    * ``uni``   — ``(w, cu)``: occurrences of each token,
+    * ``bi``    — ``(w1, w2, cb)``: occurrences of each adjacent pair,
+    * ``vocab`` — one-row frame ``(n_v,)``: vocabulary size, kept AS A
+      FRAME so it joins into downstream plans lazily (no construction
+      job, no driver round-trip).
+
+    Both count tables are plain ``groupBy().count()`` — Spark's partial
+    aggregation does the map-side combine, so the shuffle carries one
+    row per distinct token/pair per task, not per occurrence."""
+    t = _doc_tokens(docs, text_col, id_col)
+    uni = (t.select(F.explode("toks").alias("w"))
+            .groupBy("w").agg(F.count("*").alias("cu")))
+    bi = (t.where(F.size("toks") >= 2)
+           .select(F.explode(F.transform(
+               F.sequence(F.lit(1), F.size("toks") - 1),
+               lambda i: F.struct(
+                   F.element_at("toks", i).alias("w1"),
+                   F.element_at("toks", (i + 1).cast("int")).alias("w2"))))
+               .alias("b"))
+           .select("b.w1", "b.w2")
+           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    vocab = uni.agg(F.count("*").alias("n_v"))
+    return uni, bi, vocab
+
+
+def lm_score_bigram(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    model: tuple[DataFrame, DataFrame, DataFrame] | None = None
+                    ) -> DataFrame:
+    """Mean add-one-smoothed bigram probability per document — the
+    CCNet-style LM quality signal in its bit-stable linear form.
+
+    ``score(d) = mean over adjacent pairs (w1,w2) of
+    (count(w1,w2) + 1) / (count(w1) + |V|)`` — higher = the document's
+    word transitions are better predicted by the corpus LM (fluent,
+    on-distribution prose); low scores flag gibberish / boilerplate /
+    off-language text.  Pass ``model=bigram_model(reference_corpus)`` to
+    score against an external reference corpus (the actual CCNet shape:
+    Wikipedia-trained model scoring CommonCrawl); default trains on
+    ``docs`` itself.
+
+    Documents with fewer than two tokens have no bigrams and are
+    excluded (a mean over zero terms is undefined).
+
+    Bit-stability: per-document ``(cb, cu)`` integer pairs are sorted,
+    transformed to probabilities (one correctly-rounded division each),
+    and summed left-to-right — the oracle replays the identical IEEE
+    sequence via ``list_sort`` + ``list_reduce``."""
+    uni, bi, vocab = model if model is not None \
+        else bigram_model(docs, text_col, id_col)
+    t = _doc_tokens(docs, text_col, id_col)
+    be = (t.where(F.size("toks") >= 2)
+           .select("id", F.explode(F.transform(
+               F.sequence(F.lit(1), F.size("toks") - 1),
+               lambda i: F.struct(
+                   F.element_at("toks", i).alias("w1"),
+                   F.element_at("toks", (i + 1).cast("int")).alias("w2"))))
+               .alias("b"))
+           .select("id", "b.w1", "b.w2"))
+    j = (be.join(bi, ["w1", "w2"], "left")
+           .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
+           .select("id",
+                   F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+                   F.coalesce(F.col("cu"), F.lit(0)).alias("cu")))
+    agg = (j.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("cb", "cu")))
+                  .alias("xs"),
+                 F.count("*").alias("n")))
+    out = (agg.crossJoin(F.broadcast(vocab))
+              .select(F.col("id").alias("doc_id"),
+                      (F.aggregate(
+                          F.transform(
+                              "xs",
+                              lambda x: (x["cb"] + F.lit(1.0))
+                              / (x["cu"] + F.col("n_v"))),
+                          F.lit(0.0),
+                          lambda acc, p: acc + p)
+                       / F.col("n")).alias("lm_score"),
+                      F.col("n").alias("n_bigrams")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-n-gram importance weights
+# ---------------------------------------------------------------------------
+
+def _bucket_exprs(n_buckets: int):
+    """Per-document hashed-bigram feature buckets.
+
+    Two-level polynomial rolling hash, identical on any engine (the same
+    construction as functions/text.fingerprint): each word is folded
+    over its codepoints mod 2³¹, each bigram folds the two word hashes
+    (``(wh1·31 + wh2) mod 2³¹``, intermediates < 2³⁶ — 64-bit safe), and
+    the bucket is the bigram hash mod ``n_buckets``.  Word hashes are
+    computed ONCE per token, not once per bigram side."""
+    def buckets(toks):
+        whs = F.transform(
+            toks,
+            lambda w: F.aggregate(
+                F.split(w, ""), F.lit(0).cast("long"),
+                lambda g, c: (g * 31 + F.ascii(c)) % F.lit(_FP_MOD)))
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: ((F.element_at(whs, i) * 31
+                        + F.element_at(whs, (i + 1).cast("int")))
+                       % F.lit(_FP_MOD)) % F.lit(n_buckets))
+    return buckets
+
+
+def hashed_feature_counts(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_buckets: int = 256) -> DataFrame:
+    """``(bucket, c)`` counts of hashed bigram features over ``docs`` —
+    the distribution estimate DSIR needs for each side.  One explode +
+    one map-side-combined groupBy; linear in corpus size."""
+    t = _doc_tokens(docs, text_col, id_col)
+    bx = _bucket_exprs(n_buckets)
+    return (t.where(F.size("toks") >= 2)
+             .select(F.explode(bx(F.col("toks"))).alias("bucket"))
+             .groupBy("bucket").agg(F.count("*").alias("c")))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 256) -> DataFrame:
+    """DSIR importance weight per document of ``docs`` (the source
+    corpus) against ``target`` (the distribution to match).
+
+    ``weight(d) = Π over d's hashed bigram features f of
+    p_target(f) / p_source(f)`` with add-one smoothing:
+    ``p(f) = (c(f) + 1) / (total + n_buckets)``.  This is exactly
+    ``exp`` of the paper's log-importance weight; documents whose
+    feature profile matches the target land above 1.  Downstream,
+    resample/top-k by weight (e.g. ``operators.sampling.topk_sample``
+    shapes) to curate a target-like corpus.
+
+    Scale: both feature-count tables are tiny (``n_buckets`` rows) and
+    broadcast; the only corpus-sized work is the feature explode and one
+    groupBy per document — no all-pairs, no driver collect, totals ride
+    the plan as one-row frames.
+
+    Bit-stability: per-document ``(ct, cs)`` integer pairs are sorted
+    and folded into the product left-to-right; every op is
+    IEEE-correctly-rounded (+, ×, ÷), so the oracle's
+    ``list_sort`` + ``list_reduce`` replay is bit-identical.  With
+    64-bit counts the smoothed numerators stay exact in doubles up to
+    ``(c+1)·(total+B) < 2⁵³`` — beyond that (≳10¹⁵-token corpora per
+    side) the products remain correctly rounded, merely not exact."""
+    ct = (hashed_feature_counts(target, text_col, id_col, n_buckets)
+          .withColumnRenamed("c", "ct"))
+    cs = (hashed_feature_counts(docs, text_col, id_col, n_buckets)
+          .withColumnRenamed("c", "cs"))
+    tot_t = ct.agg(F.sum("ct").alias("tt"))
+    tot_s = cs.agg(F.sum("cs").alias("ts"))
+    t = _doc_tokens(docs, text_col, id_col)
+    bx = _bucket_exprs(n_buckets)
+    fe = (t.where(F.size("toks") >= 2)
+           .select("id", F.explode(bx(F.col("toks"))).alias("bucket")))
+    j = (fe.join(F.broadcast(ct), ["bucket"], "left")
+           .join(F.broadcast(cs), ["bucket"], "left")
+           .select("id",
+                   F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+                   F.coalesce(F.col("cs"), F.lit(0)).alias("cs")))
+    agg = (j.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("ct", "cs")))
+                  .alias("xs"),
+                 F.count("*").alias("n")))
+    out = (agg.crossJoin(F.broadcast(tot_t))
+              .crossJoin(F.broadcast(tot_s))
+              .select(F.col("id").alias("doc_id"),
+                      F.aggregate(
+                          F.transform(
+                              "xs",
+                              lambda x: ((x["ct"] + F.lit(1.0))
+                                         * (F.col("ts") + F.lit(n_buckets)))
+                              / ((x["cs"] + F.lit(1.0))
+                                 * (F.col("tt") + F.lit(n_buckets)))),
+                          F.lit(1.0),
+                          lambda acc, r: acc * r).alias("dsir_weight"),
+                      F.col("n").alias("n_feats")))
+    return out

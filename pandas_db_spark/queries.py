@@ -146,8 +146,105 @@ _TOK = "string_split(trim(text), ' ')"
 # =====================================================================
 
 # ---- round-9 additions (never driver-verified) go FIRST: the
-# IVF-routed embedding dedup (VERDICT r8 #3) and the store-geometry
-# migration probe (VERDICT r8 #2). ----
+# span-level dedup / bigram-LM scoring / DSIR trio, the IVF-routed
+# embedding dedup (VERDICT r8 #3), and the store-geometry migration
+# probe (VERDICT r8 #2). ----
+
+
+@q("strip_dup_spans",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "ge AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM ("
+   "  SELECT doc_id, unnest([{'pos': i, "
+   "    'gram': array_to_string(ws[i:i+7], ' ')} "
+   "    for i in range(1, len(ws) - 6)]) AS u "
+   "  FROM t WHERE len(ws) >= 8)), "
+   "st AS (SELECT gram, min(doc_id) AS owner, "
+   "  count(DISTINCT doc_id) AS nd FROM ge GROUP BY 1), "
+   "dp AS (SELECT ge.doc_id, ge.pos FROM ge JOIN st USING (gram) "
+   "  WHERE st.nd >= 2 AND ge.doc_id <> st.owner), "
+   "cs AS (SELECT doc_id, list(DISTINCT cp) AS cps FROM ("
+   "  SELECT doc_id, unnest(range(pos, pos + 8)) AS cp FROM dp) "
+   "  GROUP BY 1) "
+   "SELECT t.doc_id, "
+   "coalesce(array_to_string([ws[i] for i in range(1, len(ws) + 1) "
+   "  if cps IS NULL OR NOT list_contains(cps, i)], ' '), '') "
+   "  AS clean_text, "
+   "coalesce(len(cps), 0)::BIGINT AS n_removed "
+   "FROM t LEFT JOIN cs USING (doc_id)")
+def strip_dup_spans(spark, sf_dir):
+    """Span-level (substring) dedup — Lee-et-al-2021 semantics as a
+    positional k-gram index (operators/dedup.strip_duplicate_spans):
+    every cross-document duplicated run of ≥ 8 tokens is kept in its
+    smallest-id owner and stripped everywhere else."""
+    from pandas_db_spark.operators.dedup import strip_duplicate_spans
+    d = get_db(spark, sf_dir).documents
+    return strip_duplicate_spans(d.df, "text", "doc_id", k=8)
+
+
+@q("lm_score_bigram",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "be AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
+   "  SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]} "
+   "    for i in range(1, len(ws))]) AS u FROM t WHERE len(ws) >= 2)), "
+   "uni AS (SELECT w, count(*)::BIGINT AS cu FROM ("
+   "  SELECT unnest(ws) AS w FROM t) GROUP BY 1), "
+   "bi AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM be GROUP BY 1, 2), "
+   "v AS (SELECT count(*)::BIGINT AS n_v FROM uni), "
+   "j AS (SELECT be.doc_id, coalesce(bi.cb, 0) AS cb, "
+   "  coalesce(uni.cu, 0) AS cu FROM be "
+   "  LEFT JOIN bi USING (w1, w2) LEFT JOIN uni ON be.w1 = uni.w), "
+   "a AS (SELECT doc_id, list_sort(list({'cb': cb, 'cu': cu})) AS xs, "
+   "  count(*)::BIGINT AS n FROM j GROUP BY 1) "
+   "SELECT doc_id, "
+   "list_reduce(list_prepend(0.0::DOUBLE, "
+   "  list_transform(xs, x -> (x.cb + 1.0::DOUBLE) / (x.cu + v.n_v))), "
+   "  (acc, p) -> acc + p) / n AS lm_score, "
+   "n AS n_bigrams FROM a, v")
+def lm_score_bigram(spark, sf_dir):
+    """CCNet-style LM quality signal (operators/lm.lm_score_bigram):
+    mean add-one-smoothed bigram probability under a corpus-trained
+    bigram model, in the bit-stable sorted-fold linear form."""
+    from pandas_db_spark.operators import lm as L
+    d = get_db(spark, sf_dir).documents
+    return L.lm_score_bigram(d.df, "text", "doc_id")
+
+
+@q("dsir_weights",
+   "WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "wh AS (SELECT doc_id, lang, len(ws) AS n, list_transform(ws, w -> "
+   "  list_reduce(list_prepend(0::BIGINT, "
+   "    [ascii(c)::BIGINT for c in string_split(w, '')]), "
+   "    (g, c) -> (g * 31 + c) % 2147483648)) AS whs FROM t), "
+   "fe AS (SELECT doc_id, lang, "
+   "  unnest([((whs[i] * 31 + whs[i+1]) % 2147483648) % 256 "
+   "    for i in range(1, n)]) AS bucket FROM wh WHERE n >= 2), "
+   "ct AS (SELECT bucket, count(*)::BIGINT AS ct FROM fe "
+   "  WHERE lang = 'en' GROUP BY 1), "
+   "cs AS (SELECT bucket, count(*)::BIGINT AS cs FROM fe GROUP BY 1), "
+   "tt AS (SELECT sum(ct)::BIGINT AS tt FROM ct), "
+   "ts AS (SELECT sum(cs)::BIGINT AS ts FROM cs), "
+   "j AS (SELECT fe.doc_id, coalesce(ct.ct, 0) AS ct, "
+   "  coalesce(cs.cs, 0) AS cs FROM fe "
+   "  LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket)), "
+   "a AS (SELECT doc_id, list_sort(list({'ct': ct, 'cs': cs})) AS xs, "
+   "  count(*)::BIGINT AS n FROM j GROUP BY 1) "
+   "SELECT doc_id, "
+   "list_reduce(list_prepend(1.0::DOUBLE, "
+   "  list_transform(xs, x -> ((x.ct + 1.0::DOUBLE) * (ts.ts + 256)) "
+   "    / ((x.cs + 1.0::DOUBLE) * (tt.tt + 256)))), "
+   "  (acc, r) -> acc * r) AS dsir_weight, "
+   "n AS n_feats FROM a, tt, ts")
+def dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/lm.dsir_weights): hashed-bigram
+    feature-distribution ratios of lang='en' target vs the whole corpus,
+    folded in the bit-stable sorted-product form."""
+    from pandas_db_spark.operators import lm as L
+    d = get_db(spark, sf_dir).documents
+    return L.dsir_weights(d.df, d.df.where(F.col("lang") == "en"),
+                          "text", "doc_id", n_buckets=256)
 
 
 @q("dedup_embedding_ivf",

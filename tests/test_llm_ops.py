@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from pandas_db_spark.operators import dedup as D
 from pandas_db_spark.operators import similarity as S
+from pandas_db_spark.operators import lm as L
 from pandas_db_spark.functions import text as X
 from pandas_db_spark.plans.explain import formatted_plan
 from pandas_db_spark.sources.registry import read_parquet
@@ -1219,3 +1220,97 @@ def test_reband_store_auto_pins_sized_density(spark, emb, tmp_path):
     S.reband_store(spark, store_dir, threshold=0.95)  # no expected_corpus
     meta = spark.read.parquet(store_dir + "/meta").collect()[0]
     assert int(meta["expected_corpus"]) == 40
+
+
+# ---------------------------------------------------------------------------
+# r9: span-level dedup, bigram-LM scoring, DSIR weights
+# ---------------------------------------------------------------------------
+
+def _lm_docs(spark):
+    return spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog again today", "en"),
+        (1, "a b c the quick brown fox jumps over the lazy dog zz", "en"),
+        (2, "short doc", "en"),
+        (3, "der hund ist nicht da und das ist gut so heute ja", "de"),
+    ], "doc_id long, text string, lang string")
+
+
+def test_strip_duplicate_spans_planted(spark):
+    """The 9-token span shared by docs 0 and 1 stays in its smallest-id
+    owner (0) and is stripped from 1; docs shorter than k and docs with
+    no duplicated span pass through with n_removed = 0."""
+    out = {r["doc_id"]: r for r in
+           D.strip_duplicate_spans(_lm_docs(spark), k=8).collect()}
+    assert out[0]["clean_text"].startswith("the quick brown fox")
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "a b c zz"
+    assert out[1]["n_removed"] == 9
+    assert out[2]["clean_text"] == "short doc" and out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 0
+    assert len(out) == 4  # every input doc present
+
+
+def test_strip_duplicate_spans_full_strip(spark):
+    """A verbatim copy of an earlier doc is stripped to empty — every
+    position is covered by owned duplicated grams."""
+    body = "w" + " x y z a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(0, body), (1, body)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.strip_duplicate_spans(docs, k=8).collect()}
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 14
+
+
+def test_lm_score_bigram_matches_hand_model(spark):
+    """Score equals the hand-computed mean add-one bigram probability."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a c")], "doc_id long, text string")
+    # corpus: tokens a,b,a,b,a,c -> uni a=3,b=2,c=1, V=3
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # doc0: (a,b),(b,a),(a,b) -> [(2+1)/(3+3), (1+1)/(2+3), (2+1)/(3+3)]
+    # doc1: (a,c) -> [(1+1)/(3+3)]
+    out = {r["doc_id"]: r for r in
+           L.lm_score_bigram(docs).collect()}
+    exp0 = (3 / 6 + 3 / 6 + 2 / 5) / 3
+    exp1 = (2 / 6) / 1
+    assert abs(out[0]["lm_score"] - exp0) < 1e-12
+    assert abs(out[1]["lm_score"] - exp1) < 1e-12
+    assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 1
+
+
+def test_lm_score_external_model(spark):
+    """model= scores docs against a reference corpus (the CCNet shape):
+    a doc fluent under the reference model outscores gibberish."""
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat the on sat cat zz")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lm_score"] for r in
+           L.lm_score_bigram(docs, model=L.bigram_model(ref)).collect()}
+    assert out[0] > out[1]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs sharing the target's feature distribution weigh above
+    off-distribution docs; weights are finite and positive."""
+    docs = _lm_docs(spark)
+    out = {r["doc_id"]: r["dsir_weight"] for r in
+           L.dsir_weights(docs, docs.where(F.col("lang") == "en"),
+                          n_buckets=64).collect()}
+    assert min(out[0], out[1]) > out[3]
+    assert all(w > 0 for w in out.values())
+
+
+def test_lm_ops_plans_stay_jvm_side(spark):
+    """No Python evaluation anywhere in the three new operators' plans
+    (the fold/transform lambdas are Catalyst higher-order functions)."""
+    docs = _lm_docs(spark)
+    for df in (D.strip_duplicate_spans(docs, k=8),
+               L.lm_score_bigram(docs),
+               L.dsir_weights(docs, docs.where(F.col("lang") == "en"))):
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
