@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_minhash_incremental",  # banded probe vs signature store (r7 add per VERDICT r6 #6)
     "events_attribution",  # stream-stream interval join, availableNow (r7 add)
     "dedup_embedding_ivf",  # IVF-routed dedup: within-list pairs, exact verify (r9 add per VERDICT r8 #3)
+    "strip_dup_spans",    # span-level substring dedup: positional k-gram index (r9 add)
+    "lm_score_bigram",    # bigram-LM quality scoring, lazy corpus scalars (r9 add)
+    "dsir_weights",       # DSIR hashed-n-gram importance weights (r9 add)
 ]
 
 
