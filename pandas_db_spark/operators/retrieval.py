@@ -59,6 +59,34 @@ def term_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("cf")))
 
 
+def ngram_stats(docs: DataFrame, text_col: str, id_col: str,
+                n: int = 3) -> DataFrame:
+    """Per-n-gram corpus statistics: ``(gram, df, cf)`` over word
+    n-grams with EVERY occurrence counted (unlike the dedup families'
+    distinct shingle sets) — the corpus-analysis primitive behind
+    boilerplate detection ("which 3-grams dominate the crawl?"),
+    contamination triage, and duplicate-n-gram quality metrics at the
+    corpus rather than per-document level (functions/text.py
+    top_bigram_frac is the per-document sibling).
+
+    Same shape as :func:`term_stats`: one positional explode (narrow)
+    → one keyed groupBy with map-side partial aggregation — the shuffle
+    carries one row per distinct gram per task, so Zipf-distributed
+    gram mass compresses before the wire.  Docs shorter than ``n``
+    tokens contribute nothing."""
+    from pandas_db_spark.functions.text import tokens
+    t = docs.select(F.col(id_col).alias("doc_id"),
+                    tokens(F.col(text_col)).alias("toks"))
+    g = (t.where(F.size("toks") >= n)
+          .select("doc_id", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("toks") - n + 1),
+              lambda i: F.concat_ws(" ", F.slice("toks", i, n))))
+              .alias("gram")))
+    return (g.groupBy("gram")
+             .agg(F.countDistinct("doc_id").alias("df"),
+                  F.count(F.lit(1)).alias("cf")))
+
+
 def tf_idf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Sparse TF-IDF matrix: (doc_id, term, tf, df, tfidf) with
     ``tfidf = tf · ln(N / df)``.  Two keyed shuffles: (doc_id, term) for

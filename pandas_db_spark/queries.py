@@ -247,6 +247,74 @@ def dsir_weights(spark, sf_dir):
                           "text", "doc_id", n_buckets=256)
 
 
+@q("top_ngrams",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') "
+   "  for i in range(1, len(ws) - 1)]) AS gram FROM t WHERE len(ws) >= 3), "
+   "s AS (SELECT gram, count(DISTINCT doc_id)::BIGINT AS df, "
+   "  count(*)::BIGINT AS cf FROM g GROUP BY 1) "
+   "SELECT gram, df, cf FROM s ORDER BY cf DESC, gram LIMIT 20")
+def top_ngrams(spark, sf_dir):
+    """Corpus-level top-k n-gram statistics (operators/retrieval.py
+    ngram_stats): the boilerplate-detection / contamination-triage view,
+    every occurrence counted, deterministic (cf DESC, gram ASC) top-20 —
+    a TakeOrderedAndProject, never a global sort."""
+    from pandas_db_spark.operators.retrieval import ngram_stats
+    d = get_db(spark, sf_dir).documents
+    return (ngram_stats(d.df, "text", "doc_id", n=3)
+            .orderBy(F.col("cf").desc(), F.col("gram"))
+            .limit(20))
+
+
+@q("ccnet_buckets",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "be AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM ("
+   "  SELECT doc_id, unnest([{'w1': ws[i], 'w2': ws[i+1]} "
+   "    for i in range(1, len(ws))]) AS u FROM t WHERE len(ws) >= 2)), "
+   "uni AS (SELECT w, count(*)::BIGINT AS cu FROM ("
+   "  SELECT unnest(ws) AS w FROM t) GROUP BY 1), "
+   "bi AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM be GROUP BY 1, 2), "
+   "v AS (SELECT count(*)::BIGINT AS n_v FROM uni), "
+   "j AS (SELECT be.doc_id, coalesce(bi.cb, 0) AS cb, "
+   "  coalesce(uni.cu, 0) AS cu FROM be "
+   "  LEFT JOIN bi USING (w1, w2) LEFT JOIN uni ON be.w1 = uni.w), "
+   "a AS (SELECT doc_id, list_sort(list({'cb': cb, 'cu': cu})) AS xs, "
+   "  count(*)::BIGINT AS n FROM j GROUP BY 1), "
+   "sc AS (SELECT doc_id, "
+   "  list_reduce(list_prepend(0.0::DOUBLE, "
+   "    list_transform(xs, x -> (x.cb + 1.0::DOUBLE) / (x.cu + v.n_v))), "
+   "    (acc, p) -> acc + p) / n AS lm_score FROM a, v), "
+   "r AS (SELECT doc_id, lm_score, "
+   "  row_number() OVER (ORDER BY lm_score DESC, doc_id) - 1 AS rn0, "
+   "  count(*) OVER () AS nn FROM sc) "
+   "SELECT doc_id, lm_score, "
+   "CASE (rn0 * 3) // nn WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
+   "ELSE 'tail' END AS bucket FROM r")
+def ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail quality bucketing: rank every document
+    by its LM score (ties broken by doc_id — deterministic because the
+    scores themselves are bit-identical across engines) and split the
+    ranking into thirds with pure integer arithmetic.  The rank comes
+    from a range-partitioned sort + the broadcast-offset ordinal
+    (plans/ordinal.py) — never a single-task global window."""
+    from pandas_db_spark.operators import lm as L
+    from pandas_db_spark.plans import ordinal as O
+    d = get_db(spark, sf_dir).documents
+    sc = (L.lm_score_bigram(d.df, "text", "doc_id")
+          .select("doc_id", "lm_score")
+          .orderBy(F.col("lm_score").desc(), F.col("doc_id")))
+    ranked, n = O.with_ordinal_and_count(sc)
+    # integer `div`, not double `/` + cast: bit-exact bucket boundaries
+    # at any scale (the oracle's `//` is integer division too)
+    b = F.expr(f"({O.ORDINAL_COL} * 3) div {int(n)}")
+    return ranked.select(
+        "doc_id", "lm_score",
+        F.when(b == 0, "head").when(b == 1, "middle")
+         .otherwise("tail").alias("bucket"))
+
+
 @q("dedup_embedding_ivf",
    "WITH ext AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25), "

@@ -1314,3 +1314,30 @@ def test_lm_ops_plans_stay_jvm_side(spark):
         plan = formatted_plan(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_ngram_stats_counts_every_occurrence(spark):
+    """cf counts occurrences (not distinct-per-doc), df counts docs."""
+    from pandas_db_spark.operators.retrieval import ngram_stats
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b a b x"), (2, "z")],
+        "doc_id long, text string")
+    out = {r["gram"]: (r["df"], r["cf"])
+           for r in ngram_stats(docs, "text", "doc_id", n=2).collect()}
+    assert out["a b"] == (2, 5)   # 3 in doc0 + 2 in doc1
+    assert out["b a"] == (2, 3)   # 2 in doc0 + 1 in doc1
+    assert out["b x"] == (1, 1)
+    assert "z" not in out         # doc shorter than n contributes nothing
+
+
+def test_ccnet_buckets_thirds(spark):
+    """Bucket sizes split the ranking into thirds; head scores >= tail."""
+    from pandas_db_spark.queries import REGISTRY
+    rows = REGISTRY["ccnet_buckets"][0](spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["lm_score"])
+    n = len(rows)
+    assert abs(len(by["head"]) - n / 3) <= 1
+    assert abs(len(by["tail"]) - n / 3) <= 1
+    assert min(by["head"]) >= max(by["tail"])
