@@ -621,10 +621,11 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     gram (AQE-planned; the duplicated-gram side is df ≥ 2 only, far
     smaller than the corpus), one per-doc covered-set aggregation, one
     id join to rebuild text — no all-pairs stage anywhere, no UDFs, and
-    per-doc state is bounded by document length.  At petabyte scale the
-    gram shuffle key would be the engine-neutral rolling hash
-    (functions/text.fingerprint) with an in-bucket string verify — the
-    same exact-verify discipline as the Jaccard families above."""
+    per-doc state is bounded by document length.  At petabyte scale,
+    swap the every-position gram index for the ~2/(w+1)-density winnowed
+    one (:func:`winnow_fingerprints` — integer fingerprints as the
+    shuffle key, candidate spans string-verified in-bucket, the same
+    exact-verify discipline as the Jaccard families above)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
     ge = (t.where(F.size("toks") >= k)
@@ -660,6 +661,55 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                     F.coalesce(F.size("cps"), F.lit(0))
                      .cast("long").alias("n_removed")))
     return out
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints — Schleimer, Wilkerson & Aiken 2003 (the MOSS
+# algorithm): instead of indexing EVERY k-gram position (what
+# strip_duplicate_spans does), select one fingerprint per w-window of
+# consecutive k-gram hashes.  Guarantee: any shared run of ≥ k + w - 1
+# tokens shares at least one SELECTED fingerprint, at ~2/(w+1) the index
+# density — the sparse index for span-level dedup at petabyte scale.
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 8, w: int = 4) -> DataFrame:
+    """``(id_col, pos, fp)`` — winnowed k-gram fingerprint selections.
+
+    Per document: word hashes (dictionary-encoded char fold,
+    operators/lm.doc_word_hashes) → k-gram hashes by folding each
+    length-k hash window (``(h·31 + wh) mod 2³¹``) → from every window
+    of ``w`` consecutive k-gram hashes, select the minimum ``(fp, pos)``
+    pair (lexicographic struct min — the leftmost minimal hash; any
+    consistent tie rule preserves the winnowing guarantee, MOSS uses
+    rightmost) → distinct selections.
+
+    Pure integer arithmetic end to end — bit-identical on any engine —
+    and every step is a per-document array expression: no shuffle at
+    all until the caller aggregates the ``(fp)`` index (typically
+    ``groupBy(fp)`` to find cross-document matches, the sparse
+    replacement for :func:`strip_duplicate_spans`'s every-position
+    index).  Documents shorter than ``k + w - 1`` tokens (no full
+    window) contribute nothing."""
+    from pandas_db_spark.operators.lm import doc_word_hashes
+    whs = doc_word_hashes(df, text_col, id_col, min_tokens=k + w - 1)
+    fps = whs.select("id", F.transform(
+        F.sequence(F.lit(1), F.size("whs") - k + 1),
+        lambda i: F.aggregate(
+            F.slice("whs", i, k), F.lit(0).cast("long"),
+            lambda h, x: (h * 31 + x) % F.lit(2_147_483_648))).alias("fps"))
+    # (fp, pos) pairs; array_min over each w-slice = leftmost minimal fp
+    ps = fps.select("id", F.transform(
+        F.sequence(F.lit(1), F.size("fps")),
+        lambda p: F.struct(F.element_at("fps", p).alias("fp"),
+                           p.cast("long").alias("pos"))).alias("ps"))
+    sel = ps.select("id", F.explode(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size("ps") - w + 1),
+        lambda j: F.array_min(F.slice("ps", j, w))))).alias("s"))
+    return sel.select(F.col("id").alias(id_col), F.col("s.pos").alias("pos"),
+                      F.col("s.fp").alias("fp"))
 
 
 # ---------------------------------------------------------------------------

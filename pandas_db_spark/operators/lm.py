@@ -163,15 +163,11 @@ def _word_hash(w) -> F.Column:
         lambda g, c: (g * 31 + F.ascii(c)) % F.lit(_FP_MOD))
 
 
-def doc_feature_buckets(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        n_buckets: int = 256) -> DataFrame:
-    """``(id, bucket)`` — one row per hashed bigram feature occurrence.
-
-    Two-level polynomial rolling hash, identical on any engine: each
-    word is folded over its codepoints mod 2³¹, each bigram folds the
-    two word hashes (``(wh1·31 + wh2) mod 2³¹``, intermediates < 2³⁶ —
-    64-bit safe), and the bucket is the bigram hash mod ``n_buckets``.
+def doc_word_hashes(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_tokens: int = 2) -> DataFrame:
+    """``(id, whs)`` — per-document array of engine-neutral polynomial
+    word hashes, in token order.
 
     The char fold is Catalyst-interpreted per element, so it runs over
     the **dictionary** (distinct tokens), not the corpus: tokens
@@ -179,17 +175,31 @@ def doc_feature_buckets(docs: DataFrame, text_col: str = "text",
     hash table; a petabyte-scale vocabulary degrades gracefully to a
     shuffle join), and per-document hash arrays rebuild with one bounded
     ``collect_list``.  Measured at sf0.1 this is ~50× over folding every
-    occurrence in place (0.6 s vs 31 s per corpus pass)."""
+    occurrence in place (0.6 s vs 31 s per corpus pass).  Shared by the
+    DSIR feature path and the winnowing fingerprint index."""
     t = _doc_tokens(docs, text_col, id_col)
-    pos = (t.where(F.size("toks") >= 2)
+    pos = (t.where(F.size("toks") >= min_tokens)
             .select("id", F.posexplode("toks").alias("pos", "w")))
     vocab = pos.select("w").distinct().select(
         "w", _word_hash(F.col("w")).alias("wh"))
-    whs = (pos.join(vocab, ["w"])
-              .groupBy("id")
-              .agg(F.transform(
-                  F.array_sort(F.collect_list(F.struct("pos", "wh"))),
-                  lambda x: x["wh"]).alias("whs")))
+    return (pos.join(vocab, ["w"])
+               .groupBy("id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "wh"))),
+                   lambda x: x["wh"]).alias("whs")))
+
+
+def doc_feature_buckets(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n_buckets: int = 256) -> DataFrame:
+    """``(id, bucket)`` — one row per hashed bigram feature occurrence.
+
+    Two-level polynomial rolling hash, identical on any engine: each
+    word is folded over its codepoints mod 2³¹ (dictionary-encoded, see
+    :func:`doc_word_hashes`), each bigram folds the two word hashes
+    (``(wh1·31 + wh2) mod 2³¹``, intermediates < 2³⁶ — 64-bit safe), and
+    the bucket is the bigram hash mod ``n_buckets``."""
+    whs = doc_word_hashes(docs, text_col, id_col, min_tokens=2)
     return whs.select("id", F.explode(F.transform(
         F.sequence(F.lit(1), F.size("whs") - 1),
         lambda i: ((F.element_at("whs", i) * 31

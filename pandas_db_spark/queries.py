@@ -315,6 +315,33 @@ def ccnet_buckets(spark, sf_dir):
          .otherwise("tail").alias("bucket"))
 
 
+@q("winnow_fp",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "wh AS (SELECT doc_id, list_transform(ws, w -> "
+   "  list_reduce(list_prepend(0::BIGINT, "
+   "    [ascii(c)::BIGINT for c in string_split(w, '')]), "
+   "    (g, c) -> (g * 31 + c) % 2147483648)) AS whs "
+   "  FROM t WHERE len(ws) >= 11), "
+   "fp AS (SELECT doc_id, [list_reduce(list_prepend(0::BIGINT, "
+   "  whs[i:i+7]), (h, x) -> (h * 31 + x) % 2147483648) "
+   "  for i in range(1, len(whs) - 6)] AS fps FROM wh), "
+   "ps AS (SELECT doc_id, [{'fp': fps[p], 'pos': p::BIGINT} "
+   "  for p in range(1, len(fps) + 1)] AS ps FROM fp), "
+   "sel AS (SELECT doc_id, unnest([list_min(ps[j:j+3]) "
+   "  for j in range(1, len(ps) - 2)]) AS s FROM ps) "
+   "SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel")
+def winnow_fp(spark, sf_dir):
+    """Winnowed k-gram fingerprint index (operators/dedup.py
+    winnow_fingerprints, k=8 w=4) — the MOSS selection: ~2/(w+1) of the
+    positions, yet any shared run of ≥ k+w-1 tokens still shares a
+    selected fingerprint.  Pure integer arithmetic, zero shuffles until
+    the index aggregation."""
+    from pandas_db_spark.operators.dedup import winnow_fingerprints
+    d = get_db(spark, sf_dir).documents
+    return winnow_fingerprints(d.df, "text", "doc_id", k=8, w=4)
+
+
 @q("dedup_embedding_ivf",
    "WITH ext AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25), "

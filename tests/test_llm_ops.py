@@ -1341,3 +1341,28 @@ def test_ccnet_buckets_thirds(spark):
     assert abs(len(by["head"]) - n / 3) <= 1
     assert abs(len(by["tail"]) - n / 3) <= 1
     assert min(by["head"]) >= max(by["tail"])
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Winnowing guarantee: two documents sharing a run of >= k+w-1
+    tokens share at least one selected fingerprint; density is ~2/(w+1)
+    of the k-gram positions, far below the every-position index."""
+    shared = " ".join(f"s{i}" for i in range(11))   # k+w-1 = 11 tokens
+    docs = spark.createDataFrame([
+        (0, "p q r " + shared + " u v w x y z a b c d e f"),
+        (1, "m n " + shared + " o zz q r s t u v w x"),
+        (2, " ".join(f"t{i}" for i in range(30))),
+    ], "doc_id long, text string")
+    sel = D.winnow_fingerprints(docs, k=8, w=4).collect()
+    by = {}
+    for r in sel:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[0] & by[1], "shared 11-token run must share a fingerprint"
+    assert not (by[0] & by[2]) and not (by[1] & by[2])
+    # density: doc 2 has 30-8+1=23 k-gram positions, 20 windows;
+    # expected selections ~ 2/(w+1) * 23 ≈ 9, must be well under 23
+    n2 = len([r for r in sel if r["doc_id"] == 2])
+    assert n2 < 15
+    # doc shorter than k+w-1 contributes nothing
+    tiny = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    assert D.winnow_fingerprints(tiny, k=8, w=4).count() == 0
