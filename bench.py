@@ -92,6 +92,9 @@ HEADLINE = [
     "strip_dup_spans",    # span-level substring dedup: positional k-gram index (r9 add)
     "lm_score_bigram",    # bigram-LM quality scoring, lazy corpus scalars (r9 add)
     "dsir_weights",       # DSIR hashed-n-gram importance weights (r9 add)
+    "top_ngrams",         # corpus n-gram stats, TakeOrdered top-20 (r9 add)
+    "ccnet_buckets",      # LM-rank thirds via broadcast-offset ordinal (r9 add)
+    "winnow_fp",          # MOSS winnowed fingerprint index, shuffle-free (r9 add)
 ]
 
 
