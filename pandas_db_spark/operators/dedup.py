@@ -600,6 +600,26 @@ def keep_first(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _positional_grams_from_tokens(t: DataFrame, k: int) -> DataFrame:
+    """``(id, pos, gram)`` word k-grams with 1-based start positions from
+    an ``(id, toks)`` frame; docs shorter than ``k`` contribute nothing."""
+    return (t.where(F.size("toks") >= k)
+             .select("id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.size("toks") - k + 1),
+                 lambda i: F.struct(
+                     i.alias("pos"),
+                     F.concat_ws(" ", F.slice("toks", i, k)).alias("gram"))))
+                 .alias("pg"))
+             .select("id", "pg.pos", "pg.gram"))
+
+
+def _positional_grams(df: DataFrame, text_col: str, id_col: str,
+                      k: int) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return _positional_grams_from_tokens(
+        df.select(F.col(id_col).alias("id"), toks.alias("toks")), k)
+
+
 def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 8) -> DataFrame:
     """Remove every cross-document duplicated span of ≥ ``k`` tokens,
@@ -628,14 +648,7 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     exact-verify discipline as the Jaccard families above)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    ge = (t.where(F.size("toks") >= k)
-           .select("id", F.explode(F.transform(
-               F.sequence(F.lit(1), F.size("toks") - k + 1),
-               lambda i: F.struct(
-                   i.alias("pos"),
-                   F.concat_ws(" ", F.slice("toks", i, k)).alias("gram"))))
-               .alias("pg"))
-           .select("id", "pg.pos", "pg.gram"))
+    ge = _positional_grams_from_tokens(t, k)
     stats = (ge.groupBy("gram")
                .agg(F.min("id").alias("owner"),
                     F.count_distinct("id").alias("nd")))
@@ -710,6 +723,68 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         lambda j: F.array_min(F.slice("ps", j, w))))).alias("s"))
     return sel.select(F.col("id").alias(id_col), F.col("s.pos").alias("pos"),
                       F.col("s.fp").alias("fp"))
+
+
+def winnow_store(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 8, w: int = 4
+                 ) -> DataFrame:
+    """``(fp, id)`` distinct winnowed fingerprints of a corpus — the
+    compact persistable state for INCREMENTAL span-level dedup
+    (~2/(w+1) longs per k-gram position, ~1-2 longs per 10 tokens at the
+    defaults).  Write with ``write_parquet`` and reload across ingest
+    batches; the span-dedup sibling of :func:`fingerprint_store` /
+    :func:`minhash_store` / similarity.signlsh_store."""
+    return (winnow_fingerprints(docs, text_col, id_col, k, w)
+            .select("fp", id_col).distinct())
+
+
+def span_incremental(new_docs: DataFrame, store_docs: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 8, w: int = 4,
+                     store_fps: DataFrame | None = None) -> DataFrame:
+    """IDs of ``new_docs`` that do NOT share any exact ``k``-token span
+    with the existing corpus — the rolling-ingest form of span-level
+    dedup (today's crawl vs. yesterday's corpus; in-batch span dedup is
+    :func:`strip_duplicate_spans` or a self-probe, composed by the
+    caller).  Completes the incremental family: exact
+    (:func:`dedup_incremental`), near (:func:`minhash_incremental`),
+    embedding (similarity.cosine_incremental), span (this).
+
+    Scale shape, in order:
+
+    1. the new batch's winnowed fingerprints hash-join the persisted
+       ``store_fps`` (pass the reloaded :func:`winnow_store` output —
+       only then is the old corpus's TEXT untouched until step 2); a
+       batch doc sharing a selected fingerprint is a candidate;
+    2. exact verification fetches gram strings ONLY for candidate docs
+       on both sides (left-semi joins first — a 100 TB store is probed,
+       not scanned) and drops a batch doc iff it shares ≥ 1 exact
+       ``k``-gram STRING with a candidate store doc;
+    3. survivors = new ids with no verified shared span (left-anti).
+
+    Recall contract: winnowing guarantees a shared run of ≥ ``k+w-1``
+    tokens always produces a common selected fingerprint, so such spans
+    are NEVER missed; shared runs of ``k..k+w-2`` tokens may escape
+    candidate generation (set ``w=1`` to index every position if the
+    policy requires exact-``k`` recall).  Every DROP is exact-verified —
+    fingerprint collisions cannot delete novel documents."""
+    new_fp = (winnow_fingerprints(new_docs, text_col, id_col, k, w)
+              .select(F.col(id_col).alias("id_a"), "fp"))
+    if store_fps is None:
+        store_fps = winnow_store(store_docs, text_col, id_col, k, w)
+    cand = (new_fp.join(store_fps.withColumnRenamed(id_col, "id_b"), ["fp"])
+                  .select("id_a", "id_b").distinct())
+    new_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
+    old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
+    ga = _positional_grams(
+        new_docs.join(new_ids, id_col, "left_semi"), text_col, id_col, k)
+    gb = _positional_grams(
+        store_docs.join(old_ids, id_col, "left_semi"), text_col, id_col, k)
+    dup = (ga.select("id", "gram")
+             .join(gb.select("gram").distinct(), ["gram"], "left_semi")
+             .select(F.col("id").alias(id_col)).distinct())
+    return (new_docs.select(id_col).distinct()
+                    .join(dup, id_col, "left_anti"))
 
 
 # ---------------------------------------------------------------------------

@@ -342,6 +342,62 @@ def winnow_fp(spark, sf_dir):
     return winnow_fingerprints(d.df, "text", "doc_id", k=8, w=4)
 
 
+@q("dedup_span_incremental",
+   "WITH store AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "  FROM documents WHERE doc_id < 450), "
+   "cop AS (SELECT doc_id + 10000 AS doc_id, "
+   "  string_split(trim(text), ' ') AS ws FROM documents "
+   "  WHERE doc_id < 25 AND len(string_split(trim(text), ' ')) >= 11), "
+   "pre AS (SELECT doc_id + 30000 AS doc_id, "
+   "  list_concat(ws[1:12], ['q' || doc_id]) AS ws FROM store "
+   "  WHERE doc_id >= 100 AND doc_id < 105 AND len(ws) >= 12), "
+   "nov AS (SELECT doc_id + 20000 AS doc_id, "
+   "  ['n' || doc_id || 'w' || i for i in range(1, 21)] AS ws "
+   "  FROM documents WHERE doc_id >= 450 AND doc_id < 475), "
+   "batch AS (SELECT * FROM cop UNION ALL SELECT * FROM pre "
+   "  UNION ALL SELECT * FROM nov), "
+   "sg AS (SELECT DISTINCT u AS gram FROM (SELECT "
+   "  unnest([array_to_string(ws[i:i+7], ' ') "
+   "    for i in range(1, len(ws) - 6)]) AS u "
+   "  FROM store WHERE len(ws) >= 8)), "
+   "bg AS (SELECT doc_id, unnest([array_to_string(ws[i:i+7], ' ') "
+   "    for i in range(1, len(ws) - 6)]) AS gram "
+   "  FROM batch WHERE len(ws) >= 8) "
+   "SELECT doc_id FROM batch WHERE doc_id NOT IN ("
+   "  SELECT DISTINCT bg.doc_id FROM bg JOIN sg USING (gram))")
+def dedup_span_incremental(spark, sf_dir):
+    """Incremental span dedup probe (operators/dedup.span_incremental):
+    25 verbatim copies and 5 shared-12-token-prefix docs planted into a
+    batch alongside 25 synthetic-token novel docs, probed against a
+    450-doc store.  Copies and prefix-sharers must drop, novel docs must
+    all survive — vs the exact any-shared-8-gram NOT-IN oracle.  (The
+    planted spans are ≥ 11 = k+w-1 tokens, inside winnowing's guaranteed
+    recall; each copy source is filtered to ≥ 11 tokens for the same
+    reason.)"""
+    from pandas_db_spark.operators.dedup import span_incremental
+    d = get_db(spark, sf_dir).documents.df
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    store = d.where(F.col("doc_id") < 450).select("doc_id", "text")
+    cop = (d.where((F.col("doc_id") < 25) & (F.size(toks) >= 11))
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    pre = (d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 105)
+                   & (F.size(toks) >= 12))
+            .select((F.col("doc_id") + 30000).alias("doc_id"),
+                    F.concat_ws(
+                        " ", F.concat_ws(" ", F.slice(toks, 1, 12)),
+                        F.concat(F.lit("q"), F.col("doc_id").cast("string"))
+                    ).alias("text")))
+    nov = (d.where((F.col("doc_id") >= 450) & (F.col("doc_id") < 475))
+            .select((F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat_ws(" ", F.transform(
+                        F.sequence(F.lit(1), F.lit(20)),
+                        lambda i: F.concat(
+                            F.lit("n"), F.col("doc_id").cast("string"),
+                            F.lit("w"), i.cast("string")))).alias("text")))
+    batch = cop.unionByName(pre).unionByName(nov)
+    return span_incremental(batch, store, "text", "doc_id", k=8, w=4)
+
+
 @q("dedup_embedding_ivf",
    "WITH ext AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25), "

@@ -83,7 +83,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      threshold: float = 0.8,
                      vec_dim: int = 64,
                      expected_corpus: int = 1_000_000,
-                     auto_migrate: bool = False) -> None:
+                     auto_migrate: bool = False,
+                     span_k: int = 8, span_w: int = 4) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
@@ -99,6 +100,15 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     NOTE the verify step re-shingles matched store docs, so the near
     mode also persists the store docs' id+text beside the signatures
     (``store_dir + "/docs"``), read back only for candidates.
+    ``mode="span"`` (r9): store = winnowed k-gram fingerprints
+    (:func:`operators.dedup.winnow_store`, ``span_k``/``span_w``) plus
+    the store docs' id+text (``store_dir + "/docs"``, read back only
+    for candidates); a new doc is dropped when it shares ≥ 1 exact
+    ``span_k``-token span with ANY stored doc (candidate recall
+    guaranteed for shared runs ≥ span_k+span_w-1 tokens — the
+    winnowing bound; every drop exact-verified on gram strings).
+    In-batch, a doc sharing a span with a smaller-id batch doc is
+    dropped via the every-position gram index (exact at ``span_k``).
     ``mode="embedding"`` (r8): ``text_col`` names an ``array<float>``
     VECTOR column (``vec_dim`` components); store = sign-LSH band keys
     (``similarity.signlsh_store``) + the vectors beside them, and a new
@@ -117,19 +127,22 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     :func:`operators.similarity.reband_store` (one vector scan, keys
     swapped in place, meta re-pinned) — which is safe exactly because
     it runs before any micro-batch is in flight."""
-    from pandas_db_spark.operators.dedup import (dedup_incremental,
+    from pandas_db_spark.operators.dedup import (_positional_grams,
+                                                 dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
                                                  keep_first,
                                                  minhash_incremental,
                                                  minhash_pairs,
-                                                 minhash_store)
+                                                 minhash_store,
+                                                 span_incremental,
+                                                 winnow_store)
     from pandas_db_spark.operators.similarity import (auto_sign_geometry,
                                                       cosine_incremental,
                                                       cosine_pairs_lsh,
                                                       signlsh_store)
 
-    if mode not in ("exact", "near", "embedding"):
+    if mode not in ("exact", "near", "embedding", "span"):
         raise ValueError(f"run_dedup_ingest: unknown mode {mode!r}")
 
     if auto_migrate and mode == "embedding":
@@ -231,6 +244,26 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                 batch_kept, vecs, id_col=id_col, vec_col=text_col,
                 threshold=threshold, dim=vec_dim, bands=bands, rows=rows,
                 store_keys=keys)
+        elif mode == "span":
+            fps = _read_store(spark, store_dir + "/fps",
+                              f"fp long, {id_col} long")
+            docs = _read_store(spark, store_dir + "/docs",
+                               f"{id_col} long, {text_col} string")
+            # In-batch span dedup FIRST (span_incremental only probes the
+            # store): every-position gram index, drop any doc sharing a
+            # span whose canonical owner (min id) is another batch doc —
+            # exact at span_k, no winnowing gap inside a micro-batch.
+            ge = _positional_grams(batch_df, text_col, id_col, span_k)
+            gst = (ge.groupBy("gram")
+                     .agg(F.min("id").alias("owner"),
+                          F.count_distinct("id").alias("nd")))
+            in_dup = (ge.join(gst.where(F.col("nd") >= 2), ["gram"])
+                        .where(F.col("id") != F.col("owner"))
+                        .select(F.col("id").alias(id_col)).distinct())
+            batch_kept = batch_df.join(in_dup, id_col, "left_anti")
+            kept_ids = span_incremental(
+                batch_kept, docs, text_col, id_col,
+                k=span_k, w=span_w, store_fps=fps)
         else:
             sigs = _read_store(spark, store_dir + "/sigs",
                                f"{id_col} long, sig array<long>")
@@ -293,6 +326,12 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                         store_dir + "/keys")
             store_write(kept.select(id_col, text_col),
                         store_dir + "/vecs")
+        elif mode == "span":
+            store_write(winnow_store(kept, text_col, id_col,
+                                     k=span_k, w=span_w),
+                        store_dir + "/fps")
+            store_write(kept.select(id_col, text_col),
+                        store_dir + "/docs")
         else:
             store_write(minhash_store(kept, text_col, id_col),
                         store_dir + "/sigs")

@@ -1366,3 +1366,29 @@ def test_winnow_guarantee_and_density(spark):
     # doc shorter than k+w-1 contributes nothing
     tiny = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
     assert D.winnow_fingerprints(tiny, k=8, w=4).count() == 0
+
+
+def test_span_incremental_planted(spark):
+    """Store probe: batch docs embedding an >= k+w-1-token span of a
+    stored doc are dropped; novel docs survive; store text is only
+    touched for candidates (left-semi, asserted by plan shape)."""
+    span = " ".join(f"s{i}" for i in range(11))
+    store = spark.createDataFrame([
+        (0, "alpha beta " + span + " gamma delta epsilon zeta"),
+        (1, "other corpus doc with its very own distinct word stream "
+            "carrying on for a while longer here"),
+    ], "doc_id long, text string")
+    batch = spark.createDataFrame([
+        (10, "new framing " + span + " different tail tokens"),
+        (11, "completely novel text with tokens appearing nowhere "
+             "else in the little corpus at all today"),
+    ], "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            D.span_incremental(batch, store, k=8, w=4).collect()}
+    assert kept == {11}
+    # persisted-store form: precomputed fps skip the store fingerprint pass
+    fps = D.winnow_store(store, k=8, w=4)
+    kept2 = {r["doc_id"] for r in
+             D.span_incremental(batch, store, k=8, w=4,
+                                store_fps=fps).collect()}
+    assert kept2 == {11}

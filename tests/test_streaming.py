@@ -751,3 +751,42 @@ def test_embedding_ingest_auto_migrate(spark, tmp_path):
     assert kept == {1, 2, 3, 11}  # dup of vec 1 dropped via migrated keys
     # pin now covers the corpus → no growth warning during the run
     assert not [w for w in caught if "reband_store" in str(w.message)]
+
+
+def test_span_ingest_pipeline(spark, tmp_path):
+    """mode='span' (r9): a later batch's doc embedding an 11-token span
+    copied from an ingested doc is dropped (winnowing catches runs
+    >= k+w-1 = 11); within a batch the smaller-id owner of a shared
+    span survives; novel docs always survive."""
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    span = " ".join(f"s{i}" for i in range(11))
+    src = tmp_path / "in"
+    batches = [
+        [(1, "intro words " + span + " trailing text here today"),
+         (2, "a wholly different document with disjoint vocabulary "
+             "of its own kind and nothing shared at all anywhere")],
+        [(3, "fresh prefix then " + span + " and a new ending"),  # span dup
+         (4, "novel body with totally separate tokens beyond any "
+             "overlap whatsoever in this stream of words friend"),
+         (5, "novel body with totally separate tokens beyond any "
+             "overlap whatsoever in this stream of words friend")],  # dup of 4, same batch
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     mode="span", span_k=8, span_w=4)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {1, 2, 4}
+    # the store accumulated fingerprints + docs for the survivors only
+    fps = spark.read.parquet(str(tmp_path / "store" / "fps"))
+    docs = spark.read.parquet(str(tmp_path / "store" / "docs"))
+    assert {r["doc_id"] for r in docs.collect()} == {1, 2, 4}
+    assert fps.count() > 0
