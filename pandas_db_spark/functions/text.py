@@ -198,6 +198,19 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+def word_hash(w: Column) -> Column:
+    """Engine-neutral polynomial word hash: fold over chars of
+    ``(g·31 + codepoint(c)) mod 2³¹``.  THE char fold — shared by
+    :func:`fingerprint`, the DSIR feature hash, and the winnowing
+    fingerprints (operators/lm.py, operators/dedup.py), so the
+    cross-engine bit-stability of all three rests on one definition."""
+    return F.aggregate(
+        F.split(w, ""),
+        F.lit(0).cast("long"),
+        lambda g, c: (g * 31 + F.ascii(c)) % _FP_MOD,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Polynomial rolling hash of the token stream, mod 2^31.
 
@@ -208,11 +221,6 @@ def fingerprint(text: Column) -> Column:
     re-implements it with list_reduce), unlike xxhash64/murmur whose seeds
     and variants differ across engines.  Used for cheap exact-dup detection
     and content-defined sharding."""
-    word_hash = lambda w: F.aggregate(  # noqa: E731
-        F.split(w, ""),
-        F.lit(0).cast("long"),
-        lambda g, c: (g * 31 + F.ascii(c)) % _FP_MOD,
-    )
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),

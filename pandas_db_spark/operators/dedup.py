@@ -631,6 +631,12 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     the tokens covered by that k-gram's occurrences deleted.  Overlapping
     duplicated spans merge naturally (covered positions are a set), so a
     shared run of m ≥ k tokens is removed wholesale, not per-k-gram.
+    Positions covered by an occurrence of a gram the document OWNS are
+    PROTECTED from removal via other grams — without this, overlapping
+    grams with different owners could erase every copy of a span
+    corpus-wide (doc A owns gram g₁, loses its tokens through g₂ owned
+    by doc B, while every non-owner of g₁ is stripped too); with it, the
+    canonical occurrence of every duplicated gram survives intact.
 
     Returns ``(id_col, clean_text, n_removed)`` for EVERY input document
     (untouched docs pass through with ``n_removed = 0``; ``clean_text``
@@ -652,15 +658,19 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     stats = (ge.groupBy("gram")
                .agg(F.min("id").alias("owner"),
                     F.count_distinct("id").alias("nd")))
-    dup_pos = (ge.join(stats.where(F.col("nd") >= 2), ["gram"])
-                 .where(F.col("id") != F.col("owner"))
-                 .select("id", "pos"))
-    cov = (dup_pos
-           .select("id", F.explode(
-               F.sequence(F.col("pos"),
-                          F.col("pos") + F.lit(k - 1))).alias("cp"))
-           .groupBy("id")
-           .agg(F.collect_set("cp").alias("cps")))
+    dup_occ = ge.join(stats.where(F.col("nd") >= 2), ["gram"])
+
+    def _expand(occ):
+        return (occ.select("id", F.explode(
+            F.sequence(F.col("pos"),
+                       F.col("pos") + F.lit(k - 1))).alias("cp"))
+            .distinct())
+
+    removed = _expand(dup_occ.where(F.col("id") != F.col("owner")))
+    protected = _expand(dup_occ.where(F.col("id") == F.col("owner")))
+    cov = (removed.join(protected, ["id", "cp"], "left_anti")
+                  .groupBy("id")
+                  .agg(F.collect_set("cp").alias("cps")))
     # rebuild text by filtering the ORIGINAL token array against the
     # covered-position set (token index i is 0-based; positions 1-based)
     out = (t.join(cov, ["id"], "left")
@@ -723,6 +733,22 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         lambda j: F.array_min(F.slice("ps", j, w))))).alias("s"))
     return sel.select(F.col("id").alias(id_col), F.col("s.pos").alias("pos"),
                       F.col("s.fp").alias("fp"))
+
+
+def span_dup_ids(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """IDs of documents sharing a ``k``-token span whose canonical owner
+    (min id) is another document — the DROP-policy form of span dedup
+    (whole-document removal, vs :func:`strip_duplicate_spans`'s
+    span-level excision).  Every-position gram index: exact at ``k``,
+    no winnowing gap.  The in-batch step of the span ingest mode."""
+    ge = _positional_grams(df, text_col, id_col, k)
+    st = (ge.groupBy("gram")
+            .agg(F.min("id").alias("owner"),
+                 F.count_distinct("id").alias("nd")))
+    return (ge.join(st.where(F.col("nd") >= 2), ["gram"])
+              .where(F.col("id") != F.col("owner"))
+              .select(F.col("id").alias(id_col)).distinct())
 
 
 def winnow_store(docs: DataFrame, text_col: str = "text",

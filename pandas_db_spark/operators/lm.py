@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandas_db_spark.functions.text import tokens, _FP_MOD
+from pandas_db_spark.functions.text import tokens, word_hash, _FP_MOD
 
 
 # ---------------------------------------------------------------------------
@@ -60,6 +60,22 @@ from pandas_db_spark.functions.text import tokens, _FP_MOD
 def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"),
                      tokens(F.col(text_col)).alias("toks"))
+
+
+def _doc_bigrams(t: DataFrame, with_id: bool = True) -> DataFrame:
+    """``(id?, w1, w2)`` adjacent-pair explode from an ``(id, toks)``
+    frame — ONE definition of "bigram" shared by model building and
+    scoring, so the two can never silently disagree."""
+    b = (t.where(F.size("toks") >= 2)
+          .select(*(["id"] if with_id else []),
+                  F.explode(F.transform(
+                      F.sequence(F.lit(1), F.size("toks") - 1),
+                      lambda i: F.struct(
+                          F.element_at("toks", i).alias("w1"),
+                          F.element_at("toks",
+                                       (i + 1).cast("int")).alias("w2"))))
+                  .alias("b")))
+    return b.select(*(["id"] if with_id else []), "b.w1", "b.w2")
 
 
 def bigram_model(docs: DataFrame, text_col: str = "text",
@@ -81,15 +97,8 @@ def bigram_model(docs: DataFrame, text_col: str = "text",
     t = _doc_tokens(docs, text_col, id_col)
     uni = (t.select(F.explode("toks").alias("w"))
             .groupBy("w").agg(F.count("*").alias("cu")))
-    bi = (t.where(F.size("toks") >= 2)
-           .select(F.explode(F.transform(
-               F.sequence(F.lit(1), F.size("toks") - 1),
-               lambda i: F.struct(
-                   F.element_at("toks", i).alias("w1"),
-                   F.element_at("toks", (i + 1).cast("int")).alias("w2"))))
-               .alias("b"))
-           .select("b.w1", "b.w2")
-           .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    bi = (_doc_bigrams(t, with_id=False)
+          .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     vocab = uni.agg(F.count("*").alias("n_v"))
     return uni, bi, vocab
 
@@ -120,14 +129,7 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
     uni, bi, vocab = model if model is not None \
         else bigram_model(docs, text_col, id_col)
     t = _doc_tokens(docs, text_col, id_col)
-    be = (t.where(F.size("toks") >= 2)
-           .select("id", F.explode(F.transform(
-               F.sequence(F.lit(1), F.size("toks") - 1),
-               lambda i: F.struct(
-                   F.element_at("toks", i).alias("w1"),
-                   F.element_at("toks", (i + 1).cast("int")).alias("w2"))))
-               .alias("b"))
-           .select("id", "b.w1", "b.w2"))
+    be = _doc_bigrams(t)
     j = (be.join(bi, ["w1", "w2"], "left")
            .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
            .select("id",
@@ -138,7 +140,7 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
                   .alias("xs"),
                  F.count("*").alias("n")))
     out = (agg.crossJoin(F.broadcast(vocab))
-              .select(F.col("id").alias("doc_id"),
+              .select(F.col("id").alias(id_col),
                       (F.aggregate(
                           F.transform(
                               "xs",
@@ -155,13 +157,13 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
 # DSIR hashed-n-gram importance weights
 # ---------------------------------------------------------------------------
 
-def _word_hash(w) -> F.Column:
-    """Engine-neutral polynomial word hash — the same char fold as
-    functions/text.fingerprint: ``(g·31 + codepoint) mod 2³¹``."""
-    return F.aggregate(
-        F.split(w, ""), F.lit(0).cast("long"),
-        lambda g, c: (g * 31 + F.ascii(c)) % F.lit(_FP_MOD))
-
+# Exact power-of-two renormalization constants for the importance-weight
+# fold (all four are exactly representable doubles; scaling by them is
+# lossless, so the (mantissa, exp) pair is bit-stable across engines).
+_P256 = 2.0 ** 256
+_M256 = 2.0 ** -256
+_P512 = 2.0 ** 512
+_M512 = 2.0 ** -512
 
 def doc_word_hashes(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
@@ -181,7 +183,7 @@ def doc_word_hashes(docs: DataFrame, text_col: str = "text",
     pos = (t.where(F.size("toks") >= min_tokens)
             .select("id", F.posexplode("toks").alias("pos", "w")))
     vocab = pos.select("w").distinct().select(
-        "w", _word_hash(F.col("w")).alias("wh"))
+        "w", word_hash(F.col("w")).alias("wh"))
     return (pos.join(vocab, ["w"])
                .groupBy("id")
                .agg(F.transform(
@@ -243,7 +245,20 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     ``list_sort`` + ``list_reduce`` replay is bit-identical.  With
     64-bit counts the smoothed numerators stay exact in doubles up to
     ``(c+1)·(total+B) < 2⁵³`` — beyond that (≳10¹⁵-token corpora per
-    side) the products remain correctly rounded, merely not exact."""
+    side) the products remain correctly rounded, merely not exact.
+
+    Overflow/underflow: ``|log weight|`` grows linearly with document
+    length, so a plain double product saturates to 0/inf near ~700
+    strongly-off-target features (every saturated doc would then tie —
+    useless for resampling; the paper works in log space for this
+    reason, which libm-log nondeterminism rules out here).  The fold
+    instead carries a renormalized ``(mantissa, exp)`` pair: whenever
+    the running mantissa leaves ``[2⁻²⁵⁶, 2²⁵⁶)`` it is rescaled by an
+    EXACT power of two and the exponent adjusted — so
+    ``weight = w_mant · 2^(256·w_exp)`` with no precision loss, for any
+    document length.  Rank by ``(w_exp, w_mant)`` (lexicographically —
+    exact at every scale); ``dsir_weight`` reconstructs the plain
+    double, saturating only past |log₂ w| ≈ 1024 as IEEE demands."""
     ct = (hashed_feature_counts(target, text_col, id_col, n_buckets)
           .withColumnRenamed("c", "ct"))
     fe = doc_feature_buckets(docs, text_col, id_col, n_buckets)
@@ -259,17 +274,49 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
             .agg(F.array_sort(F.collect_list(F.struct("ct", "cs")))
                   .alias("xs"),
                  F.count("*").alias("n")))
+
+    def renorm_step(acc, r):
+        m1 = acc["m"] * r
+        e = acc["e"]
+        # exact power-of-two rescaling; two tiers cover any single
+        # ratio up to 2^512 off-scale (real ratios are far smaller)
+        m2 = (F.when(m1 >= F.lit(_P512), m1 * F.lit(_M512))
+               .when(m1 >= F.lit(_P256), m1 * F.lit(_M256))
+               .when(m1 < F.lit(_M512), m1 * F.lit(_P512))
+               .when(m1 < F.lit(_M256), m1 * F.lit(_P256))
+               .otherwise(m1))
+        e2 = (F.when(m1 >= F.lit(_P512), e + 2)
+               .when(m1 >= F.lit(_P256), e + 1)
+               .when(m1 < F.lit(_M512), e - 2)
+               .when(m1 < F.lit(_M256), e - 1)
+               .otherwise(e))
+        return F.struct(m2.alias("m"), e2.alias("e"))
+
+    folded = F.aggregate(
+        F.transform(
+            "xs",
+            lambda x: ((x["ct"] + F.lit(1.0))
+                       * (F.col("ts") + F.lit(n_buckets)))
+            / ((x["cs"] + F.lit(1.0))
+               * (F.col("tt") + F.lit(n_buckets)))),
+        F.struct(F.lit(1.0).alias("m"), F.lit(0).cast("long").alias("e")),
+        renorm_step)
+    m, e = F.col("__w.m"), F.col("__w.e")
+    weight = (F.when(e == 0, m)
+               .when(e == 1, m * F.lit(_P256))
+               .when(e == 2, m * F.lit(_P512))
+               .when(e == 3, m * F.lit(_P512) * F.lit(_P256))
+               .when(e >= 4, F.lit(float("inf")))
+               .when(e == -1, m * F.lit(_M256))
+               .when(e == -2, m * F.lit(_M512))
+               .when(e == -3, m * F.lit(_M512) * F.lit(_M256))
+               .otherwise(F.lit(0.0)))
     out = (agg.crossJoin(F.broadcast(tot_t))
               .crossJoin(F.broadcast(tot_s))
-              .select(F.col("id").alias("doc_id"),
-                      F.aggregate(
-                          F.transform(
-                              "xs",
-                              lambda x: ((x["ct"] + F.lit(1.0))
-                                         * (F.col("ts") + F.lit(n_buckets)))
-                              / ((x["cs"] + F.lit(1.0))
-                                 * (F.col("tt") + F.lit(n_buckets)))),
-                          F.lit(1.0),
-                          lambda acc, r: acc * r).alias("dsir_weight"),
+              .withColumn("__w", folded)
+              .select(F.col("id").alias(id_col),
+                      weight.alias("dsir_weight"),
+                      m.alias("w_mant"),
+                      e.alias("w_exp"),
                       F.col("n").alias("n_feats")))
     return out

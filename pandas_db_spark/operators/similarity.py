@@ -805,3 +805,180 @@ def embedding_centroids(emb: DataFrame, group_col: str,
                        ((F.col("__s").cast("double")
                          / F.col("__n").cast("double"))
                         / F.lit(float(scale))).alias("mean")))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+# Product quantization (Jegou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011 — the FAISS IVFPQ family):
+# split each d-dim vector into m subvectors, k-means each subspace to
+# ksub centroids, store each vector as m small codes.  At the target
+# scale this is THE reason the operator exists: a 64-dim float32
+# embedding is 256 bytes, its m=8 code row is 8 bytes — a 100 TB vector
+# corpus becomes ~3 TB of codes that a scan (or an executor cache) can
+# actually afford, and asymmetric-distance search (ADC) scans CODES with
+# a per-query lookup table instead of touching raw vectors at all.  Raw
+# vectors are fetched only for the final exact re-rank of ~queries×r·k
+# shortlist rows (broadcast semi-join — the same "probe, don't scan"
+# shape as the incremental dedup stores).
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 256,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_n: int = 2048, n_iter: int = 5) -> np.ndarray:
+    """Fit the (m, ksub, d//m) PQ codebooks on a deterministic sample.
+
+    Vectors are unit-normalized first (cosine ranking == L2 ranking on
+    the sphere: ||q-x||^2 = 2 - 2cos), then each of the ``m`` subspaces
+    gets an independent Lloyd k-means: init = the sample's first ``ksub``
+    subvectors (deterministic lowest-id order, same device as
+    ``_fit_centroids``), ``n_iter`` iterations, empty clusters keep
+    their centroid.  Driver-side numpy over ``sample_n`` rows only —
+    training never scans the corpus."""
+    if ksub > 256:
+        raise ValueError("ksub > 256 no longer fits a 1-byte code")
+    sample = (emb.orderBy(id_col).select(vec_col)
+                 .limit(sample_n).collect())
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(mat) < ksub:
+        raise ValueError(f"sample of {len(mat)} rows < ksub={ksub}")
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for s in range(m):
+        sub = mat[:, s * dsub:(s + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(n_iter):
+            # (n, ksub) squared L2 via the expansion; argmin ties break
+            # toward the lower centroid index (np.argmin contract)
+            d2 = ((sub ** 2).sum(1)[:, None]
+                  - 2.0 * sub @ cent.T + (cent ** 2).sum(1)[None, :])
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """``(id, codes array<int>)`` — nearest sub-centroid per subspace.
+
+    One narrow Arrow-batched numpy pass, no shuffle; the closure ships
+    the (m, ksub, dsub) codebook (a few KB).  This is the pass that
+    writes the 32x-smaller scan copy at scale."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    cnorm = (books ** 2).sum(axis=2)  # (m, ksub)
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            codes = np.empty((len(vs), m), dtype=np.int32)
+            for s in range(m):
+                sub = vs[:, s * dsub:(s + 1) * dsub]
+                d2 = cnorm[s][None, :] - 2.0 * sub @ books[s].T
+                codes[:, s] = d2.argmin(axis=1)
+            out = pdf[[id_col]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encoder, f"{id_col} long, codes array<int>")
+
+
+def pq_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
+            m: int = 8, ksub: int = 256, rerank: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            sample_n: int = 2048, codebooks: np.ndarray = None
+            ) -> DataFrame:
+    """Approximate top-k by asymmetric distance over PQ codes, then an
+    exact re-rank of the ``rerank*k`` ADC shortlist.
+
+    Plan shape: train (driver sample) -> encode (narrow pass) -> per
+    query a (m, ksub) lookup table of exact subspace distances to every
+    sub-centroid, broadcast in the scan closure; each partition emits
+    its local top-(rerank*k) per query from a pure LUT gather-sum over
+    CODES; one keyed window merges partials; ONLY the surviving
+    shortlist ids fetch their raw vectors (broadcast semi-join) for an
+    exact JVM-side cosine re-rank.  Approximate -> gated by the
+    ``ann_pq_recall`` invariant, not a value oracle."""
+    books = (np.ascontiguousarray(codebooks, dtype=np.float64)
+             if codebooks is not None
+             else pq_train(emb, m, ksub, id_col, vec_col, sample_n))
+    m, ksub, dsub = books.shape
+    codes = pq_encode(emb, books, id_col, vec_col)
+
+    qids = sorted(set(int(q) for q in query_ids))
+    qrows = (emb.filter(F.col(id_col).isin(qids))
+                .select(id_col, vec_col).collect())
+    if not qrows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # (nq, m, ksub): exact squared L2 from query subvector to every
+    # sub-centroid; ADC distance of a code row is the sum of m lookups
+    luts = np.empty((len(q_ids), m, ksub), dtype=np.float64)
+    for s in range(m):
+        qs = q_mat[:, s * dsub:(s + 1) * dsub]
+        luts[:, s, :] = ((qs ** 2).sum(1)[:, None]
+                         - 2.0 * qs @ books[s].T
+                         + (books[s] ** 2).sum(1)[None, :])
+    shortlist = rerank * k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cd = np.array(list(pdf["codes"]), dtype=np.int64)  # (b, m)
+            for qi, qid in enumerate(q_ids):
+                dist = luts[qi][cols, cd].sum(axis=1)  # (b,)
+                mask = ids != qid
+                c_ids, c_d = ids[mask], dist[mask]
+                if len(c_ids) > shortlist:
+                    part = np.argpartition(c_d, shortlist)[:shortlist]
+                    c_ids, c_d = c_ids[part], c_d[part]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(c_ids), qid, dtype=np.int64),
+                    "neighbor_id": c_ids,
+                    "adc": c_d,
+                })
+
+    partial = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double")
+    from pyspark.sql import Window
+    w_adc = (Window.partitionBy("query_id")
+             .orderBy(F.asc("adc"), F.asc("neighbor_id")))
+    cand = (partial.withColumn("__r", F.row_number().over(w_adc))
+                   .filter(F.col("__r") <= shortlist)
+                   .select("query_id", "neighbor_id"))
+    # exact re-rank: raw vectors only for the shortlist + the queries
+    vecs = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("nv"))
+    qdf = emb.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (cand.join(vecs, "neighbor_id")
+                  .join(F.broadcast(qdf), "query_id")
+                  .select("query_id", "neighbor_id",
+                          cosine_sim(F.col("nv"), F.col("qv")).alias("sim")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          "neighbor_id"))

@@ -104,11 +104,17 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     (:func:`operators.dedup.winnow_store`, ``span_k``/``span_w``) plus
     the store docs' id+text (``store_dir + "/docs"``, read back only
     for candidates); a new doc is dropped when it shares ≥ 1 exact
-    ``span_k``-token span with ANY stored doc (candidate recall
-    guaranteed for shared runs ≥ span_k+span_w-1 tokens — the
-    winnowing bound; every drop exact-verified on gram strings).
-    In-batch, a doc sharing a span with a smaller-id batch doc is
-    dropped via the every-position gram index (exact at ``span_k``).
+    ``span_k``-token span with ANY stored doc.  Recall contract,
+    layer by layer: VERBATIM duplicates of any length are caught by an
+    exact-digest store (``store_dir + "/digests"``, same state as
+    ``mode="exact"``); partial shared spans ≥ span_k+span_w-1 tokens
+    are guaranteed by the winnowed fingerprint probe; partial shared
+    runs of span_k..span_k+span_w-2 tokens may be admitted across
+    batches (``span_w`` trades store size for that floor — span_w=1
+    indexes every position).  Every span drop is exact-verified on
+    gram strings.  In-batch, a doc sharing a span with a smaller-id
+    batch doc is dropped via the every-position gram index (exact at
+    ``span_k``, :func:`operators.dedup.span_dup_ids`).
     ``mode="embedding"`` (r8): ``text_col`` names an ``array<float>``
     VECTOR column (``vec_dim`` components); store = sign-LSH band keys
     (``similarity.signlsh_store``) + the vectors beside them, and a new
@@ -127,14 +133,14 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     :func:`operators.similarity.reband_store` (one vector scan, keys
     swapped in place, meta re-pinned) — which is safe exactly because
     it runs before any micro-batch is in flight."""
-    from pandas_db_spark.operators.dedup import (_positional_grams,
-                                                 dedup_incremental,
+    from pandas_db_spark.operators.dedup import (dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
                                                  keep_first,
                                                  minhash_incremental,
                                                  minhash_pairs,
                                                  minhash_store,
+                                                 span_dup_ids,
                                                  span_incremental,
                                                  winnow_store)
     from pandas_db_spark.operators.similarity import (auto_sign_geometry,
@@ -249,18 +255,25 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                               f"fp long, {id_col} long")
             docs = _read_store(spark, store_dir + "/docs",
                                f"{id_col} long, {text_col} string")
-            # In-batch span dedup FIRST (span_incremental only probes the
+            digests = _read_store(spark, store_dir + "/digests",
+                                  "digest string, id long")
+            # Exact-digest layer FIRST (r9 review): winnowing needs
+            # span_k+span_w-1 tokens to emit a fingerprint, so a
+            # VERBATIM duplicate of a shorter document would slip the
+            # store probe entirely; the digest layer (same state as
+            # mode='exact') catches verbatim copies of any length, and
+            # dedup_incremental also dedupes exact copies in-batch.
+            exact_ids = dedup_incremental(batch_df, digests,
+                                          text_col, id_col)
+            batch_ex = batch_df.join(F.broadcast(exact_ids), id_col,
+                                     "left_semi")
+            # In-batch span dedup next (span_incremental only probes the
             # store): every-position gram index, drop any doc sharing a
             # span whose canonical owner (min id) is another batch doc —
             # exact at span_k, no winnowing gap inside a micro-batch.
-            ge = _positional_grams(batch_df, text_col, id_col, span_k)
-            gst = (ge.groupBy("gram")
-                     .agg(F.min("id").alias("owner"),
-                          F.count_distinct("id").alias("nd")))
-            in_dup = (ge.join(gst.where(F.col("nd") >= 2), ["gram"])
-                        .where(F.col("id") != F.col("owner"))
-                        .select(F.col("id").alias(id_col)).distinct())
-            batch_kept = batch_df.join(in_dup, id_col, "left_anti")
+            batch_kept = batch_ex.join(
+                span_dup_ids(batch_ex, text_col, id_col, span_k),
+                id_col, "left_anti")
             kept_ids = span_incremental(
                 batch_kept, docs, text_col, id_col,
                 k=span_k, w=span_w, store_fps=fps)
@@ -332,6 +345,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                         store_dir + "/fps")
             store_write(kept.select(id_col, text_col),
                         store_dir + "/docs")
+            store_write(fingerprint_store(kept, text_col, id_col),
+                        store_dir + "/digests")
         else:
             store_write(minhash_store(kept, text_col, id_col),
                         store_dir + "/sigs")

@@ -197,6 +197,41 @@ def test_ivf_recall(emb):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_pq_recall(emb):
+    qids = [0, 1, 2, 3, 4]
+    truth = _exact_topk(emb.toPandas(), qids, 10)
+    got = S.pq_topk(emb, qids, k=10).collect()
+    by_q = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert all(len(v) == 10 for v in by_q.values())  # exactly k per query
+    recalls = [len(by_q.get(q, set()) & set(truth[q])) / 10 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_pq_encode_deterministic_and_bounded(emb):
+    books = S.pq_train(emb, m=8, ksub=32)
+    books2 = S.pq_train(emb, m=8, ksub=32)
+    assert np.array_equal(books, books2)        # seeded lowest-id init
+    assert books.shape == (8, 32, 8)            # 64-dim / m=8
+    codes = S.pq_encode(emb, books).orderBy("vec_id").collect()
+    codes2 = S.pq_encode(emb, books).orderBy("vec_id").collect()
+    assert [r["codes"] for r in codes] == [r["codes"] for r in codes2]
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 32 for c in r["codes"])
+
+
+def test_pq_train_validates(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_train(emb, m=7)
+    with pytest.raises(ValueError, match="1-byte"):
+        S.pq_train(emb, ksub=257)
+    with pytest.raises(ValueError, match="< ksub"):
+        S.pq_train(emb, ksub=256, sample_n=10)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1392,3 +1427,57 @@ def test_span_incremental_planted(spark):
              D.span_incremental(batch, store, k=8, w=4,
                                 store_fps=fps).collect()}
     assert kept2 == {11}
+
+
+def test_dsir_weights_no_underflow_on_long_docs(spark):
+    """r9 review: a plain double product saturates to 0.0 after ~700
+    strongly-off-target features; the renormalized (w_mant, w_exp) pair
+    must keep long off-target docs rankable (and dsir_weight itself
+    only saturates past |log2 w| ~ 1024 as IEEE demands)."""
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and then the dog ran off")
+         for i in range(4)], "doc_id long, text string")
+    # ~3000 off-target features per doc; doc 1 is MORE off-target
+    long_a = " ".join(f"a{i % 37} b{i % 41}" for i in range(1500))
+    long_b = " ".join(f"z{i % 53} y{i % 59}" for i in range(1500))
+    docs = spark.createDataFrame(
+        [(0, long_a), (1, long_b),
+         (2, "the cat sat on the mat and then the dog ran off")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           L.dsir_weights(docs, target, n_buckets=64).collect()}
+    for r in out.values():
+        assert r["w_mant"] > 0.0 and 2.0 ** -256 <= r["w_mant"] < 2.0 ** 256
+    # rank key (w_exp, w_mant) must separate the three docs: the
+    # on-target doc ranks above both long off-target docs
+    key = {i: (out[i]["w_exp"], out[i]["w_mant"]) for i in out}
+    assert key[2] > key[0] and key[2] > key[1]
+    # a long off-target doc really is deep below double range in plain
+    # product terms (w_exp << 0), yet stays exactly representable
+    assert out[0]["w_exp"] < -2 or out[0]["dsir_weight"] > 0.0
+    # dsir_weight reconstructs exactly whenever |e| <= 3
+    for r in out.values():
+        if -3 <= r["w_exp"] <= 3:
+            assert r["dsir_weight"] == r["w_mant"] * 2.0 ** (256 * r["w_exp"])
+
+
+def test_strip_duplicate_spans_owner_protection(spark):
+    """r9 review: overlapping duplicated grams with DIFFERENT owners
+    must not erase every copy of a span corpus-wide — the canonical
+    occurrence of each duplicated gram survives in its owner (k=8
+    analog of the 'x y'/'y z' erosion case)."""
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"              # gram A, owner 0
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"              # gram B, owner 1
+    docs = spark.createDataFrame([
+        (0, a),                                 # owns A
+        (1, a + " " + b),                       # owns B, non-owner of A
+        (2, b),                                 # non-owner of B
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.strip_duplicate_spans(docs, k=8).collect()}
+    assert out[0]["clean_text"] == a            # owner keeps A
+    assert out[2]["clean_text"] == ""           # non-owner stripped
+    # doc1: loses A (owner 0) but its OWNED gram B (incl. the positions
+    # overlapped by A's 8-gram window extensions) must survive intact
+    assert out[1]["clean_text"] == b, out[1]["clean_text"]
+    # corpus-wide: both spans still exist exactly once

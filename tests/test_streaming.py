@@ -790,3 +790,34 @@ def test_span_ingest_pipeline(spark, tmp_path):
     docs = spark.read.parquet(str(tmp_path / "store" / "docs"))
     assert {r["doc_id"] for r in docs.collect()} == {1, 2, 4}
     assert fps.count() > 0
+
+
+def test_span_ingest_catches_short_verbatim_dups(spark, tmp_path):
+    """r9 review: winnowing emits no fingerprint for docs shorter than
+    k+w-1 tokens, so the span mode's exact-digest layer must still drop
+    a verbatim copy of a short doc arriving in a LATER batch."""
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    short = "only eight tokens live in this tiny doc"  # 8 tokens < 11
+    src = tmp_path / "in"
+    batches = [
+        [(1, short),
+         (2, "a longer companion document with plenty of its own tokens "
+             "to stand apart from everything else")],
+        [(3, short),      # verbatim copy of a short doc, next batch
+         (4, "fresh vocabulary forming a wholly new document body for "
+             "the second batch of this stream")],
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     mode="span", span_k=8, span_w=4)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert kept == {1, 2, 4}
