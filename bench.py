@@ -95,6 +95,7 @@ HEADLINE = [
     "top_ngrams",         # corpus n-gram stats, TakeOrdered top-20 (r9 add)
     "ccnet_buckets",      # LM-rank thirds via broadcast-offset ordinal (r9 add)
     "winnow_fp",          # MOSS winnowed fingerprint index, shuffle-free (r9 add)
+    "ann_pq",             # PQ ADC scan over 8-byte codes + exact re-rank (r9 add)
 ]
 
 

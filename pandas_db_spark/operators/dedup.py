@@ -659,18 +659,19 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
                .agg(F.min("id").alias("owner"),
                     F.count_distinct("id").alias("nd")))
     dup_occ = ge.join(stats.where(F.col("nd") >= 2), ["gram"])
-
-    def _expand(occ):
-        return (occ.select("id", F.explode(
-            F.sequence(F.col("pos"),
-                       F.col("pos") + F.lit(k - 1))).alias("cp"))
-            .distinct())
-
-    removed = _expand(dup_occ.where(F.col("id") != F.col("owner")))
-    protected = _expand(dup_occ.where(F.col("id") == F.col("owner")))
-    cov = (removed.join(protected, ["id", "cp"], "left_anti")
-                  .groupBy("id")
-                  .agg(F.collect_set("cp").alias("cps")))
+    # one fused pass over the duplicated occurrences: a position is
+    # removed iff SOME covering dup-gram occurrence is non-owned and NO
+    # covering occurrence is owned — max(own) per (id, position) decides
+    # both at once (vs the earlier two-distinct + anti-join shape, which
+    # also recomputed the gram join twice)
+    cov = (dup_occ.select(
+               "id", (F.col("id") == F.col("owner")).alias("own"),
+               F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("cp"))
+           .groupBy("id", "cp").agg(F.max("own").alias("prot"))
+           .where(~F.col("prot"))
+           .groupBy("id")
+           .agg(F.collect_set("cp").alias("cps")))
     # rebuild text by filtering the ORIGINAL token array against the
     # covered-position set (token index i is 0-based; positions 1-based)
     out = (t.join(cov, ["id"], "left")

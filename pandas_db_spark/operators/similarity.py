@@ -847,15 +847,23 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 256,
     d = mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return _pq_fit(mat, m, ksub, n_iter)
+
+
+def _pq_fit(mat: np.ndarray, m: int, ksub: int, n_iter: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a (n, d) training matrix —
+    deterministic: init = first ksub subvectors, argmin ties break
+    toward the lower centroid index, empty clusters keep their
+    centroid.  Shared by flat PQ (unit vectors) and IVFPQ (residuals)."""
+    d = mat.shape[1]
+    dsub = d // m
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for s in range(m):
         sub = mat[:, s * dsub:(s + 1) * dsub]
         cent = sub[:ksub].copy()
         for _ in range(n_iter):
-            # (n, ksub) squared L2 via the expansion; argmin ties break
-            # toward the lower centroid index (np.argmin contract)
+            # (n, ksub) squared L2 via the expansion
             d2 = ((sub ** 2).sum(1)[:, None]
                   - 2.0 * sub @ cent.T + (cent ** 2).sum(1)[None, :])
             assign = d2.argmin(axis=1)
@@ -972,6 +980,188 @@ def pq_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
                       F.col(vec_col).alias("nv"))
     qdf = emb.filter(F.col(id_col).isin(qids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (cand.join(vecs, "neighbor_id")
+                  .join(F.broadcast(qdf), "query_id")
+                  .select("query_id", "neighbor_id",
+                          cosine_sim(F.col("nv"), F.col("qv")).alias("sim")))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("rank").cast("int").alias("rank"),
+                          "neighbor_id"))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF-PQ index (the 100 TB serving architecture)
+# ---------------------------------------------------------------------------
+
+# IVF + residual PQ (FAISS's IndexIVFPQ shape, Jegou et al. 2011 §IV):
+# coarse centroids route each vector to a list; the PQ encodes the
+# RESIDUAL (vector - its list centroid), which is far lower-variance
+# than the raw vector, so the same code budget quantizes much finer.
+# Serving scans only nprobe/nlist of the CODE rows (partition-pruned
+# directories of 8-byte rows), with a per-(query, probed-list) lookup
+# table — the classic ADC-with-residuals trick: LUTs depend on the
+# probed list because the query's residual does.  Raw vectors are kept
+# beside the codes (same list partitioning) but touched only by the
+# final exact re-rank of the shortlist — probed, never scanned.
+
+
+def build_ivfpq_index(emb: DataFrame, path: str, nlist: int = 16,
+                      m: int = 8, ksub: int = 256, sample_n: int = 2048,
+                      n_iter: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """Materialize the IVF-PQ index: ``/codes`` (list-partitioned m-byte
+    code rows — the scan set), ``/vectors`` (list-partitioned raw
+    vectors — the re-rank probe set), ``/centroids`` and ``/codebooks``
+    (tiny).  Coarse geometry is identical to :func:`build_ivf_index`
+    (same ``_fit_centroids`` sample discipline); codebooks are fit on
+    the sample's RESIDUALS.  One assignment+encode pass over the corpus,
+    paid once."""
+    if ksub > 256:
+        raise ValueError("ksub > 256 no longer fits a 1-byte code")
+    cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
+
+    sample = (emb.orderBy(id_col).select(vec_col)
+                 .limit(sample_n).collect())
+    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    if len(mat) < ksub:
+        raise ValueError(f"sample of {len(mat)} rows < ksub={ksub}")
+    if mat.shape[1] % m:
+        raise ValueError(f"dim {mat.shape[1]} not divisible by m={m}")
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    res = mat - cent[(mat @ cent.T).argmax(axis=1)]
+    books = _pq_fit(res, m, ksub, n_iter)
+    dsub = books.shape[2]
+    cnorm = (books ** 2).sum(axis=2)  # (m, ksub)
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            lists = (vs @ cent.T).argmax(axis=1)
+            rs = vs - cent[lists]
+            codes = np.empty((len(vs), m), dtype=np.int32)
+            for s in range(m):
+                sub = rs[:, s * dsub:(s + 1) * dsub]
+                d2 = cnorm[s][None, :] - 2.0 * sub @ books[s].T
+                codes[:, s] = d2.argmin(axis=1)
+            out = pdf[[id_col]].copy()
+            out["list_id"] = lists.astype(np.int64)
+            out["codes"] = list(codes)
+            yield out
+
+    enc = emb.select(id_col, vec_col).mapInPandas(
+        encoder, f"{id_col} long, list_id long, codes array<int>")
+    enc.write.mode("overwrite").partitionBy("list_id").parquet(
+        path + "/codes")
+    lists = _assign_lists(emb, cent, id_col, vec_col).join(emb, id_col)
+    (lists.write.mode("overwrite").partitionBy("list_id")
+          .parquet(path + "/vectors"))
+    spark = emb.sparkSession
+    (spark.createDataFrame([(i, c.tolist()) for i, c in enumerate(cent)],
+                           "list_id long, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/centroids"))
+    (spark.createDataFrame(
+        [(s, c, books[s, c].tolist())
+         for s in range(m) for c in range(ksub)],
+        "subspace long, code long, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks"))
+
+
+def ivfpq_topk_indexed(spark, path: str, query_ids: Iterable[int],
+                       k: int = 10, nprobe: int = 4, rerank: int = 8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Serve approximate top-k from a :func:`build_ivfpq_index` dir.
+
+    Driver side (all tiny): centroids pick the ``nprobe`` lists per
+    query; for each (query, probed list) an exact (m, ksub) LUT of
+    squared distances from the query's LIST RESIDUAL to every
+    sub-centroid.  Cluster side: the code scan carries a ``list_id``
+    partition filter (only probed directories are read — asserted in
+    tests), each partition emits its local ADC top-(rerank*k) per query
+    from pure LUT gather-sums, one keyed window merges, and ONLY the
+    shortlist fetches raw vectors (from the probed lists' vector
+    directories) for the exact cosine re-rank."""
+    crows = sorted(spark.read.parquet(path + "/centroids").collect(),
+                   key=lambda r: r["list_id"])
+    cent = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    brows = spark.read.parquet(path + "/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    ksub = 1 + max(r["code"] for r in brows)
+    dsub = len(brows[0]["centroid"])
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    bnorm = (books ** 2).sum(axis=2)  # (m, ksub)
+
+    vectors = spark.read.parquet(path + "/vectors")
+    qids = sorted(set(int(q) for q in query_ids))
+    qrows = (vectors.filter(F.col(id_col).isin(qids))
+                    .select(id_col, vec_col).collect())
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long")
+    luts = {}  # (query_id, list_id) -> (m, ksub) float64
+    probe_lists = set()
+    for r in qrows:
+        qv = np.array(r[1], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        for li in np.argsort(-(cent @ qv))[:nprobe]:
+            rq = qv - cent[li]
+            lut = np.empty((m, ksub), dtype=np.float64)
+            for s in range(m):
+                sub = rq[s * dsub:(s + 1) * dsub]
+                lut[s] = (sub @ sub - 2.0 * books[s] @ sub + bnorm[s])
+            luts[(int(r[0]), int(li))] = lut
+            probe_lists.add(int(li))
+    probe_lists = sorted(probe_lists)
+    shortlist = rerank * k
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for li, grp in pdf.groupby("list_id"):
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                cd = np.array(list(grp["codes"]), dtype=np.int64)
+                for (qid, qli), lut in luts.items():
+                    if qli != li:
+                        continue
+                    dist = lut[cols, cd].sum(axis=1)
+                    mask = ids != qid
+                    c_ids, c_d = ids[mask], dist[mask]
+                    if len(c_ids) > shortlist:
+                        part = np.argpartition(c_d, shortlist)[:shortlist]
+                        c_ids, c_d = c_ids[part], c_d[part]
+                    yield pd.DataFrame({
+                        "query_id": np.full(len(c_ids), qid,
+                                            dtype=np.int64),
+                        "neighbor_id": c_ids,
+                        "adc": c_d,
+                    })
+
+    codes = (spark.read.parquet(path + "/codes")
+                  .filter(F.col("list_id").isin(probe_lists)))
+    partial = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc double")
+    from pyspark.sql import Window
+    w_adc = (Window.partitionBy("query_id")
+             .orderBy(F.asc("adc"), F.asc("neighbor_id")))
+    cand = (partial.withColumn("__r", F.row_number().over(w_adc))
+                   .filter(F.col("__r") <= shortlist)
+                   .select("query_id", "neighbor_id"))
+    vecs = (vectors.filter(F.col("list_id").isin(probe_lists))
+                   .select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("nv")))
+    qdf = (vectors.filter(F.col(id_col).isin(qids))
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("qv")))
     scored = (cand.join(vecs, "neighbor_id")
                   .join(F.broadcast(qdf), "query_id")
                   .select("query_id", "neighbor_id",

@@ -127,7 +127,7 @@ def test_registry_natural_order_and_oracles():
 
     assert not hasattr(Q, "_DRIVER_WINDOW")
     rows_only = {k for k, (_, sql) in Q.REGISTRY.items() if sql is None}
-    assert rows_only == {"sample_n", "agg_sketches", "ann_ivf",
+    assert rows_only == {"sample_n", "agg_sketches", "ann_ivf", "ann_pq",
                          "cluster_kmeans", "bpe_tokens"}
 
 

@@ -213,6 +213,41 @@ def test_ivf_index_roundtrip_and_prunes(spark, db, tmp_path):
            sorted(map(tuple, live.collect()))
 
 
+def test_ivfpq_index_serves_and_prunes(spark, db, tmp_path):
+    """Persisted IVF-PQ index: the ADC scan over CODE rows carries a
+    list_id partition filter (only probed directories are read), results
+    are deterministic across rebuilds, and recall@5 against exact
+    brute force stays useful despite 8-byte codes."""
+    from pandas_db_spark.operators.similarity import (ann_topk_brute,
+                                                      build_ivfpq_index,
+                                                      ivfpq_topk_indexed)
+    from pandas_db_spark.plans.explain import formatted_plan
+
+    emb = db.embeddings.df
+    qids = [1, 5, 11]
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=64, sample_n=512)
+    served = ivfpq_topk_indexed(spark, path, qids, k=5, nprobe=3)
+    plan = formatted_plan(served)
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    got = sorted(map(tuple, served.collect()))
+    assert {q for q, _, _ in got} == set(qids)
+    assert all(n != q for q, _, n in got)
+    # recall@5 vs exact
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk_brute(emb, qids, k=5).collect()}
+    hits = sum(1 for q, _, n in got if (q, n) in truth)
+    assert hits / len(truth) >= 0.6
+    # deterministic rebuild → identical served results
+    path2 = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(emb, path2, nlist=8, m=8, ksub=64, sample_n=512)
+    again = sorted(map(tuple,
+                       ivfpq_topk_indexed(spark, path2, qids, k=5,
+                                          nprobe=3).collect()))
+    assert again == got
+
+
 def _n_jobs(spark):
     return spark._jsparkSession.sparkContext().statusStore() \
         .jobsList(None).size()
