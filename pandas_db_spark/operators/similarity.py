@@ -1172,3 +1172,124 @@ def ivfpq_topk_indexed(spark, path: str, query_ids: Iterable[int],
                   .filter(F.col("rank") <= k)
                   .select("query_id", F.col("rank").cast("int").alias("rank"),
                           "neighbor_id"))
+
+
+# ---------------------------------------------------------------------------
+# ANN join (large x large) — no driver collect on EITHER side
+# ---------------------------------------------------------------------------
+
+# The query-set APIs above (ann_topk_brute / ivf_topk / pq_topk) collect
+# the query VECTORS because the query set is small.  An ANN *join* — for
+# every row of a queries table, its top-k in a corpus table — must not
+# collect either side.  Two shapes:
+#
+# * ann_join_brute: exact block-nested-loop.  Queries hash into mq
+#   blocks, corpus into nc blocks; each side is replicated across the
+#   OTHER side's block axis (rows: |Q|*nc + |C|*mq — the classic block
+#   matrix), and each (qblock, cblock) cell is one cogrouped Arrow task
+#   doing a float64 matmul + local top-k.  Per-task memory is
+#   |Q|/mq + |C|/nc vectors — both tunable — and the merge is one keyed
+#   window over k*nc candidate rows per query.
+# * ann_join_ivf: approximate routing.  Corpus assigned to its nearest
+#   coarse list, queries replicated to their nprobe nearest lists only —
+#   the replication factor drops from nc to nprobe and each cell scans
+#   one list instead of the whole corpus; recall is the usual IVF
+#   coarse-quantizer ceiling (gated in tests).
+
+
+def _cogroup_topk(k: int, exclude_self: bool):
+    def fn(_key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")})
+        qids = qpdf["query_id"].to_numpy(dtype=np.int64)
+        qm = np.array(list(qpdf["qv"]), dtype=np.float64)
+        qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        cids = cpdf["neighbor_id"].to_numpy(dtype=np.int64)
+        cm = np.array(list(cpdf["nv"]), dtype=np.float64)
+        cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T  # (nq, nc)
+        outs = []
+        for i, qid in enumerate(qids):
+            s = sims[i]
+            ids = cids
+            if exclude_self:
+                mask = ids != qid
+                ids, s = ids[mask], s[mask]
+            if len(ids) > k:
+                part = np.argpartition(-s, k)[:k]
+                ids, s = ids[part], s[part]
+            outs.append(pd.DataFrame({
+                "query_id": np.full(len(ids), qid, dtype=np.int64),
+                "neighbor_id": ids, "sim": s}))
+        return pd.concat(outs, ignore_index=True)
+    return fn
+
+
+def _merge_topk(partial: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("sim"), F.asc("neighbor_id")))
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k)
+                   .select("query_id", F.col("rank").cast("int").alias("rank"),
+                           "neighbor_id"))
+
+
+def ann_join_brute(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = None, q_vec_col: str = None,
+                   mq: int = 8, nc: int = 8,
+                   exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k JOIN: ``(query_id, rank, neighbor_id)`` for
+    EVERY queries row, via the 2-D block matrix described above.  Output
+    is integer-only (rank margins >> accumulation-order ulps, the same
+    hash-stability argument as ``ann_topk_brute``)."""
+    spark = queries.sparkSession
+    qb = spark.range(nc).select(F.col("id").alias("cb"))
+    q = (queries.select(F.col(q_id_col or id_col).alias("query_id"),
+                        F.col(q_vec_col or vec_col).alias("qv"),
+                        F.pmod(F.xxhash64(F.col(q_id_col or id_col)),
+                               F.lit(mq)).alias("qb"))
+                .crossJoin(F.broadcast(qb)))
+    cb = spark.range(mq).select(F.col("id").alias("qb"))
+    c = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("nv"),
+                       F.pmod(F.xxhash64(F.col(id_col)),
+                              F.lit(nc)).alias("cb"))
+               .crossJoin(F.broadcast(cb)))
+    partial = (q.groupBy("qb", "cb")
+                .cogroup(c.groupBy("qb", "cb"))
+                .applyInPandas(_cogroup_topk(k, exclude_self),
+                               "query_id long, neighbor_id long, sim double"))
+    return _merge_topk(partial, k)
+
+
+def ann_join_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                 nlist: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 q_id_col: str = None, q_vec_col: str = None,
+                 sample_n: int = 2048,
+                 exclude_self: bool = True) -> DataFrame:
+    """Approximate ANN join: corpus rows live in their nearest coarse
+    list, query rows are replicated to their ``nprobe`` nearest lists,
+    and each list is one cogrouped top-k cell — replication factor
+    nprobe (vs the brute path's nc), work per query ~ nprobe/nlist of
+    the corpus.  Same coarse geometry as :func:`ivf_topk`."""
+    cent = _fit_centroids(corpus, nlist, sample_n, id_col, vec_col)
+    c = (_assign_lists(corpus, cent, id_col, vec_col)
+         .join(corpus, id_col)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("nv"), "list_id"))
+    qsel = queries.select(F.col(q_id_col or id_col).alias("query_id"),
+                          F.col(q_vec_col or vec_col).alias("qv"))
+    q = (_assign_lists_multi(qsel, cent, nprobe, "query_id", "qv")
+         .join(qsel, "query_id")
+         .select("query_id", "qv", "list_id"))
+    partial = (q.groupBy("list_id")
+                .cogroup(c.groupBy("list_id"))
+                .applyInPandas(_cogroup_topk(k, exclude_self),
+                               "query_id long, neighbor_id long, sim double"))
+    return _merge_topk(partial, k)

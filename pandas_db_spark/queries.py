@@ -585,6 +585,33 @@ def ann_ivfpq_recall(spark, sf_dir):
         "n_ivfpq long, recall_ok boolean")
 
 
+@q("ann_join",
+   "SELECT t.vec_id AS query_id, rank::INT AS rank, neighbor_id FROM ("
+   "  SELECT q.vec_id, e.vec_id AS neighbor_id, "
+   "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+   "      list_cosine_similarity(q.embedding::DOUBLE[], "
+   "                             e.embedding::DOUBLE[]) DESC, e.vec_id) "
+   "    AS rank "
+   "  FROM embeddings q JOIN embeddings e ON e.vec_id >= 50 "
+   "  WHERE q.vec_id < 50) t(vec_id, neighbor_id, rank) "
+   "WHERE rank <= 5")
+def ann_join(spark, sf_dir):
+    """Exact large-x-large ANN JOIN (operators/similarity.ann_join_brute
+    — r9): top-5 corpus neighbors for EVERY query row, with NEITHER side
+    collected to the driver — queries hash into mq blocks, corpus into
+    nc blocks, each (qblock, cblock) cell is one cogrouped Arrow task
+    (float64 matmul + local top-k), one keyed window merges.  This is
+    the missing join form of the similarity family: the query-set APIs
+    (ann_topk/ivf/pq) broadcast collected query vectors and cannot scale
+    past a driver-sized query set.  Integer-only output, same ranked
+    hash-stability argument as ``ann_topk``."""
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings.df
+    qs = e.where(F.col("vec_id") < 50)
+    cp = e.where(F.col("vec_id") >= 50)
+    return S.ann_join_brute(qs, cp, k=5, exclude_self=False)
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

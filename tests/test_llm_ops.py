@@ -210,6 +210,49 @@ def test_pq_recall(emb):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_ann_join_brute_matches_queryset_path(emb):
+    """The block-cogroup join must agree with the collected-query path on
+    the same task (queries = the whole table, corpus = the whole table,
+    self excluded) — two independent implementations, one answer."""
+    expected = sorted(map(tuple,
+                          S.ann_topk_brute(emb, range(5), k=10).collect()))
+    from pyspark.sql import functions as SF
+    qs = emb.where(SF.col("vec_id") < 5)
+    got = sorted(map(tuple,
+                     S.ann_join_brute(qs, emb, k=10,
+                                      mq=3, nc=5).collect()))
+    assert got == expected
+
+
+def test_ann_join_ivf_full_probe_equals_brute(emb):
+    """nprobe = nlist probes every list → the IVF join degrades to an
+    exact block join and must EQUAL ann_join_brute row for row; at
+    nprobe < nlist it returns the same row contract with recall at the
+    coarse-quantizer ceiling."""
+    from pyspark.sql import functions as SF
+    qs = emb.where(SF.col("vec_id") < 10)
+    cp = emb.where(SF.col("vec_id") >= 10)
+    brute = sorted(map(tuple,
+                       S.ann_join_brute(qs, cp, k=5,
+                                        exclude_self=False).collect()))
+    full = sorted(map(tuple,
+                      S.ann_join_ivf(qs, cp, k=5, nlist=8, nprobe=8,
+                                     sample_n=512,
+                                     exclude_self=False).collect()))
+    assert full == brute
+    part = S.ann_join_ivf(qs, cp, k=5, nlist=8, nprobe=3, sample_n=512,
+                          exclude_self=False).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    truth = {}
+    for q, _, n in brute:
+        truth.setdefault(q, set()).add(n)
+    recalls = [len(by_q.get(q, set()) & ns) / len(ns)
+               for q, ns in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.4
+
+
 def test_pq_encode_deterministic_and_bounded(emb):
     books = S.pq_train(emb, m=8, ksub=32)
     books2 = S.pq_train(emb, m=8, ksub=32)
