@@ -72,3 +72,59 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                                    n, min_shared)
                .select(F.col("train_id").alias(id_col)).distinct())
     return train.join(flagged, id_col, "left_anti")
+
+
+def contamination_pairs_fuzzy(train: DataFrame, eval_df: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.8, n: int = 3,
+                              num_perm: int = 128, bands: int = 32,
+                              rows: int = 4,
+                              persist: bool = True) -> DataFrame:
+    """``(train_id, eval_id, jaccard)`` for every cross-corpus pair with
+    exact shingle Jaccard >= ``threshold`` — FUZZY decontamination (the
+    Dolma / The-Pile recipe: eval overlap at near-duplicate level, where
+    :func:`contamination_pairs` catches only verbatim shared n-grams).
+
+    Same machinery as the dedup family (``minhash_signatures`` +
+    ``_band_keys`` + exact verify), but the candidate step is a plain
+    equi-JOIN of the two sides' band keys on (band, bh) — only CROSS
+    pairs surface, never within-corpus ones, and the join shape lets
+    AQE broadcast the (typically tiny) eval side.  Recall is the usual
+    banded bound, ~1 - 5e-8 at the defaults for t = 0.8; precision is
+    exact (integer |A∩B| / |A∪B|, one correctly-rounded division —
+    bit-stable for the oracle)."""
+    from pandas_db_spark.operators.dedup import (_band_keys,
+                                                 _shared_shingles,
+                                                 minhash_signatures)
+    sht = _shared_shingles(train, text_col, id_col, n, persist)
+    she = _shared_shingles(eval_df, text_col, id_col, n, persist)
+    kt = (_band_keys(minhash_signatures(sht, id_col, num_perm),
+                     id_col, bands, rows)
+          .select(F.col(id_col).alias("train_id"), "band", "bh"))
+    ke = (_band_keys(minhash_signatures(she, id_col, num_perm),
+                     id_col, bands, rows)
+          .select(F.col(id_col).alias("eval_id"), "band", "bh"))
+    cand = (kt.join(ke, ["band", "bh"])
+              .select("train_id", "eval_id").distinct())
+    a = sht.select(F.col(id_col).alias("train_id"),
+                   F.col("shingles").alias("sh_a"))
+    b = she.select(F.col(id_col).alias("eval_id"),
+                   F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (cand.join(a, "train_id").join(b, "eval_id")
+                .select("train_id", "eval_id",
+                        (inter.cast("double") / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+
+def decontaminate_fuzzy(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, n: int = 3,
+                        **kw) -> DataFrame:
+    """Training corpus minus near-duplicate-contaminated documents."""
+    flagged = (contamination_pairs_fuzzy(train, eval_df, text_col, id_col,
+                                         threshold, n, **kw)
+               .select(F.col("train_id").alias(id_col)).distinct())
+    return train.join(flagged, id_col, "left_anti")

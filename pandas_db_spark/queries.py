@@ -612,6 +612,29 @@ def ann_join(spark, sf_dir):
     return S.ann_join_brute(qs, cp, k=5, exclude_self=False)
 
 
+@q("decontam_fuzzy",
+   _SHINGLES +
+   "SELECT train_id, eval_id, jaccard FROM ("
+   "SELECT a.doc_id AS train_id, b.doc_id AS eval_id, "
+   "len(list_intersect(a.sh, b.sh))::DOUBLE "
+   "/ len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard "
+   "FROM s a JOIN s b ON a.doc_id >= 50 AND b.doc_id < 50) "
+   "WHERE jaccard >= 0.8")
+def decontam_fuzzy(spark, sf_dir):
+    """FUZZY eval decontamination (operators/decontam.
+    contamination_pairs_fuzzy — r9): cross-corpus near-duplicate pairs
+    at exact 3-shingle Jaccard >= 0.8, candidates from an equi-join of
+    the two sides' MinHash band keys (only CROSS pairs surface; the
+    exact-n-gram sibling ``decontam_pairs`` catches verbatim overlap,
+    this catches the paraphrased/near-dup leakage the Dolma/Pile
+    pipelines screen for).  Oracle = exact all-cross-pairs Jaccard;
+    banded recall ~1-5e-8 at t=0.8 makes the sets equal w.o.p."""
+    from pandas_db_spark.operators import decontam as DC
+    d = get_db(spark, sf_dir).documents.df
+    return DC.contamination_pairs_fuzzy(
+        d.where(F.col("doc_id") >= 50), d.where(F.col("doc_id") < 50))
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

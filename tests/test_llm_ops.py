@@ -549,6 +549,41 @@ def test_decontamination_planted_leak(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_fuzzy_decontamination_catches_near_dup_leak(spark):
+    """A near-duplicate (not verbatim) eval leak — one word swapped, so
+    NO long n-gram survives but 3-shingle Jaccard stays high — is caught
+    by the fuzzy path and missed by the exact-8-gram path; clean docs
+    survive; only CROSS pairs ever surface."""
+    from pandas_db_spark.operators import decontam as DC
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron")
+    # swap the MIDDLE word: the longest unbroken run is 7 words on
+    # either side, so no verbatim 8-gram survives anywhere
+    leaked = base.replace("theta", "SWAP")
+    train = spark.createDataFrame(
+        [(100, leaked),
+         (101, "completely unrelated training document about spark plans"),
+         (102, base + " phi"),  # second near-dup of the eval item
+         ],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, base),
+         (2, "an eval item with no overlap at all")],
+        "doc_id long, text string")
+    fuzzy = DC.contamination_pairs_fuzzy(train, ev, threshold=0.5)
+    got = {(r.train_id, r.eval_id) for r in fuzzy.collect()}
+    assert got == {(100, 1), (102, 1)}
+    # the verbatim-8-gram path misses the word-swapped leak
+    exact = {(r.train_id, r.eval_id)
+             for r in DC.contamination_pairs(train, ev, n=8).collect()}
+    assert (100, 1) not in exact
+    clean = {r.doc_id for r in
+             DC.decontaminate_fuzzy(train, ev, threshold=0.5)
+             .select("doc_id").collect()}
+    assert clean == {101}
+
+
 def test_pack_sequences_rejects_non_numeric_id(spark):
     """A string id must raise, not silently return zero rows (the chunk
     decomposition needs id RANGES)."""
