@@ -166,6 +166,67 @@ def quality_score(text: Column) -> Column:
             + F.lit(0.3) * stopword_ratio(text))
 
 
+# Gopher rule-6 stopword list (Rae et al. 2021, app. A1.1 — "contains at
+# least 2 of the following": the 8 common English function words below).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(text: Column,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wlen: int = 3, max_mean_wlen: int = 10,
+                 ) -> dict[str, Column]:
+    """The Gopher / MassiveText document-quality rule set (Rae et al.
+    2021, appendix A1.1) as named boolean columns — the filter stack
+    every published pre-training pipeline (Gopher, RefinedWeb, Dolma,
+    FineWeb) starts from:
+
+    * ``wc_ok`` — word count in [50, 100k]
+    * ``wlen_ok`` — mean word length in [3, 10]
+    * ``symbol_ok`` — '#'/'...'-to-word ratio ≤ 0.1
+    * ``alpha_ok`` — ≥ 80% of words contain an alphabetic character
+    * ``stop_ok`` — ≥ 2 distinct Gopher stopwords present
+    * ``bullet_ok`` — ≤ 90% of lines start with a bullet
+    * ``ellipsis_ok`` — ≤ 30% of lines end with an ellipsis
+    * ``gopher_keep`` — AND of all seven
+
+    Every rule compares INTEGERS (ratios are cross-multiplied, e.g.
+    mean-word-length ∈ [3,10] becomes ``3·n ≤ Σlen ≤ 10·n``), so the
+    flags are bit-stable across engines — no float formatting in the
+    oracle compare.  Pure JVM expressions, whole-stage-codegen'd."""
+    ws = tokens(text)
+    n_words = F.size(ws)
+    sum_wlen = F.aggregate(ws, F.lit(0).cast("long"),
+                           lambda acc, w: acc + F.length(w))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ell = ((F.length(text)
+              - F.length(F.replace(text, F.lit("...")))) / 3).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(ws), sw))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike(r"^(- |\* |•)")))
+    ell_end = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    flags = {
+        "wc_ok": (n_words >= min_words) & (n_words <= max_words),
+        "wlen_ok": ((sum_wlen >= min_mean_wlen * n_words.cast("long"))
+                    & (sum_wlen <= max_mean_wlen * n_words.cast("long"))),
+        "symbol_ok": (n_hash + n_ell) * 10 <= n_words.cast("long"),
+        "alpha_ok": n_alpha * 5 >= n_words * 4,
+        "stop_ok": n_stop >= 2,
+        "bullet_ok": bullet * 10 <= n_lines * 9,
+        "ellipsis_ok": ell_end * 10 <= n_lines * 3,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    flags["gopher_keep"] = keep
+    return flags
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Distinct-stopword hits per language profile."""
     toks_d = F.array_distinct(tokens(text))

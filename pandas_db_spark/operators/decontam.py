@@ -21,6 +21,8 @@ decontamination setup exposes.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -127,4 +129,136 @@ def decontaminate_fuzzy(train: DataFrame, eval_df: DataFrame,
     flagged = (contamination_pairs_fuzzy(train, eval_df, text_col, id_col,
                                          threshold, n, **kw)
                .select(F.col("train_id").alias(id_col)).distinct())
+    return train.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter decontamination — the constant-memory probe path
+# ---------------------------------------------------------------------
+#
+# `contamination_pairs` broadcasts the eval shingle INDEX (one row per
+# distinct eval n-gram — gigabytes once the eval suite holds millions of
+# documents).  The Bloom path compresses that index into a fixed bitmap
+# (~2 MB per 100k shingles at the default sizing) that rides a single
+# TorrentBroadcast to every executor; the probe is then an
+# embarrassingly-parallel scan with NO join at all — each training
+# shingle tests k bit positions in local memory.  Only the (tiny) set of
+# HIT rows ever shuffles.  False negatives are impossible (every set bit
+# stays set), so nothing contaminated survives; false positives are
+# deterministic (seeded xxhash64) and sized to ~f^k ≈ 4e-11 per probe at
+# the default fill, i.e. expected zero wrongly-dropped docs below ~10^10
+# training shingles — and the knobs (`m_bits`, `k_hashes`) scale that
+# bound for larger corpora.
+
+_BLOOM_DEFAULT_K = 8
+
+
+def _bloom_pow2_bits(n_shingles: int, k_hashes: int) -> int:
+    """Smallest power-of-two bit count keeping fill ≈ ≤ 5% — fill
+    f = 1 - exp(-k·n/m) ≤ 0.05 needs m ≥ k·n/0.0513; the next power of
+    two also makes `pos % m` a mask."""
+    target = max(1 << 16, int(k_hashes * max(n_shingles, 1) / 0.0513))
+    m = 1 << 16
+    while m < target:
+        m <<= 1
+    return m
+
+
+def _bloom_position_cols(h, m_bits: int, k_hashes: int):
+    """k bit positions from one signed-64 xxhash64 value, derived
+    JVM-side by double hashing: pos_j = (h1 + j·h2) mod m with h1/h2 the
+    low/high 32-bit halves (h2 forced odd so the stride cycles all of a
+    power-of-two m).  Everything stays in whole-stage codegen."""
+    mask = m_bits - 1
+    h1 = F.shiftrightunsigned(h, 32)
+    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
+    return [((h1 + F.lit(j) * h2).bitwiseAND(F.lit(mask)))
+            for j in range(k_hashes)]
+
+
+def build_ngram_bloom(eval_df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 8,
+                      m_bits: int | None = None,
+                      k_hashes: int = _BLOOM_DEFAULT_K):
+    """Bloom filter over the eval set's distinct word n-grams.
+
+    Returns ``(words, m_bits, k_hashes)`` where ``words`` is the bitmap
+    as a ``numpy.uint64`` array of length ``m_bits/64``.  The build is
+    pure JVM until the final ≤ m/64-row collect: shingle → xxhash64 →
+    k positions → (word index, OR of set bits) via ``bit_or`` — the
+    driver never sees a shingle, only the finished bitmap words.
+
+    ``m_bits=None`` (default) auto-sizes to ~5% fill from a count of the
+    distinct eval shingles (one action over the eval side — small by
+    construction; pass an explicit power-of-two ``m_bits`` to stay
+    action-free)."""
+    sh = (_shingle_index(eval_df, text_col, id_col, n, "__eid")
+          .select("shingle").distinct())
+    if m_bits is None:
+        m_bits = _bloom_pow2_bits(sh.count(), k_hashes)
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    h = F.xxhash64("shingle")
+    pos = F.explode(F.array(*_bloom_position_cols(h, m_bits, k_hashes)))
+    # F.shiftleft only takes a literal shift; the SQL ShiftLeft expression
+    # accepts a column, so the per-position bit goes through selectExpr.
+    set_words = (sh.select(pos.alias("pos"))
+                   .selectExpr("shiftrightunsigned(pos, 6) AS w",
+                               "shiftleft(1L, CAST(pos & 63 AS INT)) AS bit")
+                   .groupBy("w").agg(F.bit_or("bit").alias("bits"))
+                   .collect())
+    words = np.zeros(m_bits >> 6, dtype=np.uint64)
+    for row in set_words:
+        words[int(row["w"])] = np.uint64(row["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return words, m_bits, k_hashes
+
+
+def bloom_contaminated(train: DataFrame, bloom, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 8,
+                       min_shared: int = 1) -> DataFrame:
+    """Training doc ids whose text shares ≥ ``min_shared`` distinct
+    n-grams with the Bloom'd eval set — ``(train_id, n_shared)``.
+
+    The probe is join-free: shingles hash JVM-side (the same xxhash64
+    the build used), and one vectorized Arrow UDF tests the k bit
+    positions against the broadcast bitmap in numpy.  Misses are
+    filtered BEFORE the groupBy, so the only shuffle carries hit rows."""
+    words, m_bits, k_hashes = bloom
+    mask = np.uint64(m_bits - 1)
+    bc = train.sparkSession.sparkContext.broadcast(words)
+
+    @F.pandas_udf("boolean")
+    def member(hs: pd.Series) -> pd.Series:
+        bitmap = bc.value
+        h = hs.to_numpy(dtype=np.int64).view(np.uint64)
+        h1 = h >> np.uint64(32)
+        h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k_hashes):
+            pos = (h1 + np.uint64(j) * h2) & mask
+            w = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= ((w >> (pos & np.uint64(63))) & np.uint64(1)) != 0
+        return pd.Series(hit)
+
+    sh = _shingle_index(train, text_col, id_col, n, "train_id")
+    hits = sh.where(member(F.xxhash64("shingle")))
+    return (hits.groupBy("train_id")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared))
+
+
+def decontaminate_bloom(train: DataFrame, eval_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, min_shared: int = 1,
+                        m_bits: int | None = None,
+                        k_hashes: int = _BLOOM_DEFAULT_K) -> DataFrame:
+    """Training corpus minus Bloom-flagged documents.  Zero false
+    negatives by construction (contaminated docs can never survive);
+    the deterministic false-positive mass is sized to ~zero docs at the
+    default fill and shrinks further with ``m_bits``/``k_hashes``."""
+    bloom = build_ngram_bloom(eval_df, text_col, id_col, n, m_bits,
+                              k_hashes)
+    flagged = (bloom_contaminated(train, bloom, text_col, id_col, n,
+                                  min_shared)
+               .select(F.col("train_id").alias(id_col)))
     return train.join(flagged, id_col, "left_anti")

@@ -635,6 +635,82 @@ def decontam_fuzzy(spark, sf_dir):
         d.where(F.col("doc_id") >= 50), d.where(F.col("doc_id") < 50))
 
 
+@q("decontam_bloom",
+   "WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 8 THEN "
+   "[ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' "
+   "|| ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] "
+   "for i in range(1, len(ws)-6)] "
+   "ELSE [array_to_string(ws, ' ')] END) AS sh FROM w), "
+   "ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 50), "
+   "tr AS (SELECT doc_id AS train_id, unnest(sh) AS shingle FROM s "
+   "WHERE doc_id >= 50) "
+   "SELECT train_id, count(*) AS n_shared FROM tr JOIN ev USING (shingle) "
+   "GROUP BY train_id")
+def decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (operators/decontam.build_ngram_bloom
+    + bloom_contaminated — r9): the eval 8-gram set compressed into a
+    ~5%-fill bitmap (2 MB per 100k shingles), probed join-free — each
+    training shingle tests k=8 xxhash64-derived bit positions against
+    the broadcast bitmap in one vectorized Arrow batch; only HIT rows
+    reach the groupBy.  This is the constant-memory path for eval
+    suites too large to broadcast as an index.  Zero false negatives by
+    construction; the oracle is the EXACT distinct-shingle overlap —
+    equality holds because the deterministic false-positive mass at 5%
+    fill is (0.05)^8 ≈ 4e-11 per probe, i.e. expected zero spurious
+    shingle hits below ~10^10 probes (measured zero at sf0.01/sf0.1)."""
+    from pandas_db_spark.operators import decontam as DC
+    d = get_db(spark, sf_dir).documents.df
+    bloom = DC.build_ngram_bloom(d.where(F.col("doc_id") < 50))
+    return DC.bloom_contaminated(d.where(F.col("doc_id") >= 50), bloom)
+
+
+@q("gopher_rules",
+   "WITH b AS (SELECT doc_id, "
+   "regexp_split_to_array(trim(text), '\\s+') AS ws, "
+   "string_split(text, chr(10)) AS ls, "
+   "len(text) - len(replace(text, '#', '')) AS n_hash, "
+   "(len(text) - len(replace(text, '...', ''))) // 3 AS n_ell "
+   "FROM documents), "
+   "m AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+   "list_sum(list_transform(ws, w -> len(w)))::BIGINT AS sum_wlen, "
+   "len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT "
+   "AS n_alpha, "
+   "len(list_filter(['the','be','to','of','and','that','have','with'], "
+   "s -> list_contains(ws, s)))::BIGINT AS n_stop, "
+   "len(ls)::BIGINT AS n_lines, "
+   "len(list_filter(ls, l -> regexp_matches(ltrim(l), "
+   "'^(- |\\* |•)')))::BIGINT AS n_bullet, "
+   "len(list_filter(ls, l -> regexp_matches(rtrim(l), "
+   "'(\\.\\.\\.|…)$')))::BIGINT AS n_ellend, "
+   "n_hash, n_ell FROM b), "
+   "f AS (SELECT doc_id, "
+   "n_words >= 50 AND n_words <= 100000 AS wc_ok, "
+   "sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words AS wlen_ok, "
+   "(n_hash + n_ell) * 10 <= n_words AS symbol_ok, "
+   "n_alpha * 5 >= n_words * 4 AS alpha_ok, "
+   "n_stop >= 2 AS stop_ok, "
+   "n_bullet * 10 <= n_lines * 9 AS bullet_ok, "
+   "n_ellend * 10 <= n_lines * 3 AS ellipsis_ok FROM m) "
+   "SELECT doc_id, wc_ok, wlen_ok, symbol_ok, alpha_ok, stop_ok, "
+   "bullet_ok, ellipsis_ok, "
+   "wc_ok AND wlen_ok AND symbol_ok AND alpha_ok AND stop_ok "
+   "AND bullet_ok AND ellipsis_ok AS gopher_keep FROM f")
+def gopher_rules(spark, sf_dir):
+    """The full Gopher/MassiveText quality-rule stack (Rae et al. 2021
+    app. A1.1; functions/text.gopher_flags — r9) as per-document boolean
+    flags + the AND'd keep decision — the filter stage RefinedWeb/Dolma/
+    FineWeb pipelines run before any dedup.  Pure JVM expressions, one
+    narrow scan, zero shuffles; every ratio rule is cross-multiplied to
+    an INTEGER compare so the oracle hash is float-free."""
+    from pandas_db_spark.functions.text import gopher_flags
+    d = get_db(spark, sf_dir).documents.df
+    flags = gopher_flags(F.col("text"))
+    return d.select("doc_id",
+                    *[c.alias(name) for name, c in flags.items()])
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

@@ -584,6 +584,77 @@ def test_fuzzy_decontamination_catches_near_dup_leak(spark):
     assert clean == {101}
 
 
+def test_bloom_decontamination_matches_exact_path(spark):
+    """The Bloom probe flags exactly the exact-overlap set (no false
+    negatives by construction; FP mass sized to ~zero), the probe plan
+    is join-free, and the bitmap honours an explicit m_bits."""
+    from pandas_db_spark.operators import decontam as DC
+
+    leak = "the secret benchmark answer is forty two exactly here"
+    train = spark.createDataFrame(
+        [(100, f"some filler text then {leak} and a tail of words"),
+         (101, "completely unrelated training document about spark plans"),
+         (102, "another clean doc with its own fresh tokens entirely")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, f"eval question: {leak}"),
+         (2, "an eval item with no overlap at all")],
+        "doc_id long, text string")
+    bloom = DC.build_ngram_bloom(ev, m_bits=1 << 16)
+    assert bloom[1] == 1 << 16
+    flagged = DC.bloom_contaminated(train, bloom)
+    assert {(r.train_id, r.n_shared) for r in flagged.collect()} == {(100, 2)}
+    clean = {r.doc_id for r in DC.decontaminate_bloom(train, ev)
+             .select("doc_id").collect()}
+    assert clean == {101, 102}
+    # the probe itself is join-free: shingle → bitmap test, no Exchange
+    # before the hit aggregation, and no join operator at all
+    plan = formatted_plan(DC.bloom_contaminated(train, bloom))
+    assert "Join" not in plan, plan
+    with pytest.raises(ValueError, match="power of two"):
+        DC.build_ngram_bloom(ev, m_bits=1000)
+
+
+def test_gopher_flags_rules_fire_individually(spark):
+    """Each Gopher rule trips on its designed pathology and the keep
+    flag is the conjunction."""
+    from pandas_db_spark.functions.text import gopher_flags
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "runs away to be with the other foxes that have made "
+             "their home beyond the river of glass with ample speed "
+             "and grace that none of the hounds could ever hope to "
+             "match even on the best of days for they have trained") * 2
+    rows = [
+        (0, prose),                                   # clean: all pass
+        (1, "too short"),                             # wc_ok fails
+        (2, " ".join(["a"] * 60)),                    # wlen_ok fails (mean 1)
+        (3, prose + " " + "#" * 1 + " #" * 30),       # symbol_ok fails
+        (4, prose + " " + " ".join(["123"] * 60)),    # alpha_ok fails
+        (5, "\n".join(["- bullet line"] * 40) + "\n" + prose),  # bullet
+        (6, "\n".join(["ends like this..."] * 40) + "\n" + prose),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_flags(F.col("text"))
+    out = {r.doc_id: r.asDict() for r in
+           df.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+           .collect()}
+    assert out[0]["gopher_keep"]
+    assert not out[1]["wc_ok"] and not out[1]["gopher_keep"]
+    assert not out[2]["wlen_ok"]
+    assert not out[3]["symbol_ok"]
+    assert not out[4]["alpha_ok"]
+    assert not out[5]["bullet_ok"]
+    assert not out[6]["ellipsis_ok"]
+    # stopword rule: a doc with < 2 distinct Gopher stopwords
+    lex = spark.createDataFrame(
+        [(7, " ".join(["word unique tokens galore"] * 30))],
+        "doc_id long, text string")
+    got = lex.select(gopher_flags(F.col("text"))["stop_ok"]
+                     .alias("s")).collect()[0].s
+    assert not got
+
+
 def test_pack_sequences_rejects_non_numeric_id(spark):
     """A string id must raise, not silently return zero rows (the chunk
     decomposition needs id RANGES)."""
