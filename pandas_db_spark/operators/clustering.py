@@ -138,3 +138,62 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
     cent = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col,
                       vec_col=vec_col)
     return assign_clusters(emb, cent, id_col=id_col, vec_col=vec_col)
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.95, k: int = 8,
+             n_iter: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning within-cluster
+    near-duplicates — returns the SURVIVOR frame (all of ``emb``'s
+    columns plus ``cluster_id``).
+
+    Recipe, as published: spherical k-means partitions the corpus;
+    within each cluster every pair with cosine ≥ ``threshold`` is a
+    semantic duplicate edge; of each connected duplicate group, the
+    example kept is the one with the LOWEST cosine to its cluster
+    centroid (the paper's diversity-preserving keeper rule; ties break
+    to the minimum id).
+
+    Plan shape at 100 TB: assignment is one narrow Arrow pass (the
+    centroid matrix rides the closure); pair generation shuffles once
+    on ``cluster_id`` and is quadratic only WITHIN a cluster, so ``k``
+    is the knob — size it for ~n/k-row clusters exactly as the paper
+    does (50k clusters for LAION); the keeper rule reuses the
+    union-find/large-star machinery of :func:`pandas_db_spark.operators.
+    graph.keep_components_by`, never collecting vectors."""
+    from pandas_db_spark.operators.graph import keep_components_by
+    from pandas_db_spark.operators.similarity import cosine_sim
+
+    if centroids is None:
+        centroids = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col,
+                               vec_col=vec_col)
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    assigned = assign_clusters(emb, cent, id_col=id_col, vec_col=vec_col)
+    base = emb.join(assigned, id_col)
+
+    # centroid similarity for the keeper rule, recomputed JVM-side from
+    # the SAME normalized matrix the assignment used (array literal —
+    # k·d doubles; for k beyond ~10⁴ pass `centroids` from a persisted
+    # index and swap the literal for a broadcast join on cluster_id)
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                         for row in cent])
+    cent_vec = F.element_at(cent_lit, (F.col("cluster_id") + 1).cast("int"))
+    scored = base.withColumn(
+        "__csim", cosine_sim(cent_vec, F.col(vec_col).cast("array<double>")))
+
+    a = scored.select(F.col(id_col).alias("id_a"),
+                      F.col("cluster_id").alias("__ca"),
+                      F.col(vec_col).alias("__va"))
+    b = scored.select(F.col(id_col).alias("id_b"),
+                      F.col("cluster_id").alias("__cb"),
+                      F.col(vec_col).alias("__vb"))
+    pairs = (a.join(b, (F.col("__ca") == F.col("__cb"))
+                    & (F.col("id_a") < F.col("id_b")))
+             .where(cosine_sim(F.col("__va"), F.col("__vb")) >= threshold)
+             .select("id_a", "id_b"))
+
+    kept = keep_components_by(scored, pairs, id_col, "__csim",
+                              ascending=True)
+    return kept.drop("__csim")

@@ -363,6 +363,49 @@ def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
                        "doc_id", "score"))
 
 
+def hybrid_topk(docs: DataFrame, emb: DataFrame, query: str,
+                query_vec_id: int, k: int = 10, fetch_k: int = 50,
+                k_rrf: int = 60, text_col: str = "text",
+                id_col: str = "doc_id", emb_id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion
+    (Cormack et al. 2009): fetch the BM25 top-``fetch_k`` for ``query``
+    and the exact-cosine top-``fetch_k`` for the query vector, fuse with
+    ``rrf = Σ 1/(k_rrf + rank)`` (a list a doc is absent from
+    contributes 0), return the fused top-``k`` as
+    ``(rank, doc_id, in_bm25, in_dense)``.
+
+    Plan shape at 100 TB: both branches are already scale-proven — BM25
+    never shuffles the corpus (term-filtered postings), the dense side
+    is a broadcast-query brute scan with per-partition top-k — and the
+    fusion joins two ≤ fetch_k-row frames, so AQE broadcasts both.
+    Output is integer/boolean-only: ranks fuse through ``1/(k_rrf+r)``
+    doubles, identical IEEE ops in any engine, so the fused order (ties
+    broken by doc_id) hashes bit-stably."""
+    from pandas_db_spark.operators.similarity import ann_topk_brute
+
+    bm = (bm25_topk(docs, text_col, id_col, query, k=fetch_k)
+          .select(id_col, F.col("rank").alias("__rb")))
+    dn = (ann_topk_brute(emb, [query_vec_id], k=fetch_k,
+                         id_col=emb_id_col)
+          .select(F.col("neighbor_id").alias(id_col),
+                  F.col("rank").alias("__rd")))
+    one = F.lit(1.0)
+    zero = F.lit(0.0)
+    fused = (bm.join(dn, id_col, "full_outer")
+             .select(id_col,
+                     (F.coalesce(one / (F.lit(k_rrf) + F.col("__rb")), zero)
+                      + F.coalesce(one / (F.lit(k_rrf) + F.col("__rd")),
+                                   zero)).alias("__rrf"),
+                     F.col("__rb").isNotNull().alias("in_bm25"),
+                     F.col("__rd").isNotNull().alias("in_dense")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("__rrf"), F.asc(id_col))
+    return (fused.select(F.row_number().over(w).alias("rank"), id_col,
+                         "in_bm25", "in_dense")
+            .where(F.col("rank") <= k))
+
+
 def build_vocab(docs: DataFrame, text_col: str, id_col: str,
                 min_df: int = 1, max_df_frac: float = 1.0,
                 max_size: int | None = None) -> DataFrame:

@@ -711,6 +711,88 @@ def gopher_rules(spark, sf_dir):
                     *[c.alias(name) for name, c in flags.items()])
 
 
+@q("hybrid_topk",
+   "WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "st AS (SELECT count(*) n, avg(len(ws)) avgdl FROM d), "
+   "p AS (SELECT doc_id, len(ws) dl, unnest(ws) term FROM d), "
+   "tf AS (SELECT doc_id, term, any_value(dl) dl, count(*) tf FROM p "
+   "WHERE term IN ('merge', 'vector', 'stream') GROUP BY doc_id, term), "
+   "dfq AS (SELECT term, count(*) df FROM tf GROUP BY term), "
+   "sc AS (SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) "
+   "/ (dfq.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 "
+   "+ 0.75 * tf.dl / st.avgdl))) AS score "
+   "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st "
+   "GROUP BY tf.doc_id), "
+   "bm AS (SELECT doc_id, rb FROM (SELECT doc_id, row_number() OVER ("
+   "ORDER BY score DESC, doc_id) AS rb FROM sc) WHERE rb <= 50), "
+   "dn AS (SELECT doc_id, rd FROM (SELECT e.vec_id AS doc_id, "
+   "row_number() OVER (ORDER BY list_cosine_similarity("
+   "q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id) AS rd "
+   "FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings "
+   "WHERE vec_id = 0) q WHERE e.vec_id <> 0) WHERE rd <= 50), "
+   "f AS (SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id, "
+   "coalesce(1::DOUBLE / (60 + rb), 0) "
+   "+ coalesce(1::DOUBLE / (60 + rd), 0) AS rrf, "
+   "rb IS NOT NULL AS in_bm25, rd IS NOT NULL AS in_dense "
+   "FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id) "
+   "SELECT rank::INT AS rank, doc_id, in_bm25, in_dense FROM ("
+   "SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank, "
+   "doc_id, in_bm25, in_dense FROM f) WHERE rank <= 10")
+def hybrid_topk(spark, sf_dir):
+    """Hybrid sparse+dense retrieval via Reciprocal Rank Fusion
+    (operators/retrieval.hybrid_topk — r9, Cormack et al. 2009): BM25
+    top-50 for 'merge vector stream' fused with the exact-cosine top-50
+    for query vector 0 by Σ 1/(60+rank), fused top-10 returned.  Both
+    branches are the scale-proven paths (term-filtered postings /
+    broadcast-query brute scan); the fusion full-outer-joins two 50-row
+    frames.  Integer/boolean output — the rrf doubles are identical
+    single IEEE ops in both engines, ties break by doc_id."""
+    from pandas_db_spark.operators import retrieval as R
+    db = get_db(spark, sf_dir)
+    return R.hybrid_topk(db.documents.df, db.embeddings.df,
+                         "merge vector stream", 0, k=10)
+
+
+@q("semdedup",
+   "SELECT (SELECT count(*) FROM embeddings) + 25 AS n_in, "
+   "CAST(25 AS BIGINT) AS planted_dropped, "
+   "CAST(0 AS BIGINT) AS violations")
+def semdedup_invariant(spark, sf_dir):
+    """SemDeDup (operators/clustering.semdedup — r9, Abbas et al. 2023):
+    spherical-k-means clusters, within-cluster cosine-≥τ pairs pruned
+    keeping the lowest-centroid-similarity example per duplicate group.
+    Float partial sums make raw survivor ids unhashable (same reason
+    ``cluster_kmeans`` is rows-only), so this registers the driver-
+    checkable contract: 25 planted exact copies (identical embeddings →
+    identical cluster, cosine 1) must ALL drop, and zero within-cluster
+    pairs at cosine ≥ τ survive — verified by re-running the pair scan
+    over the survivor set through the same JVM cosine."""
+    from pandas_db_spark.operators.clustering import semdedup
+    from pandas_db_spark.operators.similarity import cosine_sim
+    e = get_db(spark, sf_dir).embeddings.df
+    copies = (e.where(F.col("vec_id") < 25)
+               .withColumn("vec_id", F.col("vec_id") + 10_000_000))
+    corpus = e.unionByName(copies)
+    kept = semdedup(corpus, threshold=0.95, k=8)
+    n_in = corpus.count()
+    planted_dropped = 25 - kept.where(
+        F.col("vec_id") >= 10_000_000).count()
+    a = kept.select(F.col("vec_id").alias("__ia"),
+                    F.col("cluster_id").alias("__ca"),
+                    F.col("embedding").alias("__va"))
+    b = kept.select(F.col("vec_id").alias("__ib"),
+                    F.col("cluster_id").alias("__cb"),
+                    F.col("embedding").alias("__vb"))
+    violations = (a.join(b, (F.col("__ca") == F.col("__cb"))
+                         & (F.col("__ia") < F.col("__ib")))
+                  .where(cosine_sim(F.col("__va"), F.col("__vb")) >= 0.95)
+                  .count())
+    return spark.createDataFrame(
+        [(n_in, planted_dropped, violations)],
+        "n_in long, planted_dropped long, violations long")
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

@@ -1630,3 +1630,35 @@ def test_strip_duplicate_spans_owner_protection(spark):
     # overlapped by A's 8-gram window extensions) must survive intact
     assert out[1]["clean_text"] == b, out[1]["clean_text"]
     # corpus-wide: both spans still exist exactly once
+
+
+def test_semdedup_keeper_rule_and_invariants(spark):
+    """SemDeDup on a constructed corpus: within a tight duplicate group
+    the survivor is the LOWEST-centroid-similarity member (the paper's
+    diversity rule), singletons survive untouched, and no within-cluster
+    pair >= tau remains afterwards."""
+    import numpy as np
+    from pandas_db_spark.operators.clustering import semdedup
+
+    # cluster A around +x: a tight trio of near-duplicates with
+    # DIFFERENT distances to the cluster mean; cluster B around +y:
+    # two well-separated (non-dup) members
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.0447, 0.0]),      # ~0.999 cos to #1
+        (3, [0.995, 0.0999, 0.0]),      # farthest from centroid in trio
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.8, 0.6]),          # cos 0.8 to #10 — below tau
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = semdedup(emb, threshold=0.97, k=2, n_iter=4)
+    ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    # trio collapses to ONE survivor: the member farthest from the
+    # centroid (vec 3); both B members survive (their cosine < tau)
+    assert ids == {3, 10, 11}, ids
+    # survivors keep all original columns + cluster_id
+    assert set(kept.columns) == {"vec_id", "embedding", "cluster_id"}
+    # passing precomputed centroids skips the fit and is honored
+    cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    kept2 = semdedup(emb, threshold=0.97, centroids=cents)
+    assert {r.vec_id for r in kept2.select("vec_id").collect()} == {3, 10, 11}

@@ -326,3 +326,40 @@ def test_bm25_topk_construction_runs_zero_jobs(spark, db):
     rows = out.collect()
     assert 1 <= len(rows) <= 5
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_hybrid_topk_rrf_fusion_hand_checked(spark):
+    """RRF arithmetic on a tiny corpus where both branch rankings are
+    known: doc present in both lists outranks single-list docs, scores
+    are exactly 1/(60+rb) + 1/(60+rd), membership flags correct."""
+    docs = spark.createDataFrame(
+        [(1, "merge merge merge"),       # bm25 #1
+         (2, "merge stream"),            # bm25 #2-ish
+         (3, "no relevant terms here"),  # bm25 absent
+         (4, "vector")],                 # bm25 present
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]),    # query vector
+         (1, [0.0, 1.0]),    # orthogonal -> dense last
+         (2, [0.9, 0.1]),
+         (3, [1.0, 0.05]),
+         (4, [-1.0, 0.0])],  # opposite -> dense worst
+        "vec_id long, embedding array<float>")
+    out = R.hybrid_topk(docs, emb, "merge vector stream", 0, k=10,
+                        fetch_k=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    # dense top-3 (excl. self): 3 (.999), 2 (.994), 1 (0.0)
+    assert rows[3].in_dense and rows[2].in_dense and rows[1].in_dense
+    assert not rows[4].in_dense
+    # bm25 top-3 of the 3 term-matching docs: 1, 2, 4 — doc 3 absent
+    assert rows[1].in_bm25 and rows[2].in_bm25 and rows[4].in_bm25
+    assert 3 in rows and not rows[3].in_bm25
+    # doc 2 is in BOTH lists -> must outrank every single-list doc
+    both = [d for d, r in rows.items() if r.in_bm25 and r.in_dense]
+    single = [d for d, r in rows.items() if not (r.in_bm25 and r.in_dense)]
+    worst_both = max(rows[d].rank for d in both)
+    best_single = min(rows[d].rank for d in single)
+    assert worst_both < best_single
+    # ranks are 1..n with no gaps
+    assert sorted(r.rank for r in rows.values()) == list(
+        range(1, len(rows) + 1))
