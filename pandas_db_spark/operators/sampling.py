@@ -228,6 +228,35 @@ def balance_classes(df: DataFrame, label_col: str, key_col: str,
     return df.filter(keep)
 
 
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  order_by, ascending: bool = False,
+                  tie_col: str | None = None) -> DataFrame:
+    """Keep at most ``cap`` rows per group, the best first — the
+    MassiveText/RefinedWeb per-domain cap (no single domain may
+    dominate the corpus): rows rank within their group by ``order_by``
+    (a column name or Column, e.g. a quality score; ``ascending=False``
+    keeps the highest) with ``tie_col`` as the deterministic
+    tie-breaker (defaults to ``group_col``-independent natural order —
+    pass the id column for engine-stable output).
+
+    Scale shape: the ``row_number() <= cap`` filter is recognized by
+    Catalyst's WindowGroupLimit rule, which pushes a PARTIAL per-task
+    top-``cap`` below the shuffle — each task forwards at most ``cap``
+    rows per group it sees, so a pathologically hot domain (the exact
+    case the cap exists for) never concentrates its full row set on one
+    reducer.  One keyed shuffle, no skew cliff."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap_per_group: cap must be >= 1")
+    oc = F.col(order_by) if isinstance(order_by, str) else order_by
+    oc = oc.asc() if ascending else oc.desc()
+    order = [oc] + ([F.col(tie_col).asc()] if tie_col else [])
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= cap).drop("__rn"))
+
+
 def epoch_shuffle(df: DataFrame, key_col: str, seed: str = "0",
                   pos_col: str = "pos",
                   num_partitions: int | None = None) -> DataFrame:

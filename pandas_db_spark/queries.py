@@ -793,6 +793,25 @@ def semdedup_invariant(spark, sf_dir):
         "n_in long, planted_dropped long, violations long")
 
 
+@q("cap_per_source",
+   "SELECT doc_id, source, n_chars FROM (SELECT doc_id, source, n_chars, "
+   "row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) "
+   "AS rn FROM documents) WHERE rn <= 15")
+def cap_per_source(spark, sf_dir):
+    """Per-domain cap (operators/sampling.cap_per_group — r9, the
+    MassiveText anti-domination rule): at most 15 docs per source
+    (binding at every SF), best-first by n_chars with doc_id tie-break.
+    The row_number<=cap filter compiles to WindowGroupLimit — a
+    partial per-task top-15
+    runs BELOW the shuffle, so a hot domain never lands whole on one
+    reducer (asserted in test_plans)."""
+    from pandas_db_spark.operators.sampling import cap_per_group
+    d = get_db(spark, sf_dir).documents.df
+    return cap_per_group(d, "source", 15, "n_chars",
+                         tie_col="doc_id").select("doc_id", "source",
+                                                  "n_chars")
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

@@ -152,3 +152,32 @@ def test_plan_report_shapes(spark, db):
     assert rep["python_udfs"] == 0
     agg = db.orders.df.groupBy("o_orderstatus").count()
     assert plan_report(agg)["shuffles"] >= 1
+
+
+def test_cap_per_group_uses_window_group_limit(spark, db):
+    """The per-domain cap must compile to WindowGroupLimit: Catalyst
+    pushes a PARTIAL per-task top-cap below the shuffle, so a hot
+    domain never concentrates its full row set on one reducer — the
+    scale property the cap exists to provide."""
+    from pandas_db_spark.operators.sampling import cap_per_group
+
+    capped = cap_per_group(db.documents.df, "source", 5, "n_chars",
+                           tie_col="doc_id")
+    plan = formatted_plan(capped)
+    assert "WindowGroupLimit" in plan, plan
+    # partial mode must appear BELOW the exchange (two occurrences:
+    # Partial then Final)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    rows = capped.groupBy("source").count().collect()
+    assert rows and all(r["count"] <= 5 for r in rows)
+    # best-first: within a source the kept docs are the top-n_chars ones
+    one = [r["source"] for r in rows][0]
+    kept = {r.doc_id for r in capped.where(F.col("source") == one)
+            .select("doc_id").collect()}
+    allrows = (db.documents.df.where(F.col("source") == one)
+               .select("doc_id", "n_chars").collect())
+    want = {r.doc_id for r in sorted(
+        allrows, key=lambda r: (-r.n_chars, r.doc_id))[:5]}
+    assert kept == want
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        cap_per_group(db.documents.df, "source", 0, "n_chars")
