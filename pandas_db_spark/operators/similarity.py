@@ -588,8 +588,7 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
     pairs rely on ``nprobe`` multi-probe to cover list boundaries — no
     S-curve guarantee, so certify recall with :func:`cosine_pairs_lsh`
     where required (planted-pair gate: ``dedup_embedding_ivf``)."""
-    from pandas_db_spark.operators.dedup import (_bucket_pairs,
-                                                 _ensure_parallelism)
+    from pandas_db_spark.operators.dedup import _ensure_parallelism
     nn = n if n is not None else _corpus_count(emb)
     if nn < 2:
         # _fit_centroids cannot fit on an empty/singleton sample (and
@@ -601,8 +600,41 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
     cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
     assigns = _assign_lists_multi(_ensure_parallelism(emb), cent, nprobe,
                                   id_col, vec_col)
-    cand = _bucket_pairs(assigns.withColumnRenamed(id_col, "id"),
-                         ["list_id"], "id")
+
+    # Pair generation + similarity PREFILTER fused into one cogrouped
+    # Arrow pass (r9 perf: the previous shape exploded all Σ C(|list|,2)
+    # candidate rows — 250k at sf0.1 — through a shuffle, two vector
+    # joins, and an interpreted HOF cosine per pair ≈ 9 s of the 7 s
+    # query; this is the ann_join block-cogroup device applied to
+    # within-list pairs).  Lists are bounded (~nprobe · target_list_size
+    # rows), so each group is one small float64 matmul; only pairs with
+    # numpy cosine ≥ threshold − 1e-9 leave the worker.  The margin is
+    # ~1e3× the worst-case float64 summation-order difference for unit
+    # vectors at these dims, so no pair the EXACT filter would keep can
+    # be dropped — and the final decision below is still the bit-exact
+    # JVM fold, applied to the (tiny) prefilter survivor set only.
+    eps = 1e-9
+    vecs = emb.select(F.col(id_col).alias("__pid"), vec_col)
+    grouped = assigns.join(vecs, assigns[id_col] == vecs["__pid"]) \
+                     .select("list_id", id_col, vec_col)
+
+    def near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = sims[ia, ib] >= threshold - eps
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (grouped.groupBy("list_id")
+                   .applyInPandas(near_pairs, "id_a long, id_b long")
+                   .distinct())  # nprobe co-listings emit the same pair
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
