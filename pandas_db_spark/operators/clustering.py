@@ -183,16 +183,14 @@ def semdedup(emb: DataFrame, threshold: float = 0.95, k: int = 8,
     scored = base.withColumn(
         "__csim", cosine_sim(cent_vec, F.col(vec_col).cast("array<double>")))
 
-    a = scored.select(F.col(id_col).alias("id_a"),
-                      F.col("cluster_id").alias("__ca"),
-                      F.col(vec_col).alias("__va"))
-    b = scored.select(F.col(id_col).alias("id_b"),
-                      F.col("cluster_id").alias("__cb"),
-                      F.col(vec_col).alias("__vb"))
-    pairs = (a.join(b, (F.col("__ca") == F.col("__cb"))
-                    & (F.col("id_a") < F.col("id_b")))
-             .where(cosine_sim(F.col("__va"), F.col("__vb")) >= threshold)
-             .select("id_a", "id_b"))
+    # within-cluster duplicate edges via the fused cogroup device (one
+    # small matmul per cluster + bit-exact JVM re-verify of the near-
+    # threshold survivors) — see within_group_pairs for the epsilon
+    # soundness argument
+    from pandas_db_spark.operators.similarity import within_group_pairs
+    pairs = within_group_pairs(
+        base.select("cluster_id", id_col, vec_col),
+        "cluster_id", id_col, vec_col, threshold, emb)
 
     kept = keep_components_by(scored, pairs, id_col, "__csim",
                               ascending=True)

@@ -550,6 +550,55 @@ def auto_nlist(n: int, target_list_size: int = 64,
     return min(max(16, math.ceil(n / max(1, target_list_size))), sample_n)
 
 
+def within_group_pairs(grouped: DataFrame, group_col: str, id_col: str,
+                       vec_col: str, threshold: float,
+                       emb: DataFrame) -> DataFrame:
+    """``(id_a, id_b)`` with exact cosine ≥ ``threshold`` among rows
+    sharing ``group_col`` — the fused pair-generation device shared by
+    the IVF dedup route and SemDeDup (r9 perf).
+
+    One cogrouped Arrow pass: each group (bounded by construction —
+    coarse lists / clusters) is a single float64 matmul computing every
+    within-group cosine, and only pairs at ``≥ threshold − 1e-9`` leave
+    the worker.  That margin is ~1e3× the worst float64
+    summation-order difference for unit vectors at embedding dims, so
+    no pair the exact filter would keep can be prefiltered away; the
+    returned frame applies the bit-exact JVM fold (`cosine_sim`) to the
+    tiny survivor set, keeping filter decisions bit-identical to the
+    DuckDB oracles.  The earlier shape — explode all Σ C(|group|,2)
+    candidates through a shuffle, two vector joins and an interpreted
+    HOF cosine per pair — was 250k rows and ~5 s at sf0.1; this is one
+    small shuffle of the vectors and ~1e2 verify rows.
+
+    ``emb`` supplies ``(id_col, vec_col)`` for the exact re-verify."""
+    eps = 1e-9
+
+    def near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = sims[ia, ib] >= threshold - eps
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (grouped.groupBy(group_col)
+                   .applyInPandas(near_pairs, "id_a long, id_b long")
+                   .distinct())  # multi-probe co-listings repeat a pair
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    return (joined.select("id_a", "id_b",
+                          cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
+                  .filter(F.col("sim") >= threshold)
+                  .select("id_a", "id_b"))
+
+
 def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
                      nlist="auto", nprobe: int = 2,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -601,47 +650,11 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
     assigns = _assign_lists_multi(_ensure_parallelism(emb), cent, nprobe,
                                   id_col, vec_col)
 
-    # Pair generation + similarity PREFILTER fused into one cogrouped
-    # Arrow pass (r9 perf: the previous shape exploded all Σ C(|list|,2)
-    # candidate rows — 250k at sf0.1 — through a shuffle, two vector
-    # joins, and an interpreted HOF cosine per pair ≈ 9 s of the 7 s
-    # query; this is the ann_join block-cogroup device applied to
-    # within-list pairs).  Lists are bounded (~nprobe · target_list_size
-    # rows), so each group is one small float64 matmul; only pairs with
-    # numpy cosine ≥ threshold − 1e-9 leave the worker.  The margin is
-    # ~1e3× the worst-case float64 summation-order difference for unit
-    # vectors at these dims, so no pair the EXACT filter would keep can
-    # be dropped — and the final decision below is still the bit-exact
-    # JVM fold, applied to the (tiny) prefilter survivor set only.
-    eps = 1e-9
     vecs = emb.select(F.col(id_col).alias("__pid"), vec_col)
     grouped = assigns.join(vecs, assigns[id_col] == vecs["__pid"]) \
                      .select("list_id", id_col, vec_col)
-
-    def near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = sims[ia, ib] >= threshold - eps
-        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
-        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
-
-    cand = (grouped.groupBy("list_id")
-                   .applyInPandas(near_pairs, "id_a long, id_b long")
-                   .distinct())  # nprobe co-listings emit the same pair
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    joined = cand.join(a, "id_a").join(b, "id_b")
-    return (joined.select("id_a", "id_b",
-                          cosine_sim(F.col("va"), F.col("vb")).alias("sim"))
-                  .filter(F.col("sim") >= threshold)
-                  .select("id_a", "id_b"))
+    return within_group_pairs(grouped, "list_id", id_col, vec_col,
+                              threshold, emb)
 
 
 # ---------------------------------------------------------------------------
