@@ -96,6 +96,11 @@ HEADLINE = [
     "ccnet_buckets",      # LM-rank thirds via broadcast-offset ordinal (r9 add)
     "winnow_fp",          # MOSS winnowed fingerprint index, shuffle-free (r9 add)
     "ann_pq",             # PQ ADC scan over 8-byte codes + exact re-rank (r9 add)
+    "decontam_bloom",     # join-free Bloom-bitmap eval-overlap probe (r9 add)
+    "gopher_rules",       # 7 MassiveText quality rules, one scan, int compares (r9 add)
+    "hybrid_topk",        # BM25 + dense RRF fusion of two top-50 branches (r9 add)
+    "semdedup",           # k-means + fused within-cluster prune, invariant gate (r9 add)
+    "cap_per_source",     # per-domain cap via WindowGroupLimit partial top-n (r9 add)
 ]
 
 
