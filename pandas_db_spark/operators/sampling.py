@@ -79,6 +79,41 @@ def weighted_hash_sample(df: DataFrame, rate: float, weight_col: str,
     return df.filter(u32 < thresh)
 
 
+def weighted_sample_n(df: DataFrame, n: int, weight_col: str,
+                      key_col: str, salt: str = "") -> DataFrame:
+    """Deterministic EXACT-n weighted sample without replacement —
+    Efraimidis–Spirakis (2006) A-ES: each row draws a reproducible
+    uniform u from md5(key‖salt) and ranks by ``ln(u) / w``; the top-n
+    keys ARE a weight-proportional sample without replacement (their
+    Theorem 1, with u^(1/w) ranking rewritten through the monotone log).
+    The Bernoulli sibling :func:`weighted_hash_sample` keeps an
+    EXPECTED fraction; this keeps exactly ``n``.
+
+    u = (u32(md5 prefix) + 0.5) / 2³² is exact and engine-identical
+    (integer + half, one power-of-two scale) and strictly inside (0,1),
+    so ln never sees 0.  Rows with NULL or non-positive weight cannot
+    be drawn (a zero-weight row has u^(1/w) → 0) and are excluded.
+
+    Scale shape: a narrow scan-level key computation and ONE global
+    top-n (TakeOrderedAndProject — per-partition partial top-n, no full
+    sort, no shuffle of the corpus).  ``ln`` is the single libm call;
+    ordering survives engine ulp differences whenever adjacent kept/
+    dropped keys differ by more than ~1e-15 relative, which holds with
+    overwhelming margin for continuous md5-derived draws."""
+    if n < 1:
+        raise ValueError("weighted_sample_n: n must be >= 1")
+    u32 = F.conv(F.substring(_hash_hex(F.col(key_col), salt), 1,
+                             _PREFIX_LEN), 16, 10).cast("long")
+    u = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (df.where(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+              .withColumn("__aes", key)
+              .orderBy(F.desc("__aes"), F.col(key_col).asc())
+              .limit(n)
+              .drop("__aes"))
+
+
 # Max rows any single top-n window task should ingest.  The final
 # per-stratum window sees ≤ n×(groups feeding it); when that product
 # exceeds this bound, stratified_sample inserts intermediate tree-

@@ -812,6 +812,26 @@ def cap_per_source(spark, sf_dir):
                                                   "n_chars")
 
 
+@q("sample_weighted_n",
+   "SELECT doc_id, source FROM ("
+   "SELECT doc_id, source, ln((('0x' || substr(md5(CAST(doc_id AS "
+   "VARCHAR) || 'aes'), 1, 8))::BIGINT + 0.5) / 4294967296.0) "
+   "/ n_chars AS k FROM documents WHERE n_chars > 0) "
+   "ORDER BY k DESC, doc_id LIMIT 50")
+def sample_weighted_n(spark, sf_dir):
+    """Exact-n weighted sample without replacement (operators/sampling.
+    weighted_sample_n — r9, Efraimidis–Spirakis A-ES): top-50 docs by
+    ln(u)/n_chars with u drawn reproducibly from md5(doc_id‖salt).
+    One TakeOrderedAndProject — per-partition partial top-n, the corpus
+    never shuffles.  The oracle replays the identical draw; adjacent
+    key gaps are continuous-scale, far above libm ulp noise."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents
+    return (SA.weighted_sample_n(d.df, 50, "n_chars", "doc_id",
+                                 salt="aes")
+            .select("doc_id", "source"))
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

@@ -1662,3 +1662,35 @@ def test_semdedup_keeper_rule_and_invariants(spark):
     cents = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     kept2 = semdedup(emb, threshold=0.97, centroids=cents)
     assert {r.vec_id for r in kept2.select("vec_id").collect()} == {3, 10, 11}
+
+
+def test_weighted_sample_n_aes_properties(spark):
+    """A-ES exact-n sample: exactly n rows, deterministic, zero-weight
+    rows never drawn, heavier rows drawn at measurably higher rates
+    (weight-proportional inclusion over salts), and the plan is a
+    TakeOrderedAndProject (partial per-partition top-n, no full sort)."""
+    from pandas_db_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, None), (902, -3.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample_n(df, 30, "w", "id", salt="s1")
+    ids = [r.id for r in got.collect()]
+    assert len(ids) == 30 and len(set(ids)) == 30
+    assert not {900, 901, 902} & set(ids)
+    # deterministic across invocations
+    again = [r.id for r in weighted_sample_n(df, 30, "w", "id",
+                                             salt="s1").collect()]
+    assert set(again) == set(ids)
+    # heavy rows (w=100, 10% of corpus) should dominate the sample:
+    # aggregate over several salts to keep the test non-flaky
+    heavy = 0
+    for s in ("s1", "s2", "s3", "s4"):
+        sel = {r.id for r in weighted_sample_n(df, 30, "w", "id",
+                                               salt=s).collect()}
+        heavy += len([i for i in sel if i < 20])
+    assert heavy >= 60, heavy  # 4 draws x 20 heavy available; ~expect >70
+    plan = formatted_plan(weighted_sample_n(df, 30, "w", "id"))
+    assert "TakeOrderedAndProject" in plan, plan
+    with pytest.raises(ValueError, match="n must be >= 1"):
+        weighted_sample_n(df, 0, "w", "id")
