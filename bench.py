@@ -99,7 +99,10 @@ HEADLINE = [
     "decontam_bloom",     # join-free Bloom-bitmap eval-overlap probe (r9 add)
     "gopher_rules",       # 7 MassiveText quality rules, one scan, int compares (r9 add)
     "hybrid_topk",        # BM25 + dense RRF fusion of two top-50 branches (r9 add)
-    "semdedup",           # k-means + fused within-cluster prune, invariant gate (r9 add)
+    # (semdedup is an invariant GATE query — correctness surface, not a
+    #  perf surface; like ann_ivf_recall etc. it stays out of HEADLINE.
+    #  Its machinery — kmeans assign + within_group_pairs — is benched
+    #  through dedup_embedding_ivf.)
     "cap_per_source",     # per-domain cap via WindowGroupLimit partial top-n (r9 add)
 ]
 

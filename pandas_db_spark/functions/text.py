@@ -289,6 +289,21 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def normalize_for_dedup(text: Column) -> Column:
+    """CCNet-style aggressive normalization applied before hashing for
+    dedup (lowercase → digits to 0 → punctuation stripped → whitespace
+    collapsed → trimmed): two near-identical crawls of the same page
+    (differing in case, numbers, punctuation or spacing) normalize to
+    the same string, so exact-hash dedup catches them.  Pure JVM regex
+    ops, no UDF; engine-portable semantics (global replace, ASCII word
+    classes)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[0-9]", "0")
+    t = F.regexp_replace(t, r"[^a-z0\s]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles — the unit of the fuzzy-dedup operators.
     Documents shorter than ``n`` words degrade to one whole-document

@@ -774,7 +774,11 @@ def semdedup_invariant(spark, sf_dir):
     copies = (e.where(F.col("vec_id") < 25)
                .withColumn("vec_id", F.col("vec_id") + 10_000_000))
     corpus = e.unionByName(copies)
-    kept = semdedup(corpus, threshold=0.95, k=8)
+    # the survivor frame feeds three independent checks — persist it for
+    # the scope of this function (all actions happen here; the returned
+    # one-row frame is independent), else the kmeans-assign + pair scan
+    # re-executes per check
+    kept = semdedup(corpus, threshold=0.95, k=8).persist()
     n_in = corpus.count()
     planted_dropped = 25 - kept.where(
         F.col("vec_id") >= 10_000_000).count()
@@ -788,6 +792,7 @@ def semdedup_invariant(spark, sf_dir):
                          & (F.col("__ia") < F.col("__ib")))
                   .where(cosine_sim(F.col("__va"), F.col("__vb")) >= 0.95)
                   .count())
+    kept.unpersist()
     return spark.createDataFrame(
         [(n_in, planted_dropped, violations)],
         "n_in long, planted_dropped long, violations long")
@@ -830,6 +835,42 @@ def sample_weighted_n(spark, sf_dir):
     return (SA.weighted_sample_n(d.df, 50, "n_chars", "doc_id",
                                  salt="aes")
             .select("doc_id", "source"))
+
+
+@q("text_normalize_dedup",
+   "WITH ext AS (SELECT doc_id, text FROM documents UNION ALL "
+   "SELECT doc_id + 1000000, regexp_replace(upper(text), ' ', '  ', 'g') "
+   "|| ' ?!.' FROM documents WHERE doc_id < 25), "
+   "n AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+   "regexp_replace(lower(text), '[0-9]', '0', 'g'), "
+   "'[^a-z0\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm FROM ext) "
+   "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM n a JOIN n b "
+   "ON a.norm = b.norm AND a.doc_id < b.doc_id")
+def text_normalize_dedup(spark, sf_dir):
+    """CCNet-style normalization (functions/text.normalize_for_dedup —
+    r9) driven end-to-end: 25 RESKINNED duplicates are planted
+    (uppercased, double-spaced, trailing ' ?!.' punctuation — the
+    trivial re-crawl variations a raw digest misses) and must pair with
+    their sources under IDENTICAL normalized text (lowercase, digits→0,
+    punctuation stripped, whitespace collapsed).  25 planted pairs is
+    the floor; the oracle replays the same global-regex pipeline, so a
+    normalization rule diverging on either engine breaks the hash.
+    One hash shuffle of (id, norm)."""
+    from pandas_db_spark.functions.text import normalize_for_dedup
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    planted = (d.where(F.col("doc_id") < 25)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.concat(F.regexp_replace(F.upper("text"),
+                                                 " ", "  "),
+                                F.lit(" ?!.")).alias("text")))
+    ext = d.unionByName(planted)
+    n = ext.select("doc_id",
+                   normalize_for_dedup(F.col("text")).alias("norm"))
+    a = n.select(F.col("doc_id").alias("id_a"), "norm")
+    b = n.select(F.col("doc_id").alias("id_b"), "norm")
+    return (a.join(b, "norm")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
 
 
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below

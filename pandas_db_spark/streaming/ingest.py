@@ -84,7 +84,9 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      vec_dim: int = 64,
                      expected_corpus: int = 1_000_000,
                      auto_migrate: bool = False,
-                     span_k: int = 8, span_w: int = 4) -> None:
+                     span_k: int = 8, span_w: int = 4,
+                     eval_bloom=None, bloom_ngram: int = 8,
+                     bloom_min_shared: int = 1) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
@@ -132,7 +134,16 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     re-sized for 2x the current corpus via
     :func:`operators.similarity.reband_store` (one vector scan, keys
     swapped in place, meta re-pinned) — which is safe exactly because
-    it runs before any micro-batch is in flight."""
+    it runs before any micro-batch is in flight.
+
+    ``eval_bloom`` (r9): a ``(words, m_bits, k_hashes)`` Bloom filter
+    from :func:`operators.decontam.build_ngram_bloom` — every batch is
+    DECONTAMINATED before dedup: docs sharing ≥ ``bloom_min_shared``
+    distinct ``bloom_ngram``-grams with the Bloom'd eval set are
+    dropped at ingest, so contaminated documents never reach the corpus
+    or the dedup stores.  Join-free probe (broadcast bitmap, only hit
+    rows shuffle); zero false negatives by construction.  Text modes
+    only (exact/near/span — the embedding mode carries no text)."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
@@ -150,6 +161,9 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
 
     if mode not in ("exact", "near", "embedding", "span"):
         raise ValueError(f"run_dedup_ingest: unknown mode {mode!r}")
+    if eval_bloom is not None and mode == "embedding":
+        raise ValueError("run_dedup_ingest: eval_bloom needs a text "
+                         "column; the embedding mode carries vectors")
 
     if auto_migrate and mode == "embedding":
         # Pre-stream migration window: no micro-batch is in flight, so
@@ -176,6 +190,18 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if eval_bloom is not None:
+            # decontaminate BEFORE dedup: flagged docs must not reach
+            # the corpus NOR seed the dedup stores (a contaminated doc
+            # in the store would otherwise shadow-drop clean near-dups
+            # of itself in later batches while itself being gone)
+            from pandas_db_spark.operators.decontam import (
+                bloom_contaminated)
+            flagged = (bloom_contaminated(batch_df, eval_bloom, text_col,
+                                          id_col, bloom_ngram,
+                                          bloom_min_shared)
+                       .select(F.col("train_id").alias(id_col)))
+            batch_df = batch_df.join(flagged, id_col, "left_anti")
         if mode == "exact":
             store = _read_store(spark, store_dir, "digest string, id long")
             # dedup_incremental dedupes IN-BATCH (keep-min-id groupBy)

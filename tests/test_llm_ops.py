@@ -1694,3 +1694,21 @@ def test_weighted_sample_n_aes_properties(spark):
     assert "TakeOrderedAndProject" in plan, plan
     with pytest.raises(ValueError, match="n must be >= 1"):
         weighted_sample_n(df, 0, "w", "id")
+
+
+def test_normalize_for_dedup_rules(spark):
+    """Case folds, digits collapse to 0, punctuation strips, whitespace
+    collapses — reskinned variants normalize identically; genuinely
+    different text does not."""
+    from pandas_db_spark.functions.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello,  WORLD!  v2.0 rc7"),
+         (2, "hello world v00 rc0"),
+         (3, "hello world v2 rc7 extra")],
+        "id long, t string")
+    got = {r.id: r.n for r in df.select(
+        "id", normalize_for_dedup(F.col("t")).alias("n")).collect()}
+    assert got[1] == "hello world v00 rc0"
+    assert got[1] == got[2]
+    assert got[1] != got[3]

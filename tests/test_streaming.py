@@ -821,3 +821,46 @@ def test_span_ingest_catches_short_verbatim_dups(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(str(tmp_path / "corpus")).collect()}
     assert kept == {1, 2, 4}
+
+
+def test_ingest_eval_bloom_screen(spark, tmp_path):
+    """eval_bloom decontaminates each batch BEFORE dedup: a planted
+    verbatim eval leak never reaches the corpus or the digest store,
+    clean duplicates still dedup, and the embedding mode rejects the
+    option."""
+    from pandas_db_spark.operators.decontam import build_ngram_bloom
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    leak = "the secret benchmark answer is forty two exactly here"
+    ev = spark.createDataFrame(
+        [(1, f"eval question: {leak}")], "doc_id long, text string")
+    bloom = build_ngram_bloom(ev, m_bits=1 << 16)
+
+    src = tmp_path / "incoming"
+    batches = [
+        [(10, f"padding words then {leak} trailing tail"),   # contaminated
+         (11, "a clean document about spark plans")],
+        [(12, "a clean document about spark plans"),          # dup of 11
+         (13, f"{leak} verbatim leak again"),                 # contaminated
+         (14, "another clean fresh document entirely")],
+    ]
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     eval_bloom=bloom)
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    # contaminated 10/13 screened out; 12 deduped against 11
+    assert ids == {11, 14}, ids
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 2  # contaminated docs never seeded the store
+    with pytest.raises(ValueError, match="embedding mode carries vectors"):
+        run_dedup_ingest(stream, "embedding", "doc_id", "x", "y", "z",
+                         mode="embedding", eval_bloom=bloom)
