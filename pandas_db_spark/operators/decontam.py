@@ -223,6 +223,9 @@ def bloom_contaminated(train: DataFrame, bloom, text_col: str = "text",
     the build used), and one vectorized Arrow UDF tests the k bit
     positions against the broadcast bitmap in numpy.  Misses are
     filtered BEFORE the groupBy, so the only shuffle carries hit rows."""
+    from pandas_db_spark.operators.dedup import _ensure_parallelism
+
+    train = _ensure_parallelism(train)  # shingle HOF must not serialize
     words, m_bits, k_hashes = bloom
     mask = np.uint64(m_bits - 1)
     bc = train.sparkSession.sparkContext.broadcast(words)
