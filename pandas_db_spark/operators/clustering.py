@@ -143,7 +143,8 @@ def kmeans_assign(emb: DataFrame, k: int = 8, n_iter: int = 5,
 def semdedup(emb: DataFrame, threshold: float = 0.95, k: int = 8,
              n_iter: int = 3, id_col: str = "vec_id",
              vec_col: str = "embedding",
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             persist: bool = True) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and pruning within-cluster
     near-duplicates — returns the SURVIVOR frame (all of ``emb``'s
@@ -172,6 +173,14 @@ def semdedup(emb: DataFrame, threshold: float = 0.95, k: int = 8,
     cent = _normalize(np.asarray(centroids, dtype=np.float64))
     assigned = assign_clusters(emb, cent, id_col=id_col, vec_col=vec_col)
     base = emb.join(assigned, id_col)
+    if persist:
+        # the assigned frame feeds three consumers (pair generation,
+        # keeper scoring, survivor join-back) — materialize the Arrow
+        # assignment pass once instead of re-running it per consumer
+        # (same device as dedup._shared_shingles; LRU-evicted under
+        # pressure, pass persist=False for fire-and-forget plans)
+        from pyspark import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # centroid similarity for the keeper rule, recomputed JVM-side from
     # the SAME normalized matrix the assignment used (array literal —
