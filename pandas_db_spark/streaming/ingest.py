@@ -86,7 +86,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      auto_migrate: bool = False,
                      span_k: int = 8, span_w: int = 4,
                      eval_bloom=None, bloom_ngram: int = 8,
-                     bloom_min_shared: int = 1) -> None:
+                     bloom_min_shared: int = 1,
+                     quality_screen: bool = False) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
@@ -143,7 +144,13 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     dropped at ingest, so contaminated documents never reach the corpus
     or the dedup stores.  Join-free probe (broadcast bitmap, only hit
     rows shuffle); zero false negatives by construction.  Text modes
-    only (exact/near/span — the embedding mode carries no text)."""
+    only (exact/near/span — the embedding mode carries no text).
+
+    ``quality_screen=True`` (r9) additionally drops documents failing
+    the Gopher rule stack (:func:`functions.text.gopher_flags` — the
+    filter order every published pipeline uses: screens BEFORE dedup,
+    so junk neither costs dedup work nor seeds the stores).  Narrow
+    scan-level predicate, no extra pass.  Text modes only."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
@@ -163,6 +170,9 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
         raise ValueError(f"run_dedup_ingest: unknown mode {mode!r}")
     if eval_bloom is not None and mode == "embedding":
         raise ValueError("run_dedup_ingest: eval_bloom needs a text "
+                         "column; the embedding mode carries vectors")
+    if quality_screen and mode == "embedding":
+        raise ValueError("run_dedup_ingest: quality_screen needs a text "
                          "column; the embedding mode carries vectors")
 
     if auto_migrate and mode == "embedding":
@@ -190,6 +200,10 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if quality_screen:
+            from pandas_db_spark.functions.text import gopher_flags
+            batch_df = batch_df.where(
+                gopher_flags(F.col(text_col))["gopher_keep"])
         if eval_bloom is not None:
             # decontaminate BEFORE dedup: flagged docs must not reach
             # the corpus NOR seed the dedup stores (a contaminated doc

@@ -864,3 +864,33 @@ def test_ingest_eval_bloom_screen(spark, tmp_path):
     with pytest.raises(ValueError, match="embedding mode carries vectors"):
         run_dedup_ingest(stream, "embedding", "doc_id", "x", "y", "z",
                          mode="embedding", eval_bloom=bloom)
+
+
+def test_ingest_quality_screen_drops_failing_docs(spark, tmp_path):
+    """quality_screen=True drops Gopher-failing docs before dedup: a
+    too-short doc and an all-numeric doc never reach the corpus; a
+    passing doc survives; embedding mode rejects the option."""
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs away to be with the other foxes that have made "
+            "their home beyond the river of glass with ample speed "
+            "and grace that none of the hounds could ever hope to "
+            "match even on the best of days for they have trained") * 2
+    src = tmp_path / "incoming"
+    rows = [(1, good), (2, "way too short"),
+            (3, " ".join(["1234"] * 80))]
+    (spark.createDataFrame(rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(f"{src}/b0"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(f"{src}/b*"))
+    run_dedup_ingest(stream, "text", "doc_id",
+                     corpus_dir=str(tmp_path / "corpus"),
+                     store_dir=str(tmp_path / "store"),
+                     checkpoint_dir=str(tmp_path / "ckpt"),
+                     quality_screen=True)
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert {r.doc_id for r in corpus.select("doc_id").collect()} == {1}
+    with pytest.raises(ValueError, match="quality_screen needs a text"):
+        run_dedup_ingest(stream, "embedding", "doc_id", "x", "y", "z",
+                         mode="embedding", quality_screen=True)
