@@ -166,3 +166,83 @@ def test_rolling_rows_matches_pandas_property(spark, rows, n):
     for rid, s, c in zip(pdf["id"], exp_sum, exp_n):
         assert out.loc[rid, "roll_sum"] == pytest.approx(s, abs=1e-9)
         assert out.loc[rid, "roll_n"] == int(c)
+
+
+DOC_ROWS = st.lists(
+    st.text(alphabet=st.sampled_from("ab cd efg hij k lm nop q rst"
+                                     " uv w xyz the of and"),
+            min_size=0, max_size=120),
+    min_size=1, max_size=25,
+)
+
+
+@given(texts=DOC_ROWS)
+@PROP_SETTINGS
+def test_bloom_never_misses_property(spark, texts):
+    """Property: the Bloom probe can NEVER miss a contaminated doc —
+    every doc flagged by the exact broadcast-index path is flagged by
+    the Bloom path with at least the same n_shared (false negatives are
+    structurally impossible; random corpora probe the hashing, not a
+    hand-picked plant)."""
+    from pandas_db_spark.operators import decontam as DC
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    half = max(1, len(rows) // 2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev, tr = df.where(f"doc_id < {half}"), df.where(f"doc_id >= {half}")
+    if tr.count() == 0:
+        return
+    bloom = DC.build_ngram_bloom(ev, m_bits=1 << 16)
+    got = {r.train_id: r.n_shared
+           for r in DC.bloom_contaminated(tr, bloom).collect()}
+    exact = {r.train_id for r in
+             DC.contamination_pairs(tr, ev, n=8)
+               .select("train_id").distinct().collect()}
+    for tid in exact:
+        assert tid in got, f"bloom missed contaminated doc {tid}"
+
+
+@given(texts=DOC_ROWS)
+@PROP_SETTINGS
+def test_gopher_flags_match_python_reference(spark, texts):
+    """Property: every Gopher flag agrees with an independent pure-
+    Python computation of the published rules on random text."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pandas_db_spark.functions.text import (GOPHER_STOPWORDS,
+                                                gopher_flags)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_flags(F.col("text"))
+    got = {}
+    for r in df.select("doc_id",
+                       *[c.alias(n) for n, c in flags.items()]).collect():
+        d = r.asDict(); d.pop("doc_id")
+        got[r.doc_id] = d
+    for i, t in rows:
+        ws = re.split(r"\s+", t.strip())
+        n = len(ws)
+        sum_wlen = sum(len(w) for w in ws)
+        n_hash = t.count("#")
+        n_ell = t.count("...")  # non-overlapping, same as replace-count
+        n_alpha = len([w for w in ws if re.search("[A-Za-z]", w)])
+        n_stop = len(set(ws) & set(GOPHER_STOPWORDS))
+        lines = t.split("\n")
+        nl = len(lines)
+        n_bullet = len([l for l in lines
+                        if re.match(r"^(- |\* |•)", l.lstrip())])
+        n_ellend = len([l for l in lines
+                        if re.search(r"(\.\.\.|…)$", l.rstrip())])
+        want = {
+            "wc_ok": 50 <= n <= 100_000,
+            "wlen_ok": 3 * n <= sum_wlen <= 10 * n,
+            "symbol_ok": (n_hash + n_ell) * 10 <= n,
+            "alpha_ok": n_alpha * 5 >= n * 4,
+            "stop_ok": n_stop >= 2,
+            "bullet_ok": n_bullet * 10 <= nl * 9,
+            "ellipsis_ok": n_ellend * 10 <= nl * 3,
+        }
+        want["gopher_keep"] = all(want.values())
+        assert got[i] == want, (i, t, got[i], want)
