@@ -873,6 +873,81 @@ def text_normalize_dedup(spark, sf_dir):
              .select("id_a", "id_b"))
 
 
+@q("pipeline_curate",
+   # stage 1: quality rules (wc/wlen/symbol/alpha — the synthetic corpus
+   # has one distinct stopword so stop_ok is untestable here) on the
+   # training half
+   "WITH r AS (SELECT doc_id, source, n_chars, text, "
+   "regexp_split_to_array(trim(text), '\\s+') AS ws, "
+   "len(text) - len(replace(text, '#', '')) AS n_hash, "
+   "(len(text) - len(replace(text, '...', ''))) // 3 AS n_ell "
+   "FROM documents WHERE doc_id >= 50), "
+   "base AS (SELECT doc_id, source, n_chars, text FROM r WHERE "
+   "len(ws) BETWEEN 50 AND 100000 "
+   "AND list_sum(list_transform(ws, w -> len(w))) "
+   "BETWEEN 3 * len(ws) AND 10 * len(ws) "
+   "AND (n_hash + n_ell) * 10 <= len(ws) "
+   "AND len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 5 "
+   ">= len(ws) * 4), "
+   # stage 2: normalized exact dedup, keep min doc_id per class
+   "n AS (SELECT *, trim(regexp_replace(regexp_replace(regexp_replace("
+   "lower(text), '[0-9]', '0', 'g'), '[^a-z0\\s]', '', 'g'), "
+   "'\\s+', ' ', 'g')) AS norm FROM base), "
+   "k1 AS (SELECT doc_id, source, n_chars, text FROM n "
+   "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY norm)), "
+   # stage 3: eval decontamination (8-gram overlap vs raw doc_id < 50)
+   "w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws2 FROM ("
+   "SELECT doc_id, text FROM k1 UNION ALL "
+   "SELECT doc_id, text FROM documents WHERE doc_id < 50)), "
+   "s AS (SELECT doc_id, list_distinct(CASE WHEN len(ws2) >= 8 THEN "
+   "[ws2[i+0] || ' ' || ws2[i+1] || ' ' || ws2[i+2] || ' ' || ws2[i+3] "
+   "|| ' ' || ws2[i+4] || ' ' || ws2[i+5] || ' ' || ws2[i+6] || ' ' "
+   "|| ws2[i+7] for i in range(1, len(ws2)-6)] "
+   "ELSE [array_to_string(ws2, ' ')] END) AS sh FROM w), "
+   "flagged AS (SELECT DISTINCT a.doc_id FROM s a JOIN s b "
+   "ON a.doc_id >= 50 AND b.doc_id < 50 "
+   "AND len(list_intersect(a.sh, b.sh)) >= 1), "
+   "clean AS (SELECT * FROM k1 WHERE doc_id NOT IN "
+   "(SELECT doc_id FROM flagged)) "
+   # stage 4: per-domain cap, best-first by n_chars
+   "SELECT doc_id, source FROM clean "
+   "QUALIFY row_number() OVER (PARTITION BY source "
+   "ORDER BY n_chars DESC, doc_id) <= 10")
+def pipeline_curate(spark, sf_dir):
+    """END-TO-END curation pipeline (r9 capstone): Gopher-subset quality
+    gate → CCNet-normalized exact dedup (keep min id per class) → Bloom
+    eval decontamination → per-domain cap, composed from the session's
+    operators in published pipeline order (cheap narrow gates first,
+    dedup before the probe, cap last).  ONE DuckDB query oracle-checks
+    the whole composition — each stage is individually gated elsewhere;
+    this pins their interaction.  stop_ok is omitted: the synthetic
+    corpus carries exactly one distinct Gopher stopword, so the rule
+    would empty the corpus and the pipeline would trivially pass."""
+    from pandas_db_spark.functions.text import (gopher_flags,
+                                                normalize_for_dedup)
+    from pandas_db_spark.operators import decontam as DC
+    from pandas_db_spark.operators.sampling import cap_per_group
+    d = get_db(spark, sf_dir).documents.df
+    fl = gopher_flags(F.col("text"))
+    base = (d.where(F.col("doc_id") >= 50)
+             .where(fl["wc_ok"] & fl["wlen_ok"] & fl["symbol_ok"]
+                    & fl["alpha_ok"]))
+    n = base.withColumn("norm", normalize_for_dedup(F.col("text")))
+    from pyspark.sql import Window
+    k1 = (n.withColumn("__m", F.min("doc_id").over(
+              Window.partitionBy("norm")))
+           .where(F.col("doc_id") == F.col("__m"))
+           .drop("norm", "__m"))
+    ev = d.where(F.col("doc_id") < 50)
+    bloom = DC.build_ngram_bloom(ev)
+    flagged = (DC.bloom_contaminated(k1, bloom)
+               .select(F.col("train_id").alias("doc_id")))
+    clean = k1.join(flagged, "doc_id", "left_anti")
+    return (cap_per_group(clean, "source", 10, "n_chars",
+                          tie_col="doc_id")
+            .select("doc_id", "source"))
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code
