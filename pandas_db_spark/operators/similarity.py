@@ -620,23 +620,27 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
     non-duplicate mass is cut by the coarse partition boundary instead
     of amplified ``bands``×.
 
-    Scale contract at 100 TB: candidate volume is Σ_list C(|list|, 2)
-    deduped across probes.  ``nlist`` defaults to ``"auto"`` =
-    ``max(16, ceil(n / target_list_size))`` (n via the memoized corpus
-    count, or the ``n`` hint), which BOUNDS expected verify work at
-    ≈ nprobe² · target_list_size / 2 candidates per vector — LINEAR in
-    n, independent of corpus growth — and keeps per-list occupancy
-    task-sized; the centroid fit costs only ``sample_n`` driver-side
-    rows and one broadcast, so nlist scales freely.  That per-vector
-    budget is HIGHER than flat banding's ~10 random-collision budget:
-    this route wins when tight-cluster pair mass (which flat banding
-    shuffles once per band — 110+ bands at auto geometry) dominates,
-    not on decorrelated corpora.  Every candidate is exact-verified
-    (precision exact).  Recall is APPROXIMATE: identical vectors are
-    co-listed by construction (deterministic stable assignment), near
-    pairs rely on ``nprobe`` multi-probe to cover list boundaries — no
-    S-curve guarantee, so certify recall with :func:`cosine_pairs_lsh`
-    where required (planted-pair gate: ``dedup_embedding_ivf``)."""
+    Scale contract at 100 TB: in-worker verify work is
+    Σ_list C(|list|, 2) similarity evaluations, but since the late-r9
+    fusion (:func:`within_group_pairs`) each list is ONE small float64
+    matmul inside a cogrouped Arrow task and only near-threshold pairs
+    ever leave the worker — nothing shuffles per candidate.  ``nlist``
+    defaults to ``"auto"`` = ``max(16, ceil(n / target_list_size))``
+    (n via the memoized corpus count, or the ``n`` hint), which bounds
+    that matmul work at ≈ nprobe² · target_list_size / 2 evaluations
+    per vector — LINEAR in n, independent of corpus growth — and keeps
+    per-list occupancy task-sized; the centroid fit costs only
+    ``sample_n`` driver-side rows and one broadcast, so nlist scales
+    freely.  Fused, this route measures absolutely fastest at every
+    rehearsed scale point AND in growth (1.33×/decade vs flat banding's
+    2.8× — `IVF_SCALING_r09.json`); flat banding remains the route with
+    an S-curve recall GUARANTEE.  Every emitted pair is exact-verified
+    with the bit-exact JVM cosine (precision exact).  Recall is
+    APPROXIMATE: identical vectors are co-listed by construction
+    (deterministic stable assignment), near pairs rely on ``nprobe``
+    multi-probe to cover list boundaries — no S-curve guarantee, so
+    certify recall with :func:`cosine_pairs_lsh` where required
+    (planted-pair gate: ``dedup_embedding_ivf``)."""
     from pandas_db_spark.operators.dedup import _ensure_parallelism
     nn = n if n is not None else _corpus_count(emb)
     if nn < 2:
