@@ -1712,3 +1712,34 @@ def test_normalize_for_dedup_rules(spark):
     assert got[1] == "hello world v00 rc0"
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_gopher_repetition_rules_fire_per_family(spark):
+    """Each repetition-rule family trips on its designed pathology and
+    clean prose passes all 13 rules."""
+    from pandas_db_spark.operators.repetition import (
+        gopher_repetition_flags)
+
+    clean = ("the quick brown fox jumps over a lazy dog while many "
+             "other animals watch from afar and wonder why nobody ever "
+             "asked them anything at all")
+    rows = [
+        (1, clean),
+        (2, ("dup line\n" * 10) + "unique tail line"),   # line family
+        (3, ("para one\n\n" * 3) + "closing paragraph"),  # para family
+        (4, "ab cd " * 50),                               # top n-gram
+        (5, "one two three four five " * 12),             # dup n-gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict()
+           for r in gopher_repetition_flags(df).collect()}
+    assert out[1]["repetition_keep"]
+    assert all(v for k, v in out[1].items() if k != "doc_id")
+    assert not out[2]["dup_line_ok"] and not out[2]["dup_line_char_ok"]
+    assert not out[3]["dup_para_ok"] and not out[3]["dup_para_char_ok"]
+    assert not out[4]["top_2gram_ok"]
+    assert not out[5]["dup_5gram_ok"] and not out[5]["dup_10gram_ok"]
+    for i in (2, 3, 4, 5):
+        assert not out[i]["repetition_keep"]
+    # paragraph-less docs pass the para rules vacuously
+    assert out[4]["dup_para_ok"] and out[4]["dup_para_char_ok"]
