@@ -22,7 +22,8 @@ SFS = [("sf0.01", "/root/testdata/sf0.01"),
        ("sf1", "/root/repo/benchdata/sf1")]
 
 QUERIES = ["decontam_bloom", "gopher_rules", "cap_per_source",
-           "hybrid_topk", "text_normalize_dedup", "sample_weighted_n"]
+           "hybrid_topk", "text_normalize_dedup", "sample_weighted_n",
+           "gopher_repetition"]
 
 
 def main() -> None:
