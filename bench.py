@@ -104,6 +104,7 @@ HEADLINE = [
     #  Its machinery — kmeans assign + within_group_pairs — is benched
     #  through dedup_embedding_ivf.)
     "cap_per_source",     # per-domain cap via WindowGroupLimit partial top-n (r9 add)
+    "gopher_repetition",  # 13 repetition rules, explode+agg, one n-gram Generate (r9 add)
 ]
 
 

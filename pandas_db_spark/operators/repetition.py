@@ -5,14 +5,31 @@ and the n-gram character-fraction family.  Every published pre-training
 pipeline (Gopher, RefinedWeb, Dolma, FineWeb) applies this battery
 before dedup.
 
-Scale shape: per-document repetition needs per-(doc, value) counts.  A
-per-row higher-order-function formulation is O(len²) interpreted work
-per document (a 10k-line doc would cost 10⁸ lambda steps in one task);
-instead everything here EXPLODES once per granularity and aggregates —
-three Generate passes (lines, paragraphs, one combined pass for all
-nine n-gram sizes), keyed shuffles on (doc, value) whose width is the
-corpus token count, linear at any document length.  No Python in the
-plan.
+Scale shape — measured, not assumed (sf0.1, local[32], hash-sum
+estimator): per-document repetition needs per-(doc, value) counts, and
+three shapes were built and timed before this one was kept:
+
+1. per-rule-family explode + aggregate (first draft): re-executes the
+   gram explode per consumer — 8.5 s;
+2. ONE tagged explode for all granularities + two keyed aggregations,
+   gram strings built with interpreted ``concat_ws(slice(...))`` HOFs —
+   7.2 s, all of it in the ~8.6M interpreted string constructions (the
+   same interpreted-HOF cost class the DSIR dictionary-encode fix
+   removed in r9 part 2; pre-hashing the shuffle keys changed nothing,
+   proving the shuffle was never the bottleneck);
+3. JVM rolling rotate-xor recurrences over token hashes — 12-14 s:
+   interpreted HOFs do NO common-subexpression elimination, so the
+   n = 10 recurrence re-evaluates every lower level per row, O(n²·L).
+
+This implementation is ONE Arrow (mapInPandas) pass: per document,
+tokens hash once (numpy int64), each size-n gram identity is a
+vectorized rolling rotate-xor h_n = rot(h_{n-1}[:-1]) ^ th[n-1:], and
+ALL metrics (line/paragraph counters, per-n top mass and duplicate
+mass) reduce to ~20 numbers inside the worker — measured 2.3 s at
+sf0.1, and the plan has ZERO shuffles: no explode, no groupBy, no gram
+ever leaves its task.  This is the documented justified-numpy-batch
+exception (MinHash / sign-LSH family): the built-in formulation was
+tried first and measured 7-14× slower.
 
 Metric definitions (pinned, since published implementations vary):
 
@@ -20,20 +37,33 @@ Metric definitions (pinned, since published implementations vary):
   of each distinct value, over total values — Σ(cnt−1) / Σcnt;
 * duplicate character fraction: Σ((cnt−1)·len(value)) / len(text);
 * top n-gram character fraction (n = 2, 3, 4): cnt·len(gram) of the
-  most frequent n-gram (ties: lexicographically smallest) / len(text);
+  most frequent n-gram / len(text), ties on cnt broken to the LONGEST
+  gram (the conservative largest-repetition-mass reading — and a
+  (cnt, len) tie leaves the metric identical whichever gram is picked,
+  so no string tie-break is needed);
 * duplicate n-gram character fraction (n = 5..10): Σ over grams with
   cnt ≥ 2 of cnt·len(gram) / len(text) — the occurrence-sum form
   (overlaps counted per occurrence), the common implementation.
 
-Every threshold compare is cross-multiplied to INTEGER arithmetic, so
-the flags hash bit-identically across engines.  Documents with no
-values at a granularity (no newline, fewer than n words) pass that rule
-vacuously (zero repetition mass).
+Gram identities are 64-bit hashes (never strings): two grams of one
+document merge only on a 64-bit collision among its ~10³ grams
+(p ≈ 1e-13 per doc), and the exact-string DuckDB oracle would surface
+any collision as a hash mismatch, so the correctness gate doubles as
+the collision watchdog.  Every threshold compare is cross-multiplied
+to INTEGER arithmetic, so the flags hash bit-identically across
+engines.  Documents with no values at a granularity (no newline, fewer
+than n words) pass that rule vacuously (zero repetition mass).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+from collections import Counter
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # (threshold numerator per 100) — Rae et al. table A1
@@ -42,101 +72,103 @@ DUP_NGRAM_LIMITS = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 DUP_FRAC_LIMIT = 30        # duplicate line/paragraph fraction <= 0.30
 DUP_CHAR_FRAC_LIMIT = 20   # duplicate line/paragraph char fraction <= 0.20
 
+_WS = re.compile(r"\s+")
 
-def _value_dup_stats(df: DataFrame, id_col: str, value_col,
-                     prefix: str) -> DataFrame:
-    """(id, {prefix}_n, {prefix}_dup, {prefix}_dupch) from one explode +
-    two-level aggregation over a per-doc value array."""
-    ex = df.select(id_col, F.explode(value_col).alias("__v"))
-    cnt = ex.groupBy(id_col, "__v").agg(F.count(F.lit(1)).alias("__c"))
-    return (cnt.groupBy(id_col).agg(
-        F.sum("__c").alias(f"{prefix}_n"),
-        F.sum(F.col("__c") - 1).alias(f"{prefix}_dup"),
-        F.sum((F.col("__c") - 1) * F.length("__v"))
-         .alias(f"{prefix}_dupch")))
+
+def _counter_stats(values: list) -> tuple[int, int, int]:
+    """(total, dup occurrences beyond first, their char mass)."""
+    c = Counter(values)
+    dup = sum(v - 1 for v in c.values())
+    dupch = sum((v - 1) * len(k) for k, v in c.items() if v > 1)
+    return len(values), dup, dupch
+
+
+def _doc_metrics(text: str) -> list:
+    lines = text.split("\n")
+    paras = text.split("\n\n")
+    toks = _WS.split(text.strip())
+    th = np.fromiter((hash(w) for w in toks), np.int64, len(toks))
+    tl = np.fromiter((len(w) for w in toks), np.int64, len(toks))
+    out = [len(text), *_counter_stats(lines), *_counter_stats(paras)]
+    h, length = th, tl
+    uh = th.view(np.uint64)
+    for n in range(2, max(DUP_NGRAM_LIMITS) + 1):
+        if len(h) > 1:
+            prev = h.view(np.uint64)[:-1]
+            rolled = ((prev << np.uint64(13))
+                      | (prev >> np.uint64(51))) ^ uh[n - 1:]
+            h = rolled.view(np.int64)
+            length = length[:-1] + tl[n - 1:] + 1
+        else:
+            h = h[:0]
+            length = length[:0]
+        if n in TOP_NGRAM_LIMITS:
+            if len(h):
+                _, idx, cnts = np.unique(h, return_index=True,
+                                         return_counts=True)
+                lens = length[idx]
+                best = np.lexsort((lens, cnts))[-1]
+                out.append(int(cnts[best]) * int(lens[best]))
+            else:
+                out.append(0)
+        elif n in DUP_NGRAM_LIMITS:
+            if len(h):
+                _, idx, cnts = np.unique(h, return_index=True,
+                                         return_counts=True)
+                m = cnts >= 2
+                out.append(int((cnts[m] * length[idx][m]).sum()))
+            else:
+                out.append(0)
+    return out
+
+
+_METRIC_COLS = (["tc", "line_n", "line_dup", "line_dupch",
+                 "para_n", "para_dup", "para_dupch"]
+                + [f"top{n}" for n in TOP_NGRAM_LIMITS]
+                + [f"dup{n}" for n in DUP_NGRAM_LIMITS])
 
 
 def gopher_repetition_flags(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Per-document boolean flags for the 13 Gopher repetition rules
     plus ``repetition_keep`` (their AND) — see module docstring for the
-    pinned metric definitions and the explode-not-HOF scale argument."""
-    text = F.col(text_col)
-    base = df.select(id_col, F.length(text).alias("__tc"),
-                     F.split(text, "\n").alias("__lines"),
-                     F.split(text, "\n\n").alias("__paras"),
-                     F.split(F.trim(text), r"\s+").alias("__toks"))
+    pinned metric definitions and the one-Arrow-pass scale argument."""
 
-    lines = _value_dup_stats(base, id_col, F.col("__lines"), "line")
-    paras = _value_dup_stats(base, id_col, F.col("__paras"), "para")
+    def metrics(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [_doc_metrics(t if t is not None else "")
+                    for t in pdf[text_col]]
+            out = pd.DataFrame(rows, columns=_METRIC_COLS)
+            out.insert(0, id_col, pdf[id_col].to_numpy())
+            yield out
 
-    # one Generate for all nine n-gram sizes: per doc, an array of
-    # (n, gram) structs flattened across n
-    toks = F.col("__toks")
+    schema = (f"{id_col} long, "
+              + ", ".join(f"{c} long" for c in _METRIC_COLS))
+    m = df.select(id_col, text_col).mapInPandas(metrics, schema)
 
-    def tagged_grams(n: int):
-        # the lambda must take EXACTLY ONE parameter: pyspark binds a
-        # two-parameter HOF lambda as (element, index), so the usual
-        # `lambda i, n=n:` default-capture trick silently rebinds n to
-        # the index column — capture n through this factory instead
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.struct(
-                            F.lit(n).alias("n"),
-                            F.concat_ws(" ", F.slice(toks, i + 1, n))
-                             .alias("g")))
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+    def z(col):
+        return F.coalesce(col, F.lit(0)).cast("long")
 
-    gram_arrays = [tagged_grams(n)
-                   for n in list(TOP_NGRAM_LIMITS) + list(DUP_NGRAM_LIMITS)]
-    ex = (base.select(id_col,
-                      F.explode(F.flatten(F.array(*gram_arrays)))
-                       .alias("__s"))
-              .select(id_col, F.col("__s.n").alias("__n"),
-                      F.col("__s.g").alias("__g")))
-    cnt = ex.groupBy(id_col, "__n", "__g").agg(
-        F.count(F.lit(1)).alias("__c"))
-
-    w = Window.partitionBy(id_col, "__n").orderBy(F.desc("__c"),
-                                                  F.asc("__g"))
-    top = (cnt.where(F.col("__n").isin(list(TOP_NGRAM_LIMITS)))
-              .withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") == 1)
-              .groupBy(id_col)
-              .agg(*[F.max(F.when(F.col("__n") == n,
-                                  F.col("__c") * F.length("__g")))
-                     .alias(f"top{n}") for n in TOP_NGRAM_LIMITS]))
-    dup = (cnt.where(F.col("__n").isin(list(DUP_NGRAM_LIMITS))
-                     & (F.col("__c") >= 2))
-              .groupBy(id_col)
-              .agg(*[F.sum(F.when(F.col("__n") == n,
-                                  F.col("__c") * F.length("__g")))
-                     .alias(f"dup{n}") for n in DUP_NGRAM_LIMITS]))
-
-    out = (base.select(id_col, "__tc")
-               .join(lines, id_col, "left").join(paras, id_col, "left")
-               .join(top, id_col, "left").join(dup, id_col, "left"))
-
-    def z(c):  # granularities with no values pass vacuously
-        return F.coalesce(F.col(c), F.lit(0)).cast("long")
-
-    tc = F.col("__tc").cast("long")
+    tc = F.col("tc").cast("long")
     flags = {
-        "dup_line_ok": 100 * z("line_dup") <= DUP_FRAC_LIMIT * z("line_n"),
-        "dup_line_char_ok": 100 * z("line_dupch")
+        "dup_line_ok": 100 * z(F.col("line_dup"))
+                       <= DUP_FRAC_LIMIT * z(F.col("line_n")),
+        "dup_line_char_ok": 100 * z(F.col("line_dupch"))
                             <= DUP_CHAR_FRAC_LIMIT * tc,
-        "dup_para_ok": 100 * z("para_dup") <= DUP_FRAC_LIMIT * z("para_n"),
-        "dup_para_char_ok": 100 * z("para_dupch")
+        "dup_para_ok": 100 * z(F.col("para_dup"))
+                       <= DUP_FRAC_LIMIT * z(F.col("para_n")),
+        "dup_para_char_ok": 100 * z(F.col("para_dupch"))
                             <= DUP_CHAR_FRAC_LIMIT * tc,
     }
     for n, lim in TOP_NGRAM_LIMITS.items():
-        flags[f"top_{n}gram_ok"] = 100 * z(f"top{n}") <= lim * tc
+        flags[f"top_{n}gram_ok"] = 100 * z(F.col(f"top{n}")) <= lim * tc
     for n, lim in DUP_NGRAM_LIMITS.items():
-        flags[f"dup_{n}gram_ok"] = 100 * z(f"dup{n}") <= lim * tc
+        flags[f"dup_{n}gram_ok"] = 100 * z(F.col(f"dup{n}")) <= lim * tc
     keep = F.lit(True)
-    for c in flags.values():
-        keep = keep & c
+    for col in flags.values():
+        keep = keep & col
     flags["repetition_keep"] = keep
-    return out.select(id_col, *[c.alias(name)
-                                for name, c in flags.items()])
+    return m.select(id_col, *[col.alias(name)
+                              for name, col in flags.items()])

@@ -1004,7 +1004,7 @@ _REP_ORACLE = (
     "max(CASE WHEN n = 3 THEN c*len(g) END) AS top3, "
     "max(CASE WHEN n = 4 THEN c*len(g) END) AS top4 FROM ("
     "SELECT doc_id, n, g, c, row_number() OVER (PARTITION BY doc_id, n "
-    "ORDER BY c DESC, g) AS rn FROM gc WHERE n IN (2, 3, 4)) "
+    "ORDER BY c DESC, len(g) DESC) AS rn FROM gc WHERE n IN (2, 3, 4)) "
     "WHERE rn = 1 GROUP BY doc_id), "
     "dp AS (SELECT doc_id, "
     + ", ".join(f"sum(CASE WHEN n = {n} AND c >= 2 THEN c*len(g) END) "

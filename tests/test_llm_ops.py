@@ -1720,9 +1720,12 @@ def test_gopher_repetition_rules_fire_per_family(spark):
     from pandas_db_spark.operators.repetition import (
         gopher_repetition_flags)
 
-    clean = ("the quick brown fox jumps over a lazy dog while many "
-             "other animals watch from afar and wonder why nobody ever "
-             "asked them anything at all")
+    # long enough that the longest unique 4-gram is a small char
+    # fraction — short docs legitimately fail top_ngram rules (their
+    # single longest gram IS a large fraction), and the word-count rule
+    # in gopher_flags removes them before this battery in a pipeline
+    clean = " ".join(
+        f"w{i}a w{i}b token{i} filler{i}" for i in range(30))
     rows = [
         (1, clean),
         (2, ("dup line\n" * 10) + "unique tail line"),   # line family

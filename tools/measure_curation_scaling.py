@@ -1,9 +1,15 @@
 """Engine-growth ladder for the late-r9 curation operators.
 
 Times the session's new headline queries (Bloom decontamination, Gopher
-rules, per-domain cap, hybrid RRF retrieval, normalization dedup, A-ES
-weighted sampling) at sf0.01 / sf0.1 / sf1 with the count() engine
-estimator (no driver row fetch), best of N.  sf1 is the synthesized
+rules + repetition battery, per-domain cap, hybrid RRF retrieval,
+normalization dedup, A-ES weighted sampling) at sf0.01 / sf0.1 / sf1
+with a HASH-SUM engine estimator — agg(bit_xor(xxhash64(*cols))) — which
+forces EVERY output column to be computed without fetching rows.  A
+plain count() is NOT a valid estimator for projection-heavy queries:
+Catalyst prunes unused columns and eliminates left joins whose build
+side is an aggregate on the join key, so count() of the Gopher-flag
+queries measured a bare scan (caught when the bench's collect() showed
+10x the "measured" time).  sf1 is the synthesized
 decade (tools/make_sf1.py): 100x docs vs sf0.01, so the per-decade
 growth ratio is the 100 TB evidence.
 
@@ -45,9 +51,12 @@ def main() -> None:
                 continue
             runs = []
             for _ in range(iters):
+                from pyspark.sql import functions as F
                 t0 = time.time()
-                n = fn(spark, d).count()
+                q = fn(spark, d)
+                q.agg(F.bit_xor(F.xxhash64(*q.columns))).collect()
                 runs.append(round(time.time() - t0, 2))
+            n = fn(spark, d).count()
             row[sf] = {"best_sec": min(runs), "runs": runs, "rows": n}
             print(name, sf, row[sf], flush=True)
         if "sf0.1" in row and "sf1" in row:
