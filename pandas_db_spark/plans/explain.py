@@ -83,5 +83,11 @@ def plan_report(df: DataFrame) -> dict:
         # stage ids (the formatted form's "WholeStageCodegen" spans)
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "python_udfs": len(re.findall(r"BatchEvalPython", plan)),
-        "arrow_evals": len(re.findall(r"ArrowEvalPython", plan)),
+        # every Arrow-batched Python stage: scalar pandas UDFs
+        # (ArrowEvalPython) AND the mapInPandas / applyInPandas family
+        # (MapInPandas / FlatMapGroupsInPandas / …InPandasWithState) —
+        # counting only ArrowEvalPython under-reported the batch UDFs
+        "arrow_evals": len(re.findall(
+            r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+            r"|FlatMapCoGroupsInPandas|ApplyInPandasWithState", plan)),
     }
