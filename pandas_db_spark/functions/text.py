@@ -289,6 +289,41 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def extract_html_text(html: Column) -> Column:
+    """Visible text from raw HTML — the EXTRACTION stage every published
+    web-corpus pipeline (CCNet, RefinedWeb, Dolma) runs before any
+    quality filter: script/style/comment blocks dropped, block-level
+    closers become newlines, remaining tags stripped, the common
+    entities decoded, whitespace normalized.  A pure-JVM regex pipeline
+    (one codegen'd projection, no parser library, no UDF) — the
+    deliberately simple tag-level extractor; full DOM fidelity
+    (tables, <pre>, malformed nesting) needs a real parser and is out
+    of scope, documented here rather than approximated badly.
+
+    Contract (pytest + the planted oracle): wrapping a document in a
+    standard page template (head/script/style/comments/entities/body
+    markup) and extracting recovers the document's whitespace-
+    normalized text exactly."""
+    # two rules, not one with a backreference: the DuckDB oracle is RE2,
+    # which has no backreferences
+    t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>"
+           r"|<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, r"[ \t\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n\n")
+    # F.trim strips SPACES only — edge newlines from block closers need
+    # the explicit whitespace set
+    return F.btrim(t, F.lit(" \n\t\r"))
+
+
 def normalize_for_dedup(text: Column) -> Column:
     """CCNet-style aggressive normalization applied before hashing for
     dedup (lowercase → digits to 0 → punctuation stripped → whitespace

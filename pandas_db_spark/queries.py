@@ -1060,6 +1060,30 @@ def gopher_repetition(spark, sf_dir):
     return gopher_repetition_flags(ext)
 
 
+@q("html_extract",
+   "SELECT doc_id, text AS extracted FROM documents WHERE doc_id < 25")
+def html_extract(spark, sf_dir):
+    """HTML text extraction (functions/text.extract_html_text — r9, the
+    stage CCNet/RefinedWeb/Dolma run before any quality filter): each
+    doc is wrapped in a full page template (head, script with fake tags
+    inside string literals, style, comments, body markup — zero visible
+    text of its own) and extraction must recover the ORIGINAL text
+    byte-for-byte.  The oracle is the original column — no regex
+    dialect in the compare at all, the recovery contract IS the gate.
+    Entity decoding and block-newline behavior are pinned by pytest."""
+    from pandas_db_spark.functions.text import extract_html_text
+    d = get_db(spark, sf_dir).documents.df.where(F.col("doc_id") < 25)
+    wrapped = F.concat(
+        F.lit('<html><head><title></title>'
+              '<script type="x">var p = "<p>fake</p>";</script>'
+              '<style>.c { color: red; }</style></head>'
+              '<body><!-- note --><div>'),
+        F.col("text"),
+        F.lit("</div></body></html>"))
+    return d.select("doc_id",
+                    extract_html_text(wrapped).alias("extracted"))
+
+
 # ---- round-9 rotation (VERDICT r8 #5): the r4-vintage cohort below
 # (scan/filter/agg/sort/iloc/join/groupby/window/set-op/apply parity
 # queries) last held a DRIVER receipt in round 4 — four rounds of code

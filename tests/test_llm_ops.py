@@ -1746,3 +1746,35 @@ def test_gopher_repetition_rules_fire_per_family(spark):
         assert not out[i]["repetition_keep"]
     # paragraph-less docs pass the para rules vacuously
     assert out[4]["dup_para_ok"] and out[4]["dup_para_char_ok"]
+
+
+def test_extract_html_text_pins_branch_behavior(spark):
+    """Script/style/comment removal (incl. fake tags inside script
+    string literals), block-tag newlines, inline-tag spacing, entity
+    decoding, and whitespace normalization."""
+    from pandas_db_spark.functions.text import extract_html_text
+
+    html = ("<!DOCTYPE html><html><head><title>T</title>"
+            "<script type='x'>var p = '<p>fake</p>';</script>"
+            "<style>.c { color: red; }</style></head>"
+            "<body><!-- note --><h1>Heading One</h1>"
+            "<p>first with <b>bold</b> &amp; ents &lt;tag&gt; "
+            "&quot;q&quot; &#39;a&#39;&nbsp;end</p>"
+            "<div>second   block</div>"
+            "<ul><li>item one</li><li>item two</li></ul>"
+            "<br>tail</body></html>")
+    df = spark.createDataFrame([(1, html)], "id long, h string")
+    got = df.select(extract_html_text(F.col("h")).alias("t")) \
+            .collect()[0].t
+    assert got == ("T\nHeading One\n\nfirst with bold & ents <tag> "
+                   "\"q\" 'a' end\n\nsecond block\n\n"
+                   "item one\n\nitem two\n\ntail"), repr(got)
+    # recovery contract: a template with no visible text of its own
+    wrap = ("<html><head><script>var x = '<div>no</div>';</script>"
+            "</head><body><!--c--><div>%s</div></body></html>")
+    docs = spark.createDataFrame(
+        [(i, wrap % f"doc {i} body text") for i in range(3)],
+        "id long, h string")
+    rec = {r.id: r.t for r in docs.select(
+        "id", extract_html_text(F.col("h")).alias("t")).collect()}
+    assert rec == {i: f"doc {i} body text" for i in range(3)}
