@@ -580,11 +580,25 @@ def within_group_pairs(grouped: DataFrame, group_col: str, id_col: str,
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = sims[ia, ib] >= threshold - eps
-        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
-        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        # blockwise upper triangle: O(block·|group|) scratch instead of
+        # the full |group|² similarity matrix — an oversized group
+        # (semdedup with k sized too small for the corpus) degrades to
+        # more blocks, not an executor OOM
+        block = 2048
+        lo_parts, hi_parts = [], []
+        for s in range(0, len(ids) - 1, block):
+            e = min(s + block, len(ids))
+            # sims[i, j] = row (s+i) vs row (s+j): both axes share the
+            # same offset, so the strict upper triangle is just j > i
+            sims = mat[s:e] @ mat[s:].T
+            ia, ib = np.nonzero(sims >= threshold - eps)
+            keep = ib > ia
+            ga = ids[ia[keep] + s]
+            gb = ids[ib[keep] + s]
+            lo_parts.append(np.minimum(ga, gb))
+            hi_parts.append(np.maximum(ga, gb))
+        lo = np.concatenate(lo_parts) if lo_parts else np.array([], np.int64)
+        hi = np.concatenate(hi_parts) if hi_parts else np.array([], np.int64)
         return pd.DataFrame({"id_a": lo, "id_b": hi})
 
     cand = (grouped.groupBy(group_col)
