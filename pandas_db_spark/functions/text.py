@@ -302,8 +302,16 @@ def extract_html_text(html: Column) -> Column:
 
     Contract (pytest + the planted oracle): wrapping a document in a
     standard page template (head/script/style/comments/entities/body
-    markup) and extracting recovers the document's whitespace-
-    normalized text exactly."""
+    markup) and extracting recovers the document's text exactly,
+    PROVIDED the document is already whitespace-normalized — single
+    spaces (no tabs/CR, no runs of 2+ spaces, no runs of 3+ newlines,
+    no leading/trailing whitespace) — and contains no substring that
+    parses as a tag (``<`` immediately followed by a letter, ``/``,
+    ``!`` or ``?``, with a ``>`` later).  Inputs outside those
+    preconditions are still extracted sensibly, just not byte-for-byte:
+    the normalization passes rewrite their whitespace.  Bare ``<`` in
+    prose (``a < b``) survives — the tag-strip regexes only fire on
+    tag-shaped openings, not on ``<`` followed by space/digit/EOL."""
     # two rules, not one with a backreference: the DuckDB oracle is RE2,
     # which has no backreferences
     t = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
@@ -312,7 +320,9 @@ def extract_html_text(html: Column) -> Column:
     t = F.regexp_replace(
         t, r"(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)\b[^>]*>"
            r"|<br\s*/?>", "\n")
-    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # tag-shaped openings only — a letter, /, ! or ? after the < — so
+    # prose like "a < b" or "x <= y" is NOT eaten (ADVICE r9)
+    t = F.regexp_replace(t, r"(?s)<[/!?]?[A-Za-z][^>]*>|<\?[^>]*>", " ")
     for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(ch))

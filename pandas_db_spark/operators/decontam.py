@@ -166,14 +166,49 @@ def _bloom_pow2_bits(n_shingles: int, k_hashes: int) -> int:
 
 def _bloom_position_cols(h, m_bits: int, k_hashes: int):
     """k bit positions from one signed-64 xxhash64 value, derived
-    JVM-side by double hashing: pos_j = (h1 + j·h2) mod m with h1/h2 the
-    low/high 32-bit halves (h2 forced odd so the stride cycles all of a
-    power-of-two m).  Everything stays in whole-stage codegen."""
+    JVM-side by double hashing over the FULL 64-bit hash:
+    pos_j = (h + j·(rotl(h, 21)|1)) mod m.  Both the base and the stride
+    use ALL 64 hash bits (reduced mod m up front), so every word of an
+    m_bits > 2^32 bitmap is reachable — the r9 halves scheme capped
+    positions at ~2^35 and left the upper bitmap dead for
+    multi-billion-shingle sizings.  The rotated-odd stride cycles all of
+    a power-of-two m.  Masking BEFORE the combine keeps every
+    intermediate < k·m < 2^63, so ANSI mode never overflows and the
+    JVM build matches the probe's numpy uint64 math bit-for-bit.
+    Everything stays in whole-stage codegen."""
     mask = m_bits - 1
-    h1 = F.shiftrightunsigned(h, 32)
-    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
-    return [((h1 + F.lit(j) * h2).bitwiseAND(F.lit(mask)))
+    base = h.bitwiseAND(F.lit(mask))
+    stride = (F.shiftleft(h, 21)
+              .bitwiseOR(F.shiftrightunsigned(h, 43))
+              .bitwiseOR(F.lit(1))
+              .bitwiseAND(F.lit(mask)))
+    return [((base + F.lit(j) * stride).bitwiseAND(F.lit(mask)))
             for j in range(k_hashes)]
+
+
+# One TorrentBroadcast per distinct bitmap per SparkContext — NOT one per
+# call: run_dedup_ingest probes the same Bloom inside every foreachBatch
+# micro-batch, and a fresh broadcast per batch leaks the full bitmap on
+# the driver for the stream's lifetime.  Keyed by the array's identity
+# with a weakref guard (CPython reuses ids after GC; a dead ref means the
+# slot may be recycled and must not alias the old broadcast).
+_BLOOM_BC_CACHE: dict[int, tuple] = {}
+
+
+def _bloom_broadcast(sc, words: np.ndarray):
+    import weakref
+
+    hit = _BLOOM_BC_CACHE.get(id(words))
+    if hit is not None:
+        ref, cached_sc, bc = hit
+        if ref() is words and cached_sc is sc:
+            return bc
+    for k in [k for k, (ref, _, _) in _BLOOM_BC_CACHE.items()
+              if ref() is None]:
+        del _BLOOM_BC_CACHE[k]
+    bc = sc.broadcast(words)
+    _BLOOM_BC_CACHE[id(words)] = (weakref.ref(words), sc, bc)
+    return bc
 
 
 def build_ngram_bloom(eval_df: DataFrame, text_col: str = "text",
@@ -198,6 +233,10 @@ def build_ngram_bloom(eval_df: DataFrame, text_col: str = "text",
         m_bits = _bloom_pow2_bits(sh.count(), k_hashes)
     if m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two")
+    if m_bits > 1 << 55:
+        # keeps base + j·stride < k·m < 2^63 (exact under ANSI longs);
+        # 2^55 bits is a 4.5 PB bitmap — far past broadcastable anyway
+        raise ValueError("m_bits must be <= 2**55")
     h = F.xxhash64("shingle")
     pos = F.explode(F.array(*_bloom_position_cols(h, m_bits, k_hashes)))
     # F.shiftleft only takes a literal shift; the SQL ShiftLeft expression
@@ -228,17 +267,18 @@ def bloom_contaminated(train: DataFrame, bloom, text_col: str = "text",
     train = _ensure_parallelism(train)  # shingle HOF must not serialize
     words, m_bits, k_hashes = bloom
     mask = np.uint64(m_bits - 1)
-    bc = train.sparkSession.sparkContext.broadcast(words)
+    bc = _bloom_broadcast(train.sparkSession.sparkContext, words)
 
     @F.pandas_udf("boolean")
     def member(hs: pd.Series) -> pd.Series:
         bitmap = bc.value
         h = hs.to_numpy(dtype=np.int64).view(np.uint64)
-        h1 = h >> np.uint64(32)
-        h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+        base = h & mask
+        stride = (((h << np.uint64(21)) | (h >> np.uint64(43)))
+                  | np.uint64(1)) & mask
         hit = np.ones(len(h), dtype=bool)
         for j in range(k_hashes):
-            pos = (h1 + np.uint64(j) * h2) & mask
+            pos = (base + np.uint64(j) * stride) & mask
             w = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
             hit &= ((w >> (pos & np.uint64(63))) & np.uint64(1)) != 0
         return pd.Series(hit)

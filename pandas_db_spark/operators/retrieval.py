@@ -322,7 +322,9 @@ def bm25_topk(docs: DataFrame, text_col: str, id_col: str, query: str,
     """Top-k documents for a probe query under BM25
     (Lucene form: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``).
 
-    Returns (rank, doc_id, score) ordered by score desc, doc_id asc.
+    Returns (rank, doc_id, score) ordered by score desc, doc_id asc —
+    the output id column is always named ``doc_id`` (callers passing a
+    different ``id_col`` re-alias, as :func:`hybrid_topk` does).
     The corpus never shuffles: postings are filtered to the query's terms
     first, so the aggregation input is ~|matching docs| · |query terms|
     rows regardless of corpus size.
@@ -384,8 +386,11 @@ def hybrid_topk(docs: DataFrame, emb: DataFrame, query: str,
     broken by doc_id) hashes bit-stably."""
     from pandas_db_spark.operators.similarity import ann_topk_brute
 
+    # bm25_topk's output id column is fixed at "doc_id" regardless of the
+    # input id_col it tokenized by — re-alias so id_col != "doc_id" works.
     bm = (bm25_topk(docs, text_col, id_col, query, k=fetch_k)
-          .select(id_col, F.col("rank").alias("__rb")))
+          .select(F.col("doc_id").alias(id_col),
+                  F.col("rank").alias("__rb")))
     dn = (ann_topk_brute(emb, [query_vec_id], k=fetch_k,
                          id_col=emb_id_col)
           .select(F.col("neighbor_id").alias(id_col),

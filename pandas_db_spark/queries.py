@@ -46,12 +46,57 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+# ---------------------------------------------------------------------
+# Gate-window rotation (round 10): the external driver's correctness gate
+# samples a ~50-entry PREFIX of queries() in dict insertion order.  r9
+# rotated the r4-vintage scan/filter/agg/sort/iloc cohort through the
+# window; this round rotates the MID-vintage cohort whose last DRIVER
+# receipt is r4-r7 (joins, group-bys, window, set ops, apply/arith, and
+# the events_* analytic + streaming queries) per VERDICT r9 Next #1.
+# Every name below exists in REGISTRY (asserted in tests); names not
+# listed keep plain registration order after the prefix.  The FULL
+# registry is still verified locally every round
+# (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
+_GATE_PRIORITY: tuple[str, ...] = (
+    # joins (last driver receipt r4/r6)
+    "join_sql", "join_native", "join_supplier_volume", "join_semi",
+    "join_anti", "join_salted", "join_asof", "join_asof_chunked",
+    "join_range",
+    # group-bys / window (r4/r6)
+    "groupby_q1", "groupby_having", "groupby_rollup", "groupby_cube",
+    "groupby_quantiles", "window_rank",
+    # set ops (r4)
+    "set_union", "set_intersect", "set_except", "drop_duplicates",
+    # UDF / arithmetic surface (r4)
+    "apply_udf_num", "apply_udf_str", "applymap", "arith_exprs",
+    "str_concat", "filter_raw_expr", "table_len_shape",
+    # events analytics (r5-r7)
+    "events_tumbling_by_type", "events_props_hist", "events_pivot_types",
+    "events_value_hist", "events_winsorized", "events_value_zscore",
+    "events_value_deciles", "events_top_per_user", "events_cohorts",
+    "events_sessionize", "events_heavy_users", "events_quality_trend",
+    "events_resample_1h", "events_scd2", "events_rolling_avg",
+    "events_rolling_1h", "events_cumulative", "events_enrich_nation",
+    "events_funnel", "events_attribution",
+    # streaming (r5-r7)
+    "events_tumbling", "events_sliding", "events_session",
+    "events_stateful_totals", "events_stream_dedup",
+    "events_stream_quality", "orders_upsert",
+)
+
+
+def _ordered_names() -> list[str]:
+    rest = [n for n in REGISTRY if n not in set(_GATE_PRIORITY)]
+    return [n for n in _GATE_PRIORITY if n in REGISTRY] + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {name: REGISTRY[name][1] for name in _ordered_names()
+            if REGISTRY[name][1] is not None}
 
 
 # =====================================================================

@@ -613,6 +613,57 @@ def test_bloom_decontamination_matches_exact_path(spark):
     assert "Join" not in plan, plan
     with pytest.raises(ValueError, match="power of two"):
         DC.build_ngram_bloom(ev, m_bits=1000)
+    with pytest.raises(ValueError, match="2\\*\\*55"):
+        DC.build_ngram_bloom(ev, m_bits=1 << 56)
+
+
+def test_bloom_positions_reach_whole_bitmap_and_match_numpy(spark):
+    """r9 ADVICE (medium): the old 32-bit-halves double hash capped bit
+    positions at ~2^35, so for m_bits > 2^32 the upper bitmap was dead
+    and the documented ~f^k FP bound silently failed.  The full-64-bit
+    scheme must (a) produce positions above 2^35 for a huge m, and
+    (b) agree bit-for-bit with the numpy probe math.  Positions only —
+    no bitmap is allocated."""
+    import numpy as np
+    from pandas_db_spark.operators.decontam import _bloom_position_cols
+
+    m_bits, k = 1 << 48, 8
+    df = spark.createDataFrame(
+        [(f"shingle number {i} of the probe set",) for i in range(512)],
+        "shingle string")
+    h = F.xxhash64("shingle")
+    jvm = (df.select(F.array(*_bloom_position_cols(h, m_bits, k))
+                     .alias("pos"), h.alias("h"))
+             .collect())
+    mask = np.uint64(m_bits - 1)
+    top = 0
+    for row in jvm:
+        hv = np.uint64(np.int64(row.h))
+        base = hv & mask
+        stride = (((hv << np.uint64(21)) | (hv >> np.uint64(43)))
+                  | np.uint64(1)) & mask
+        want = [int((base + np.uint64(j) * stride) & mask)
+                for j in range(k)]
+        assert list(row.pos) == want
+        top = max(top, max(want))
+    # with 4096 uniform positions in [0, 2^48) the chance all fall
+    # below 2^35 is astronomically small — dead-upper-bitmap regression
+    assert top > 1 << 35
+
+
+def test_bloom_broadcast_cached_across_calls(spark):
+    """r9 ADVICE (low): bloom_contaminated must not create a fresh
+    TorrentBroadcast per call — foreachBatch probes the same bitmap
+    every micro-batch and would leak one broadcast per batch."""
+    from pandas_db_spark.operators import decontam as DC
+
+    sc = spark.sparkContext
+    words = __import__("numpy").zeros(1 << 10, dtype="uint64")
+    bc1 = DC._bloom_broadcast(sc, words)
+    bc2 = DC._bloom_broadcast(sc, words)
+    assert bc1 is bc2
+    other = __import__("numpy").ones(1 << 10, dtype="uint64")
+    assert DC._bloom_broadcast(sc, other) is not bc1
 
 
 def test_gopher_flags_rules_fire_individually(spark):
@@ -1778,3 +1829,13 @@ def test_extract_html_text_pins_branch_behavior(spark):
     rec = {r.id: r.t for r in docs.select(
         "id", extract_html_text(F.col("h")).alias("t")).collect()}
     assert rec == {i: f"doc {i} body text" for i in range(3)}
+    # r9 ADVICE: bare '<' in prose must survive — only tag-shaped
+    # openings (letter, /, ! or ? after the <) are stripped
+    prose = spark.createDataFrame(
+        [(1, "<p>we know a < b and x <= y here</p>"),
+         (2, "<div>2 < 3 > 1 stays</div>")],
+        "id long, h string")
+    got = {r.id: r.t for r in prose.select(
+        "id", extract_html_text(F.col("h")).alias("t")).collect()}
+    assert got[1] == "we know a < b and x <= y here", repr(got[1])
+    assert got[2] == "2 < 3 > 1 stays", repr(got[2])

@@ -363,3 +363,12 @@ def test_hybrid_topk_rrf_fusion_hand_checked(spark):
     # ranks are 1..n with no gaps
     assert sorted(r.rank for r in rows.values()) == list(
         range(1, len(rows) + 1))
+    # r9 ADVICE: id_col != "doc_id" must work — bm25_topk's fixed
+    # "doc_id" output is re-aliased inside hybrid_topk
+    out2 = R.hybrid_topk(docs.withColumnRenamed("doc_id", "docno"), emb,
+                         "merge vector stream", 0, k=10, fetch_k=3,
+                         id_col="docno")
+    rows2 = {r.docno: (r.rank, r.in_bm25, r.in_dense)
+             for r in out2.collect()}
+    assert rows2 == {d: (r.rank, r.in_bm25, r.in_dense)
+                     for d, r in rows.items()}
