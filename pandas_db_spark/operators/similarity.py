@@ -680,15 +680,31 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 
+def _fit_sample(emb: DataFrame, sample_n: int, id_col: str,
+                vec_col: str) -> np.ndarray:
+    """Corpus-representative deterministic training sample for the
+    quantizer fits: the md5-hash-smallest ``sample_n`` rows (the same
+    device ``kmeans_fit`` seeds from — clustering.py:84 via
+    ``sampling.stratified_sample``), returned in ascending-id order so
+    Lloyd's init is reproducible.  NOT the lowest-id prefix: at 100 TB
+    ids correlate with source/crawl-time, and an ``orderBy(id).limit``
+    sample trains the quantizer on one corner of the corpus — list
+    balance and recall then degrade silently on everything else
+    (VERDICT r9 #3)."""
+    from pandas_db_spark.operators.sampling import stratified_sample
+
+    rows = (stratified_sample(emb.select(id_col, vec_col), [], sample_n,
+                              id_col, salt="quantizer-fit")
+            .orderBy(id_col).select(vec_col).collect())
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
 def _fit_centroids(emb: DataFrame, nlist: int, sample_n: int,
                    id_col: str, vec_col: str) -> np.ndarray:
-    """Coarse spherical centroids: deterministic sample (lowest ids) +
+    """Coarse spherical centroids: deterministic hash-order sample +
     one Lloyd iteration — shared by the on-the-fly and persisted-index
     IVF paths so both produce identical list geometry."""
-    sample = (emb.orderBy(id_col)
-                 .select(vec_col)
-                 .limit(sample_n).collect())
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat = _fit_sample(emb, sample_n, id_col, vec_col)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     cent = mat[:nlist].copy()
     assign = (mat @ cent.T).argmax(axis=1)
@@ -896,15 +912,13 @@ def pq_train(emb: DataFrame, m: int = 8, ksub: int = 256,
     Vectors are unit-normalized first (cosine ranking == L2 ranking on
     the sphere: ||q-x||^2 = 2 - 2cos), then each of the ``m`` subspaces
     gets an independent Lloyd k-means: init = the sample's first ``ksub``
-    subvectors (deterministic lowest-id order, same device as
+    subvectors (deterministic md5-hash-order sample, same device as
     ``_fit_centroids``), ``n_iter`` iterations, empty clusters keep
     their centroid.  Driver-side numpy over ``sample_n`` rows only —
     training never scans the corpus."""
     if ksub > 256:
         raise ValueError("ksub > 256 no longer fits a 1-byte code")
-    sample = (emb.orderBy(id_col).select(vec_col)
-                 .limit(sample_n).collect())
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat = _fit_sample(emb, sample_n, id_col, vec_col)
     if len(mat) < ksub:
         raise ValueError(f"sample of {len(mat)} rows < ksub={ksub}")
     d = mat.shape[1]

@@ -197,6 +197,53 @@ def test_ivf_recall(emb):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_ivf_recall_survives_id_clustered_prefix(spark):
+    """VERDICT r9 #3: ids correlate with source/crawl-time at 100 TB, so
+    the quantizer fit must NOT train on the lowest-id prefix.  Adversarial
+    layout: ids 0..599 are one tight cluster (the old
+    ``orderBy(id).limit(sample_n)`` fit with sample_n=512 would see ONLY
+    this cluster and collapse every centroid onto it); ids 600+ spread
+    over 12 well-separated directions.  Queries live in the spread region
+    — recall@10 must hold anyway because the hash-order sample trains on
+    the whole corpus."""
+    import pandas as pd
+    rng = np.random.RandomState(42)
+    d = 16
+    tight = rng.standard_normal(d)
+    tight /= np.linalg.norm(tight)
+    rows = []
+    for i in range(600):
+        v = tight + rng.standard_normal(d) * 0.01
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    centers = rng.standard_normal((12, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    for i in range(600, 1800):
+        c = centers[i % 12]
+        v = c + rng.standard_normal(d) * 0.05
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf).repartition(8)
+    qids = [700, 901, 1102, 1303, 1504]
+    truth = _exact_topk(pdf, qids, 10)
+    got = S.ivf_topk(df, qids, k=10, nlist=13, nprobe=4,
+                     sample_n=512).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(by_q.get(q, set()) & set(truth[q])) / 10 for q in qids]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # PQ codebooks trained on the same layout must rank within-region
+    # neighbors sensibly too (same fit device)
+    pq_got = S.pq_topk(df, qids, k=10, m=8, ksub=32,
+                       sample_n=512).collect()
+    pq_by_q = {}
+    for r in pq_got:
+        pq_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq_recalls = [len(pq_by_q.get(q, set()) & set(truth[q])) / 10
+                  for q in qids]
+    assert sum(pq_recalls) / len(pq_recalls) >= 0.6, pq_recalls
+
+
 def test_pq_recall(emb):
     qids = [0, 1, 2, 3, 4]
     truth = _exact_topk(emb.toPandas(), qids, 10)
