@@ -263,28 +263,46 @@ def main() -> int:
     # emitted alongside for anyone comparing across rounds.
     first_iter_total = sum(r[0] for n, r in runs.items()
                            if r and n not in failed)
+    # The stdout line stays COMPACT (VERDICT r9 #5: the r9 full dump
+    # outgrew the driver's stdout-tail capture window and BENCH_r09.json
+    # recorded parsed: null) — per-query bests + totals + load context
+    # only, ~2 KB for the 46-query set.  The bulky diagnosis payload
+    # (per-iteration runs, medians, engine-vs-fetch split, result rows)
+    # goes to BENCH_DETAIL.json next to this script and to stderr.
     out = {
         "metric": f"headline_total_wall_min{iters}",
         "value": round(total, 4),
         "unit": "sec",
         "first_iter_total": round(first_iter_total, 4),
         "queries": timings,
-        "queries_median": medians,
         "iters": iters,
+        # 1/5/15-min load BEFORE and AFTER the run: a shared-machine
+        # artifact carries its own noise context (VERDICT r7 #1)
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if failed:
+        out["failed"] = failed
+    detail = {
+        **out,
+        "queries_median": medians,
         "runs": runs,
         # engine-only (noop sink) time for large-result queries: the
         # matching `queries` entry minus this is driver-fetch cost
         "engine_queries": engine,
         "result_rows": {n: r for n, r in result_rows.items()
                         if r > ENGINE_SPLIT_MIN_ROWS},
-        # 1/5/15-min load BEFORE and AFTER the run: a shared-machine
-        # artifact carries its own noise context (VERDICT r7 #1)
-        "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-        "sf": sf_val,
     }
-    if failed:
-        out["failed"] = failed
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print("# detail " + json.dumps(detail), file=sys.stderr)
+    except Exception as exc:  # detail is diagnostic; never fail the bench
+        print(f"# detail dump failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
     return 1 if failed else 0
 
