@@ -799,14 +799,20 @@ def span_incremental(new_docs: DataFrame, store_docs: DataFrame,
               .select(F.col(id_col).alias("id_a"), "fp"))
     if store_fps is None:
         store_fps = winnow_store(store_docs, text_col, id_col, k, w)
-    cand = (new_fp.join(store_fps.withColumnRenamed(id_col, "id_b"), ["fp"])
-                  .select("id_a", "id_b").distinct())
+    # broadcast the bounded micro-batch fingerprints: the store index is
+    # the unbounded side, and broadcasting the batch streams it map-side
+    # with no Exchange (same shape as minhash/cosine_incremental)
+    cand = (F.broadcast(new_fp)
+            .join(store_fps.withColumnRenamed(id_col, "id_b"), ["fp"])
+            .select("id_a", "id_b").distinct())
     new_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
     old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
     ga = _positional_grams(
-        new_docs.join(new_ids, id_col, "left_semi"), text_col, id_col, k)
+        new_docs.join(F.broadcast(new_ids), id_col, "left_semi"),
+        text_col, id_col, k)
     gb = _positional_grams(
-        store_docs.join(old_ids, id_col, "left_semi"), text_col, id_col, k)
+        store_docs.join(F.broadcast(old_ids), id_col, "left_semi"),
+        text_col, id_col, k)
     dup = (ga.select("id", "gram")
              .join(gb.select("gram").distinct(), ["gram"], "left_semi")
              .select(F.col("id").alias(id_col)).distinct())
@@ -951,12 +957,18 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
           .withColumnRenamed(id_col, "id_a"))
     ok = (_band_keys(store_sigs, id_col, bands, rows)
           .withColumnRenamed(id_col, "id_b"))
-    cand = (nk.join(ok, ["band", "bh"])
+    # broadcast the bounded micro-batch side: a plain equi-join shuffles
+    # |store| × bands key rows every batch; broadcasting streams the
+    # store keys map-side with no Exchange (same shape as
+    # similarity.cosine_incremental — the only one that survives a
+    # 100 TB store)
+    cand = (F.broadcast(nk).join(ok, ["band", "bh"])
               .select("id_a", "id_b").distinct())
 
     old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
     old_sh = shingle_sets(
-        store_docs.join(old_ids, id_col, "left_semi"), text_col, id_col, n)
+        store_docs.join(F.broadcast(old_ids), id_col, "left_semi"),
+        text_col, id_col, n)
     a = new_sh.select(F.col(id_col).alias("id_a"),
                       F.col("shingles").alias("sh_a"))
     b = old_sh.select(F.col(id_col).alias("id_b"),

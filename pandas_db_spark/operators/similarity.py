@@ -493,10 +493,18 @@ def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
         store_keys = _sign_bands(store_emb, id_col, vec_col, dim, bands,
                                  rows, seed)
     sk = store_keys.withColumnRenamed("id", "id_b")
-    cand = (new_keys.join(sk, ["band", "bh"])
+    # BROADCAST the batch side (r10, per VERDICT r9 #4): new_emb is a
+    # bounded micro-batch (batch_size × bands key rows — ~10 MB at 5k
+    # docs), the store side is the unbounded corpus.  A plain equi-join
+    # shuffles |store| × bands key rows EVERY batch (the measured top
+    # term of the 22 s/batch embedding ingest); broadcasting the batch
+    # keys streams the store keys map-side with no Exchange, which is
+    # also the only shape that survives a 100 TB store.
+    cand = (F.broadcast(new_keys).join(sk, ["band", "bh"])
             .select("id_a", "id_b").distinct())
     probe_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
-    store_vec = (store_emb.join(probe_ids, id_col, "left_semi")
+    store_vec = (store_emb.join(F.broadcast(probe_ids), id_col,
+                                "left_semi")
                  .select(F.col(id_col).alias("id_b"),
                          F.col(vec_col).alias("vb")))
     new_vec = new_emb.select(F.col(id_col).alias("id_a"),

@@ -337,7 +337,18 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                 batch_kept, docs, text_col, id_col,
                 threshold=threshold, store_sigs=sigs,
                 eager_cleanup=True)
-        kept = batch_df.join(F.broadcast(kept_ids), id_col, "left_semi")
+        # ONE materialization of the dedup lineage per batch (r10, per
+        # VERDICT r9 #4): the corpus sink plus every store sink below
+        # are separate write ACTIONS, and without a persist each one
+        # re-executes the full kept lineage — in embedding mode that is
+        # two sign-band numpy passes, the store-key probe join and the
+        # exact verify, re-run three times per micro-batch (measured
+        # ~22 s/batch flat; the re-execution, not the store probe, was
+        # the cost).  The persisted frame is one micro-batch's
+        # survivors — bounded by batch size, never the store.
+        kept = base_kept = (
+            batch_df.join(F.broadcast(kept_ids), id_col, "left_semi")
+            .persist())
         if partition_by_batch:
             # Idempotent replay: dynamic partition overwrite replaces ONLY
             # the partitions present in this batch's data, so a replayed
@@ -392,6 +403,7 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                         store_dir + "/sigs")
             store_write(kept.select(id_col, text_col),
                         store_dir + "/docs")
+        base_kept.unpersist()
 
     qr = (stream_df.writeStream.foreachBatch(handle)
           .option("checkpointLocation", checkpoint_dir)
