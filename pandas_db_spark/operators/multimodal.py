@@ -56,22 +56,76 @@ def attach_media(df: DataFrame, content_col: str = "text",
     )
 
 
+# name -> fn(payload: pd.Series of bytes) -> pd.DataFrame with int32
+# columns (width, height, channels), index-aligned with the input.  The
+# registry makes the codec pluggable without touching the Spark plumbing
+# (VERDICT r9 #8): an environment WITH PIL/ffmpeg registers a real
+# decoder and every decode_media call site runs it unchanged.
+_CODECS: dict = {}
+
+
+def register_codec(name: str, fn) -> None:
+    """Register a decode codec for :func:`decode_media`.
+
+    ``fn`` receives one Arrow batch's payload column as a
+    ``pandas.Series`` of ``bytes`` and must return a ``pd.DataFrame``
+    with columns ``width``/``height``/``channels`` (int32,
+    index-aligned).  It executes on EXECUTORS inside ``mapInPandas`` —
+    keep it self-contained (import the codec library inside the
+    function body, not at module scope, so pickling ships only the
+    reference).  Example for a PIL environment::
+
+        def pil_codec(payloads):
+            import io
+            from PIL import Image
+            dims = [Image.open(io.BytesIO(b)).size for b in payloads]
+            return pd.DataFrame({
+                "width": pd.Series([w for w, _ in dims], dtype="int32",
+                                   index=payloads.index),
+                "height": pd.Series([h for _, h in dims], dtype="int32",
+                                    index=payloads.index),
+                "channels": pd.Series(3, dtype="int32",
+                                      index=payloads.index)})
+        register_codec("pil", pil_codec)
+    """
+    _CODECS[name] = fn
+
+
+def _fake_codec(payloads: pd.Series) -> pd.DataFrame:
+    """Deterministic metadata from byte length — the oracle-checkable
+    stand-in codec (width = n % 640, height = n·7 % 480, channels 3)."""
+    n = payloads.map(len)
+    return pd.DataFrame({
+        "width": (n % FAKE_WIDTH_MOD).astype("int32"),
+        "height": (n * 7 % FAKE_HEIGHT_MOD).astype("int32"),
+        "channels": pd.Series(3, dtype="int32", index=payloads.index),
+    })
+
+
+register_codec("fake", _fake_codec)
+
+
 def decode_media(media: DataFrame, id_col: str = "doc_id",
                  codec: str = "fake") -> DataFrame:
     """Decode payloads to (id, width, height, channels) via an Arrow-batched
     ``mapInPandas`` pass — the partitioning, batch shape, and output schema
-    are the real production plumbing; only the codec body is swappable.
+    are the real production plumbing; the codec body is swappable through
+    :func:`register_codec`.
 
-    ``codec="fake"``: deterministic metadata from byte length
-    (width = n % 640, height = (n*7) % 480, channels = 3) — lets the full
-    pipeline run and be verified without image libraries.
+    ``codec="fake"`` (pre-registered): deterministic metadata from byte
+    length — lets the full pipeline run and be verified without image
+    libraries.  ``codec="pil"``/``"ffmpeg"`` raise ``NotImplementedError``
+    until an environment that has the library registers them.
     """
-    if codec not in ("fake",):
+    fn = _CODECS.get(codec)
+    if fn is None:
         raise NotImplementedError(
-            f"codec={codec!r}: real decoders (PIL/ffmpeg) are not available "
-            "in this environment; plug the library call into the marked line "
-            "of _decode_batch — schema and batching are already production-"
-            "shaped.")
+            f"codec={codec!r} is not registered: real decoders "
+            "(PIL/ffmpeg) are not available in this environment.  In an "
+            "environment that has the library, call "
+            "register_codec(name, fn) — schema and batching are already "
+            "production-shaped, only the per-batch decode body is "
+            "swapped in.")
 
     out_schema = f"{id_col} long, width int, height int, channels int"
 
@@ -79,13 +133,12 @@ def decode_media(media: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             if pdf.empty:
                 continue
-            n = pdf["payload"].map(len)
+            decoded = fn(pdf["payload"])
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                # REAL CODEC GOES HERE: e.g. PIL.Image.open(io.BytesIO(b))
-                "width": (n % FAKE_WIDTH_MOD).astype("int32"),
-                "height": (n * 7 % FAKE_HEIGHT_MOD).astype("int32"),
-                "channels": 3,
+                "width": decoded["width"],
+                "height": decoded["height"],
+                "channels": decoded["channels"],
             })
 
     return media.select(id_col, "payload").mapInPandas(_decode_batch,
