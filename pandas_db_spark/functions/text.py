@@ -362,3 +362,91 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         F.when(F.size(toks) >= n, shingled)
         .otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+# ---------------------------------------------------------------------
+# C4 cleaning battery — Raffel et al. 2020 (§2.2 of the T5 paper), the
+# line-level filter set every web-corpus pipeline descends from.
+# Pure-JVM HOFs over the page's line array, no UDF.
+# ---------------------------------------------------------------------
+
+_C4_POLICY_PHRASES = ("terms of use", "privacy policy", "cookie policy",
+                      "uses cookies")
+
+
+def _c4_line_ok(line: Column) -> Column:
+    """One line survives C4's line filter iff it ends in a terminal
+    punctuation mark (``. ! ? "``), holds >= 5 whitespace words, and
+    does not mention javascript (the enable-javascript boilerplate
+    rule).  Empty/whitespace lines fail the word bound."""
+    t = F.trim(line)
+    return (t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= 5)
+            & ~F.lower(t).contains("javascript"))
+
+
+def c4_clean_lines(text: Column) -> Column:
+    """``struct<clean_text, n_lines, n_kept>`` — C4's LINE stage
+    (ref: the public C4/T5 recipe; no reference-repo analogue —
+    beyond-parity LLM op): the page splits on newlines, lines failing
+    :func:`_c4_line_ok` are dropped, survivors re-join with newlines.
+    One codegen'd projection per page; the line array never leaves the
+    row, so the pass is a narrow map at any corpus size."""
+    lines = F.split(text, r"\n")
+    kept = F.filter(lines, _c4_line_ok)
+    return F.struct(
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+    )
+
+
+def c4_page_flags(text: Column) -> Column:
+    """``struct<no_lorem, no_brace, no_policy, enough_sentences,
+    c4_keep>`` — C4's PAGE stage: drop pages mentioning "lorem ipsum",
+    containing a curly brace (code), or carrying policy boilerplate,
+    and pages whose CLEANED text holds fewer than 3 sentences
+    (terminal-punctuation count over the surviving lines, per the
+    paper's filter order).  ``c4_keep`` is the conjunction."""
+    low = F.lower(text)
+    clean = c4_clean_lines(text)["clean_text"]
+    n_sent = F.size(F.split(clean, r"[.!?]")) - 1
+    no_policy = ~sum(
+        (low.contains(p).cast("int") for p in _C4_POLICY_PHRASES),
+        F.lit(0)).cast("boolean")
+    flags = {
+        "no_lorem": ~low.contains("lorem ipsum"),
+        "no_brace": ~text.contains("{"),
+        "no_policy": no_policy,
+        "enough_sentences": n_sent >= 3,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return F.struct(
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("c4_keep"),
+    )
+
+
+def strip_repeated_lines(text: Column) -> Column:
+    """``struct<clean_text, n_removed>`` — drop every repeat of an
+    already-seen line within one page, keeping first occurrences in
+    order (the within-document half of line-level dedup; FineWeb /
+    RefinedWeb run exactly this before corpus-level dedup).  Pure JVM:
+    a position-indexed filter keeps line i iff no earlier slot holds
+    the same trimmed line — O(lines²) per page on bounded page sizes,
+    zero shuffle, no UDF."""
+    lines = F.split(text, r"\n")
+    # compare TRIMMED lines (" x" repeats "x") via a trimmed prefix
+    trimmed = F.transform(lines, F.trim)
+    kept = F.filter(
+        lines,
+        lambda l, i: F.when(
+            i == 0, F.lit(True)
+        ).otherwise(F.array_position(F.slice(trimmed, 1, i),
+                                     F.trim(l)) == 0))
+    return F.struct(
+        F.array_join(kept, "\n").alias("clean_text"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
+    )

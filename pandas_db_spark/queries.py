@@ -58,6 +58,8 @@ def q(name: str, oracle: str | None = None):
 # registry is still verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
+    # never-driver-verified r10 additions first (weakest evidence)
+    "c4_line_clean", "c4_rules", "strip_repeated_lines",
     # joins (last driver receipt r4/r6)
     "join_sql", "join_native", "join_supplier_volume", "join_semi",
     "join_anti", "join_salted", "join_asof", "join_asof_chunked",
@@ -1103,6 +1105,159 @@ def gopher_repetition(spark, sf_dir):
     ext = d.unionByName(
         spark.createDataFrame(planted, "doc_id long, text string"))
     return gopher_repetition_flags(ext)
+
+
+# ---------------------------------------------------------------------
+# C4 cleaning battery (r10) — Raffel et al. 2020.  Documents are
+# single-line by construction, so each query synthesizes a
+# deterministic multi-line PAGE per doc (6-token lines, 2/3 ending in
+# a period, poison lines planted by doc_id residue) and both engines
+# build the identical page before filtering.
+# ---------------------------------------------------------------------
+
+# t + pg: the synthesized page per document.
+_C4_SYNTH_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+    "FROM documents), "
+    "pg AS (SELECT doc_id, array_to_string(list_concat("
+    "  CASE WHEN len(ws) // 6 >= 1 THEN "
+    "    [array_to_string(ws[(j-1)*6+1:(j-1)*6+6], ' ') || "
+    "     (CASE WHEN (doc_id + j) % 3 <> 2 THEN '.' ELSE '' END) "
+    "     for j in range(1, len(ws) // 6 + 1)] "
+    "  ELSE [] END, "
+    "  [x for x in ["
+    "   CASE WHEN doc_id % 7 = 0 THEN "
+    "     'please enable javascript to view this content.' END, "
+    "   CASE WHEN doc_id % 11 = 0 THEN "
+    "     'config { width: three } done here now.' END, "
+    "   CASE WHEN doc_id % 13 = 0 THEN "
+    "     'lorem ipsum dolor sit amet consectetur friend.' END, "
+    "   CASE WHEN doc_id % 17 = 0 THEN "
+    "     'please read our privacy policy today ok.' END] "
+    "   if x IS NOT NULL]), chr(10)) AS page FROM t)"
+)
+
+# + lf + kl: the page's line array and its C4-line-filter survivors.
+_C4_PAGE_SQL = (
+    _C4_SYNTH_SQL + ", "
+    "lf AS (SELECT doc_id, string_split(page, chr(10)) AS lines, "
+    "  page FROM pg), "
+    "kl AS (SELECT doc_id, page, lines, "
+    "  [l for l in lines if regexp_matches(trim(l), '[.!?\"]$') "
+    "   AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5 "
+    "   AND NOT contains(lower(trim(l)), 'javascript')] AS kept "
+    "  FROM lf) "
+)
+
+
+def _c4_page():
+    """The Spark mirror of _C4_PAGE_SQL's page synthesis."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    L = 6
+    nl = F.floor(F.size(toks) / L).cast("int")
+    did = F.col("doc_id")
+    body = F.when(nl >= 1, F.transform(
+        F.sequence(F.lit(1), nl),
+        lambda j: F.concat(
+            F.concat_ws(" ", F.slice(toks, (j - 1) * L + 1, L)),
+            F.when(((did + j) % 3) != 2, F.lit("."))
+             .otherwise(F.lit(""))))
+    ).otherwise(F.array().cast("array<string>"))
+    extras = F.filter(F.array(
+        F.when(did % 7 == 0,
+               F.lit("please enable javascript to view this content.")),
+        F.when(did % 11 == 0,
+               F.lit("config { width: three } done here now.")),
+        F.when(did % 13 == 0,
+               F.lit("lorem ipsum dolor sit amet consectetur friend.")),
+        F.when(did % 17 == 0,
+               F.lit("please read our privacy policy today ok.")),
+    ), lambda x: x.isNotNull())
+    return F.array_join(F.concat(body, extras), "\n")
+
+
+@q("c4_line_clean",
+   _C4_PAGE_SQL +
+   "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') "
+   "AS clean_text, "
+   "len(lines)::INT AS n_lines, len(kept)::INT AS n_kept FROM kl")
+def c4_line_clean(spark, sf_dir):
+    """C4 LINE filter (functions/text.c4_clean_lines — Raffel et al.
+    2020 §2.2; beyond-parity, no reference analogue): lines must end in
+    terminal punctuation, hold >= 5 words, and not mention javascript.
+    Zero-shuffle narrow projection."""
+    from pandas_db_spark.functions.text import c4_clean_lines
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    c = c4_clean_lines(_c4_page())
+    return d.select("doc_id", c["clean_text"].alias("clean_text"),
+                    c["n_lines"].alias("n_lines"),
+                    c["n_kept"].alias("n_kept"))
+
+
+@q("c4_rules",
+   _C4_PAGE_SQL +
+   "SELECT doc_id, "
+   "NOT contains(lower(page), 'lorem ipsum') AS no_lorem, "
+   "NOT contains(page, '{') AS no_brace, "
+   "NOT (contains(lower(page), 'terms of use') "
+   " OR contains(lower(page), 'privacy policy') "
+   " OR contains(lower(page), 'cookie policy') "
+   " OR contains(lower(page), 'uses cookies')) AS no_policy, "
+   "(len(string_split_regex(coalesce(array_to_string(kept, chr(10)), "
+   " ''), '[.!?]')) - 1) >= 3 AS enough_sentences, "
+   "(NOT contains(lower(page), 'lorem ipsum') "
+   " AND NOT contains(page, '{') "
+   " AND NOT (contains(lower(page), 'terms of use') "
+   "  OR contains(lower(page), 'privacy policy') "
+   "  OR contains(lower(page), 'cookie policy') "
+   "  OR contains(lower(page), 'uses cookies')) "
+   " AND (len(string_split_regex(coalesce(array_to_string(kept, "
+   "  chr(10)), ''), '[.!?]')) - 1) >= 3) AS c4_keep FROM kl")
+def c4_rules(spark, sf_dir):
+    """C4 PAGE rules (functions/text.c4_page_flags): lorem-ipsum, curly
+    brace, policy boilerplate, and >= 3 sentences AFTER the line filter
+    (the paper's order).  One scan, all flags in one projection."""
+    from pandas_db_spark.functions.text import c4_page_flags
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    f = c4_page_flags(_c4_page())
+    return d.select("doc_id",
+                    *[f[c].alias(c) for c in
+                      ("no_lorem", "no_brace", "no_policy",
+                       "enough_sentences", "c4_keep")])
+
+
+@q("strip_repeated_lines",
+   _C4_SYNTH_SQL + ", "
+   "rep AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+   "  AND len(string_split(page, chr(10))) >= 1 "
+   "  THEN page || chr(10) || string_split(page, chr(10))[1] "
+   "  ELSE page END AS page FROM pg), "
+   "ln AS (SELECT doc_id, string_split(page, chr(10)) AS lines "
+   "  FROM rep), "
+   "kp AS (SELECT doc_id, lines, "
+   "  [lines[i] for i in range(1, len(lines) + 1) "
+   "   if list_position([trim(x) for x in lines[1:i-1]], "
+   "       trim(lines[i])) = 0] AS kept FROM ln) "
+   "SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') "
+   "AS clean_text, "
+   "(len(lines) - len(kept))::INT AS n_removed FROM kp")
+def strip_repeated_lines_q(spark, sf_dir):
+    """Within-document line dedup (functions/text.strip_repeated_lines
+    — the FineWeb/RefinedWeb pre-pass): repeats of an already-seen
+    trimmed line drop, first occurrences keep their order.  Pages with
+    doc_id % 5 == 0 get their first line re-appended so the query
+    exercises real removals.  Zero-shuffle narrow projection."""
+    from pandas_db_spark.functions.text import strip_repeated_lines
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    page = _c4_page()
+    lines = F.split(page, r"\n")
+    page = F.when(
+        (F.col("doc_id") % 5 == 0) & (F.size(lines) >= 1),
+        F.concat(page, F.lit("\n"), F.element_at(lines, 1))
+    ).otherwise(page)
+    s = strip_repeated_lines(page)
+    return d.select("doc_id", s["clean_text"].alias("clean_text"),
+                    s["n_removed"].alias("n_removed"))
 
 
 @q("html_extract",

@@ -713,6 +713,58 @@ def test_bloom_broadcast_cached_across_calls(spark):
     assert DC._bloom_broadcast(sc, other) is not bc1
 
 
+def test_c4_battery_branches(spark):
+    """C4 line + page rules fire on their designed pathologies (r10,
+    Raffel et al. 2020 §2.2): terminal-punctuation, >= 5 words, the
+    javascript line rule; lorem/brace/policy/sentence-count page rules;
+    and within-page repeated-line stripping keeps first occurrences."""
+    from pandas_db_spark.functions.text import (c4_clean_lines,
+                                                c4_page_flags,
+                                                strip_repeated_lines)
+
+    page = ("this is a good long sentence that survives fine.\n"
+            "short line.\n"
+            "no terminal punctuation on this long line here\n"
+            "please enable javascript to view this content.\n"
+            "another good long sentence that also survives here!\n"
+            'a quoted ending line with plenty of words here."\n'
+            "third good long sentence to pass the count.")
+    rows = [
+        (1, page),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "second okay sentence with many words right here.\n"
+            "third fine sentence with enough words to pass now.\n"
+            "fourth good sentence here with plenty of words too."),
+        (3, "config { width: 3 } and more stuff here ok."),
+        (4, "read our privacy policy before continuing on this site."),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r for r in df.select(
+        "id", c4_clean_lines(F.col("t")).alias("c"),
+        c4_page_flags(F.col("t")).alias("f")).collect()}
+    # line filter: 4 of 7 survive (short, unpunctuated, javascript drop)
+    assert (got[1].c.n_lines, got[1].c.n_kept) == (7, 4)
+    assert "javascript" not in got[1].c.clean_text
+    assert "short line." not in got[1].c.clean_text
+    assert 'words here."' in got[1].c.clean_text  # quote counts terminal
+    assert got[1].f.c4_keep
+    # page rules: each pathology trips exactly its flag
+    assert not got[2].f.no_lorem and got[2].f.no_brace
+    assert not got[3].f.no_brace and got[3].f.no_lorem
+    assert not got[4].f.no_policy
+    assert not got[3].f.enough_sentences  # 1 sentence after cleaning
+    for i in (2, 3, 4):
+        assert not got[i].f.c4_keep
+    # repeated-line strip: trimmed repeats drop, first occurrences stay
+    rep = spark.createDataFrame(
+        [(1, "a line here.\nb line there.\na line here.\n"
+             "  a line here.\nc line again.")], "id long, t string")
+    s = rep.select(strip_repeated_lines(F.col("t")).alias("s")) \
+           .collect()[0].s
+    assert s.clean_text == "a line here.\nb line there.\nc line again."
+    assert s.n_removed == 2
+
+
 def test_gopher_flags_rules_fire_individually(spark):
     """Each Gopher rule trips on its designed pathology and the keep
     flag is the conjunction."""
