@@ -105,6 +105,8 @@ HEADLINE = [
     #  through dedup_embedding_ivf.)
     "cap_per_source",     # per-domain cap via WindowGroupLimit partial top-n (r9 add)
     "gopher_repetition",  # 13 repetition rules, explode+agg, one n-gram Generate (r9 add)
+    "c4_line_clean",      # C4 line filter, zero-shuffle HOF projection (r10 add)
+    "strip_repeated_lines",  # within-page line dedup, zero-shuffle (r10 add)
 ]
 
 

@@ -320,3 +320,41 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
                       e.alias("w_exp"),
                       F.col("n").alias("n_feats")))
     return out
+
+
+def classifier_score_hashed(docs: DataFrame, weights,
+                            bias: float = 0.0,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, logit)`` — apply a LINEAR quality classifier over
+    hashed bigram features (the FineWeb-Edu / fastText-style corpus
+    scoring pass: a small model trained offline, applied to every
+    document at corpus scale; no reference analogue — beyond-parity
+    LLM op).  ``weights[b]`` is the coefficient of hashed-feature
+    bucket ``b`` (``len(weights)`` fixes the bucket count), ``bias``
+    the intercept; callers threshold / bucket the logit downstream
+    (sigmoid is monotone, so rank and threshold semantics are
+    identical on the logit — and the logit avoids libm, keeping the
+    score bit-stable across engines).
+
+    Scale shape: one :func:`doc_feature_buckets` pass (dictionary-
+    encoded char folds), one map-side-combined per-doc bucket count,
+    one bounded per-doc fold — the weight vector rides the plan as an
+    array literal (a few KB), never a join.  The fold visits buckets
+    in ascending order, so the float accumulation order is fixed and
+    both engines produce identical bits.  Documents shorter than two
+    tokens have no features and are absent from the output (score
+    them as pure-bias rows with a left join if the policy needs
+    every doc)."""
+    n_buckets = len(weights)
+    per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
+           .groupBy("id", "bucket").agg(F.count("*").alias("c")))
+    arr = (per.groupBy("id")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("bucket", "c"))).alias("fs")))
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    z = F.aggregate(
+        "fs", F.lit(float(bias)),
+        lambda acc, x: acc + F.element_at(
+            wlit, x["bucket"].cast("int") + 1) * x["c"])
+    return arr.select(F.col("id").alias(id_col), z.alias("logit"))

@@ -60,6 +60,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # never-driver-verified r10 additions first (weakest evidence)
     "c4_line_clean", "c4_rules", "strip_repeated_lines",
+    "classifier_score",
     # joins (last driver receipt r4/r6)
     "join_sql", "join_native", "join_supplier_volume", "join_semi",
     "join_anti", "join_salted", "join_asof", "join_asof_chunked",
@@ -1105,6 +1106,36 @@ def gopher_repetition(spark, sf_dir):
     ext = d.unionByName(
         spark.createDataFrame(planted, "doc_id long, text string"))
     return gopher_repetition_flags(ext)
+
+
+@q("classifier_score",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "wh AS (SELECT doc_id, len(ws) AS n, list_transform(ws, w -> "
+   "  list_reduce(list_prepend(0::BIGINT, "
+   "    [ascii(c)::BIGINT for c in string_split(w, '')]), "
+   "    (g, c) -> (g * 31 + c) % 2147483648)) AS whs FROM t), "
+   "fe AS (SELECT doc_id, "
+   "  unnest([((whs[i] * 31 + whs[i+1]) % 2147483648) % 256 "
+   "    for i in range(1, n)]) AS bucket FROM wh WHERE n >= 2), "
+   "pc AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM fe "
+   "  GROUP BY 1, 2), "
+   "a AS (SELECT doc_id, list_sort(list({'bucket': bucket, 'c': c})) "
+   "  AS fs FROM pc GROUP BY 1) "
+   "SELECT doc_id, list_reduce(list_prepend(0.25::DOUBLE, "
+   "  list_transform(fs, x -> "
+   "    (((x.bucket * 37 + 11) % 101 - 50) / 100.0) * x.c)), "
+   "  (acc, v) -> acc + v) AS logit FROM a")
+def classifier_score(spark, sf_dir):
+    """Linear quality-classifier application over hashed bigram features
+    (operators/lm.classifier_score_hashed — the FineWeb-Edu corpus
+    scoring pass).  Weights are the deterministic synthetic vector
+    w_b = ((b*37 + 11) % 101 - 50)/100 with bias 0.25, folded in fixed
+    bucket order so both engines accumulate identical bits."""
+    from pandas_db_spark.operators.lm import classifier_score_hashed
+    d = get_db(spark, sf_dir).documents.df
+    weights = [((b * 37 + 11) % 101 - 50) / 100.0 for b in range(256)]
+    return classifier_score_hashed(d, weights, bias=0.25)
 
 
 # ---------------------------------------------------------------------

@@ -713,6 +713,44 @@ def test_bloom_broadcast_cached_across_calls(spark):
     assert DC._bloom_broadcast(sc, other) is not bc1
 
 
+def test_classifier_score_hashed_hand_checked(spark):
+    """The linear scorer reproduces a hand-computed logit: with all
+    weights equal the logit is bias + w * n_bigrams, and with distinct
+    weights the fold matches a pure-Python replay of the hash chain."""
+    from pandas_db_spark.operators.lm import classifier_score_hashed
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "cc dd"), (3, "solo")],
+        "doc_id long, text string")
+    # uniform weights: logit = bias + 0.5 * (#tokens - 1)
+    out = {r.doc_id: r.logit for r in
+           classifier_score_hashed(df, [0.5] * 64, bias=1.0).collect()}
+    assert out[1] == 1.0 + 0.5 * 3
+    assert out[2] == 1.0 + 0.5 * 1
+    assert 3 not in out  # single-token doc has no bigram features
+
+    # distinct weights: replay the hash chain in pure Python
+    def whash(w):
+        g = 0
+        for ch in w:
+            g = (g * 31 + ord(ch)) % 2_147_483_648
+        return g
+
+    weights = [((b * 37 + 11) % 101 - 50) / 100.0 for b in range(64)]
+    toks = "aa bb aa bb".split()
+    feats: dict[int, int] = {}
+    for i in range(len(toks) - 1):
+        b = ((whash(toks[i]) * 31 + whash(toks[i + 1]))
+             % 2_147_483_648) % 64
+        feats[b] = feats.get(b, 0) + 1
+    want = 0.25
+    for b in sorted(feats):
+        want += weights[b] * feats[b]
+    got = {r.doc_id: r.logit for r in
+           classifier_score_hashed(df, weights, bias=0.25).collect()}
+    assert got[1] == want
+
+
 def test_c4_battery_branches(spark):
     """C4 line + page rules fire on their designed pathologies (r10,
     Raffel et al. 2020 §2.2): terminal-punctuation, >= 5 words, the
