@@ -571,3 +571,59 @@ def take_until_budget(df: DataFrame, weight_col, budget: int,
     # production budgets — AQE broadcasts it when it measures small and
     # falls back to a keyed shuffle join when it doesn't.
     return df.join(kept, id_col)
+
+
+def temperature_rebalance(df: DataFrame, class_col: str, key_col: str,
+                          total_n: int, alpha: float = 0.5,
+                          salt: str = "", counts: dict | None = None
+                          ) -> DataFrame:
+    """Temperature-based class resampling — the mT5/UniMax multilingual
+    mixing rule (sample class *l* with probability ∝ ``c_l**alpha``,
+    ``alpha`` ∈ (0, 1] flattening the head), materialized as a
+    deterministic downsample toward a ``total_n``-row budget:
+
+        ``target_l = total_n · c_l**alpha / Σ c**alpha``
+        ``keep-fraction_l = min(1, target_l / c_l)``
+
+    (small classes hit the UniMax cap of one full epoch — never
+    upsampled; head classes shed rows).  ``alpha=1`` reproduces
+    proportional sampling, ``alpha→0`` approaches uniform.
+
+    Shape: one tiny ``groupBy(class)`` count (or pass ``counts``), the
+    O(#classes) allocation on the driver in canonical (sorted-label)
+    order so re-runs are bit-identical, then ONE narrow md5-threshold
+    filter — the same scan-level predicate as :func:`hash_sample`, no
+    shuffle of the data.  Expected (not exact-n) class sizes, like
+    :func:`balance_classes`; compose with :func:`stratified_sample`
+    for exact quotas.  NULL classes are dropped (not a class).
+
+    Determinism note: fractions pass through doubles (``pow`` + one
+    round-to-2⁻³² at the threshold), so an engine replaying the formula
+    (the DuckDB oracle does) agrees unless a fraction lands within
+    ~1e-7 of a 2⁻³³ rounding boundary AND a key's md5 prefix equals
+    that exact threshold — jointly negligible, same risk profile as
+    :func:`balance_classes`.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("temperature_rebalance: alpha must be in (0, 1]")
+    if total_n <= 0:
+        raise ValueError("temperature_rebalance: total_n must be positive")
+    if counts is None:
+        counts = {r[0]: r[1]
+                  for r in df.where(F.col(class_col).isNotNull())
+                             .groupBy(class_col).count().collect()}
+    if not counts:
+        return df.filter(F.lit(False))
+    items = sorted(counts.items())
+    s = sum(float(cnt) ** alpha for _, cnt in items)
+    hexp = F.substring(_hash_hex(F.col(key_col), salt), 1, _PREFIX_LEN)
+    keep = F.lit(False)
+    for label, cnt in items:
+        frac = total_n * (float(cnt) ** alpha) / s / cnt
+        cond = F.col(class_col) == F.lit(label)
+        if frac >= 1.0:
+            keep = F.when(cond, F.lit(True)).otherwise(keep)
+        else:
+            keep = F.when(
+                cond, hexp < F.lit(fraction_threshold(frac))).otherwise(keep)
+    return df.filter(keep)

@@ -1291,6 +1291,53 @@ def strip_repeated_lines_q(spark, sf_dir):
                     s["n_removed"].alias("n_removed"))
 
 
+# Planted boilerplate for strip_boilerplate: BOTH sides append these
+# literals to the same doc cohorts, so the corpus-global paragraph
+# counter sees a >5-doc paragraph (stripped) and a 3-doc one (kept).
+_BOIL_PARA = ("set your cookie preferences to continue "
+              "reading this page today")
+_RARE_PARA = "rare footer shared by only three pages this month"
+
+@q("strip_boilerplate",
+   "WITH ext AS (SELECT doc_id, "
+   "(CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || chr(10) || "
+   f"'{_BOIL_PARA}' ELSE text END) || "
+   "(CASE WHEN doc_id < 3 THEN chr(10) || chr(10) || "
+   f"'{_RARE_PARA}' ELSE '' END) AS text FROM documents), "
+   "p AS (SELECT doc_id, "
+   "unnest(string_split(text, chr(10) || chr(10))) AS para FROM ext), "
+   "b AS (SELECT coalesce(list(para), CAST([] AS VARCHAR[])) AS bl FROM ("
+   "SELECT para FROM p WHERE length(para) >= 10 "
+   "GROUP BY para HAVING count(DISTINCT doc_id) > 5)), "
+   "c AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps, "
+   "list_filter(string_split(text, chr(10) || chr(10)), "
+   "x -> NOT list_contains(b.bl, x)) AS kept FROM ext, b) "
+   "SELECT doc_id, array_to_string(kept, chr(10) || chr(10)) "
+   "AS text_clean, (len(ps) - len(kept))::INT AS n_stripped FROM c")
+def strip_boilerplate(spark, sf_dir):
+    """Corpus-GLOBAL boilerplate paragraph removal (operators/dedup.
+    strip_common_paragraphs — the RefinedWeb/C4 cross-page repeated-span
+    stage at paragraph granularity, complementing the within-page
+    strip_repeated_lines).  Docs with doc_id % 5 == 0 get a planted
+    cookie-banner paragraph (100 docs at sf0.01 — over the >5-doc
+    boilerplate bar, every copy stripped); doc_id < 3 get a rare footer
+    (3 docs — under the bar, kept).  Shape: one (hash, doc_id)-pair
+    count shuffle to find the tiny boilerplate-hash set, then a
+    zero-shuffle narrow strip with the set attached as a one-row
+    broadcast; paragraph text never shuffles.  The oracle recomputes
+    exact-text semantics, watchdogging the xxhash64 membership."""
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit("\n\n" + _BOIL_PARA))).otherwise(t)
+    t = F.when(F.col("doc_id") < 3,
+               F.concat(t, F.lit("\n\n" + _RARE_PARA))).otherwise(t)
+    ext = d.select("doc_id", t.alias("text"))
+    return strip_common_paragraphs(ext, "text", "doc_id",
+                                   max_docs=5, min_chars=10)
+
+
 @q("html_extract",
    "SELECT doc_id, text AS extracted FROM documents WHERE doc_id < 25")
 def html_extract(spark, sf_dir):
@@ -2677,6 +2724,35 @@ def sample_balanced_langs(spark, sf_dir):
     from pandas_db_spark.operators import sampling as SA
     d = get_db(spark, sf_dir).documents.df
     return (SA.balance_classes(d, "lang", "doc_id", max_ratio=1.0)
+            .select("doc_id", "lang"))
+
+
+@q("sample_temperature",
+   "WITH c AS (SELECT lang, count(*)::DOUBLE AS cnt FROM documents "
+   "WHERE lang IS NOT NULL GROUP BY 1), "
+   "s AS (SELECT sum(w) AS s FROM (SELECT pow(cnt, 0.5) AS w FROM c "
+   "ORDER BY lang)), "
+   "th AS (SELECT lang, CASE WHEN "
+   "400 * pow(cnt, 0.5) / (SELECT s FROM s) / cnt >= 1.0 "
+   "THEN 'zzzzzzzz' ELSE printf('%08x', LEAST(CAST(round("
+   "400 * pow(cnt, 0.5) / (SELECT s FROM s) / cnt * 4294967296.0) "
+   "AS BIGINT), 4294967295)) END AS thr FROM c) "
+   "SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang "
+   "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.thr")
+def sample_temperature(spark, sf_dir):
+    """Temperature-based language resampling (operators/sampling.
+    temperature_rebalance — the mT5/UniMax multilingual mixing rule,
+    p_l ∝ c_l^α): a 400-doc budget at α=0.5 flattens the head (en keeps
+    ~42% of its rows at sf0.01) while the smallest class crosses the
+    UniMax one-epoch cap and keeps everything — both branches binding.
+    One tiny class-count agg, allocation in canonical label order, then
+    a single narrow md5-threshold filter (no data shuffle).  The oracle
+    replays the identical double formula + round-to-u32 + 8-hex
+    compare."""
+    from pandas_db_spark.operators import sampling as SA
+    d = get_db(spark, sf_dir).documents.df
+    return (SA.temperature_rebalance(d, "lang", "doc_id",
+                                     total_n=400, alpha=0.5)
             .select("doc_id", "lang"))
 
 

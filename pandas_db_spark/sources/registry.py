@@ -691,3 +691,31 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
            else tmp.repartitionByRange(F.col("__z")))
     (rep.sortWithinPartitions("__z").drop("__z")
         .write.mode(mode).parquet(path))
+
+
+def load_orc(spark: SparkSession, path: str,
+             set_lowercase: bool = True) -> DataFrame:
+    """ORC → DataFrame — the other splittable columnar format (Hive/Trino
+    shops hand these over as often as parquet).  Spark's native ORC
+    reader keeps the same scan-level machinery as parquet: predicate
+    pushdown into stripe/row-group indexes, column pruning, and
+    vectorized decoding, so every 100 TB lever documented on the parquet
+    path applies unchanged.  Column names get the reference's
+    lowercase/underscore normalization (``utils.py:214-239``), matching
+    :func:`load_csv`."""
+    df = spark.read.orc(path)
+    if set_lowercase:
+        df = df.toDF(*[normalize_col(c) for c in df.columns])
+    return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """Sink: ORC analogue of :func:`write_parquet` — same Hive-layout
+    ``partition_by`` directory pruning semantics; useful when the
+    downstream consumer is a Hive/Trino warehouse that prefers ORC
+    stripes over parquet row groups."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -154,6 +154,23 @@ def test_write_parquet_roundtrip(spark, db, tmp_path):
         map(tuple, db.region.df.collect()))
 
 
+def test_write_orc_roundtrip(spark, db, tmp_path):
+    from pandas_db_spark.sources.registry import load_orc, write_orc
+
+    out = str(tmp_path / "region_out.orc")
+    write_orc(db.region.df, out)
+    back = load_orc(spark, out)
+    assert back.columns == db.region.df.columns
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, db.region.df.collect()))
+    # partitioned layout: directory pruning key becomes a read column
+    out2 = str(tmp_path / "nation_by_region.orc")
+    write_orc(db.nation.df, out2, partition_by=["n_regionkey"])
+    back2 = load_orc(spark, out2)
+    assert back2.where("n_regionkey = 1").count() == \
+        db.nation.df.where("n_regionkey = 1").count()
+
+
 def test_csv_source(spark, tmp_path):
     (tmp_path / "people.csv").write_text("Name,Fav Color\nann,red\nbob,blue\n")
     d = Database(str(tmp_path), spark=spark)

@@ -1976,3 +1976,105 @@ def test_extract_html_text_pins_branch_behavior(spark):
         "id", extract_html_text(F.col("h")).alias("t")).collect()}
     assert got[1] == "we know a < b and x <= y here", repr(got[1])
     assert got[2] == "2 < 3 > 1 stays", repr(got[2])
+
+
+# ---------------------------------------------------------------------------
+# corpus-global boilerplate paragraph strip (operators/dedup)
+# ---------------------------------------------------------------------------
+
+def test_strip_common_paragraphs_semantics(spark):
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+    boil = "please accept our cookie policy to continue browsing"
+    rare = "rare paragraph shared by just two documents here"
+    rows = []
+    for i in range(20):
+        t = f"unique body paragraph number {i} with enough characters"
+        if i < 10:
+            t += "\n\n" + boil
+        if i in (0, 1):
+            t += "\n\n" + rare
+        rows.append((i, t))
+    # a doc that is NOTHING but boilerplate must clean to ""
+    rows.append((99, boil))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_common_paragraphs(df, "text", "doc_id", max_docs=5)
+    got = {r["doc_id"]: (r["text_clean"], r["n_stripped"])
+           for r in out.collect()}
+    assert len(got) == 21
+    # boilerplate (11 distinct docs > 5) stripped everywhere
+    assert all(boil not in got[i][0] for i in range(10))
+    assert got[0][1] == 1 and got[5][1] == 1
+    # rare paragraph (2 docs <= 5) kept, order preserved
+    assert got[0][0].endswith(rare) and got[1][0].endswith(rare)
+    # untouched docs unchanged
+    assert got[15] == (
+        "unique body paragraph number 15 with enough characters", 0)
+    # all-boilerplate doc cleans to empty, still present
+    assert got[99] == ("", 1)
+
+
+def test_strip_common_paragraphs_min_chars_and_no_boiler(spark):
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+    # a SHORT paragraph repeated everywhere is exempt via min_chars
+    rows = [(i, f"body {i} that is long enough to count\n\nok") for i in
+            range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = strip_common_paragraphs(df, "text", "doc_id",
+                                  max_docs=3, min_chars=10)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert all(g["n_stripped"] == 0 for g in got.values())
+    assert got[3]["text_clean"].endswith("\n\nok")
+    # corpus with no boilerplate at all: empty collect_set path
+    solo = spark.createDataFrame(
+        [(1, "only one document with a single paragraph body")],
+        "doc_id long, text string")
+    out2 = strip_common_paragraphs(solo, "text", "doc_id").collect()
+    assert out2[0]["n_stripped"] == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling (operators/sampling)
+# ---------------------------------------------------------------------------
+
+def test_temperature_rebalance_allocation_and_determinism(docs):
+    from pandas_db_spark.operators import sampling as SA
+    from pyspark.sql import functions as F
+    counts = {r[0]: r[1] for r in
+              docs.where(F.col("lang").isNotNull())
+                  .groupBy("lang").count().collect()}
+    total_n, alpha = 40, 0.5
+    out = SA.temperature_rebalance(docs, "lang", "doc_id",
+                                   total_n=total_n, alpha=alpha)
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    s = sum(c ** alpha for c in sorted(counts.values()))
+    for lang, c in counts.items():
+        target = total_n * (c ** alpha) / s
+        if target >= c:            # UniMax cap: whole class kept
+            assert got.get(lang, 0) == c, lang
+        else:                      # Bernoulli: within a loose band
+            assert got.get(lang, 0) <= c
+    # deterministic under repartitioning
+    a = {r[0] for r in out.select("doc_id").collect()}
+    b = {r[0] for r in
+         SA.temperature_rebalance(docs.repartition(13), "lang", "doc_id",
+                                  total_n=total_n, alpha=alpha)
+           .select("doc_id").collect()}
+    assert a == b
+    # alpha=1 == proportional: identical keep-fraction for every class
+    prop = SA.temperature_rebalance(docs, "lang", "doc_id",
+                                    total_n=100, alpha=1.0)
+    fr = {r[0]: r[1] for r in prop.groupBy("lang").count().collect()}
+    assert set(fr) <= set(counts)
+
+
+def test_temperature_rebalance_validation(docs):
+    import pytest as _pt
+    from pandas_db_spark.operators import sampling as SA
+    with _pt.raises(ValueError):
+        SA.temperature_rebalance(docs, "lang", "doc_id", total_n=10,
+                                 alpha=0.0)
+    with _pt.raises(ValueError):
+        SA.temperature_rebalance(docs, "lang", "doc_id", total_n=0)
+    empty = docs.where("lang IS NULL AND lang IS NOT NULL")
+    assert SA.temperature_rebalance(empty, "lang", "doc_id",
+                                    total_n=5).count() == 0
