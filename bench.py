@@ -106,7 +106,11 @@ HEADLINE = [
     "cap_per_source",     # per-domain cap via WindowGroupLimit partial top-n (r9 add)
     "gopher_repetition",  # 13 repetition rules, explode+agg, one n-gram Generate (r9 add)
     "c4_line_clean",      # C4 line filter, zero-shuffle HOF projection (r10 add)
+    "c4_rules",           # C4 page rules over the cleaned page, one scan (r10 add)
     "strip_repeated_lines",  # within-page line dedup, zero-shuffle (r10 add)
+    "classifier_score",   # hashed linear quality classifier, pure-JVM fold (r10 add)
+    "strip_boilerplate",  # corpus-global paragraph strip: pair-count shuffle + narrow strip (r10 add)
+    "sample_temperature", # UniMax/mT5 temperature mixing, zero-shuffle filter (r10 add)
 ]
 
 
@@ -268,7 +272,7 @@ def main() -> int:
     # The stdout line stays COMPACT (VERDICT r9 #5: the r9 full dump
     # outgrew the driver's stdout-tail capture window and BENCH_r09.json
     # recorded parsed: null) — per-query bests + totals + load context
-    # only, ~2 KB for the 46-query set.  The bulky diagnosis payload
+    # only, ~2 KB for the 52-query set.  The bulky diagnosis payload
     # (per-iteration runs, medians, engine-vs-fetch split, result rows)
     # goes to BENCH_DETAIL.json next to this script and to stderr.
     out = {

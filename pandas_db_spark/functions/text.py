@@ -438,14 +438,18 @@ def strip_repeated_lines(text: Column) -> Column:
     the same trimmed line — O(lines²) per page on bounded page sizes,
     zero shuffle, no UDF."""
     lines = F.split(text, r"\n")
-    # compare TRIMMED lines (" x" repeats "x") via a trimmed prefix
+    # compare TRIMMED lines (" x" repeats "x"): keep line i iff the FIRST
+    # index of its trimmed value in the trimmed array is i itself.  This
+    # avoids materializing a fresh prefix slice per element — the r10
+    # profile showed the slice-per-position lambda re-evaluating the whole
+    # input expression tree per element in the interpreted HOF path (no
+    # CSE), 6x the per-row cost of the sibling C4 line filter.  Callers
+    # should pass a materialized column (not a big expression tree) for
+    # the same reason — see the strip_repeated_lines registry query.
     trimmed = F.transform(lines, F.trim)
     kept = F.filter(
         lines,
-        lambda l, i: F.when(
-            i == 0, F.lit(True)
-        ).otherwise(F.array_position(F.slice(trimmed, 1, i),
-                                     F.trim(l)) == 0))
+        lambda l, i: F.array_position(trimmed, F.trim(l)) == i + 1)
     return F.struct(
         F.array_join(kept, "\n").alias("clean_text"),
         (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),

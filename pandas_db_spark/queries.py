@@ -60,7 +60,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # never-driver-verified r10 additions first (weakest evidence)
     "c4_line_clean", "c4_rules", "strip_repeated_lines",
-    "classifier_score",
+    "classifier_score", "strip_boilerplate", "sample_temperature",
     # joins (last driver receipt r4/r6)
     "join_sql", "join_native", "join_supplier_volume", "join_semi",
     "join_anti", "join_salted", "join_asof", "join_asof_chunked",
@@ -1219,10 +1219,15 @@ def c4_line_clean(spark, sf_dir):
     Zero-shuffle narrow projection."""
     from pandas_db_spark.functions.text import c4_clean_lines
     d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
-    c = c4_clean_lines(_c4_page())
-    return d.select("doc_id", c["clean_text"].alias("clean_text"),
-                    c["n_lines"].alias("n_lines"),
-                    c["n_kept"].alias("n_kept"))
+    # materialize the synthesized page ONCE: the interpreted HOF path
+    # re-evaluates argument expression trees per element (no CSE), so
+    # feeding it the raw synthesis tree multiplies the page cost by
+    # the line count x the number of struct-field references
+    pg = d.select("doc_id", _c4_page().alias("page"))
+    c = c4_clean_lines(F.col("page"))
+    return pg.select("doc_id", c["clean_text"].alias("clean_text"),
+                     c["n_lines"].alias("n_lines"),
+                     c["n_kept"].alias("n_kept"))
 
 
 @q("c4_rules",
@@ -1250,11 +1255,12 @@ def c4_rules(spark, sf_dir):
     (the paper's order).  One scan, all flags in one projection."""
     from pandas_db_spark.functions.text import c4_page_flags
     d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
-    f = c4_page_flags(_c4_page())
-    return d.select("doc_id",
-                    *[f[c].alias(c) for c in
-                      ("no_lorem", "no_brace", "no_policy",
-                       "enough_sentences", "c4_keep")])
+    pg = d.select("doc_id", _c4_page().alias("page"))
+    f = c4_page_flags(F.col("page"))
+    return pg.select("doc_id",
+                     *[f[c].alias(c) for c in
+                       ("no_lorem", "no_brace", "no_policy",
+                        "enough_sentences", "c4_keep")])
 
 
 @q("strip_repeated_lines",
@@ -1280,15 +1286,18 @@ def strip_repeated_lines_q(spark, sf_dir):
     exercises real removals.  Zero-shuffle narrow projection."""
     from pandas_db_spark.functions.text import strip_repeated_lines
     d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
-    page = _c4_page()
-    lines = F.split(page, r"\n")
-    page = F.when(
+    # two materialization barriers: page synthesis, then the %5
+    # re-append — so the HOF consumes a plain attribute (see the
+    # r10 CSE note on strip_repeated_lines)
+    pg = d.select("doc_id", _c4_page().alias("page"))
+    lines = F.split(F.col("page"), r"\n")
+    rep = pg.select("doc_id", F.when(
         (F.col("doc_id") % 5 == 0) & (F.size(lines) >= 1),
-        F.concat(page, F.lit("\n"), F.element_at(lines, 1))
-    ).otherwise(page)
-    s = strip_repeated_lines(page)
-    return d.select("doc_id", s["clean_text"].alias("clean_text"),
-                    s["n_removed"].alias("n_removed"))
+        F.concat(F.col("page"), F.lit("\n"), F.element_at(lines, 1))
+    ).otherwise(F.col("page")).alias("page"))
+    s = strip_repeated_lines(F.col("page"))
+    return rep.select("doc_id", s["clean_text"].alias("clean_text"),
+                      s["n_removed"].alias("n_removed"))
 
 
 # Planted boilerplate for strip_boilerplate: BOTH sides append these
@@ -2743,7 +2752,7 @@ def sample_temperature(spark, sf_dir):
     """Temperature-based language resampling (operators/sampling.
     temperature_rebalance — the mT5/UniMax multilingual mixing rule,
     p_l ∝ c_l^α): a 400-doc budget at α=0.5 flattens the head (en keeps
-    ~42% of its rows at sf0.01) while the smallest class crosses the
+    ~56% of its rows at sf0.01) while the smallest class crosses the
     UniMax one-epoch cap and keeps everything — both branches binding.
     One tiny class-count agg, allocation in canonical label order, then
     a single narrow md5-threshold filter (no data shuffle).  The oracle
