@@ -218,7 +218,8 @@ def auto_sign_geometry(n: int, threshold: float,
 def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      dim: int = 64, bands="auto", rows="auto",
-                     seed: int = 42, n: int | None = None) -> DataFrame:
+                     seed: int = 42, n: int | None = None,
+                     keyed: DataFrame | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via sign-LSH
     banding + exact verification.  Precision is exact (every candidate is
     re-scored with the deterministic JVM cosine); recall follows the LSH
@@ -245,15 +246,23 @@ def cosine_pairs_lsh(emb: DataFrame, threshold: float = 0.95,
     stats, a prior count) — otherwise ONE ``count()`` runs at
     construction, memoized by the plan's semanticHash so repeated calls
     over the same frame cost zero extra jobs.  Cache expensive derived
-    inputs before calling, or supply ``n``."""
+    inputs before calling, or supply ``n``.
+
+    ``keyed`` (r10): pass a precomputed ``(id, band, bh)`` frame — a
+    :func:`signlsh_store` output over ``emb``, whose construction pins
+    the geometry — to skip the sign pass here.  The dedup-ingest loop
+    computes the batch's keys ONCE and shares them between in-batch
+    pair generation, the store probe and the store append (one Arrow
+    matmul pass per micro-batch instead of three)."""
     from pandas_db_spark.operators.dedup import _bucket_pairs
-    if bands == "auto" or rows == "auto":
-        if not (bands == "auto" and rows == "auto"):
-            raise ValueError("cosine_pairs_lsh: bands and rows must both "
-                             "be 'auto' or both explicit ints")
-        bands, rows = auto_sign_geometry(
-            n if n is not None else _corpus_count(emb), threshold)
-    keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
+    if keyed is None:
+        if bands == "auto" or rows == "auto":
+            if not (bands == "auto" and rows == "auto"):
+                raise ValueError("cosine_pairs_lsh: bands and rows must "
+                                 "both be 'auto' or both explicit ints")
+            bands, rows = auto_sign_geometry(
+                n if n is not None else _corpus_count(emb), threshold)
+        keyed = _sign_bands(emb, id_col, vec_col, dim, bands, rows, seed)
     # groupBy-bucket + in-bucket expansion: the sign-projection plan runs
     # once and shuffles once (a self-join would execute it per side).
     cand = _bucket_pairs(keyed, ["band", "bh"], "id")
@@ -451,7 +460,8 @@ def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
                        threshold: float = 0.95, dim: int = 64,
                        bands="auto", rows="auto", seed: int = 42,
                        store_keys: DataFrame | None = None,
-                       n: int | None = None) -> DataFrame:
+                       n: int | None = None,
+                       new_keys: DataFrame | None = None) -> DataFrame:
     """IDs of ``new_emb`` that are NOT near-duplicates (exact-verified
     cosine ≥ threshold) of any vector in the existing corpus — the
     rolling-ingest form of :func:`cosine_pairs_lsh` and the embedding
@@ -471,24 +481,32 @@ def cosine_incremental(new_emb: DataFrame, store_emb: DataFrame,
     (two count jobs, memoized by plan semanticHash; or pass the total
     via ``n`` to skip them) — only valid when this call computes the
     store keys itself; with a prebuilt ``store_keys`` the store's
-    pinned geometry must be passed explicitly."""
+    pinned geometry must be passed explicitly.
+
+    ``new_keys`` (r10): precomputed batch band keys (``(id, band,
+    bh)``, same pinned geometry as the store) — the ingest loop shares
+    one key frame across its three consumers instead of re-running the
+    sign pass; rows should cover exactly ``new_emb``'s ids (extra ids
+    only waste store-probe work — dup verdicts for ids outside
+    ``new_emb`` fall out of the final left-anti join)."""
     from pandas_db_spark.operators.dedup import _ensure_parallelism
 
     if bands == "auto" or rows == "auto":
         if not (bands == "auto" and rows == "auto"):
             raise ValueError("cosine_incremental: bands and rows must "
                              "both be 'auto' or both explicit")
-        if store_keys is not None:
+        if store_keys is not None or new_keys is not None:
             raise ValueError(
-                "cosine_incremental: a prebuilt store_keys pins its "
-                "geometry — pass the store's explicit bands/rows")
+                "cosine_incremental: a prebuilt store_keys/new_keys "
+                "frame pins its geometry — pass the explicit bands/rows")
         bands, rows = auto_sign_geometry(
             n if n is not None
             else _corpus_count(store_emb) + _corpus_count(new_emb),
             threshold)
-    new_keys = (_sign_bands(_ensure_parallelism(new_emb), id_col, vec_col,
-                            dim, bands, rows, seed)
-                .withColumnRenamed("id", "id_a"))
+    if new_keys is None:
+        new_keys = _sign_bands(_ensure_parallelism(new_emb), id_col,
+                               vec_col, dim, bands, rows, seed)
+    new_keys = new_keys.withColumnRenamed("id", "id_a")
     if store_keys is None:
         store_keys = _sign_bands(store_emb, id_col, vec_col, dim, bands,
                                  rows, seed)

@@ -279,17 +279,28 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                     "expected_corpus=<new steady-state size>) between "
                     "ingest runs to migrate the geometry.",
                     RuntimeWarning, stacklevel=2)
+            # ONE sign pass per batch (r10): the batch's band keys are
+            # computed and PERSISTED once, then shared by all three
+            # consumers — in-batch pair generation, the store probe and
+            # the store append below.  Before this the same Arrow
+            # matmul pass ran once per consumer (the top term of the
+            # profiled ~6 s/batch dedup lineage).
+            batch_keys = signlsh_store(batch_df, id_col=id_col,
+                                       vec_col=text_col, dim=vec_dim,
+                                       bands=bands, rows=rows).persist()
             # in-batch near-dedup FIRST (cosine_incremental only compares
             # the batch against the store)
             in_pairs = cosine_pairs_lsh(batch_df, threshold=threshold,
                                         id_col=id_col, vec_col=text_col,
-                                        dim=vec_dim, bands=bands,
-                                        rows=rows)
+                                        keyed=batch_keys)
             batch_kept = keep_first(batch_df, in_pairs, id_col)
+            kept_keys = batch_keys.join(
+                F.broadcast(batch_kept.select(F.col(id_col).alias("id"))),
+                "id", "left_semi")
             kept_ids = cosine_incremental(
                 batch_kept, vecs, id_col=id_col, vec_col=text_col,
                 threshold=threshold, dim=vec_dim, bands=bands, rows=rows,
-                store_keys=keys)
+                store_keys=keys, new_keys=kept_keys)
         elif mode == "span":
             fps = _read_store(spark, store_dir + "/fps",
                               f"fp long, {id_col} long")
@@ -384,10 +395,12 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
             store_write(fingerprint_store(kept, text_col, id_col),
                         store_dir)
         elif mode == "embedding":
-            store_write(signlsh_store(kept, id_col=id_col,
-                                      vec_col=text_col, dim=vec_dim,
-                                      bands=bands, rows=rows),
-                        store_dir + "/keys")
+            # survivors' keys come from the SHARED persisted batch-key
+            # frame (filtered by id), not a third sign pass
+            surv_keys = batch_keys.join(
+                F.broadcast(kept.select(F.col(id_col).alias("id"))),
+                "id", "left_semi")
+            store_write(surv_keys, store_dir + "/keys")
             store_write(kept.select(id_col, text_col),
                         store_dir + "/vecs")
         elif mode == "span":
@@ -403,6 +416,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                         store_dir + "/sigs")
             store_write(kept.select(id_col, text_col),
                         store_dir + "/docs")
+        if mode == "embedding":
+            batch_keys.unpersist()
         base_kept.unpersist()
 
     qr = (stream_df.writeStream.foreachBatch(handle)

@@ -2078,3 +2078,33 @@ def test_temperature_rebalance_validation(docs):
     empty = docs.where("lang IS NULL AND lang IS NOT NULL")
     assert SA.temperature_rebalance(empty, "lang", "doc_id",
                                     total_n=5).count() == 0
+
+
+def test_cosine_shared_keys_paths_match_default(spark, emb):
+    """r10: the shared-key-frame params (cosine_pairs_lsh(keyed=),
+    cosine_incremental(new_keys=)) must produce byte-identical results
+    to the compute-inside paths — same geometry, same hyperplanes."""
+    from pandas_db_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+    sub = emb.limit(300)
+    keyed = S.signlsh_store(sub, bands=69, rows=16)
+    base = {tuple(r) for r in
+            S.cosine_pairs_lsh(sub, bands=69, rows=16).collect()}
+    shared = {tuple(r) for r in
+              S.cosine_pairs_lsh(sub, keyed=keyed).collect()}
+    assert shared == base
+    store = emb.where(F.col("vec_id") % 3 == 0)
+    batch = emb.where(F.col("vec_id") % 3 != 0).limit(200)
+    skeys = S.signlsh_store(store, bands=69, rows=16)
+    bkeys = S.signlsh_store(batch, bands=69, rows=16)
+    kept_a = {r["vec_id"] for r in
+              S.cosine_incremental(batch, store, bands=69, rows=16,
+                                   store_keys=skeys).collect()}
+    kept_b = {r["vec_id"] for r in
+              S.cosine_incremental(batch, store, bands=69, rows=16,
+                                   store_keys=skeys,
+                                   new_keys=bkeys).collect()}
+    assert kept_a == kept_b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pins its geometry"):
+        S.cosine_incremental(batch, store, new_keys=bkeys)
