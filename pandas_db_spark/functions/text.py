@@ -454,3 +454,87 @@ def strip_repeated_lines(text: Column) -> Column:
         F.array_join(kept, "\n").alias("clean_text"),
         (F.size(lines) - F.size(kept)).cast("int").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist + URL screens (C4 badwords filter / RefinedWeb URL filtering)
+# ---------------------------------------------------------------------------
+
+def blocklist_flags(text: Column, words: list[str]) -> Column:
+    """``struct<n_blocked_hits, blocklist_ok>`` — C4's bad-words page
+    filter (Raffel et al. 2020 §2.2 drop any page containing a word
+    from a blocklist; beyond-parity LLM op, no reference analogue):
+    case-insensitive whole-word matches counted with ONE compiled
+    alternation regex, pure JVM, zero shuffle.  ``words`` must be
+    non-empty and word-character-only (letters/digits/underscore —
+    ``\\b`` boundaries are anchored to word chars, so punctuation in a
+    term would silently change match semantics; validated here).
+    ASCII-insensitive ``(?i)`` matches the DuckDB oracle's RE2 ``i``
+    flag on ASCII blocklists — the published lists are ASCII."""
+    import re as _re
+    if not words:
+        raise ValueError("blocklist_flags: words must be non-empty")
+    for w in words:
+        if not _re.fullmatch(r"\w+", w, _re.ASCII):
+            raise ValueError(
+                f"blocklist_flags: term {w!r} is not word-character-only")
+    pat = r"(?i)\b(" + "|".join(sorted(words)) + r")\b"
+    n = F.regexp_count(text, F.lit(pat))
+    return F.struct(
+        n.cast("int").alias("n_blocked_hits"),
+        (n == 0).alias("blocklist_ok"),
+    )
+
+
+_URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL via one anchored regex (the
+    same expression the DuckDB oracles run — deliberately NOT
+    ``parse_url``, which has no engine-neutral twin)."""
+    return F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+
+
+def url_flags(url: Column, blocked_domains: list[str]) -> Column:
+    """``struct<host, tld, path_depth, host_is_ip, digit_frac_pm,
+    blocked_domain, url_keep>`` — the RefinedWeb-style URL screen
+    (Penedo et al. 2023 §3.1 run URL filtering BEFORE any content
+    fetch: a domain blocklist plus shape heuristics; beyond-parity
+    LLM op):
+
+    * ``blocked_domain`` — host equals, or is a subdomain of, any entry
+      in ``blocked_domains`` (exact-label suffix match: ``ads.x.com``
+      matches ``x.com``; ``notx.com`` does not);
+    * ``host_is_ip`` — dotted-quad hosts (link farms hide behind raw
+      IPs);
+    * ``digit_frac_pm`` — digits per mille of the host (spam domains
+      are digit-heavy), integer so the flag hashes engine-neutrally;
+    * ``path_depth`` — ``/``-separated segments after the host;
+    * ``url_keep`` — not blocked, not an IP, digit share ≤ 200‰.
+
+    All pure JVM string ops in one projection — the screen runs at
+    crawl-frontier scale (billions of URLs) as a narrow scan filter."""
+    host = url_host(url)
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    rest = F.regexp_extract(url, _URL_HOST_RE + r"([^?#]*)", 2)
+    path_depth = F.size(F.filter(F.split(rest, "/"),
+                                 lambda s: s != "")).cast("int")
+    host_is_ip = host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    hlen = F.length(host)
+    # explicit floor: Spark's double->int cast truncates while DuckDB's
+    # rounds, so the oracle-neutral form is floor() on both engines
+    digit_frac_pm = F.when(hlen > 0, F.floor(
+        F.length(F.regexp_replace(host, r"[^0-9]", ""))
+        * 1000 / hlen)).otherwise(F.lit(0)).cast("int")
+    blocked = F.lit(False)
+    for d in sorted(set(blocked_domains)):
+        dl = d.lower()
+        blocked = blocked | (host == dl) | host.endswith("." + dl)
+    keep = ~blocked & ~host_is_ip & (digit_frac_pm <= 200)
+    return F.struct(
+        host.alias("host"), tld.alias("tld"),
+        path_depth.alias("path_depth"), host_is_ip.alias("host_is_ip"),
+        digit_frac_pm.alias("digit_frac_pm"),
+        blocked.alias("blocked_domain"), keep.alias("url_keep"),
+    )

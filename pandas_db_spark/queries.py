@@ -61,6 +61,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # never-driver-verified r10 additions first (weakest evidence)
     "c4_line_clean", "c4_rules", "strip_repeated_lines",
     "classifier_score", "strip_boilerplate", "sample_temperature",
+    "blocklist_screen", "url_screen",
     # joins (last driver receipt r4/r6)
     "join_sql", "join_native", "join_supplier_volume", "join_semi",
     "join_anti", "join_salted", "join_asof", "join_asof_chunked",
@@ -1345,6 +1346,98 @@ def strip_boilerplate(spark, sf_dir):
     ext = d.select("doc_id", t.alias("text"))
     return strip_common_paragraphs(ext, "text", "doc_id",
                                    max_docs=5, min_chars=10)
+
+
+@q("blocklist_screen",
+   "WITH ext AS (SELECT doc_id, text "
+   "|| (CASE WHEN doc_id % 9 = 0 THEN ' BadWord' ELSE '' END) "
+   "|| (CASE WHEN doc_id % 15 = 0 THEN ' evilword and EVILWORD' "
+   "ELSE '' END) AS text FROM documents) "
+   "SELECT doc_id, len(regexp_extract_all(text, "
+   "'\\b(badword|evilword)\\b', 0, 'i'))::INT AS n_blocked_hits, "
+   "len(regexp_extract_all(text, '\\b(badword|evilword)\\b', 0, 'i')) "
+   "= 0 AS blocklist_ok FROM ext")
+def blocklist_screen(spark, sf_dir):
+    """C4 bad-words page filter (functions/text.blocklist_flags —
+    Raffel et al. 2020 §2.2 drop pages containing blocklisted words):
+    docs with doc_id % 9 == 0 get a planted case-variant hit, % 15 a
+    double hit — count and keep-flag both exercised, whole-word
+    boundary semantics pinned (natural corpus words never match).  One
+    compiled alternation regex, zero-shuffle narrow scan; the oracle
+    counts with RE2's 'i' flag on the same pattern."""
+    from pandas_db_spark.functions.text import blocklist_flags
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" BadWord"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 15 == 0, F.lit(" evilword and EVILWORD"))
+         .otherwise(F.lit("")))
+    b = blocklist_flags(t, ["badword", "evilword"])
+    return d.select("doc_id",
+                    b["n_blocked_hits"].alias("n_blocked_hits"),
+                    b["blocklist_ok"].alias("blocklist_ok"))
+
+
+_URL_SQL = (
+    "'https://' || CASE "
+    "WHEN doc_id % 13 = 0 THEN 'ads.tracker-net.com' "
+    "WHEN doc_id % 17 = 0 THEN '10.0.0.' || CAST(doc_id % 256 AS VARCHAR) "
+    "WHEN doc_id % 19 = 0 THEN 'shop' || CAST(doc_id AS VARCHAR) "
+    "|| '99.biz' "
+    "ELSE source || '.example.org' END "
+    "|| '/' || lang || '/p' || CAST(doc_id AS VARCHAR)")
+
+_URL_HOST_SQL = ("lower(regexp_extract(url, "
+                 "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))")
+
+@q("url_screen",
+   "WITH ext AS (SELECT doc_id, " + _URL_SQL + " AS url FROM documents), "
+   "h AS (SELECT doc_id, url, " + _URL_HOST_SQL + " AS host, "
+   "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)([^?#]*)', "
+   "2) AS rest FROM ext), "
+   "m AS (SELECT doc_id, host, "
+   "regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld, "
+   "len(list_filter(string_split(rest, '/'), x -> x <> ''))::INT "
+   "AS path_depth, "
+   "regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
+   "AS host_is_ip, "
+   "floor(len(regexp_replace(host, '[^0-9]', '', 'g')) * 1000 "
+   "/ len(host))::INT AS digit_frac_pm, "
+   "(host = 'tracker-net.com' OR host LIKE '%.tracker-net.com') "
+   "AS blocked_domain FROM h) "
+   "SELECT doc_id, host, tld, path_depth, host_is_ip, digit_frac_pm, "
+   "blocked_domain, (NOT blocked_domain AND NOT host_is_ip AND "
+   "digit_frac_pm <= 200) AS url_keep FROM m")
+def url_screen(spark, sf_dir):
+    """RefinedWeb-style URL screen (functions/text.url_flags — Penedo
+    et al. 2023 §3.1: URL filtering runs BEFORE any content fetch):
+    synthesized per-doc URLs plant a blocked-domain cohort (% 13, a
+    subdomain of the blocklist entry — suffix-label semantics
+    exercised), a raw-IP cohort (% 17) and a digit-heavy spam-shaped
+    host (% 19); the rest derive from source/lang and pass.  Host/TLD
+    extraction, path depth, digit share and the keep conjunction are
+    the same anchored-regex string ops on both engines — a zero-shuffle
+    narrow projection built for crawl-frontier scale."""
+    from pandas_db_spark.functions.text import url_flags
+    d = get_db(spark, sf_dir).documents.df
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("ads.tracker-net.com"))
+         .when(F.col("doc_id") % 17 == 0,
+               F.concat(F.lit("10.0.0."),
+                        (F.col("doc_id") % 256).cast("string")))
+         .when(F.col("doc_id") % 19 == 0,
+               F.concat(F.lit("shop"), F.col("doc_id").cast("string"),
+                        F.lit("99.biz")))
+         .otherwise(F.concat(F.col("source"), F.lit(".example.org"))),
+        F.lit("/"), F.col("lang"), F.lit("/p"),
+        F.col("doc_id").cast("string"))
+    u = url_flags(url, ["tracker-net.com"])
+    return d.select("doc_id",
+                    *[u[c].alias(c) for c in
+                      ("host", "tld", "path_depth", "host_is_ip",
+                       "digit_frac_pm", "blocked_domain", "url_keep")])
 
 
 @q("html_extract",

@@ -2108,3 +2108,54 @@ def test_cosine_shared_keys_paths_match_default(spark, emb):
     import pytest as _pt
     with _pt.raises(ValueError, match="pins its geometry"):
         S.cosine_incremental(batch, store, new_keys=bkeys)
+
+
+# ---------------------------------------------------------------------------
+# blocklist + URL screens (functions/text)
+# ---------------------------------------------------------------------------
+
+def test_blocklist_flags_boundaries_and_validation(spark):
+    import pytest as _pt
+    from pandas_db_spark.functions.text import blocklist_flags
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([
+        (1, "clean text here"),
+        (2, "has BADWORD once"),
+        (3, "badwording is a longer word"),   # boundary: no hit
+        (4, "badword, punctuated! badword"),  # two hits across punct
+    ], "id long, text string")
+    b = blocklist_flags(F.col("text"), ["badword"])
+    got = {r["id"]: (r["n"], r["ok"]) for r in df.select(
+        "id", b["n_blocked_hits"].alias("n"),
+        b["blocklist_ok"].alias("ok")).collect()}
+    assert got == {1: (0, True), 2: (1, False),
+                   3: (0, True), 4: (2, False)}
+    with _pt.raises(ValueError, match="non-empty"):
+        blocklist_flags(F.col("text"), [])
+    with _pt.raises(ValueError, match="word-character-only"):
+        blocklist_flags(F.col("text"), ["bad word"])
+
+
+def test_url_flags_domain_suffix_ip_and_digits(spark):
+    from pandas_db_spark.functions.text import url_flags
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([
+        (1, "https://ads.tracker-net.com/x"),      # subdomain: blocked
+        (2, "https://tracker-net.com/"),           # exact: blocked
+        (3, "https://nottracker-net.com/ok"),      # lookalike: NOT blocked
+        (4, "http://10.0.0.7/admin"),              # raw IP
+        (5, "https://shop1234567.biz/a/b"),        # digit-heavy host
+        (6, "https://plain.example.org/a/b/c"),    # clean
+    ], "id long, url string")
+    u = url_flags(F.col("url"), ["tracker-net.com"])
+    got = {r["id"]: r for r in df.select("id", u.alias("u")).collect()}
+    assert got[1]["u"]["blocked_domain"] and not got[1]["u"]["url_keep"]
+    assert got[2]["u"]["blocked_domain"]
+    assert not got[3]["u"]["blocked_domain"] and got[3]["u"]["url_keep"]
+    assert got[4]["u"]["host_is_ip"] and not got[4]["u"]["url_keep"]
+    # shop1234567.biz: 7 digits / 15 chars -> floor(466.6) = 466 per mille
+    assert got[5]["u"]["digit_frac_pm"] == 466
+    assert not got[5]["u"]["url_keep"]
+    assert got[6]["u"]["url_keep"] and got[6]["u"]["path_depth"] == 3
+    assert got[6]["u"]["tld"] == "org" and got[6]["u"]["host"] == \
+        "plain.example.org"
