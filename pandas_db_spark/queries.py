@@ -61,7 +61,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # never-driver-verified r10 additions first (weakest evidence)
     "c4_line_clean", "c4_rules", "strip_repeated_lines",
     "classifier_score", "strip_boilerplate", "sample_temperature",
-    "blocklist_screen", "url_screen",
+    "blocklist_screen", "url_screen", "pipeline_web_clean",
     # joins (last driver receipt r4/r6)
     "join_sql", "join_native", "join_supplier_volume", "join_semi",
     "join_anti", "join_salted", "join_asof", "join_asof_chunked",
@@ -1438,6 +1438,71 @@ def url_screen(spark, sf_dir):
                     *[u[c].alias(c) for c in
                       ("host", "tld", "path_depth", "host_is_ip",
                        "digit_frac_pm", "blocked_domain", "url_keep")])
+
+
+@q("pipeline_web_clean",
+   "WITH ext AS (SELECT doc_id, lang, source, "
+   "(CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || chr(10) || "
+   f"'{_BOIL_PARA}' ELSE text END) || "
+   "(CASE WHEN doc_id % 23 = 0 THEN ' spamword' ELSE '' END) "
+   "AS text FROM documents), "
+   "wu AS (SELECT doc_id, text, " + _URL_SQL + " AS url FROM ext), "
+   "h AS (SELECT doc_id, text, " + _URL_HOST_SQL + " AS host FROM wu), "
+   "scr AS (SELECT doc_id, text FROM h WHERE "
+   "NOT (host = 'tracker-net.com' OR host LIKE '%.tracker-net.com') "
+   "AND NOT regexp_matches(host, "
+   "'^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
+   "AND floor(len(regexp_replace(host, '[^0-9]', '', 'g')) * 1000 "
+   "/ len(host)) <= 200 "
+   "AND len(regexp_extract_all(text, '\\bspamword\\b', 0, 'i')) = 0), "
+   "p AS (SELECT doc_id, "
+   "unnest(string_split(text, chr(10) || chr(10))) AS para FROM scr), "
+   "b AS (SELECT coalesce(list(para), CAST([] AS VARCHAR[])) AS bl FROM ("
+   "SELECT para FROM p WHERE length(para) >= 10 "
+   "GROUP BY para HAVING count(DISTINCT doc_id) > 5)), "
+   "c AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps, "
+   "list_filter(string_split(text, chr(10) || chr(10)), "
+   "x -> NOT list_contains(b.bl, x)) AS kept FROM scr, b) "
+   "SELECT doc_id, array_to_string(kept, chr(10) || chr(10)) "
+   "AS text_clean, (len(ps) - len(kept))::INT AS n_stripped FROM c")
+def pipeline_web_clean(spark, sf_dir):
+    """Web-curation capstone in PUBLISHED order (RefinedWeb fig. 1:
+    URL screen BEFORE content checks, content screens before global
+    dedup/strip): synthesized URLs + planted banner/spam cohorts →
+    (1) url_flags keep, (2) blocklist_flags keep, (3) corpus-global
+    strip_common_paragraphs over the SURVIVORS (the boilerplate count
+    runs post-screen, as production would).  Stages are individually
+    gated elsewhere (`url_screen`, `blocklist_screen`,
+    `strip_boilerplate`); this query pins their interaction with ONE
+    composed DuckDB oracle.  Plan shape: two narrow screen filters at
+    the scan, then the pair-count shuffle + broadcast strip."""
+    from pandas_db_spark.functions.text import blocklist_flags, url_flags
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+    d = get_db(spark, sf_dir).documents.df
+    t = F.col("text")
+    t = F.when(F.col("doc_id") % 5 == 0,
+               F.concat(t, F.lit("\n\n" + _BOIL_PARA))).otherwise(t)
+    t = F.concat(t, F.when(F.col("doc_id") % 23 == 0,
+                           F.lit(" spamword")).otherwise(F.lit("")))
+    ext = d.select("doc_id", "lang", "source", t.alias("text"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("ads.tracker-net.com"))
+         .when(F.col("doc_id") % 17 == 0,
+               F.concat(F.lit("10.0.0."),
+                        (F.col("doc_id") % 256).cast("string")))
+         .when(F.col("doc_id") % 19 == 0,
+               F.concat(F.lit("shop"), F.col("doc_id").cast("string"),
+                        F.lit("99.biz")))
+         .otherwise(F.concat(F.col("source"), F.lit(".example.org"))),
+        F.lit("/"), F.col("lang"), F.lit("/p"),
+        F.col("doc_id").cast("string"))
+    scr = (ext.where(url_flags(url, ["tracker-net.com"])["url_keep"])
+              .where(blocklist_flags(F.col("text"),
+                                     ["spamword"])["blocklist_ok"])
+              .select("doc_id", "text"))
+    return strip_common_paragraphs(scr, "text", "doc_id",
+                                   max_docs=5, min_chars=10)
 
 
 @q("html_extract",
