@@ -654,7 +654,18 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     exact-verify discipline as the Jaccard families above)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    ge = _positional_grams_from_tokens(t, k)
+    # shuffle 8-byte gram HASHES, not ~50-byte gram strings: the gram
+    # text is only ever used as an identity (owner protection is
+    # positional), so xxhash64 in the projection between the Generate
+    # and the Exchange cuts the index's shuffle bytes ~6x (r10;
+    # measured sf1 3.17 -> 2.94 s, sf0.1 ~2.3 -> 2.1 s — the generation
+    # cost of the gram string itself remains, this trims the exchange
+    # and the join-back payload).  64-bit collision mass at 3M distinct
+    # grams (sf1) is ~2e-7 merged-identity pairs — the exact sf-scale
+    # oracle watchdogs it, same discipline as the repetition battery
+    # and strip_common_paragraphs.
+    ge = (_positional_grams_from_tokens(t, k)
+          .withColumn("gram", F.xxhash64("gram")))
     stats = (ge.groupBy("gram")
                .agg(F.min("id").alias("owner"),
                     F.count_distinct("id").alias("nd")))
