@@ -113,6 +113,7 @@ HEADLINE = [
     "sample_temperature", # UniMax/mT5 temperature mixing, zero-shuffle filter (r10 add)
     "blocklist_screen",   # C4 bad-words filter, one alternation regex scan (r10 add)
     "url_screen",         # RefinedWeb URL screen, anchored-regex projection (r10 add)
+    "corpus_drift",       # snapshot TVD drift: pre-aggregated vocab full-outer join (r10 add)
 ]
 
 
@@ -274,7 +275,7 @@ def main() -> int:
     # The stdout line stays COMPACT (VERDICT r9 #5: the r9 full dump
     # outgrew the driver's stdout-tail capture window and BENCH_r09.json
     # recorded parsed: null) — per-query bests + totals + load context
-    # only, ~2 KB for the 54-query set.  The bulky diagnosis payload
+    # only, ~2 KB for the 55-query set.  The bulky diagnosis payload
     # (per-iteration runs, medians, engine-vs-fetch split, result rows)
     # goes to BENCH_DETAIL.json next to this script and to stderr.
     out = {

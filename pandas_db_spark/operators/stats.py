@@ -154,3 +154,58 @@ def corr_by(df: DataFrame, group_cols: Sequence[str],
     return one.select(
         *group_cols,
         F.stack(F.lit(k), *pairs).alias("col_a", "col_b", "corr"))
+
+
+def term_drift(a: DataFrame, b: DataFrame, text_col: str = "text"
+               ) -> DataFrame:
+    """Per-term distribution drift between two corpus snapshots — the
+    monitoring report a rolling ingest runs when a new crawl lands
+    (which terms shifted share?  did the mix move?).  Returns one row
+    per term in the UNION vocabulary:
+
+        ``(term, c_a, c_b, n_a, n_b, drift_num)``
+
+    where ``c`` are term counts, ``n`` total token counts, and
+    ``drift_num = |c_a·n_b − c_b·n_a|`` — the share difference
+    ``|p_a − p_b|`` cross-multiplied to an EXACT INTEGER.  Integer
+    sums are order-independent, so the report (and the TVD summary
+    :func:`tvd_summary` folds from it) hashes bit-identically on any
+    engine — the same libm-avoidance discipline as ``operators/lm``
+    (KL/JS need per-term ``log``, whose last-ulp engine variance the
+    module docstring there rules out; total-variation distance is the
+    drift metric with an exact form: TVD = Σ drift_num / (2·n_a·n_b)).
+
+    Shape: one token explode + map-side-combined count per side, a
+    full-outer join of the two PRE-AGGREGATED |vocab|-row count tables
+    (never the corpora), scalar totals attached as one-row broadcasts.
+    Overflow: ``c·n < 2⁶³`` holds through ~3·10⁹-token snapshots with
+    million-count heads; beyond that, drift per SHARD or DECIMAL(38)
+    arithmetic — the report is per-snapshot-pair, not per-history."""
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        toks = F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+        return (df.select(toks)
+                  .groupBy("term").agg(F.count("*").alias(f"c_{side}")))
+    ca, cb = counts(a, "a"), counts(b, "b")
+    na = ca.agg(F.sum("c_a").alias("n_a"))
+    nb = cb.agg(F.sum("c_b").alias("n_b"))
+    u = (ca.join(cb, "term", "full_outer")
+           .select("term",
+                   F.coalesce("c_a", F.lit(0)).alias("c_a"),
+                   F.coalesce("c_b", F.lit(0)).alias("c_b"))
+           .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)))
+    drift = F.abs(F.col("c_a") * F.col("n_b")
+                  - F.col("c_b") * F.col("n_a"))
+    return u.select("term", "c_a", "c_b", "n_a", "n_b",
+                    drift.alias("drift_num"))
+
+
+def tvd_summary(drift: DataFrame) -> DataFrame:
+    """One-row exact-integer total-variation summary of a
+    :func:`term_drift` report: ``(tvd_num, n_a, n_b)`` with
+    ``TVD = tvd_num / (2·n_a·n_b)`` ∈ [0, 1] left to the caller (the
+    division is the only inexact step, so it stays out of the hashed
+    surface)."""
+    return drift.agg(F.sum("drift_num").alias("tvd_num"),
+                     F.first("n_a").alias("n_a"),
+                     F.first("n_b").alias("n_b"))

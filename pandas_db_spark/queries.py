@@ -62,6 +62,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "c4_line_clean", "c4_rules", "strip_repeated_lines",
     "classifier_score", "strip_boilerplate", "sample_temperature",
     "blocklist_screen", "url_screen", "pipeline_web_clean",
+    "corpus_drift", "corpus_drift_tvd",
     # joins (last driver receipt r4/r6)
     "join_sql", "join_native", "join_supplier_volume", "join_semi",
     "join_anti", "join_salted", "join_asof", "join_asof_chunked",
@@ -1503,6 +1504,62 @@ def pipeline_web_clean(spark, sf_dir):
               .select("doc_id", "text"))
     return strip_common_paragraphs(scr, "text", "doc_id",
                                    max_docs=5, min_chars=10)
+
+
+_DRIFT_SQL = (
+    "WITH ta AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) "
+    "AS term FROM documents WHERE doc_id % 2 = 0), "
+    "tb AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) "
+    "AS term FROM documents WHERE doc_id % 2 = 1), "
+    "ca AS (SELECT term, count(*)::BIGINT AS c_a FROM ta GROUP BY 1), "
+    "cb AS (SELECT term, count(*)::BIGINT AS c_b FROM tb GROUP BY 1), "
+    "na AS (SELECT sum(c_a)::BIGINT AS n_a FROM ca), "
+    "nb AS (SELECT sum(c_b)::BIGINT AS n_b FROM cb), "
+    "u AS (SELECT coalesce(ca.term, cb.term) AS term, "
+    "coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b "
+    "FROM ca FULL OUTER JOIN cb ON ca.term = cb.term), "
+    "d AS (SELECT term, c_a, c_b, (SELECT n_a FROM na) AS n_a, "
+    "(SELECT n_b FROM nb) AS n_b, "
+    "abs(c_a * (SELECT n_b FROM nb) - c_b * (SELECT n_a FROM na)) "
+    "AS drift_num FROM u) ")
+
+@q("corpus_drift",
+   _DRIFT_SQL +
+   "SELECT term, c_a, c_b, n_a, n_b, drift_num FROM d "
+   "ORDER BY drift_num DESC, term ASC LIMIT 20")
+def corpus_drift(spark, sf_dir):
+    """Snapshot-drift report (operators/stats.term_drift — the rolling
+    ingest's 'what shifted in the new crawl' monitor): even vs odd
+    doc_ids as the two snapshots, top-20 terms by
+    |c_a·n_b − c_b·n_a| — the |p_a − p_b| share difference
+    cross-multiplied to an EXACT INTEGER (KL/JS need libm log, whose
+    engine variance operators/lm rules out; TVD has this exact form).
+    One count agg per side, full-outer join of PRE-AGGREGATED vocab
+    tables, TakeOrdered top-20 — the corpora never join."""
+    from pandas_db_spark.operators.stats import term_drift
+    d = get_db(spark, sf_dir).documents.df
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    return (term_drift(a, b, "text")
+            .orderBy(F.col("drift_num").desc(), F.col("term").asc())
+            .limit(20))
+
+
+@q("corpus_drift_tvd",
+   _DRIFT_SQL +
+   "SELECT sum(drift_num)::BIGINT AS tvd_num, "
+   "(SELECT n_a FROM na) AS n_a, (SELECT n_b FROM nb) AS n_b FROM d")
+def corpus_drift_tvd(spark, sf_dir):
+    """Exact-integer total-variation summary of the same drift report
+    (operators/stats.tvd_summary): TVD = tvd_num / (2·n_a·n_b) — the
+    division stays OUT of the hashed surface, so the scalar gate is
+    bit-exact.  Integer sums are order-independent: no fold-order
+    contract needed, unlike any log-based divergence."""
+    from pandas_db_spark.operators.stats import term_drift, tvd_summary
+    d = get_db(spark, sf_dir).documents.df
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    return tvd_summary(term_drift(a, b, "text"))
 
 
 @q("html_extract",

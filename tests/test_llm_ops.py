@@ -2159,3 +2159,25 @@ def test_url_flags_domain_suffix_ip_and_digits(spark):
     assert got[6]["u"]["url_keep"] and got[6]["u"]["path_depth"] == 3
     assert got[6]["u"]["tld"] == "org" and got[6]["u"]["host"] == \
         "plain.example.org"
+
+
+def test_term_drift_exact_integers_and_tvd(spark):
+    from pandas_db_spark.operators.stats import term_drift, tvd_summary
+    a = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], "id long, text string")
+    b = spark.createDataFrame(
+        [(3, "x y y"), (4, "w")], "id long, text string")
+    d = {r["term"]: r for r in term_drift(a, b, "text").collect()}
+    # n_a = 5 tokens, n_b = 4 tokens
+    assert all(r["n_a"] == 5 and r["n_b"] == 4 for r in d.values())
+    assert d["x"]["c_a"] == 3 and d["x"]["c_b"] == 1
+    assert d["x"]["drift_num"] == abs(3 * 4 - 1 * 5)      # 7
+    assert d["w"]["c_a"] == 0 and d["w"]["drift_num"] == 1 * 5
+    assert d["z"]["c_b"] == 0 and d["z"]["drift_num"] == 1 * 4
+    s = tvd_summary(term_drift(a, b, "text")).collect()[0]
+    assert s["tvd_num"] == sum(r["drift_num"] for r in d.values())
+    # TVD in [0, 1]
+    assert 0.0 <= s["tvd_num"] / (2 * s["n_a"] * s["n_b"]) <= 1.0
+    # identical snapshots -> zero drift everywhere
+    z = tvd_summary(term_drift(a, a, "text")).collect()[0]
+    assert z["tvd_num"] == 0
