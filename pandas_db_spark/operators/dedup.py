@@ -1043,8 +1043,13 @@ def strip_common_paragraphs(df, text_col: str, id_col: str,
     ~3e-7 even at 10⁶ distinct paragraphs).  The sf-scale oracle
     compares against exact-text semantics, watchdogging this mass.
     """
+    import re as _re
+
     from pyspark.sql import functions as F
-    para = F.split(F.col(text_col), sep)
+    # sep is a LITERAL separator (split's pattern arg is a regex, the
+    # re-join is literal — escaping keeps the two sides symmetric for
+    # metacharacter separators)
+    para = F.split(F.col(text_col), _re.escape(sep))
     ph = F.explode(para).alias("p")
     counts = (df.select(F.col(id_col), ph)
                 .where(F.length("p") >= min_chars)
