@@ -575,8 +575,8 @@ def take_until_budget(df: DataFrame, weight_col, budget: int,
 
 def temperature_rebalance(df: DataFrame, class_col: str, key_col: str,
                           total_n: int, alpha: float = 0.5,
-                          salt: str = "", counts: dict | None = None
-                          ) -> DataFrame:
+                          salt: str = "", counts: dict | None = None,
+                          weight_col: str | None = None) -> DataFrame:
     """Temperature-based class resampling — the mT5/UniMax multilingual
     mixing rule (sample class *l* with probability ∝ ``c_l**alpha``,
     ``alpha`` ∈ (0, 1] flattening the head), materialized as a
@@ -597,6 +597,12 @@ def temperature_rebalance(df: DataFrame, class_col: str, key_col: str,
     :func:`balance_classes`; compose with :func:`stratified_sample`
     for exact quotas.  NULL classes are dropped (not a class).
 
+    ``weight_col`` measures class mass in that column's units instead
+    of row counts — pass the token-count column to budget in TOKENS,
+    which is how UniMax states its cap (``total_n`` is then a token
+    budget; per-row keep decisions stay Bernoulli, so the realized
+    token total is expected, not exact).
+
     Determinism note: fractions pass through doubles (``pow`` + one
     round-to-2⁻³² at the threshold), so an engine replaying the formula
     (the DuckDB oracle does) agrees unless a fraction lands within
@@ -609,9 +615,10 @@ def temperature_rebalance(df: DataFrame, class_col: str, key_col: str,
     if total_n <= 0:
         raise ValueError("temperature_rebalance: total_n must be positive")
     if counts is None:
-        counts = {r[0]: r[1]
-                  for r in df.where(F.col(class_col).isNotNull())
-                             .groupBy(class_col).count().collect()}
+        base = df.where(F.col(class_col).isNotNull()).groupBy(class_col)
+        agg = (base.count() if weight_col is None
+               else base.agg(F.sum(weight_col).alias("count")))
+        counts = {r[0]: r[1] for r in agg.collect()}
     if not counts:
         return df.filter(F.lit(False))
     items = sorted(counts.items())

@@ -93,7 +93,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def discover_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Return {table_name: lazy DataFrame} for a source path.
 
-    * directory → every ``*.parquet`` / ``*.csv`` inside is a table
+    * directory → every ``*.parquet`` / ``*.orc`` / ``*.csv`` / ``*.jsonl`` inside is a table
     * ``.db/.sqlite/.sqlite3`` → every SQLite table ingested
     * ``.sql`` → script executed into :memory: then ingested
     """
@@ -107,6 +107,9 @@ def discover_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
                 out[f.stem] = load_csv(spark, str(f))
             elif f.suffix == ".jsonl":
                 out[f.stem] = load_jsonl(spark, str(f))
+            elif f.suffix == ".orc" or (f.is_dir()
+                                        and f.name.endswith(".orc")):
+                out[f.name[: -len(".orc")]] = load_orc(spark, str(f))
         return out
     # Extension gate BEFORE existence, like the reference (connection.py:59-62
     # raises FileTypeError for 'my_db.txt' whether or not it exists); message

@@ -573,3 +573,12 @@ def test_zorder_null_maps_to_zero(spark):
            .withColumn("z", zorder_key(df, ["x", "y"], bits=4)).collect()}
     assert keys[2] == ref[2]
     assert keys[2] != keys[3]
+
+
+def test_orc_dir_discovery(spark, db, tmp_path):
+    from pandas_db_spark.sources.registry import write_orc
+
+    write_orc(db.region.df, str(tmp_path / "region.orc"))
+    d = Database(str(tmp_path), spark=spark)
+    assert d.tables == ["region"]
+    assert d.region.len == db.region.len

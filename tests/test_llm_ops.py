@@ -2181,3 +2181,31 @@ def test_term_drift_exact_integers_and_tvd(spark):
     # identical snapshots -> zero drift everywhere
     z = tvd_summary(term_drift(a, a, "text")).collect()[0]
     assert z["tvd_num"] == 0
+
+
+def test_temperature_rebalance_token_budget(docs):
+    """weight_col: class mass measured in tokens (n_chars here) — the
+    UniMax budget unit; masses change, machinery identical."""
+    from pandas_db_spark.operators import sampling as SA
+    from pyspark.sql import functions as F
+    out = SA.temperature_rebalance(docs, "lang", "doc_id",
+                                   total_n=50_000, alpha=0.5,
+                                   weight_col="n_chars")
+    masses = {r[0]: r[1] for r in
+              docs.where(F.col("lang").isNotNull())
+                  .groupBy("lang").agg(F.sum("n_chars")).collect()}
+    got = {r[0]: r[1] for r in
+           out.groupBy("lang").agg(F.sum("n_chars")).collect()}
+    s = sum(m ** 0.5 for m in sorted(masses.values()))
+    for lang, m in masses.items():
+        target = 50_000 * (m ** 0.5) / s
+        if target >= m:
+            assert got.get(lang, 0) == m, lang   # capped class kept whole
+        else:
+            assert got.get(lang, 0) <= m
+    # deterministic across partitionings
+    a = {r[0] for r in out.select("doc_id").collect()}
+    b = {r[0] for r in SA.temperature_rebalance(
+        docs.repartition(7), "lang", "doc_id", total_n=50_000,
+        alpha=0.5, weight_col="n_chars").select("doc_id").collect()}
+    assert a == b
