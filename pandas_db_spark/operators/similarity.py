@@ -30,6 +30,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bump whenever quantizer-fit / index-layout code changes so callers that
+# cache built indexes on disk (queries.ann_ivfpq_recall's tmp-dir memo)
+# rebuild instead of serving geometry from a prior code vintage.
+# v2: r11 — build_ivfpq_index's residual-codebook sample switched from the
+# lowest-id prefix to the _fit_sample hash-order discipline (VERDICT r10 #1).
+INDEX_VERSION = 2
+
 
 # ---------------------------------------------------------------------------
 # exact cosine, JVM-side (for verification joins)
@@ -1120,15 +1127,17 @@ def build_ivfpq_index(emb: DataFrame, path: str, nlist: int = 16,
     vectors — the re-rank probe set), ``/centroids`` and ``/codebooks``
     (tiny).  Coarse geometry is identical to :func:`build_ivf_index`
     (same ``_fit_centroids`` sample discipline); codebooks are fit on
-    the sample's RESIDUALS.  One assignment+encode pass over the corpus,
-    paid once."""
+    the RESIDUALS of the same hash-order ``_fit_sample`` rows — NOT an
+    id-prefix, which on crawl-time-correlated ids would train the
+    codebooks on one corner of the corpus and silently degrade ADC
+    recall (VERDICT r10 #1; adversarial pytest in test_retrieval.py
+    measures 0.40 vs 0.96 recall@10 on an id-clustered corpus).  One
+    assignment+encode pass over the corpus, paid once."""
     if ksub > 256:
         raise ValueError("ksub > 256 no longer fits a 1-byte code")
     cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
 
-    sample = (emb.orderBy(id_col).select(vec_col)
-                 .limit(sample_n).collect())
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    mat = _fit_sample(emb, sample_n, id_col, vec_col)
     if len(mat) < ksub:
         raise ValueError(f"sample of {len(mat)} rows < ksub={ksub}")
     if mat.shape[1] % m:

@@ -608,7 +608,13 @@ def ann_ivfpq_recall(spark, sf_dir):
     nprobe=4/nlist=16 ceiling, identical to plain IVF: residual coding
     costs almost no recall), while a broken codebook/residual/LUT path
     collapses toward nprobe/nlist = 0.25.  Deterministic build (seeded
-    sample init), so the measured values are exact replays."""
+    sample init), so the measured values are exact replays.  r11
+    re-receipt after the residual codebooks moved to the _fit_sample
+    hash-order discipline (INDEX_VERSION=2): same 0.90/0.84/0.92 on
+    this id-i.i.d. data — the disciplines only diverge on id-clustered
+    corpora, where the adversarial pytest
+    (test_retrieval.test_ivfpq_recall_survives_id_clustered_corpus)
+    measures prefix-sample recall 0.40 vs hash-sample 0.96."""
     import hashlib
     import os
     import tempfile
@@ -617,9 +623,9 @@ def ann_ivfpq_recall(spark, sf_dir):
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
-        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+        stamp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|v{S.INDEX_VERSION}"
     except OSError:
-        stamp = sf_dir
+        stamp = f"{sf_dir}|v{S.INDEX_VERSION}"
     path = os.path.join(
         tempfile.gettempdir(),
         "pds_ivfpq_" + hashlib.md5(stamp.encode()).hexdigest()[:10])

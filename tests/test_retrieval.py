@@ -372,3 +372,38 @@ def test_hybrid_topk_rrf_fusion_hand_checked(spark):
              for r in out2.collect()}
     assert rows2 == {d: (r.rank, r.in_bm25, r.in_dense)
                      for d, r in rows.items()}
+
+
+def test_ivfpq_recall_survives_id_clustered_corpus(spark, tmp_path):
+    """Adversarial fit-sample test (VERDICT r9 #3 / r10 #1): vector
+    geometry CLUSTERED BY ID PREFIX — ids 0..999 live in one half-space,
+    ids 1000..1999 in a disjoint one (crawl-time-correlated ids, the
+    100 TB production shape).  A lowest-id-prefix training sample fits
+    centroids AND residual codebooks on cluster A only, so high-id
+    queries collapse toward random; the _fit_sample hash-order
+    discipline must keep recall@10 >= 0.8 for queries drawn from the
+    UNSEEN-by-prefix half."""
+    import numpy as np
+    from pandas_db_spark.operators.similarity import (ann_topk_brute,
+                                                      build_ivfpq_index,
+                                                      ivfpq_topk_indexed)
+
+    rng = np.random.default_rng(7)
+    dim, n_half = 16, 1000
+    # cluster A: mass on dims 0..7; cluster B: mass on dims 8..15 —
+    # disjoint support, so codebooks fit on A alone are useless for B.
+    a = rng.normal(0, 1, (n_half, dim)) * ([3.0] * 8 + [0.1] * 8)
+    b = rng.normal(0, 1, (n_half, dim)) * ([0.1] * 8 + [3.0] * 8)
+    rows = [(i, v.tolist()) for i, v in enumerate(a)] + \
+           [(n_half + i, v.tolist()) for i, v in enumerate(b)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "ivfpq_skew")
+    build_ivfpq_index(emb, path, nlist=8, m=8, ksub=64, sample_n=512)
+    qids = [n_half + j for j in (3, 117, 402, 666, 901)]  # all cluster B
+    got = ivfpq_topk_indexed(spark, path, qids, k=10, nprobe=4)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk_brute(emb, qids, k=10).collect()}
+    hits = sum(1 for r in got.collect()
+               if (r["query_id"], r["neighbor_id"]) in truth)
+    assert hits / len(truth) >= 0.8
