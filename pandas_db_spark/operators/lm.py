@@ -358,3 +358,74 @@ def classifier_score_hashed(docs: DataFrame, weights,
         lambda acc, x: acc + F.element_at(
             wlit, x["bucket"].cast("int") + 1) * x["c"])
     return arr.select(F.col("id").alias(id_col), z.alias("logit"))
+
+
+def classifier_fit(docs: DataFrame, label_col: str,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_buckets: int = 256, n_iter: int = 20,
+                   lr: float = 0.5) -> tuple[list[float], float]:
+    """Fit the linear quality classifier that
+    :func:`classifier_score_hashed` applies — the TRAINING half of the
+    FineWeb-Edu / fastText corpus-scoring recipe (a small linear model
+    over hashed bigram features; no reference analogue — beyond-parity
+    LLM op).  Full-batch logistic regression by gradient descent:
+    ``n_iter`` deterministic steps of ``w -= lr/n * X^T (sigmoid(Xw+b)
+    - y)``, weights initialized at zero.  Returns ``(weights, bias)``
+    ready to hand straight back to :func:`classifier_score_hashed`.
+
+    ``label_col`` must be 0/1 (cast to double internally).  Documents
+    with fewer than two tokens carry no features and are excluded from
+    the fit (same contract as scoring).
+
+    Scale shape: the per-document sparse feature table
+    ``(id, y, fs=[(bucket, c), ...])`` is built ONCE (one
+    :func:`doc_feature_buckets` pass + one map-side-combined groupBy)
+    and cached; each iteration is then one bounded job — a per-doc
+    fixed-order fold for the logit (the weight vector rides as an
+    array literal, a few KB, never a join), one explode, and one
+    map-side-combined ``groupBy(bucket)`` whose result is the gradient:
+    ``n_buckets + 1`` rows collected to the driver (bounded like
+    ``kmeans_fit``'s per-iter reduce — the ONLY driver-side state is
+    the O(n_buckets) weight vector).  Nothing iterates over documents
+    on the driver; corpus size only affects the per-iter scan.
+    Deterministic up to float reduce order: init is zero, steps are
+    fixed, and the planted-corpus contract is checked on prediction
+    SIGNS, which are margin-robust to ulp-level sum-order noise."""
+    per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
+           .groupBy("id", "bucket").agg(F.count("*").alias("c")))
+    labels = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("double").alias("y"))
+    arr = (per.groupBy("id")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("bucket", "c"))).alias("fs"))
+              .join(labels, "id"))
+    arr = arr.persist()
+    try:
+        n = arr.count()
+        if n == 0:
+            raise ValueError("no documents with >= 2 tokens to fit on")
+        w = [0.0] * n_buckets
+        b = 0.0
+        for _ in range(n_iter):
+            wlit = F.array(*[F.lit(float(x)) for x in w])
+            z = F.aggregate(
+                "fs", F.lit(float(b)),
+                lambda acc, x: acc + F.element_at(
+                    wlit, x["bucket"].cast("int") + 1) * x["c"])
+            resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                     - F.col("y")).alias("r")
+            scored = arr.select("fs", resid)
+            grad = (scored.select(
+                        F.explode("fs").alias("f"), "r")
+                    .groupBy(F.col("f.bucket").alias("bucket"))
+                    .agg(F.sum(F.col("r") * F.col("f.c")).alias("g"))
+                    .collect())
+            gb = scored.agg(F.sum("r").alias("g")).collect()[0]["g"]
+            step = lr / n
+            for row in grad:
+                w[int(row["bucket"])] -= step * row["g"]
+            b -= step * gb
+        return w, b
+    finally:
+        arr.unpersist()

@@ -47,46 +47,45 @@ def q(name: str, oracle: str | None = None):
 
 
 # ---------------------------------------------------------------------
-# Gate-window rotation (round 10): the external driver's correctness gate
-# samples a ~50-entry PREFIX of queries() in dict insertion order.  r9
-# rotated the r4-vintage scan/filter/agg/sort/iloc cohort through the
-# window; this round rotates the MID-vintage cohort whose last DRIVER
-# receipt is r4-r7 (joins, group-bys, window, set ops, apply/arith, and
-# the events_* analytic + streaming queries) per VERDICT r9 Next #1.
+# Gate-window rotation (round 11): the external driver's correctness gate
+# samples a ~50-entry PREFIX of queries() in dict insertion order, so the
+# prefix is rotated each round onto the cohort with the WEAKEST external
+# evidence: first any never-driver-verified new queries, then the
+# registry queries whose newest driver receipt is oldest (judge-computed
+# union over CORRECTNESS_r01..r{N-1}).  The schedule is documented in
+# README.md "Driver contract" (ADVICE r10: gate consumers should know the
+# sample is steered, and why).  This round: the 47 queries whose newest
+# receipt is r5-r7 (dedup/ANN/BM25 family, text_* battery, mm_*,
+# sample_*/split/mix, pack_*, decontam pairs/clean, the remaining
+# events_* streaming/funnel/attribution, pipeline_clean_corpus,
+# snapshot_diff) — r10 touched dedup.py/retrieval.py/decontam.py, so
+# these families have the most code churn since their last receipt.
 # Every name below exists in REGISTRY (asserted in tests); names not
 # listed keep plain registration order after the prefix.  The FULL
 # registry is still verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # never-driver-verified r10 additions first (weakest evidence)
-    "c4_line_clean", "c4_rules", "strip_repeated_lines",
-    "classifier_score", "strip_boilerplate", "sample_temperature",
-    "blocklist_screen", "url_screen", "pipeline_web_clean",
-    "corpus_drift", "corpus_drift_tvd",
-    # joins (last driver receipt r4/r6)
-    "join_sql", "join_native", "join_supplier_volume", "join_semi",
-    "join_anti", "join_salted", "join_asof", "join_asof_chunked",
-    "join_range",
-    # group-bys / window (r4/r6)
-    "groupby_q1", "groupby_having", "groupby_rollup", "groupby_cube",
-    "groupby_quantiles", "window_rank",
-    # set ops (r4)
-    "set_union", "set_intersect", "set_except", "drop_duplicates",
-    # UDF / arithmetic surface (r4)
-    "apply_udf_num", "apply_udf_str", "applymap", "arith_exprs",
-    "str_concat", "filter_raw_expr", "table_len_shape",
-    # events analytics (r5-r7)
-    "events_tumbling_by_type", "events_props_hist", "events_pivot_types",
-    "events_value_hist", "events_winsorized", "events_value_zscore",
-    "events_value_deciles", "events_top_per_user", "events_cohorts",
-    "events_sessionize", "events_heavy_users", "events_quality_trend",
-    "events_resample_1h", "events_scd2", "events_rolling_avg",
-    "events_rolling_1h", "events_cumulative", "events_enrich_nation",
-    "events_funnel", "events_attribution",
-    # streaming (r5-r7)
+    # r11 additions, never driver-verified (prepended as implemented)
+    "classifier_fit_score",
+    # last driver receipt r5
+    "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
+    "text_subwords", "text_top_bigrams",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "ann_topk",
     "events_tumbling", "events_sliding", "events_session",
     "events_stateful_totals", "events_stream_dedup",
-    "events_stream_quality", "orders_upsert",
+    "pipeline_clean_corpus",
+    "mm_decode_meta", "mm_frame_sample", "mm_byte_histogram",
+    # last driver receipt r6
+    "text_repetition", "mm_resize", "events_enrich_nation", "doc_chunks",
+    "snapshot_diff", "events_funnel", "sample_weighted",
+    "events_attribution", "text_term_stats", "bm25_topk", "text_rarity",
+    "dedup_components", "dedup_keep_components", "cluster_assign",
+    "cluster_sizes", "dedup_cluster_stats", "dedup_minhash_keep",
+    # last driver receipt r7
+    "pack_sequences", "pack_summary", "decontam_pairs", "decontam_clean",
+    "sample_hash", "sample_stratified", "split_assign", "mix_corpora",
+    "sample_exact_n_det", "text_redact_pii",
 )
 
 
@@ -1144,6 +1143,50 @@ def classifier_score(spark, sf_dir):
     d = get_db(spark, sf_dir).documents.df
     weights = [((b * 37 + 11) % 101 - 50) / 100.0 for b in range(256)]
     return classifier_score_hashed(d, weights, bias=0.25)
+
+
+@q("classifier_fit_score",
+   "SELECT doc_id, CAST(doc_id % 2 AS INT) AS pred_label, "
+   "CAST(doc_id % 2 AS INT) AS true_label FROM documents")
+def classifier_fit_score(spark, sf_dir):
+    """TRAIN the linear quality classifier, then apply it — the full
+    FineWeb-Edu recipe (operators/lm.classifier_fit +
+    classifier_score_hashed; VERDICT r10 Next #6).  Planted separable
+    corpus: each document is truncated to its first 8 words (caps
+    natural-bigram noise) and suffixed with a class marker repeated
+    4x ('qualitygood' for doc_id%2==1, 'qualitybad' for 0), so the
+    doubled-marker bigram is a class-pure feature with count 3.  20
+    deterministic full-batch logistic GD steps (n_buckets=512, lr=1.0,
+    zero init) recover the rule EXACTLY: the oracle asserts pred_label
+    == true_label == doc_id % 2 for every document — a hash-checked
+    value oracle on the fitted model's predictions (measured min
+    |logit| margin 1.46 at sf0.1 / 0 mismatches at all three SFs, so
+    sign flips from float reduce-order noise are impossible).  Every
+    doc carries >= 2 tokens post-marker, so none drop from the scoring
+    pass."""
+    from pandas_db_spark.operators.lm import (classifier_fit,
+                                              classifier_score_hashed)
+    d = get_db(spark, sf_dir).documents.df
+    head = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ")
+    planted = d.select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("y"),
+        F.concat(
+            head,
+            F.when(F.col("doc_id") % 2 == 1,
+                   F.lit(" qualitygood qualitygood"
+                         " qualitygood qualitygood"))
+             .otherwise(F.lit(" qualitybad qualitybad"
+                              " qualitybad qualitybad"))
+        ).alias("text"))
+    w, b = classifier_fit(planted, "y", n_buckets=512, n_iter=20, lr=1.0)
+    scored = classifier_score_hashed(planted, w, bias=b)
+    return (scored
+            .join(planted.select("doc_id",
+                                 F.col("y").alias("true_label")), "doc_id")
+            .select("doc_id",
+                    (F.col("logit") > 0).cast("int").alias("pred_label"),
+                    "true_label"))
 
 
 # ---------------------------------------------------------------------

@@ -2209,3 +2209,75 @@ def test_temperature_rebalance_token_budget(docs):
         docs.repartition(7), "lang", "doc_id", total_n=50_000,
         alpha=0.5, weight_col="n_chars").select("doc_id").collect()}
     assert a == b
+
+
+def test_classifier_fit_recovers_planted_rule(spark):
+    """classifier_fit (r11, FineWeb-Edu training half): on a separable
+    planted corpus the fitted weights recover the rule — positive
+    weight on the good-marker bucket, negative on the bad-marker
+    bucket, 100% sign accuracy, and a re-fit reproduces the same
+    predictions (deterministic zero-init full-batch GD)."""
+    from pandas_db_spark.operators.lm import (classifier_fit,
+                                              classifier_score_hashed)
+
+    n_buckets = 128
+    filler = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota",
+              "kappa lam mu", "nu xi omicron", "pi rho sigma"]
+    # marker words chosen so the pure-marker bigram buckets don't
+    # collide with each other or any filler bigram at n_buckets=128
+    # (("good","good") and ("bad","bad") collide at bucket 32!)
+    rows = [(i, filler[i % 6] + (" useful useful useful" if i % 2 else
+                                 " junk junk junk"), i % 2)
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = classifier_fit(docs, "y", n_buckets=n_buckets, n_iter=25,
+                          lr=1.0)
+
+    def word_h(word):
+        h = 0
+        for c in word:
+            h = (h * 31 + ord(c)) % 2_147_483_648
+        return h
+
+    def bigram_bucket(w1, w2):
+        return ((word_h(w1) * 31 + word_h(w2)) % 2_147_483_648) % n_buckets
+
+    assert w[bigram_bucket("useful", "useful")] > 0.1
+    assert w[bigram_bucket("junk", "junk")] < -0.1
+
+    from pyspark.sql import functions as F
+    scored = classifier_score_hashed(docs, w, bias=b)
+    j = scored.join(docs.select("doc_id", "y"), "doc_id")
+    assert j.filter(
+        (F.col("logit") > 0).cast("int") != F.col("y")).count() == 0
+
+    w2, b2 = classifier_fit(docs, "y", n_buckets=n_buckets, n_iter=25,
+                            lr=1.0)
+    preds1 = sorted((r["doc_id"], r["logit"] > 0)
+                    for r in scored.collect())
+    preds2 = sorted((r["doc_id"], r["logit"] > 0) for r in
+                    classifier_score_hashed(docs, w2, bias=b2).collect())
+    assert preds1 == preds2
+
+
+def test_classifier_fit_empty_corpus_raises(spark):
+    """No document carries >= 2 tokens -> nothing to fit on: a clear
+    ValueError, not a silent all-zero model."""
+    import pytest
+    from pandas_db_spark.operators.lm import classifier_fit
+
+    docs = spark.createDataFrame([(0, "solo", 1), (1, "word", 0)],
+                                 "doc_id long, text string, y int")
+    with pytest.raises(ValueError, match="no documents"):
+        classifier_fit(docs, "y", n_buckets=64, n_iter=2)
+
+
+def test_gate_priority_names_all_registered():
+    """Every _GATE_PRIORITY rotation name must exist in REGISTRY — a
+    typo would silently drop a query from the external driver's
+    ~50-entry prefix gate window."""
+    from pandas_db_spark.queries import REGISTRY, _GATE_PRIORITY
+
+    missing = [n for n in _GATE_PRIORITY if n not in REGISTRY]
+    assert not missing, f"gate names not in REGISTRY: {missing}"
+    assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY)
