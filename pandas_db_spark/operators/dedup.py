@@ -1005,7 +1005,8 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
 
 def strip_common_paragraphs(df, text_col: str, id_col: str,
                             max_docs: int = 5, min_chars: int = 10,
-                            sep: str = "\n\n"):
+                            sep: str = "\n\n", strategy: str = "array",
+                            max_boiler_set: int = 1_000_000):
     """Remove paragraphs that recur across MANY documents — the
     corpus-GLOBAL half of boilerplate removal (cookie banners,
     navigation footers, licence blurbs), complementing the
@@ -1037,6 +1038,22 @@ def strip_common_paragraphs(df, text_col: str, id_col: str,
       per-doc paragraph order is preserved structurally rather than
       re-sorted.
 
+    Boilerplate-set bound (VERDICT r10 #3): by definition boilerplate
+    is a vanishing fraction of distinct paragraphs, so the default
+    ``strategy="array"`` folds the hash set into ONE row — but a
+    template-farm corpus or a ``max_docs≈0`` setting could push
+    millions of hashes into that single row/broadcast (80 MB per 10M
+    longs).  The array path therefore carries an IN-PLAN guard: if the
+    set exceeds ``max_boiler_set`` hashes the query raises at execution
+    time with guidance (zero cost on the healthy path — no extra
+    counting pass) instead of silently building a giant broadcast.
+    ``strategy="join"`` is the escape hatch for such corpora: explode
+    paragraphs with position, LEFT ANTI join on ``pk`` against the
+    boilerplate set (AQE picks broadcast vs shuffle by its real size),
+    and reassemble in original order from the kept positions — one
+    extra corpus shuffle, no single-row set, identical semantics
+    (pytest asserts path equality).
+
     Hash note: membership is decided on ``xxhash64(paragraph)``; a
     64-bit collision could drop a rare paragraph that collides with a
     boilerplate one (expected colliding-pair mass ~|paragraphs|²/2⁶⁵ —
@@ -1046,6 +1063,9 @@ def strip_common_paragraphs(df, text_col: str, id_col: str,
     import re as _re
 
     from pyspark.sql import functions as F
+    if strategy not in ("array", "join"):
+        raise ValueError(f"strategy must be 'array' or 'join', "
+                         f"got {strategy!r}")
     # sep is a LITERAL separator (split's pattern arg is a regex, the
     # re-join is literal — escaping keeps the two sides symmetric for
     # metacharacter separators)
@@ -1057,7 +1077,38 @@ def strip_common_paragraphs(df, text_col: str, id_col: str,
                 .groupBy("pk")
                 .agg(F.countDistinct(id_col).alias("nd"))
                 .where(F.col("nd") > max_docs))
-    boiler = counts.agg(F.collect_set("pk").alias("__boiler_pks"))
+
+    if strategy == "join":
+        pieces = (df.select(F.col(id_col),
+                            F.posexplode(para).alias("pos", "p"))
+                    .withColumn("pk", F.xxhash64("p")))
+        kept_rows = pieces.join(counts.select("pk"), "pk", "left_anti")
+        agg = (kept_rows.groupBy(id_col)
+               .agg(F.array_sort(
+                       F.collect_list(F.struct("pos", "p"))).alias("ps")))
+        return (df.select(F.col(id_col), F.size(para).alias("__n0"))
+                  .join(agg, id_col, "left")
+                  .select(
+                      F.col(id_col),
+                      F.coalesce(
+                          F.array_join(F.transform(
+                              "ps", lambda x: x["p"]), sep),
+                          F.lit("")).alias("text_clean"),
+                      (F.col("__n0") - F.coalesce(F.size("ps"), F.lit(0)))
+                      .cast("int").alias("n_stripped")))
+
+    guard_msg = (
+        f"strip_common_paragraphs: boilerplate-hash set exceeds "
+        f"max_boiler_set={max_boiler_set} — this corpus repeats too many "
+        f"distinct paragraphs for the one-row broadcast path; rerun with "
+        f"strategy='join' (anti-join strip, no single-row set) or raise "
+        f"max_boiler_set if the broadcast size (8 bytes/hash) is "
+        f"acceptable")
+    boiler = (counts.agg(F.collect_set("pk").alias("__pks"))
+              .select(F.when(F.size("__pks") > max_boiler_set,
+                             F.raise_error(F.lit(guard_msg)))
+                       .otherwise(F.col("__pks"))
+                       .alias("__boiler_pks")))
     kept = F.filter(
         para,
         lambda p: ~F.array_contains(F.col("__boiler_pks"), F.xxhash64(p)))

@@ -2032,6 +2032,54 @@ def test_strip_common_paragraphs_min_chars_and_no_boiler(spark):
     assert out2[0]["n_stripped"] == 0
 
 
+def test_strip_common_paragraphs_guard_and_join_fallback(spark):
+    """VERDICT r10 #3: the one-row boilerplate set is BOUNDED.  A
+    planted template-farm corpus (every doc repeats many distinct
+    boilerplate paragraphs) trips the in-plan guard on the array path
+    with actionable guidance, and strategy='join' strips it correctly;
+    on a normal corpus both strategies produce identical results."""
+    import pytest
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+
+    # template farm: 30 distinct long paragraphs, each in EVERY doc
+    tpl = [f"template paragraph number {j} repeated across every page"
+           for j in range(30)]
+    rows = [(i, (f"unique body for document {i} long enough" + "\n\n"
+                 + "\n\n".join(tpl)))
+            for i in range(8)]
+    farm = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # array path: the 30-hash set exceeds max_boiler_set=10 -> raise
+    guarded = strip_common_paragraphs(farm, "text", "doc_id", max_docs=3,
+                                      max_boiler_set=10)
+    with pytest.raises(Exception, match="strategy='join'"):
+        guarded.collect()
+
+    # join path: strips all 30, keeps the unique body, order preserved
+    out = strip_common_paragraphs(farm, "text", "doc_id", max_docs=3,
+                                  strategy="join")
+    got = {r["doc_id"]: (r["text_clean"], r["n_stripped"])
+           for r in out.collect()}
+    assert got[2] == ("unique body for document 2 long enough", 30)
+    assert len(got) == 8
+
+    # invalid strategy -> immediate ValueError
+    with pytest.raises(ValueError, match="strategy"):
+        strip_common_paragraphs(farm, "text", "doc_id", strategy="nope")
+
+    # path equality on a mixed corpus (incl. an all-boilerplate doc)
+    boil = "please accept our cookie policy to continue browsing"
+    mixed = [(i, f"unique body paragraph number {i} with characters"
+              + ("\n\n" + boil if i < 10 else "")) for i in range(20)]
+    mixed.append((99, boil))
+    mdf = spark.createDataFrame(mixed, "doc_id long, text string")
+    a = sorted(map(tuple, strip_common_paragraphs(
+        mdf, "text", "doc_id", max_docs=5).collect()))
+    j = sorted(map(tuple, strip_common_paragraphs(
+        mdf, "text", "doc_id", max_docs=5, strategy="join").collect()))
+    assert a == j
+
+
 # ---------------------------------------------------------------------------
 # temperature resampling (operators/sampling)
 # ---------------------------------------------------------------------------
