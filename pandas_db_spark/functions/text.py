@@ -498,7 +498,8 @@ def url_host(url: Column) -> Column:
 
 def url_flags(url: Column, blocked_domains: list[str]) -> Column:
     """``struct<host, tld, path_depth, host_is_ip, digit_frac_pm,
-    blocked_domain, url_keep>`` — the RefinedWeb-style URL screen
+    blocked_domain, parse_ok, url_keep>`` — the RefinedWeb-style URL
+    screen
     (Penedo et al. 2023 §3.1 run URL filtering BEFORE any content
     fetch: a domain blocklist plus shape heuristics; beyond-parity
     LLM op):
@@ -511,7 +512,13 @@ def url_flags(url: Column, blocked_domains: list[str]) -> Column:
     * ``digit_frac_pm`` — digits per mille of the host (spam domains
       are digit-heavy), integer so the flag hashes engine-neutrally;
     * ``path_depth`` — ``/``-separated segments after the host;
-    * ``url_keep`` — not blocked, not an IP, digit share ≤ 200‰.
+    * ``parse_ok`` — the URL yielded a host at all (scheme-less or
+      malformed URLs don't);
+    * ``url_keep`` — PARSED, not blocked, not an IP, digit share
+      ≤ 200‰.  ``parse_ok`` is folded in (ADVICE r10): a screen run at
+      crawl-frontier scale must not default-keep exactly the garbage
+      URLs it cannot parse — unparseable means drop, and callers who
+      want a softer policy can branch on ``parse_ok`` themselves.
 
     All pure JVM string ops in one projection — the screen runs at
     crawl-frontier scale (billions of URLs) as a narrow scan filter."""
@@ -531,10 +538,12 @@ def url_flags(url: Column, blocked_domains: list[str]) -> Column:
     for d in sorted(set(blocked_domains)):
         dl = d.lower()
         blocked = blocked | (host == dl) | host.endswith("." + dl)
-    keep = ~blocked & ~host_is_ip & (digit_frac_pm <= 200)
+    parse_ok = host != ""
+    keep = parse_ok & ~blocked & ~host_is_ip & (digit_frac_pm <= 200)
     return F.struct(
         host.alias("host"), tld.alias("tld"),
         path_depth.alias("path_depth"), host_is_ip.alias("host_is_ip"),
         digit_frac_pm.alias("digit_frac_pm"),
-        blocked.alias("blocked_domain"), keep.alias("url_keep"),
+        blocked.alias("blocked_domain"), parse_ok.alias("parse_ok"),
+        keep.alias("url_keep"),
     )

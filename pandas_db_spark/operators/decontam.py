@@ -198,13 +198,26 @@ _BLOOM_BC_CACHE: dict[int, tuple] = {}
 def _bloom_broadcast(sc, words: np.ndarray):
     import weakref
 
+    def _release(bc):
+        # ADVICE r10: dropping the dict entry alone strands the
+        # broadcast's executor blocks + driver spill file until app
+        # exit; release them eagerly (non-blocking — probes in flight
+        # hold their own reference).
+        try:
+            bc.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped — nothing to release
+
     hit = _BLOOM_BC_CACHE.get(id(words))
     if hit is not None:
         ref, cached_sc, bc = hit
         if ref() is words and cached_sc is sc:
             return bc
+        _release(bc)
+        del _BLOOM_BC_CACHE[id(words)]
     for k in [k for k, (ref, _, _) in _BLOOM_BC_CACHE.items()
               if ref() is None]:
+        _release(_BLOOM_BC_CACHE[k][2])
         del _BLOOM_BC_CACHE[k]
     bc = sc.broadcast(words)
     _BLOOM_BC_CACHE[id(words)] = (weakref.ref(words), sc, bc)

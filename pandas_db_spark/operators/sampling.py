@@ -32,11 +32,17 @@ def _hash_hex(key: F.Column, salt: str) -> F.Column:
 def fraction_threshold(fraction: float) -> str:
     """8-char lowercase-hex threshold for a keep-fraction in (0, 1).
     Equal-length lowercase hex compares lexicographically == numerically,
-    which is what makes the predicate engine-neutral."""
+    which is what makes the predicate engine-neutral.  Rounding is
+    pinned to FLOOR (ADVICE r10): Python's ``round`` is
+    banker's-rounding while DuckDB's ``round`` is half-away-from-zero,
+    so a fraction landing exactly on a .5 ulp of 2⁻³² would give the
+    two engines an off-by-one threshold; ``floor`` (a plain ``int``
+    truncation of a non-negative product) is identical everywhere and
+    is what any SQL oracle should mirror (``floor(f * 4294967296)``)."""
     if not 0.0 < fraction < 1.0:
         raise ValueError("fraction must be in (0, 1) here; "
                          "0 and 1 are handled by the caller")
-    v = min(int(round(fraction * (1 << 32))), (1 << 32) - 1)
+    v = min(int(fraction * (1 << 32)), (1 << 32) - 1)
     return format(v, "08x")
 
 
@@ -621,6 +627,12 @@ def temperature_rebalance(df: DataFrame, class_col: str, key_col: str,
         counts = {r[0]: r[1] for r in agg.collect()}
     if not counts:
         return df.filter(F.lit(False))
+    bad = {k: v for k, v in counts.items() if not v > 0}
+    if bad:
+        # ADVICE r10: a zero/negative caller-supplied count previously
+        # surfaced as a bare ZeroDivisionError in the allocation loop
+        raise ValueError(
+            f"temperature_rebalance: counts must be positive; got {bad}")
     items = sorted(counts.items())
     s = sum(float(cnt) ** alpha for _, cnt in items)
     hexp = F.substring(_hash_hex(F.col(key_col), salt), 1, _PREFIX_LEN)

@@ -156,6 +156,26 @@ def corr_by(df: DataFrame, group_cols: Sequence[str],
         F.stack(F.lit(k), *pairs).alias("col_a", "col_b", "corr"))
 
 
+def _guarded_totals(na: DataFrame, nb: DataFrame) -> DataFrame:
+    """One-row ``(n_a, n_b)`` scalars frame with an IN-PLAN overflow
+    guard (ADVICE r10): raises at execution time when ``n_a·n_b``
+    would exceed ``2⁶³-1`` — non-ANSI Spark would otherwise WRAP the
+    exact-integer cross products silently.  Division-based check (the
+    product itself would overflow); empty sides are trivially safe."""
+    maxl = (1 << 63) - 1
+    guard_msg = (
+        "term_drift: n_a*n_b would exceed 2^63-1 — the exact-integer "
+        "cross-multiplication would wrap silently under non-ANSI longs; "
+        "shard the snapshots or compute with DECIMAL(38) arithmetic")
+    safe = (F.coalesce(F.col("n_b"), F.lit(0)) == 0) | \
+           (F.col("n_a") <= F.expr(f"{maxl} div n_b"))
+    return (na.crossJoin(nb)
+              .select(F.when(safe, F.col("n_a"))
+                       .otherwise(F.raise_error(F.lit(guard_msg)))
+                       .alias("n_a"),
+                      "n_b"))
+
+
 def term_drift(a: DataFrame, b: DataFrame, text_col: str = "text"
                ) -> DataFrame:
     """Per-term distribution drift between two corpus snapshots — the
@@ -178,9 +198,13 @@ def term_drift(a: DataFrame, b: DataFrame, text_col: str = "text"
     Shape: one token explode + map-side-combined count per side, a
     full-outer join of the two PRE-AGGREGATED |vocab|-row count tables
     (never the corpora), scalar totals attached as one-row broadcasts.
-    Overflow: ``c·n < 2⁶³`` holds through ~3·10⁹-token snapshots with
-    million-count heads; beyond that, drift per SHARD or DECIMAL(38)
-    arithmetic — the report is per-snapshot-pair, not per-history."""
+    Overflow: since any ``c ≤ n``, every cross product is bounded by
+    ``n_a·n_b``; the one-row scalars frame carries an IN-PLAN guard
+    (ADVICE r10) that raises at execution time when ``n_a·n_b ≥ 2⁶³``
+    — non-ANSI Spark would otherwise WRAP int64 silently and report a
+    wrong drift.  Past that scale, run the report per SHARD or switch
+    to DECIMAL(38) — the report is per-snapshot-pair, not
+    per-history."""
     def counts(df: DataFrame, side: str) -> DataFrame:
         toks = F.explode(
             F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
@@ -189,11 +213,12 @@ def term_drift(a: DataFrame, b: DataFrame, text_col: str = "text"
     ca, cb = counts(a, "a"), counts(b, "b")
     na = ca.agg(F.sum("c_a").alias("n_a"))
     nb = cb.agg(F.sum("c_b").alias("n_b"))
+    scalars = _guarded_totals(na, nb)
     u = (ca.join(cb, "term", "full_outer")
            .select("term",
                    F.coalesce("c_a", F.lit(0)).alias("c_a"),
                    F.coalesce("c_b", F.lit(0)).alias("c_b"))
-           .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)))
+           .crossJoin(F.broadcast(scalars)))
     drift = F.abs(F.col("c_a") * F.col("n_b")
                   - F.col("c_b") * F.col("n_a"))
     return u.select("term", "c_a", "c_b", "n_a", "n_b",

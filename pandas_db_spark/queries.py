@@ -1442,7 +1442,9 @@ _URL_HOST_SQL = ("lower(regexp_extract(url, "
                  "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))")
 
 @q("url_screen",
-   "WITH ext AS (SELECT doc_id, " + _URL_SQL + " AS url FROM documents), "
+   "WITH ext AS (SELECT doc_id, CASE WHEN doc_id % 29 = 0 THEN "
+   "'www.' || source || '.example.org/' || lang ELSE "
+   + _URL_SQL + " END AS url FROM documents), "
    "h AS (SELECT doc_id, url, " + _URL_HOST_SQL + " AS host, "
    "regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)([^?#]*)', "
    "2) AS rest FROM ext), "
@@ -1452,26 +1454,35 @@ _URL_HOST_SQL = ("lower(regexp_extract(url, "
    "AS path_depth, "
    "regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
    "AS host_is_ip, "
+   "(CASE WHEN len(host) > 0 THEN "
    "floor(len(regexp_replace(host, '[^0-9]', '', 'g')) * 1000 "
-   "/ len(host))::INT AS digit_frac_pm, "
+   "/ len(host)) ELSE 0 END)::INT AS digit_frac_pm, "
    "(host = 'tracker-net.com' OR host LIKE '%.tracker-net.com') "
    "AS blocked_domain FROM h) "
    "SELECT doc_id, host, tld, path_depth, host_is_ip, digit_frac_pm, "
-   "blocked_domain, (NOT blocked_domain AND NOT host_is_ip AND "
+   "blocked_domain, (host <> '') AS parse_ok, "
+   "(host <> '' AND NOT blocked_domain AND NOT host_is_ip AND "
    "digit_frac_pm <= 200) AS url_keep FROM m")
 def url_screen(spark, sf_dir):
     """RefinedWeb-style URL screen (functions/text.url_flags — Penedo
     et al. 2023 §3.1: URL filtering runs BEFORE any content fetch):
     synthesized per-doc URLs plant a blocked-domain cohort (% 13, a
     subdomain of the blocklist entry — suffix-label semantics
-    exercised), a raw-IP cohort (% 17) and a digit-heavy spam-shaped
-    host (% 19); the rest derive from source/lang and pass.  Host/TLD
-    extraction, path depth, digit share and the keep conjunction are
-    the same anchored-regex string ops on both engines — a zero-shuffle
-    narrow projection built for crawl-frontier scale."""
+    exercised), a raw-IP cohort (% 17), a digit-heavy spam-shaped
+    host (% 19) and a SCHEME-LESS malformed cohort (% 29, highest
+    precedence — ADVICE r10: a URL that doesn't parse must NOT be
+    kept; parse_ok=false and url_keep=false are both oracle-checked);
+    the rest derive from source/lang and pass.  Host/TLD extraction,
+    path depth, digit share and the keep conjunction are the same
+    anchored-regex string ops on both engines — a zero-shuffle narrow
+    projection built for crawl-frontier scale."""
     from pandas_db_spark.functions.text import url_flags
     d = get_db(spark, sf_dir).documents.df
-    url = F.concat(
+    url = F.when(
+        F.col("doc_id") % 29 == 0,
+        F.concat(F.lit("www."), F.col("source"),
+                 F.lit(".example.org/"), F.col("lang"))
+    ).otherwise(F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 13 == 0, F.lit("ads.tracker-net.com"))
          .when(F.col("doc_id") % 17 == 0,
@@ -1482,12 +1493,13 @@ def url_screen(spark, sf_dir):
                         F.lit("99.biz")))
          .otherwise(F.concat(F.col("source"), F.lit(".example.org"))),
         F.lit("/"), F.col("lang"), F.lit("/p"),
-        F.col("doc_id").cast("string"))
+        F.col("doc_id").cast("string")))
     u = url_flags(url, ["tracker-net.com"])
     return d.select("doc_id",
                     *[u[c].alias(c) for c in
                       ("host", "tld", "path_depth", "host_is_ip",
-                       "digit_frac_pm", "blocked_domain", "url_keep")])
+                       "digit_frac_pm", "blocked_domain", "parse_ok",
+                       "url_keep")])
 
 
 @q("pipeline_web_clean",
@@ -2982,7 +2994,7 @@ def events_heavy_users(spark, sf_dir):
    "WHERE lang IS NOT NULL GROUP BY 1), "
    "m AS (SELECT min(cnt) AS cap FROM c), "
    "th AS (SELECT lang, CASE WHEN cnt <= (SELECT cap FROM m) "
-   "THEN 'zzzzzzzz' ELSE printf('%08x', LEAST(CAST(round("
+   "THEN 'zzzzzzzz' ELSE printf('%08x', LEAST(CAST(floor("
    "(SELECT cap FROM m) / cnt * 4294967296.0) AS BIGINT), 4294967295)) "
    "END AS thr FROM c) "
    "SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang "
@@ -3007,7 +3019,7 @@ def sample_balanced_langs(spark, sf_dir):
    "ORDER BY lang)), "
    "th AS (SELECT lang, CASE WHEN "
    "400 * pow(cnt, 0.5) / (SELECT s FROM s) / cnt >= 1.0 "
-   "THEN 'zzzzzzzz' ELSE printf('%08x', LEAST(CAST(round("
+   "THEN 'zzzzzzzz' ELSE printf('%08x', LEAST(CAST(floor("
    "400 * pow(cnt, 0.5) / (SELECT s FROM s) / cnt * 4294967296.0) "
    "AS BIGINT), 4294967295)) END AS thr FROM c) "
    "SELECT d.doc_id, d.lang FROM documents d JOIN th ON d.lang = th.lang "
@@ -3587,14 +3599,14 @@ def sample_stratified(spark, sf_dir):
 
 @q("split_assign",
    "SELECT doc_id, CASE "
-   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < '0ccccccd' "
+   "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < '0ccccccc' "
    "THEN 'test' "
    "WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 8) < 'e6666666' "
    "THEN 'train' ELSE 'val' END AS split FROM documents")
 def split_assign(spark, sf_dir):
     """Deterministic 85/10/5 train/val/test assignment keyed on
     md5(doc_id||'v1') — stable under reruns, repartitioning, and corpus
-    growth.  Thresholds: 0.05*2^32=0x0ccccccd, 0.90*2^32=0xe6666666
+    growth.  Thresholds (floor-pinned, ADVICE r10): floor(0.05*2^32)=0x0ccccccc, floor(0.90*2^32)=0xe6666666
     (buckets in sorted-name order: test, train, val)."""
     from pandas_db_spark.operators import sampling as SA
     d = get_db(spark, sf_dir).documents

@@ -2194,6 +2194,8 @@ def test_url_flags_domain_suffix_ip_and_digits(spark):
         (4, "http://10.0.0.7/admin"),              # raw IP
         (5, "https://shop1234567.biz/a/b"),        # digit-heavy host
         (6, "https://plain.example.org/a/b/c"),    # clean
+        (7, "www.schemeless.example.org/x"),        # no scheme: no parse
+        (8, "not a url at all"),                    # garbage: no parse
     ], "id long, url string")
     u = url_flags(F.col("url"), ["tracker-net.com"])
     got = {r["id"]: r for r in df.select("id", u.alias("u")).collect()}
@@ -2207,6 +2209,12 @@ def test_url_flags_domain_suffix_ip_and_digits(spark):
     assert got[6]["u"]["url_keep"] and got[6]["u"]["path_depth"] == 3
     assert got[6]["u"]["tld"] == "org" and got[6]["u"]["host"] == \
         "plain.example.org"
+    assert got[6]["u"]["parse_ok"]
+    # ADVICE r10: unparseable URLs must NOT default to keep
+    for bad in (7, 8):
+        assert got[bad]["u"]["host"] == ""
+        assert not got[bad]["u"]["parse_ok"]
+        assert not got[bad]["u"]["url_keep"]
 
 
 def test_term_drift_exact_integers_and_tvd(spark):
@@ -2329,3 +2337,58 @@ def test_gate_priority_names_all_registered():
     missing = [n for n in _GATE_PRIORITY if n not in REGISTRY]
     assert not missing, f"gate names not in REGISTRY: {missing}"
     assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY)
+
+
+def test_term_drift_overflow_guard(spark):
+    """ADVICE r10: the exact-integer cross multiplication is now
+    RUNTIME-guarded — planted totals past the 2^63 product bound raise
+    with guidance instead of wrapping; realistic totals pass through
+    untouched."""
+    import pytest
+    from pandas_db_spark.operators.stats import _guarded_totals
+
+    def one(n, col):
+        return spark.createDataFrame([(n,)], f"{col} long")
+
+    # 4e9 * 4e9 = 1.6e19 > 2^63-1 (~9.2e18) -> raise
+    bad = _guarded_totals(one(4_000_000_000, "n_a"),
+                          one(4_000_000_000, "n_b"))
+    with pytest.raises(Exception, match="DECIMAL"):
+        bad.collect()
+    # 3e9 * 3e9 = 9e18 < 2^63-1 -> pass
+    ok = _guarded_totals(one(3_000_000_000, "n_a"),
+                         one(3_000_000_000, "n_b")).collect()
+    assert ok[0]["n_a"] == 3_000_000_000
+    # empty side (sum -> NULL) is trivially safe
+    import pyspark.sql.functions as F
+    empty = spark.createDataFrame([], "c_b long").agg(
+        F.sum("c_b").alias("n_b"))
+    assert _guarded_totals(one(5, "n_a"), empty).collect()[0]["n_a"] == 5
+
+
+def test_fraction_threshold_floor_pinned_and_counts_validated(spark):
+    """ADVICE r10: (a) fraction_threshold truncates (floor) — the one
+    rounding rule both engines implement identically — so a fraction on
+    a .5 ulp of 2^-32 can't produce an off-by-one hex threshold between
+    engines; (b) temperature_rebalance validates caller-supplied counts
+    instead of dying with ZeroDivisionError."""
+    import pytest
+    from pandas_db_spark.operators.sampling import (fraction_threshold,
+                                                    temperature_rebalance)
+
+    # 0.05 * 2^32 = 214748364.8: floor 0x0ccccccc (round would give ..cd)
+    assert fraction_threshold(0.05) == "0ccccccc"
+    # exactly representable: unchanged by the pin
+    assert fraction_threshold(0.5) == "80000000"
+    # a .5-ulp landing: 2.5/2^32 -> floor 2 (banker's round gives 2,
+    # half-away gives 3 — the cross-engine divergence the pin removes)
+    assert fraction_threshold(2.5 / (1 << 32)) == "00000002"
+
+    df = spark.createDataFrame([(1, "en"), (2, "fr")],
+                               "doc_id long, lang string")
+    with pytest.raises(ValueError, match="counts must be positive"):
+        temperature_rebalance(df, "lang", "doc_id", total_n=1,
+                              counts={"en": 0, "fr": 5})
+    with pytest.raises(ValueError, match="counts must be positive"):
+        temperature_rebalance(df, "lang", "doc_id", total_n=1,
+                              counts={"en": -2})
