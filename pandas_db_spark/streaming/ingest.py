@@ -87,7 +87,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                      span_k: int = 8, span_w: int = 4,
                      eval_bloom=None, bloom_ngram: int = 8,
                      bloom_min_shared: int = 1,
-                     quality_screen: bool = False) -> None:
+                     quality_screen: bool = False,
+                     screens: list | None = None) -> None:
     """Drive the ingest over all available input (availableNow trigger).
 
     ``corpus_dir`` receives surviving documents (parquet, appended);
@@ -150,7 +151,16 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
     the Gopher rule stack (:func:`functions.text.gopher_flags` — the
     filter order every published pipeline uses: screens BEFORE dedup,
     so junk neither costs dedup work nor seeds the stores).  Narrow
-    scan-level predicate, no extra pass.  Text modes only."""
+    scan-level predicate, no extra pass.  Text modes only.
+
+    ``screens`` (r11): an ordered list of composable per-batch screens
+    (``DataFrame -> DataFrame`` callables — see
+    :mod:`streaming.screens` for the URL / blocklist / C4 factories),
+    applied FIRST, in order, before ``quality_screen`` and the Bloom
+    decontamination.  Each must be stateless and per-row deterministic
+    (the replay-idempotence contract documented there); corpus-GLOBAL
+    stages like ``strip_common_paragraphs`` are batch jobs over the
+    accumulated corpus, not screens."""
     from pandas_db_spark.operators.dedup import (dedup_incremental,
                                                  exact_dedup_keep,
                                                  fingerprint_store,
@@ -200,6 +210,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        for screen in (screens or ()):
+            batch_df = screen(batch_df)
         if quality_screen:
             from pandas_db_spark.functions.text import gopher_flags
             batch_df = batch_df.where(

@@ -977,3 +977,78 @@ def test_ingest_quality_screen_drops_failing_docs(spark, tmp_path):
     with pytest.raises(ValueError, match="quality_screen needs a text"):
         run_dedup_ingest(stream, "embedding", "doc_id", "x", "y", "z",
                          mode="embedding", quality_screen=True)
+
+
+def test_ingest_web_curation_screens_match_batch_pipeline(spark, tmp_path):
+    """r11 (VERDICT r10 Next #7): pipeline_web_clean's stages run
+    INCREMENTALLY — the URL + blocklist screens per micro-batch inside
+    run_dedup_ingest, the corpus-global boilerplate strip as the
+    post-pass batch job over the accumulated corpus — and the final
+    survivor set (ids, cleaned text, strip counts) EQUALS the
+    all-at-once batch pipeline on the same input.  Also: a replay
+    (re-run with the same checkpoint, no new files) changes nothing,
+    and exact dedup still operates alongside the screens."""
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+    from pandas_db_spark.streaming.screens import (make_blocklist_screen,
+                                                   make_url_screen)
+
+    boil = "please accept our cookie policy to continue browsing"
+    rows = []
+    for i in range(30):
+        url = ("https://ads.tracker-net.com/x" if i % 10 == 3 else
+               "https://10.0.0.9/y" if i % 10 == 6 else
+               f"https://site{i}.example.org/p{i}")
+        text = f"unique body paragraph number {i} with enough characters"
+        if i % 10 == 8:
+            text += " spamword"
+        if i < 16:          # boilerplate lands in 16 docs across batches
+            text += "\n\n" + boil
+        rows.append((i, text, url))
+    rows.append((100, rows[4][1], "https://dupe.example.org/z"))  # exact dup
+
+    src = tmp_path / "incoming"
+    batches = [rows[:10], rows[10:20], rows[20:]]
+    screens = [make_url_screen("url", ["tracker-net.com"]),
+               make_blocklist_screen("text", ["spamword"])]
+
+    def ingest():
+        stream = (spark.readStream
+                  .schema("doc_id long, text string, url string")
+                  .parquet(f"{src}/b*"))
+        run_dedup_ingest(stream, "text", "doc_id",
+                         corpus_dir=str(tmp_path / "corpus"),
+                         store_dir=str(tmp_path / "store"),
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         screens=screens)
+
+    for bi, chunk in enumerate(batches):   # three incremental runs
+        (spark.createDataFrame(chunk, "doc_id long, text string, url string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        ingest()
+    ingest()                               # replay: no new files -> no-op
+
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    # the global post-pass batch job over the accumulated corpus
+    inc = {tuple(r) for r in strip_common_paragraphs(
+        corpus.select("doc_id", "text"), "text", "doc_id",
+        max_docs=5).collect()}
+
+    # all-at-once batch reference: same screens, exact keep-min-id
+    # dedup, same global strip
+    full = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    for s in screens:
+        full = s(full)
+    w_min = full.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    ref_docs = full.join(w_min, ["text", "doc_id"], "left_semi")
+    ref = {tuple(r) for r in strip_common_paragraphs(
+        ref_docs.select("doc_id", "text"), "text", "doc_id",
+        max_docs=5).collect()}
+    assert inc == ref
+    ids = {t[0] for t in inc}
+    assert 100 not in ids                  # exact dup dropped (id 4 kept)
+    assert 4 in ids
+    assert all(i not in ids for i in (3, 13, 23, 6, 16, 26, 8, 18, 28))
+    # boilerplate really was stripped by the post-pass
+    assert all(boil not in t[1] for t in inc)
+    assert any(t[2] == 1 for t in inc)
