@@ -763,6 +763,44 @@ def span_dup_ids(df: DataFrame, text_col: str = "text",
               .select(F.col("id").alias(id_col)).distinct())
 
 
+def winnow_span_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           w: int = 4) -> DataFrame:
+    """IDs of documents sharing a span with a smaller-id document,
+    found through the WINNOWED index — the documented petabyte-scale
+    escape hatch for :func:`span_dup_ids` / the
+    :func:`strip_duplicate_spans` index (measured at sf1/sf10 in
+    SF10_SCALING_r11.json: the knob's number, not a docstring promise).
+
+    Selection is MOSS winnowing (:func:`winnow_fingerprints`): only
+    ~2/(w+1) of the k-gram positions enter the index, so the gram
+    shuffle — the dominant exchange of the every-position shape —
+    shrinks by that factor.  Every selected position is then resolved
+    to its EXACT gram string with one narrow id-join against the token
+    arrays (only selected positions pay for a string), and ownership
+    (min id) is decided on the string itself — a 2³¹ fingerprint
+    collision can therefore produce no false drop, only a wasted
+    candidate row.  Guarantee trade (Schleimer et al. 2003): any
+    shared run of ≥ ``k + w - 1`` tokens IS flagged (both documents
+    select the same minimal gram inside the shared run's windows);
+    shared runs of ``k .. k+w-2`` tokens MAY be missed — ``w`` trades
+    index density against that detection floor, ``w=1`` degenerates to
+    the exact every-position index."""
+    sel = winnow_fingerprints(df, text_col, id_col, k, w)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    grams = (sel.withColumnRenamed(id_col, "id")
+                .join(t, "id")
+                .select("id", F.concat_ws(
+                    " ", F.slice("toks", F.col("pos"), k)).alias("gram")))
+    st = (grams.groupBy("gram")
+               .agg(F.min("id").alias("owner"),
+                    F.count_distinct("id").alias("nd")))
+    return (grams.join(st.where(F.col("nd") >= 2), ["gram"])
+                 .where(F.col("id") != F.col("owner"))
+                 .select(F.col("id").alias(id_col)).distinct())
+
+
 def winnow_store(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 8, w: int = 4
                  ) -> DataFrame:

@@ -66,7 +66,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r11 additions, never driver-verified (prepended as implemented)
-    "classifier_fit_score",
+    "classifier_fit_score", "span_candidates_winnowed",
     # last driver receipt r5
     "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_subwords", "text_top_bigrams",
@@ -419,6 +419,44 @@ def winnow_fp(spark, sf_dir):
     from pandas_db_spark.operators.dedup import winnow_fingerprints
     d = get_db(spark, sf_dir).documents
     return winnow_fingerprints(d.df, "text", "doc_id", k=8, w=4)
+
+
+@q("span_candidates_winnowed",
+   "WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "wh AS (SELECT doc_id, list_transform(ws, w -> "
+   "  list_reduce(list_prepend(0::BIGINT, "
+   "    [ascii(c)::BIGINT for c in string_split(w, '')]), "
+   "    (g, c) -> (g * 31 + c) % 2147483648)) AS whs "
+   "  FROM t WHERE len(ws) >= 11), "
+   "fp AS (SELECT doc_id, [list_reduce(list_prepend(0::BIGINT, "
+   "  whs[i:i+7]), (h, x) -> (h * 31 + x) % 2147483648) "
+   "  for i in range(1, len(whs) - 6)] AS fps FROM wh), "
+   "ps AS (SELECT doc_id, [{'fp': fps[p], 'pos': p::BIGINT} "
+   "  for p in range(1, len(fps) + 1)] AS ps FROM fp), "
+   "sel AS (SELECT DISTINCT doc_id, s.pos AS pos FROM ("
+   "  SELECT doc_id, unnest([list_min(ps[j:j+3]) "
+   "  for j in range(1, len(ps) - 2)]) AS s FROM ps)), "
+   "selg AS (SELECT sel.doc_id, "
+   "  array_to_string(t.ws[sel.pos:sel.pos+7], ' ') AS gram "
+   "  FROM sel JOIN t ON sel.doc_id = t.doc_id), "
+   "st AS (SELECT gram, min(doc_id) AS owner, "
+   "  count(DISTINCT doc_id) AS nd FROM selg GROUP BY 1) "
+   "SELECT DISTINCT selg.doc_id FROM selg JOIN st "
+   "ON selg.gram = st.gram WHERE st.nd >= 2 AND selg.doc_id <> st.owner")
+def span_candidates_winnowed(spark, sf_dir):
+    """Winnowed-index span-dup candidates (operators/dedup.py
+    winnow_span_candidates, k=8 w=4) — the documented petabyte-scale
+    escape hatch for the every-position span index, now oracle-checked:
+    ~2/(w+1) of the gram positions enter the shuffle, selected
+    positions resolve to exact gram STRINGS (a fingerprint collision
+    can waste a candidate row, never flag a false dup), ownership is
+    min-id on the string.  Guarantee: shared runs ≥ k+w-1 tokens are
+    always flagged; k..k+w-2 may be missed — the density/recall trade
+    winnowing buys."""
+    from pandas_db_spark.operators.dedup import winnow_span_candidates
+    d = get_db(spark, sf_dir).documents
+    return winnow_span_candidates(d.df, "text", "doc_id", k=8, w=4)
 
 
 @q("dedup_span_incremental",

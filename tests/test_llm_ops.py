@@ -2392,3 +2392,39 @@ def test_fraction_threshold_floor_pinned_and_counts_validated(spark):
     with pytest.raises(ValueError, match="counts must be positive"):
         temperature_rebalance(df, "lang", "doc_id", total_n=1,
                               counts={"en": -2})
+
+
+def test_winnow_span_candidates_guarantee_and_bounds(spark):
+    """winnow_span_candidates (r11): any pair sharing >= k+w-1 tokens
+    is flagged (winnowing guarantee), candidates are always a SUBSET of
+    the exact every-position k-gram dups (string-verified ownership —
+    no fingerprint-collision false drops), and w=1 reproduces the
+    exact index."""
+    from pandas_db_spark.operators.dedup import (span_dup_ids,
+                                                 winnow_span_candidates)
+
+    k, w = 8, 4
+    shared = " ".join(f"s{i}" for i in range(k + w - 1))  # 11 tokens
+    short = " ".join(f"t{i}" for i in range(k))           # k only
+    docs = spark.createDataFrame([
+        (0, "a b c " + shared + " x y z q r s t u v"),
+        (1, "m n o p " + shared + " zz ww qq rr ss tt"),   # >= k+w-1 dup
+        (2, "own1 " + short + " tailone tailtwo tailthree tailfour "
+            "tailfive tailsix tailseven"),
+        (3, "own2 " + short + " othera otherb otherc otherd othere "
+            "otherf otherg"),                              # k-only dup
+        (4, " ".join(f"u{i}" for i in range(25))),         # unique
+    ], "doc_id long, text string")
+
+    got = {r[0] for r in
+           winnow_span_candidates(docs, k=k, w=w).collect()}
+    exact = {r[0] for r in span_dup_ids(docs, k=k).collect()}
+    assert 1 in got                       # guaranteed catch
+    assert 4 not in got
+    assert got <= exact                   # never a false candidate
+    # k-only overlap (below the k+w-1 floor) may legitimately be missed
+    assert exact == {1, 3}
+    # w=1: every position selected -> identical to the exact index
+    got1 = {r[0] for r in
+            winnow_span_candidates(docs, k=k, w=1).collect()}
+    assert got1 == exact

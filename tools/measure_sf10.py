@@ -20,7 +20,10 @@ SFS = [("sf1", "/root/repo/benchdata/sf1"),
        ("sf10", "/root/repo/benchdata/sf10")]
 
 QUERIES = ["dedup_embedding_ivf", "strip_dup_spans",
-           "dedup_minhash_incremental"]
+           "dedup_minhash_incremental",
+           # r11: the winnowed span-index escape hatch, measured so the
+           # 100 TB constant-factor knob has a number (VERDICT r10 #3)
+           "span_candidates_winnowed"]
 
 
 def main() -> None:
