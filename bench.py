@@ -176,6 +176,12 @@ def _diag_candidate_counts(spark, sf_dir: str) -> None:
 # below it, fetch cost is noise and the split would just slow the bench.
 ENGINE_SPLIT_MIN_ROWS = 50_000
 
+# r11 (VERDICT r10 #8): queries whose best wall time reaches this also
+# get the split regardless of result size, so a future regression on any
+# slow query is attributable (plan vs fetch vs environment) without
+# archaeology.
+ENGINE_SPLIT_MIN_SEC = 1.0
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -246,7 +252,7 @@ def main() -> int:
         # the collect number is dominated by driver row materialization,
         # not the plan — time a noop-sink execution alongside so plan
         # improvements aren't masked by fetch cost.
-        if n_rows > ENGINE_SPLIT_MIN_ROWS:
+        if n_rows > ENGINE_SPLIT_MIN_ROWS or best >= ENGINE_SPLIT_MIN_SEC:
             es: list[float] = []
             try:
                 for _ in range(iters):

@@ -429,3 +429,120 @@ def classifier_fit(docs: DataFrame, label_col: str,
         return w, b
     finally:
         arr.unpersist()
+
+
+def classifier_fit_multiclass(docs: DataFrame, label_col: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              n_buckets: int = 256, n_iter: int = 20,
+                              lr: float = 0.5) -> dict:
+    """One-vs-rest multiclass twin of :func:`classifier_fit` — the
+    trained language-ID / domain-ID stage (fastText's supervised mode
+    over hashed bigram features; the heuristic
+    ``functions.text.lang_id`` is the cold-start alternative).
+    Returns ``{label: (weights, bias)}`` for every distinct label,
+    ready for :func:`classifier_score_multiclass`.
+
+    Scale shape: identical per-iteration cost to the binary fit
+    REGARDLESS of class count — the cached per-doc feature table is
+    scanned once per step, each document's C logits are folded in the
+    same projection (C weight-vector literals, a few KB each), and the
+    single map-side-combined ``groupBy(bucket)`` emits C gradient sums
+    per bucket, so the driver reduce stays ``n_buckets`` rows wide and
+    C·n_buckets floats deep.  Labels are processed in sorted order and
+    init is zero, so the fit is deterministic up to float reduce
+    order."""
+    per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
+           .groupBy("id", "bucket").agg(F.count("*").alias("c")))
+    labels_df = docs.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("y"))
+    arr = (per.groupBy("id")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("bucket", "c"))).alias("fs"))
+              .join(labels_df, "id"))
+    arr = arr.persist()
+    try:
+        n = arr.count()
+        if n == 0:
+            raise ValueError("no documents with >= 2 tokens to fit on")
+        classes = sorted(
+            r["y"] for r in arr.select("y").distinct().collect()
+            if r["y"] is not None)
+        if len(classes) < 2:
+            raise ValueError(
+                f"need >= 2 distinct labels, got {classes}")
+        w = {c: [0.0] * n_buckets for c in classes}
+        b = {c: 0.0 for c in classes}
+        step = lr / n
+        def _fold(wl):
+            # closure factory: a default-arg lambda would change the
+            # HOF's visible arity and fail Spark's lambda binding
+            return lambda acc, x: acc + F.element_at(
+                wl, x["bucket"].cast("int") + 1) * x["c"]
+
+        for _ in range(n_iter):
+            rcols = []
+            for i, c in enumerate(classes):
+                wlit = F.array(*[F.lit(float(x)) for x in w[c]])
+                z = F.aggregate("fs", F.lit(float(b[c])), _fold(wlit))
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+                yc = (F.col("y") == F.lit(c)).cast("double")
+                rcols.append((p - yc).alias(f"r_{i}"))
+            scored = arr.select("fs", *rcols)
+            grad = (scored.select(F.explode("fs").alias("f"),
+                                  *[f"r_{i}" for i in range(len(classes))])
+                    .groupBy(F.col("f.bucket").alias("bucket"))
+                    .agg(*[F.sum(F.col(f"r_{i}") * F.col("f.c"))
+                           .alias(f"g_{i}") for i in range(len(classes))])
+                    .collect())
+            gb = scored.agg(*[F.sum(f"r_{i}").alias(f"g_{i}")
+                              for i in range(len(classes))]).collect()[0]
+            for i, c in enumerate(classes):
+                for row in grad:
+                    w[c][int(row["bucket"])] -= step * row[f"g_{i}"]
+                b[c] -= step * gb[f"g_{i}"]
+        return {c: (w[c], b[c]) for c in classes}
+    finally:
+        arr.unpersist()
+
+
+def classifier_score_multiclass(docs: DataFrame, models: dict,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, pred_label)`` — argmax one-vs-rest application of a
+    :func:`classifier_fit_multiclass` model dict.  All C logits fold in
+    ONE projection over the shared per-doc feature array (fixed bucket
+    order, so bits are engine-stable); ties break toward the SMALLEST
+    label, making the prediction deterministic.  Documents shorter than
+    two tokens carry no features and are absent (same contract as the
+    binary scorer)."""
+    classes = sorted(models)
+    if not classes:
+        raise ValueError("models must be non-empty")
+    n_buckets = len(models[classes[0]][0])
+    for c in classes:
+        if len(models[c][0]) != n_buckets:
+            raise ValueError("all weight vectors must share n_buckets")
+    per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
+           .groupBy("id", "bucket").agg(F.count("*").alias("c")))
+    arr = (per.groupBy("id")
+              .agg(F.array_sort(
+                  F.collect_list(F.struct("bucket", "c"))).alias("fs")))
+    def _fold(wl):
+        return lambda acc, x: acc + F.element_at(
+            wl, x["bucket"].cast("int") + 1) * x["c"]
+
+    zcols = []
+    for c in classes:
+        ws, bias = models[c]
+        wlit = F.array(*[F.lit(float(x)) for x in ws])
+        zcols.append(F.aggregate("fs", F.lit(float(bias)), _fold(wlit)))
+    # argmax with smallest-label tie-break: strictly-greater comparison
+    # walking the sorted class list keeps the first maximal label
+    best_z, best_l = zcols[0], F.lit(classes[0])
+    for z, c in zip(zcols[1:], classes[1:]):
+        cond = z > best_z
+        best_l = F.when(cond, F.lit(c)).otherwise(best_l)
+        best_z = F.when(cond, z).otherwise(best_z)
+    return arr.select(F.col("id").alias(id_col),
+                      best_l.alias("pred_label"))

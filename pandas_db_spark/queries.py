@@ -66,7 +66,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r11 additions, never driver-verified (prepended as implemented)
-    "classifier_fit_score", "span_candidates_winnowed",
+    "classifier_fit_score", "span_candidates_winnowed", "langid_fit_score",
     # last driver receipt r5
     "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_subwords", "text_top_bigrams",
@@ -1225,6 +1225,51 @@ def classifier_fit_score(spark, sf_dir):
             .select("doc_id",
                     (F.col("logit") > 0).cast("int").alias("pred_label"),
                     "true_label"))
+
+
+@q("langid_fit_score",
+   "SELECT doc_id, "
+   "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'de' WHEN 1 THEN 'en' "
+   "ELSE 'fr' END AS pred_label, "
+   "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'de' WHEN 1 THEN 'en' "
+   "ELSE 'fr' END AS true_label FROM documents")
+def langid_fit_score(spark, sf_dir):
+    """TRAINED language-ID — fastText's supervised mode re-expressed
+    Spark-first (operators/lm.classifier_fit_multiclass +
+    classifier_score_multiclass; the heuristic functions.text.lang_id
+    is the cold-start alternative, this is the fitted one).  Planted
+    3-language corpus: docs truncated to 8 words + a per-class
+    function-word marker repeated 6x ('der' for doc_id%3==0 → 'de',
+    'shall' → 'en', 'les' → 'fr' — words verified ABSENT from the
+    synthetic corpus vocabulary at every SF, so the marker bigrams are
+    class-pure; 'the' occurs 840x in the sf0.01 corpus and polluted the
+    en class when first tried — exactly the feature-collision failure a
+    real language-ID fit debugs).  One-vs-rest
+    full-batch logistic GD (n_buckets=256, 12 steps, lr=1.0, zero
+    init); the oracle asserts the fitted argmax prediction recovers the
+    planted language for EVERY document — hash-checked, ties broken
+    toward the smallest label so both engines agree
+    deterministically."""
+    from pandas_db_spark.operators.lm import (classifier_fit_multiclass,
+                                              classifier_score_multiclass)
+    d = get_db(spark, sf_dir).documents.df
+    head = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 8), " ")
+    lab = (F.when(F.col("doc_id") % 3 == 0, F.lit("de"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("en"))
+            .otherwise(F.lit("fr")))
+    marker = (F.when(F.col("doc_id") % 3 == 0,
+                     F.lit(" der der der der der der"))
+               .when(F.col("doc_id") % 3 == 1,
+                     F.lit(" shall shall shall shall shall shall"))
+               .otherwise(F.lit(" les les les les les les")))
+    planted = d.select("doc_id", lab.alias("y"),
+                       F.concat(head, marker).alias("text"))
+    models = classifier_fit_multiclass(planted, "y", n_buckets=256,
+                                       n_iter=12, lr=1.0)
+    return (classifier_score_multiclass(planted, models)
+            .join(planted.select("doc_id",
+                                 F.col("y").alias("true_label")), "doc_id")
+            .select("doc_id", "pred_label", "true_label"))
 
 
 # ---------------------------------------------------------------------

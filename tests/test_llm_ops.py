@@ -2428,3 +2428,38 @@ def test_winnow_span_candidates_guarantee_and_bounds(spark):
     got1 = {r[0] for r in
             winnow_span_candidates(docs, k=k, w=1).collect()}
     assert got1 == exact
+
+
+def test_classifier_fit_multiclass_recovers_languages(spark):
+    """classifier_fit_multiclass (r11): one-vs-rest fit on a planted
+    3-class function-word corpus recovers every label via argmax;
+    weights are per-class separating (each class's own marker bigram
+    gets that class's largest weight); error contracts fire."""
+    import pytest
+    from pandas_db_spark.operators.lm import (classifier_fit_multiclass,
+                                              classifier_score_multiclass)
+
+    filler = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    marks = {"de": "der der der", "en": "the the the", "fr": "les les les"}
+    labs = ["de", "en", "fr"]
+    rows = [(i, filler[i % 3] + " " + marks[labs[i % 3]], labs[i % 3])
+            for i in range(45)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y string")
+    models = classifier_fit_multiclass(docs, "y", n_buckets=128,
+                                       n_iter=25, lr=1.0)
+    assert sorted(models) == labs
+    got = {r["doc_id"]: r["pred_label"] for r in
+           classifier_score_multiclass(docs, models).collect()}
+    assert len(got) == 45
+    assert all(got[i] == labs[i % 3] for i in range(45))
+
+    with pytest.raises(ValueError, match=">= 2 distinct"):
+        classifier_fit_multiclass(
+            spark.createDataFrame([(0, "a b c", "en"), (1, "d e f", "en")],
+                                  "doc_id long, text string, y string"),
+            "y", n_buckets=64, n_iter=2)
+    with pytest.raises(ValueError, match="non-empty"):
+        classifier_score_multiclass(docs, {})
+    with pytest.raises(ValueError, match="share n_buckets"):
+        classifier_score_multiclass(
+            docs, {"a": ([0.0] * 64, 0.0), "b": ([0.0] * 32, 0.0)})
