@@ -464,6 +464,80 @@ def _band_pairs(sig_df: DataFrame, id_col: str, bands: int,
                          ["band", "bh"], id_col)
 
 
+def auto_minhash_geometry(num_perm: int, threshold: float,
+                          miss_target: float | None = None,
+                          fp_weight: float = 0.5) -> tuple[int, int]:
+    """``(bands, rows)`` with ``bands·rows ≤ num_perm`` tuned for a
+    Jaccard ``threshold`` — the MinHash twin of
+    ``similarity.auto_sign_geometry``.  Banding collision probability
+    is the S-curve ``P(s) = 1 − (1 − s^rows)^bands`` (Leskovec,
+    Rajaraman & Ullman, *Mining of Massive Datasets* §3.4).  Two
+    modes:
+
+    * ``miss_target`` given (the DEDUP stance, and what
+      ``minhash_pairs(bands="auto")`` uses at 1e-6): pick the LARGEST
+      ``rows`` for which some ``bands ≤ num_perm // rows`` holds
+      ``(1 − t^rows)^bands ≤ miss_target`` — a true pair at the
+      threshold is missed with probability ≤ target (the exact-verify
+      step already makes precision perfect; candidates are the only
+      cost), and maximizing ``rows`` under that guarantee minimizes
+      random-pair candidate volume (each extra row cuts random
+      collisions ~|shingle-overlap|-fold).  At num_perm=128, t=0.8,
+      1e-6 this returns (27, 4) — same rows as the pinned (32, 4)
+      default, confirming the default sits on the recall-guaranteed
+      frontier; at t=0.5 it returns (49, 2) where the fixed (32, 4)
+      would miss ~1 in 8 true pairs.
+    * ``miss_target=None``: the balanced integral-cost optimum the
+      datasketch library ships — minimize ``fp_weight·∫₀ᵗ P +
+      (1−fp_weight)·∫ₜ¹ (1−P)``; this places the S-curve midpoint at
+      the threshold (a pair at exactly ``t`` collides ~50%), the right
+      stance for candidate-budgeted RETRIEVAL, not dedup.
+
+    Pure deterministic Python over the num_perm-bounded grid — call
+    once, pass the result to :func:`minhash_pairs` /
+    :func:`minhash_store`."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_perm < 2:
+        raise ValueError("num_perm must be >= 2")
+    import math
+    if miss_target is not None:
+        if not 0.0 < miss_target < 1.0:
+            raise ValueError("miss_target must be in (0, 1)")
+        for r in range(num_perm, 0, -1):
+            p = threshold ** r
+            if p <= 0.0:
+                continue
+            # smallest b with (1-p)^b <= miss_target; log1p keeps the
+            # denominator finite when p underflows 1-p to 1.0
+            if p >= 1.0:
+                b = 1
+            else:
+                b = max(1, math.ceil(math.log(miss_target)
+                                     / math.log1p(-p)))
+            if b * r <= num_perm:
+                return b, r
+        return num_perm, 1  # t so low only single-row bands can hold it
+    steps = 1000
+    best, best_cost = (1, num_perm), float("inf")
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        cost = fp_weight * fp + (1.0 - fp_weight) * fn
+        if cost < best_cost:
+            best, best_cost = (b, r), cost
+    return best
+
+
 def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8, n: int = 3, num_perm: int = 128,
                   bands: int = 32, rows: int = 4,
@@ -475,7 +549,13 @@ def minhash_pairs(df: DataFrame, text_col: str, id_col: str,
     equals the exact all-pairs answer with overwhelming probability while
     scaling as Σ bucket² instead of n².  ``hash_bits`` (31 default, 61 for
     ≳10⁸-distinct-shingle corpora) is forwarded to
-    :func:`minhash_signatures`."""
+    :func:`minhash_signatures`.  Pass ``bands="auto"`` (with
+    ``rows="auto"``) to size the banding to a NON-default threshold via
+    :func:`auto_minhash_geometry` — the fixed (32, 4) default is tuned
+    for t ≈ 0.8 and silently loses recall at lower thresholds."""
+    if bands == "auto" or rows == "auto":
+        bands, rows = auto_minhash_geometry(num_perm, threshold,
+                                            miss_target=1e-6)
     sh = _shared_shingles(df, text_col, id_col, n, persist)
     sig = minhash_signatures(sh, id_col, num_perm, hash_bits=hash_bits)
     cand = _band_pairs(sig, id_col, bands, rows)

@@ -2463,3 +2463,49 @@ def test_classifier_fit_multiclass_recovers_languages(spark):
     with pytest.raises(ValueError, match="share n_buckets"):
         classifier_score_multiclass(
             docs, {"a": ([0.0] * 64, 0.0), "b": ([0.0] * 32, 0.0)})
+
+
+def test_auto_minhash_geometry_modes(spark):
+    """auto_minhash_geometry (r11): the recall-guaranteed mode holds
+    miss <= target at the threshold within the permutation budget and
+    maximizes rows (candidate selectivity); the balanced mode places
+    the S-curve midpoint near the threshold; minhash_pairs(bands='auto')
+    still finds planted near-dups at a non-default threshold."""
+    import pytest
+    from pandas_db_spark.operators.dedup import (auto_minhash_geometry,
+                                                 minhash_pairs)
+
+    for t in (0.3, 0.5, 0.8, 0.95):
+        b, r = auto_minhash_geometry(128, t, miss_target=1e-6)
+        assert b * r <= 128
+        assert (1 - t ** r) ** b <= 1e-6
+        # no deeper r admits the guarantee within the budget
+        if r < 128:
+            import math
+            p = t ** (r + 1)
+            b2 = max(1, math.ceil(math.log(1e-6) / math.log1p(-p)))
+            assert b2 * (r + 1) > 128
+
+    # balanced mode: S-curve midpoint lands near t (between 0.25-0.75)
+    b, r = auto_minhash_geometry(128, 0.8)
+    mid = 1 - (1 - 0.8 ** r) ** b
+    assert 0.25 < mid < 0.75
+
+    with pytest.raises(ValueError, match="threshold"):
+        auto_minhash_geometry(128, 1.0)
+    with pytest.raises(ValueError, match="miss_target"):
+        auto_minhash_geometry(128, 0.8, miss_target=0.0)
+
+    # end-to-end: planted half-overlap pair found at t=0.45 with 'auto'
+    # (the fixed (32,4) geometry misses ~1 in 8 true pairs down here)
+    base = [f"w{i}" for i in range(40)]
+    a = " ".join(base)
+    btxt = " ".join(base[:26] + [f"x{i}" for i in range(14)])
+    docs = spark.createDataFrame(
+        [(0, a), (1, btxt), (2, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string")
+    got = minhash_pairs(docs, "text", "doc_id", threshold=0.45,
+                        bands="auto", rows="auto").collect()
+    pairs = {(r2["id_a"], r2["id_b"]) for r2 in got} if got and "id_a" in got[0].__fields__ else {tuple(sorted((x[0], x[1]))) for x in got}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
