@@ -1118,6 +1118,39 @@ def pq_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
 # final exact re-rank of the shortlist — probed, never scanned.
 
 
+def _pq_encode_df(emb: DataFrame, cent: np.ndarray, books: np.ndarray,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """``(id, list_id, codes)`` — assign each vector to its nearest
+    coarse centroid and PQ-encode its residual against ``books``, in
+    Arrow batches.  Shared by :func:`build_ivfpq_index` and
+    :func:`append_ivfpq_index` so append-time encoding can never drift
+    from build-time encoding."""
+    m = books.shape[0]
+    dsub = books.shape[2]
+    cnorm = (books ** 2).sum(axis=2)  # (m, ksub)
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+            lists = (vs @ cent.T).argmax(axis=1)
+            rs = vs - cent[lists]
+            codes = np.empty((len(vs), m), dtype=np.int32)
+            for s in range(m):
+                sub = rs[:, s * dsub:(s + 1) * dsub]
+                d2 = cnorm[s][None, :] - 2.0 * sub @ books[s].T
+                codes[:, s] = d2.argmin(axis=1)
+            out = pdf[[id_col]].copy()
+            out["list_id"] = lists.astype(np.int64)
+            out["codes"] = list(codes)
+            yield out
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encoder, f"{id_col} long, list_id long, codes array<int>")
+
+
 def build_ivfpq_index(emb: DataFrame, path: str, nlist: int = 16,
                       m: int = 8, ksub: int = 256, sample_n: int = 2048,
                       n_iter: int = 5, id_col: str = "vec_id",
@@ -1145,29 +1178,7 @@ def build_ivfpq_index(emb: DataFrame, path: str, nlist: int = 16,
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     res = mat - cent[(mat @ cent.T).argmax(axis=1)]
     books = _pq_fit(res, m, ksub, n_iter)
-    dsub = books.shape[2]
-    cnorm = (books ** 2).sum(axis=2)  # (m, ksub)
-
-    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            vs = np.array(list(pdf[vec_col]), dtype=np.float64)
-            vs = vs / np.linalg.norm(vs, axis=1, keepdims=True)
-            lists = (vs @ cent.T).argmax(axis=1)
-            rs = vs - cent[lists]
-            codes = np.empty((len(vs), m), dtype=np.int32)
-            for s in range(m):
-                sub = rs[:, s * dsub:(s + 1) * dsub]
-                d2 = cnorm[s][None, :] - 2.0 * sub @ books[s].T
-                codes[:, s] = d2.argmin(axis=1)
-            out = pdf[[id_col]].copy()
-            out["list_id"] = lists.astype(np.int64)
-            out["codes"] = list(codes)
-            yield out
-
-    enc = emb.select(id_col, vec_col).mapInPandas(
-        encoder, f"{id_col} long, list_id long, codes array<int>")
+    enc = _pq_encode_df(emb, cent, books, id_col, vec_col)
     enc.write.mode("overwrite").partitionBy("list_id").parquet(
         path + "/codes")
     lists = _assign_lists(emb, cent, id_col, vec_col).join(emb, id_col)
@@ -1405,3 +1416,126 @@ def ann_join_ivf(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 .applyInPandas(_cogroup_topk(k, exclude_self),
                                "query_id long, neighbor_id long, sim double"))
     return _merge_topk(partial, k)
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance (r11): append new vectors to a persisted
+# IVF / IVF-PQ index WITHOUT a rebuild — the geometry (coarse centroids,
+# PQ codebooks) stays PINNED from build time, exactly like the sign-LSH
+# ingest store pins its band geometry in /meta: keys/assignments from
+# different geometries never mix, so growth must encode against the
+# built quantizers, and a geometry refresh is the explicit offline
+# rebuild (build_*_index again), the reband_store analogue.
+# ---------------------------------------------------------------------------
+
+
+def _read_pinned_centroids(spark, path: str) -> np.ndarray:
+    try:
+        crows = sorted(spark.read.parquet(path + "/centroids").collect(),
+                       key=lambda r: r["list_id"])
+    except Exception as exc:  # missing dir → clean contract error
+        raise ValueError(f"no centroids at {path}/centroids — "
+                         "not a built index directory") from exc
+    if not crows:
+        raise ValueError(f"no centroids at {path}/centroids — "
+                         "not a built index directory")
+    return np.array([r["centroid"] for r in crows], dtype=np.float64)
+
+
+def _cast_to_index_type(emb_new: DataFrame, existing: DataFrame,
+                        vec_col: str) -> DataFrame:
+    """Cast the incoming vector column to the index's pinned element
+    type: appending (say) array<double> files beside the build's
+    array<float> files would poison every later scan with a Parquet
+    type-mismatch read error — schema is part of the pinned geometry."""
+    want = existing.schema[vec_col].dataType
+    have = emb_new.schema[vec_col].dataType
+    if have != want:
+        return emb_new.withColumn(vec_col, F.col(vec_col).cast(want))
+    return emb_new
+
+
+def _reject_duplicate_ids(emb_new: DataFrame, existing: DataFrame,
+                          id_col: str, path: str) -> None:
+    dup = (emb_new.select(id_col)
+                  .join(existing.select(id_col), id_col, "left_semi")
+                  .limit(5).collect())
+    if dup:
+        raise ValueError(
+            f"append to {path}: ids already present in the index "
+            f"(first few: {[r[0] for r in dup]}) — an id appearing in "
+            "two list files would surface twice in served top-k; pass "
+            "check_ids=False only if the caller guarantees disjoint ids")
+
+
+def append_ivf_index(emb_new: DataFrame, path: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     check_ids: bool = True) -> None:
+    """Append ``emb_new`` to a :func:`build_ivf_index` directory: one
+    assignment pass against the PINNED centroids, one
+    ``mode("append")`` partitioned write — new files land inside the
+    existing ``list_id=`` directories, so every prior serving plan
+    (partition pruning included) keeps working and immediately sees the
+    new vectors.  ``check_ids`` (default on) pays one id-column
+    left-semi probe to fail loudly on id collisions.
+
+    Growth contract: appends FATTEN lists — per-probe scan cost grows
+    linearly with appended volume while ``nlist`` stays fixed, so once
+    the corpus outgrows the built geometry (~2-4x the build size),
+    rebuild with a larger ``nlist`` (the IVF analogue of the sign-LSH
+    ``reband_store`` migration).  Compaction note: each append adds one
+    file per touched partition; fold small files with an offline
+    read-repartition-overwrite when file counts matter."""
+    spark = emb_new.sparkSession
+    cent = _read_pinned_centroids(spark, path)
+    existing = spark.read.parquet(path + "/vectors")
+    emb_new = _cast_to_index_type(emb_new, existing, vec_col)
+    if check_ids:
+        _reject_duplicate_ids(emb_new, existing, id_col, path)
+    lists = (_assign_lists(emb_new, cent, id_col, vec_col)
+             .join(emb_new, id_col))
+    (lists.write.mode("append").partitionBy("list_id")
+          .parquet(path + "/vectors"))
+
+
+def append_ivfpq_index(emb_new: DataFrame, path: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       check_ids: bool = True) -> None:
+    """Append ``emb_new`` to a :func:`build_ivfpq_index` directory:
+    assignments AND residual codes are produced by the same
+    :func:`_pq_encode_df` pass the build used, against the PINNED
+    centroids and codebooks read back from the index — append-time
+    encoding can never drift from build-time encoding.  Both the
+    ``/codes`` (ADC scan set) and ``/vectors`` (re-rank probe set)
+    partitions grow in place via dynamic append; the same growth and
+    compaction contract as :func:`append_ivf_index` applies, plus the
+    quantization caveat: codebooks were fit on the BUILD corpus's
+    residual distribution, so a drifted append distribution quantizes
+    coarser — recall on appended vectors degrades gracefully, and the
+    rebuild refreshes the fit (`ann_ivfpq_recall`'s measured trail is
+    the watchdog)."""
+    spark = emb_new.sparkSession
+    cent = _read_pinned_centroids(spark, path)
+    brows = spark.read.parquet(path + "/codebooks").collect()
+    if not brows:
+        raise ValueError(f"no codebooks at {path}/codebooks — "
+                         "not a built IVF-PQ index directory")
+    m = 1 + max(r["subspace"] for r in brows)
+    ksub = 1 + max(r["code"] for r in brows)
+    dsub = len(brows[0]["centroid"])
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    existing = spark.read.parquet(path + "/vectors")
+    emb_new = _cast_to_index_type(emb_new, existing, vec_col)
+    if check_ids:
+        _reject_duplicate_ids(
+            emb_new, spark.read.parquet(path + "/codes"), id_col, path)
+    enc = _pq_encode_df(emb_new, cent, books, id_col, vec_col)
+    enc.write.mode("append").partitionBy("list_id").parquet(
+        path + "/codes")
+    lists = (_assign_lists(emb_new, cent, id_col, vec_col)
+             .join(emb_new, id_col))
+    (lists.write.mode("append").partitionBy("list_id")
+          .parquet(path + "/vectors"))

