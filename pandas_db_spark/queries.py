@@ -67,6 +67,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r11 additions, never driver-verified (prepended as implemented)
     "classifier_fit_score", "span_candidates_winnowed", "langid_fit_score",
+    "ann_append_invariant",
     # last driver receipt r5
     "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_subwords", "text_top_bigrams",
@@ -676,6 +677,51 @@ def ann_ivfpq_recall(spark, sf_dir):
     return spark.createDataFrame(
         [(pq.count(), hits >= 0.8 * n_brute)],
         "n_ivfpq long, recall_ok boolean")
+
+
+@q("ann_append_invariant",
+   "SELECT count(*) AS n_indexed, "
+   "CAST(0 AS BIGINT) AS n_assign_mismatch, "
+   "CAST(0 AS BIGINT) AS n_dup_ids FROM embeddings")
+def ann_append_invariant(spark, sf_dir):
+    """Driver-checkable contract for incremental IVF index maintenance
+    (operators/similarity.append_ivf_index, r11): build on the low-id
+    HALF of the corpus, append the other half with the geometry PINNED,
+    then assert on the READ-BACK index that (a) every row — old and
+    appended — sits in the list the pinned centroids assign it to
+    (re-derived by a second, independent _assign_lists pass over the
+    read-back vectors), (b) no id appears twice, and (c) the row count
+    equals the full corpus.  All three are exact integers, so the
+    oracle is a hash-checked value compare — the invariant a broken
+    append (drifted geometry, double-append replay, type-poisoned
+    partition files) would break loudly.  Fresh temp build per run:
+    append is stateful, so a cached index would double-append."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.operators import similarity as S
+    e = get_db(spark, sf_dir).embeddings.df
+    n = e.count()
+    half = (e.agg(F.expr("percentile(vec_id, 0.5)")).collect()[0][0])
+    base = e.filter(F.col("vec_id") <= half)
+    extra = e.filter(F.col("vec_id") > half)
+    d = tempfile.mkdtemp(prefix="pds_ivf_append_")
+    try:
+        S.build_ivf_index(base, d, nlist=8, sample_n=256)
+        S.append_ivf_index(extra, d)
+        back = spark.read.parquet(d + "/vectors")
+        cent = S._read_pinned_centroids(spark, d)
+        re_assigned = S._assign_lists(
+            back.select("vec_id", "embedding"), cent,
+            "vec_id", "embedding").withColumnRenamed("list_id", "l2")
+        mism = (back.select("vec_id", "list_id").join(re_assigned, "vec_id")
+                    .filter(F.col("list_id") != F.col("l2")).count())
+        dups = (back.groupBy("vec_id").count()
+                    .filter(F.col("count") > 1).count())
+        return spark.createDataFrame(
+            [(back.count(), mism, dups)],
+            "n_indexed long, n_assign_mismatch long, n_dup_ids long")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @q("ann_join",
