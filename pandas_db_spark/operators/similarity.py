@@ -1539,3 +1539,48 @@ def append_ivfpq_index(emb_new: DataFrame, path: str,
              .join(emb_new, id_col))
     (lists.write.mode("append").partitionBy("list_id")
           .parquet(path + "/vectors"))
+
+
+def compact_index(spark, path: str) -> dict:
+    """Fold append-fragmented index partitions: each
+    :func:`append_ivf_index` / :func:`append_ivfpq_index` call adds one
+    file per touched ``list_id=`` directory, and after many ingest
+    cycles the per-probe scan pays more in file-open overhead than in
+    bytes.  Rewrites ``/vectors`` (and ``/codes`` if present — an
+    IVF-PQ index) at ONE file per list partition — ``repartition`` on
+    the ``list_id`` hash routes each list to a single task, so lists
+    compact in parallel and each task writes exactly its list's file —
+    via a staging directory + atomic directory swap (posix/HDFS rename
+    semantics; run OFFLINE between ingest runs, the same contract as
+    ``reband_store``/``compact_signlsh_store``).  Content is
+    untouched — rows, assignments and codes are byte-identical, only
+    the file layout changes — so every serving plan (partition pruning
+    included) is unaffected.  Returns per-dataset file counts
+    before/after for the caller's log."""
+    import glob
+    import os
+    import shutil
+
+    report = {}
+    for sub in ("vectors", "codes"):
+        src = os.path.join(path, sub)
+        if not os.path.exists(src):
+            continue
+        before = len(glob.glob(os.path.join(src, "*", "*.parquet")))
+        df = spark.read.parquet(src)
+        stage = os.path.join(path, f"_{sub}_compact_tmp")
+        shutil.rmtree(stage, ignore_errors=True)
+        (df.repartition(F.col("list_id"))
+           .write.mode("overwrite").partitionBy("list_id").parquet(stage))
+        old = os.path.join(path, f"_{sub}_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(src, old)
+        os.rename(stage, src)
+        shutil.rmtree(old, ignore_errors=True)
+        report[sub] = {
+            "files_before": before,
+            "files_after": len(glob.glob(
+                os.path.join(src, "*", "*.parquet")))}
+    if not report:
+        raise ValueError(f"{path} holds no /vectors or /codes dataset")
+    return report

@@ -494,3 +494,48 @@ def test_append_ivfpq_index_codes_match_build_encoder(spark, db, tmp_path):
         append_ivfpq_index(extra, path)
     with pytest.raises(ValueError, match="not a built index"):
         append_ivfpq_index(extra, str(tmp_path / "nowhere"))
+
+
+def test_compact_index_folds_append_files_served_identical(spark, db,
+                                                           tmp_path):
+    """compact_index (r11): after two appends each list directory holds
+    several files; compaction folds every list to ONE file, content is
+    row-identical, and the served top-k is unchanged."""
+    import glob
+    import pytest
+    from pandas_db_spark.operators.similarity import (append_ivf_index,
+                                                      build_ivf_index,
+                                                      compact_index,
+                                                      ivf_topk_indexed)
+
+    emb = db.embeddings.df
+    path = str(tmp_path / "ivf_c")
+    build_ivf_index(emb.filter(F.col("vec_id") < 200), path,
+                    nlist=4, sample_n=128)
+    append_ivf_index(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)),
+        path)
+    append_ivf_index(emb.filter(F.col("vec_id") >= 300), path)
+
+    before_rows = sorted(map(tuple, spark.read.parquet(
+        path + "/vectors").collect()))
+    served_before = sorted(map(tuple, ivf_topk_indexed(
+        spark, path, [5, 250, 400], k=5, nprobe=2).collect()))
+
+    rep = compact_index(spark, path)
+    assert rep["vectors"]["files_before"] > rep["vectors"]["files_after"]
+    per_list = {}
+    for f in glob.glob(path + "/vectors/*/*.parquet"):
+        d = f.rsplit("/", 2)[1]
+        per_list[d] = per_list.get(d, 0) + 1
+    assert per_list and all(v == 1 for v in per_list.values())
+
+    after_rows = sorted(map(tuple, spark.read.parquet(
+        path + "/vectors").collect()))
+    assert after_rows == before_rows
+    served_after = sorted(map(tuple, ivf_topk_indexed(
+        spark, path, [5, 250, 400], k=5, nprobe=2).collect()))
+    assert served_after == served_before
+
+    with pytest.raises(ValueError, match="no /vectors"):
+        compact_index(spark, str(tmp_path / "empty"))
