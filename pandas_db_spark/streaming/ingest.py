@@ -439,3 +439,84 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
         qr.processAllAvailable()
     finally:
         qr.stop()
+
+
+def run_ivf_index_ingest(stream_df: DataFrame, index_dir: str,
+                         checkpoint_dir: str, nlist: int = 16,
+                         sample_n: int = 2048,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         design_corpus: int | None = None) -> None:
+    """Maintain a SERVABLE IVF index from a vector stream (r11): the
+    streaming complement of :func:`operators.similarity.build_ivf_index`
+    — every micro-batch is assigned against the index's PINNED coarse
+    centroids and appended, so ``ivf_topk_indexed`` serves the corpus
+    as of the last drained batch with no rebuild in the loop.
+
+    Geometry pin: the FIRST batch fits the centroids
+    (``_fit_centroids`` on its hash-order sample) and writes
+    ``/centroids`` once; every later batch — and every crash REPLAY of
+    the first batch, which re-derives the identical centroids from the
+    identical data — reloads the pin.  Keys from different geometries
+    never mix (the sign-LSH ``/meta`` discipline); refreshing the
+    geometry is the explicit offline rebuild.
+
+    Replay idempotence: vectors write with dynamic partition overwrite
+    under ``batch_id=N/list_id=M`` two-level layout, so a replayed
+    micro-batch rewrites its OWN partitions instead of double-appending
+    (the contract every store sink in :func:`run_dedup_ingest` honors).
+    Serving prunes on ``list_id`` across every batch directory —
+    partition filters apply to any partition column regardless of
+    nesting — and :func:`operators.similarity.compact_index` remains
+    the offline fold for file-count growth (drop the ``batch_id``
+    level while compacting once the stream is quiesced).
+
+    Growth: appends FATTEN lists while ``nlist`` stays pinned; pass
+    ``design_corpus`` to get a per-batch warning once the indexed count
+    exceeds it (the embedding dedup mode's density-guard shape), then
+    rebuild with a larger ``nlist`` offline."""
+    from pandas_db_spark.operators.similarity import (_assign_lists,
+                                                      _fit_centroids,
+                                                      _read_pinned_centroids)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        try:
+            cent = _read_pinned_centroids(spark, index_dir)
+        except ValueError:
+            cent = _fit_centroids(batch_df, nlist, sample_n,
+                                  id_col, vec_col)
+            (spark.createDataFrame(
+                [(i, c.tolist()) for i, c in enumerate(cent)],
+                "list_id long, centroid array<double>")
+             .coalesce(1).write.mode("overwrite")
+             .parquet(index_dir + "/centroids"))
+        if design_corpus is not None:
+            indexed = _read_store(spark, index_dir + "/vectors",
+                                  f"{id_col} long").count()
+            if indexed > design_corpus:
+                import warnings
+                warnings.warn(
+                    f"IVF index at {index_dir} holds {indexed} vectors — "
+                    f"past its design corpus of {design_corpus} with "
+                    f"nlist={nlist} pinned; per-probe scan cost grows "
+                    "linearly.  Rebuild offline with a larger nlist "
+                    "(build_ivf_index), then resume the stream.",
+                    RuntimeWarning, stacklevel=2)
+        lists = (_assign_lists(batch_df, cent, id_col, vec_col)
+                 .join(batch_df, id_col)
+                 .withColumn("batch_id", F.lit(batch_id)))
+        (lists.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id", "list_id")
+              .parquet(index_dir + "/vectors"))
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()

@@ -1052,3 +1052,58 @@ def test_ingest_web_curation_screens_match_batch_pipeline(spark, tmp_path):
     # boilerplate really was stripped by the post-pass
     assert all(boil not in t[1] for t in inc)
     assert any(t[2] == 1 for t in inc)
+
+
+def test_ivf_index_ingest_serves_and_replays_idempotently(spark, tmp_path):
+    """run_ivf_index_ingest (r11): a vector stream maintains a servable
+    IVF index — first batch pins the centroids, later batches append
+    under batch_id/list_id dynamic overwrite, a replay with no new
+    files changes nothing, every assignment matches the pinned
+    centroids (independent numpy recomputation), and ivf_topk_indexed
+    serves neighbors from ALL batches with partition pruning intact."""
+    import numpy as np
+    from pandas_db_spark.operators.similarity import ivf_topk_indexed
+    from pandas_db_spark.plans.explain import formatted_plan
+    from pandas_db_spark.streaming.ingest import run_ivf_index_ingest
+
+    rng = np.random.default_rng(11)
+    def mk(lo, hi):
+        return [(i, rng.normal(0, 1, 16).tolist()) for i in range(lo, hi)]
+
+    src = tmp_path / "vec_in"
+    idx = str(tmp_path / "ivfidx")
+
+    def ingest():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(f"{src}/b*"))
+        run_ivf_index_ingest(stream, idx,
+                             checkpoint_dir=str(tmp_path / "ck"),
+                             nlist=4, sample_n=128)
+
+    for bi, (lo, hi) in enumerate([(0, 120), (120, 240), (240, 360)]):
+        (spark.createDataFrame(mk(lo, hi),
+                               "vec_id long, embedding array<double>")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        ingest()
+    before = sorted(map(tuple, spark.read.parquet(
+        idx + "/vectors").select("vec_id", "list_id").collect()))
+    ingest()          # replay: no new files -> byte-for-byte no-op
+    after = sorted(map(tuple, spark.read.parquet(
+        idx + "/vectors").select("vec_id", "list_id").collect()))
+    assert after == before and len(after) == 360
+
+    # pinned-geometry assignment parity, recomputed independently
+    crows = sorted(spark.read.parquet(idx + "/centroids").collect(),
+                   key=lambda r: r["list_id"])
+    cent = np.array([r["centroid"] for r in crows])
+    back = spark.read.parquet(idx + "/vectors").collect()
+    for r in back:
+        v = np.array(r["embedding"]); v = v / np.linalg.norm(v)
+        assert int((cent @ v).argmax()) == r["list_id"]
+
+    served = ivf_topk_indexed(spark, idx, [10, 300], k=5, nprobe=2)
+    plan = formatted_plan(served)
+    assert "PartitionFilters" in plan
+    got = served.collect()
+    assert {r["query_id"] for r in got} == {10, 300}
