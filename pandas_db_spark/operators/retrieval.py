@@ -460,3 +460,83 @@ def build_vocab(docs: DataFrame, text_col: str, id_col: str,
             raise ValueError("build_vocab: max_size must be >= 1")
         out = out.where(F.col("term_id") < max_size)
     return out.select("term", "df", "cf", "term_id")
+
+
+def append_inverted_index(docs_new: DataFrame, text_col: str, id_col: str,
+                          table_prefix: str, n_buckets: int = 32,
+                          check_ids: bool = True) -> None:
+    """Append new documents to a :func:`build_inverted_index` index —
+    the text-retrieval twin of ``similarity.append_ivf_index`` (r11).
+    Unlike the vector index there is NO fitted geometry to pin, so the
+    appended index is EXACTLY what a from-scratch rebuild over the
+    union produces (pytest asserts postings/df/served-ranking
+    equality; ``avgdl`` is updated by the exact weighted mean, equal to
+    the rebuild's up to float association):
+
+    * ``{prefix}_postings`` — the new docs' (term, doc_id, tf, dl) rows
+      APPEND into the bucketed table with the same
+      ``bucketBy(n_buckets, term)`` spec, so bucket pruning on
+      ``term IN (…)`` keeps working over old and new files alike
+      (``n_buckets`` must match the build's).
+    * ``{prefix}_terms`` — per-term df is a MERGE, not an append: the
+      old table full-outer-joins the new docs' df and the sum lands in
+      a staged table swapped in via ``ALTER TABLE RENAME`` (the old
+      table must outlive the stage write that reads it).
+    * ``{prefix}_meta`` — ``n_docs`` adds; ``avgdl`` re-weights
+      exactly: ``(old_avg·old_n + Σ new dl) / (old_n + new_n)``.
+
+    ``check_ids`` pays one doc_id semi-probe of the postings to fail
+    loudly on re-ingested ids (double-counted tf would silently
+    inflate that doc's score).  Run OFFLINE between query batches —
+    the three writes are not transactional across tables."""
+    spark = docs_new.sparkSession
+    postings_t = f"{table_prefix}_postings"
+    terms_t = f"{table_prefix}_terms"
+    meta_t = f"{table_prefix}_meta"
+    for t in (postings_t, terms_t, meta_t):
+        if not spark.catalog.tableExists(t):
+            raise ValueError(f"{t} does not exist — build the index "
+                             "with build_inverted_index first")
+    if check_ids:
+        dup = (docs_new.select(F.col(id_col).alias("doc_id")).distinct()
+               .join(spark.table(postings_t).select("doc_id"),
+                     "doc_id", "left_semi").limit(5).collect())
+        if dup:
+            raise ValueError(
+                f"append to {table_prefix}: doc ids already indexed "
+                f"(first few: {[r[0] for r in dup]}) — duplicate "
+                "postings would double-count tf")
+
+    from pandas_db_spark.sources.registry import write_bucketed
+
+    p = _postings(docs_new, text_col, id_col)
+    tf = (p.groupBy("term", "doc_id")
+          .agg(F.first("dl").cast("long").alias("dl"),
+               F.count(F.lit(1)).alias("tf")))
+    write_bucketed(tf, postings_t, ["term"], n_buckets=n_buckets,
+                   sort_cols=["term"], mode="append")
+
+    new_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_new"))
+    merged = (spark.table(terms_t)
+              .join(new_df, "term", "full_outer")
+              .select("term",
+                      (F.coalesce("df", F.lit(0))
+                       + F.coalesce("df_new", F.lit(0))).alias("df")))
+    stage_t = terms_t + "_stage"
+    _drop_table_and_location(spark, stage_t)
+    merged.write.mode("overwrite").saveAsTable(stage_t)
+    _drop_table_and_location(spark, terms_t)
+    spark.sql(f"ALTER TABLE {stage_t} RENAME TO {terms_t}")
+
+    old = spark.table(meta_t).collect()[0]
+    stats = docs_new.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("sum_dl")).collect()[0]
+    n_new, sum_dl = int(stats["n"]), float(stats["sum_dl"] or 0.0)
+    n_total = int(old["n_docs"]) + n_new
+    avgdl = ((float(old["avgdl"]) * int(old["n_docs"]) + sum_dl)
+             / n_total) if n_total else 0.0
+    (spark.createDataFrame([(n_total, avgdl)], "n_docs long, avgdl double")
+     .write.mode("overwrite").saveAsTable(meta_t + "_stage2"))
+    _drop_table_and_location(spark, meta_t)
+    spark.sql(f"ALTER TABLE {meta_t}_stage2 RENAME TO {meta_t}")

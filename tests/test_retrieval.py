@@ -539,3 +539,47 @@ def test_compact_index_folds_append_files_served_identical(spark, db,
 
     with pytest.raises(ValueError, match="no /vectors"):
         compact_index(spark, str(tmp_path / "empty"))
+
+
+def test_append_inverted_index_equals_rebuild(spark, db, tmp_path):
+    """append_inverted_index (r11): build on half the corpus, append
+    the rest — postings rows, per-term df, n_docs, and the SERVED BM25
+    ranking all equal a from-scratch build over the union (no fitted
+    geometry, so append must be exact); avgdl matches to float
+    tolerance; re-appending the same ids fails loudly; bucket pruning
+    still serves."""
+    import pytest
+    from pandas_db_spark.operators.retrieval import (append_inverted_index,
+                                                     bm25_topk_indexed,
+                                                     build_inverted_index)
+
+    docs = db.documents.df.select("doc_id", "text")
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+
+    build_inverted_index(lo, "text", "doc_id", "r11app", n_buckets=8)
+    append_inverted_index(hi, "text", "doc_id", "r11app", n_buckets=8)
+    build_inverted_index(docs, "text", "doc_id", "r11full", n_buckets=8)
+
+    ap = sorted(map(tuple, spark.table("r11app_postings").collect()))
+    fp = sorted(map(tuple, spark.table("r11full_postings").collect()))
+    assert ap == fp
+    at = sorted(map(tuple, spark.table("r11app_terms").collect()))
+    ft = sorted(map(tuple, spark.table("r11full_terms").collect()))
+    assert at == ft
+    am = spark.table("r11app_meta").collect()[0]
+    fm = spark.table("r11full_meta").collect()[0]
+    assert am["n_docs"] == fm["n_docs"]
+    assert abs(am["avgdl"] - fm["avgdl"]) < 1e-9
+
+    q = "merge vector stream"
+    got_a = [tuple(r) for r in bm25_topk_indexed(
+        spark, "r11app", q, k=10).collect()]
+    got_f = [tuple(r) for r in bm25_topk_indexed(
+        spark, "r11full", q, k=10).collect()]
+    assert got_a == got_f and len(got_a) > 0
+
+    with pytest.raises(ValueError, match="already indexed"):
+        append_inverted_index(hi, "text", "doc_id", "r11app", n_buckets=8)
+    with pytest.raises(ValueError, match="does not exist"):
+        append_inverted_index(hi, "text", "doc_id", "r11ghost")
