@@ -67,7 +67,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r11 additions, never driver-verified (prepended as implemented)
     "classifier_fit_score", "span_candidates_winnowed", "langid_fit_score",
-    "ann_append_invariant",
+    "ann_append_invariant", "bm25_append_postings",
     # last driver receipt r5
     "text_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "text_subwords", "text_top_bigrams",
@@ -4073,6 +4073,36 @@ def text_term_stats(spark, sf_dir):
     return (R.term_stats(d.df, "text", "doc_id")
             .orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
             .limit(50))
+
+
+@q("bm25_append_postings",
+   "WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "p AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term "
+   "FROM d) "
+   "SELECT term, doc_id, any_value(dl) AS dl, count(*)::BIGINT AS tf "
+   "FROM p GROUP BY 1, 2")
+def bm25_append_postings(spark, sf_dir):
+    """Driver-checkable contract for inverted-index APPEND
+    (operators/retrieval.append_inverted_index, r11): build the index
+    on the low-id half of documents, append the high-id half, and
+    return the read-back postings table — which must EXACTLY equal the
+    oracle's from-scratch postings over the whole corpus (no fitted
+    geometry, so append == rebuild row-for-row; the pytest additionally
+    pins df/meta/served-ranking equality).  A dropped append, a
+    double-counted tf, or a bucket-spec mismatch all break the value
+    hash.  The index tables rebuild under a fixed prefix each run, so
+    re-runs are self-contained."""
+    from pandas_db_spark.operators.retrieval import (append_inverted_index,
+                                                     build_inverted_index)
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    half = d.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    build_inverted_index(d.filter(F.col("doc_id") <= half),
+                         "text", "doc_id", "apx_gate", n_buckets=8)
+    append_inverted_index(d.filter(F.col("doc_id") > half),
+                          "text", "doc_id", "apx_gate", n_buckets=8)
+    return spark.table("apx_gate_postings").select(
+        "term", "doc_id", "dl", "tf")
 
 
 @q("bm25_topk",
