@@ -1212,7 +1212,14 @@ def strip_common_paragraphs(df, text_col: str, id_col: str,
                           F.array_join(F.transform(
                               "ps", lambda x: x["p"]), sep),
                           F.lit("")).alias("text_clean"),
-                      (F.col("__n0") - F.coalesce(F.size("ps"), F.lit(0)))
+                      (F.col("__n0")
+                       # NOT coalesce-over-size: under non-ANSI Spark
+                       # size(NULL) is -1 (not NULL), so a doc whose
+                       # EVERY paragraph is boilerplate (ps NULL from
+                       # the left join) would count __n0+1 stripped
+                       # (ADVICE r11)
+                       - F.when(F.col("ps").isNull(), F.lit(0))
+                          .otherwise(F.size("ps")))
                       .cast("int").alias("n_stripped")))
 
     guard_msg = (

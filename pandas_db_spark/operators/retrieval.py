@@ -158,7 +158,9 @@ def build_inverted_index(docs: DataFrame, text_col: str, id_col: str,
       the matching buckets (Spark's bucket pruning; asserted in pytest)
       instead of scanning the full postings list;
     * ``{prefix}_terms`` (term, df) — per-term document frequency;
-    * ``{prefix}_meta`` (n_docs, avgdl) — the two corpus scalars.
+    * ``{prefix}_meta`` (n_docs, sum_dl, avgdl) — the corpus scalars;
+      ``sum_dl`` is the exact integer token total (NULL texts count 0)
+      so :func:`append_inverted_index` updates the mean exactly.
 
     Build cost: one explode + two keyed shuffles, once; after that every
     probe query reads ~|query terms| / ``n_buckets`` of the postings.
@@ -180,8 +182,20 @@ def build_inverted_index(docs: DataFrame, text_col: str, id_col: str,
     spark = docs.sparkSession
     (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
        .write.mode("overwrite").saveAsTable(f"{table_prefix}_terms"))
+    # avgdl is the EXACT integer token total divided once — NULL-text
+    # docs contribute 0 tokens (the explicit when-guard, because
+    # non-ANSI size(NULL) is -1, not NULL) while still counting in
+    # n_docs, and sum_dl is persisted so append_inverted_index can
+    # update the mean exactly instead of re-weighting floats: append
+    # meta == rebuild meta bit-for-bit even with NULL texts
+    # (ADVICE r11).  For all-non-NULL corpora this equals the previous
+    # F.avg (double partial sums of small integers are exact).
     (docs.agg(F.count(F.lit(1)).alias("n_docs"),
-              F.avg(F.size(tokens(F.col(text_col)))).alias("avgdl"))
+              F.sum(F.when(F.col(text_col).isNull(), F.lit(0))
+                     .otherwise(F.size(tokens(F.col(text_col)))))
+               .cast("long").alias("sum_dl"))
+     .select("n_docs", "sum_dl",
+             (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
      .write.mode("overwrite").saveAsTable(f"{table_prefix}_meta"))
 
 
@@ -470,8 +484,11 @@ def append_inverted_index(docs_new: DataFrame, text_col: str, id_col: str,
     Unlike the vector index there is NO fitted geometry to pin, so the
     appended index is EXACTLY what a from-scratch rebuild over the
     union produces (pytest asserts postings/df/served-ranking
-    equality; ``avgdl`` is updated by the exact weighted mean, equal to
-    the rebuild's up to float association):
+    equality; ``avgdl`` updates from the persisted exact integer token
+    total ``sum_dl``, so it equals the rebuild's BIT-FOR-BIT — NULL
+    texts included, which count 0 tokens on both paths; a pre-r12 meta
+    without ``sum_dl`` falls back to float re-weighting, exact up to
+    association):
 
     * ``{prefix}_postings`` — the new docs' (term, doc_id, tf, dl) rows
       APPEND into the bucketed table with the same
@@ -482,8 +499,8 @@ def append_inverted_index(docs_new: DataFrame, text_col: str, id_col: str,
       old table full-outer-joins the new docs' df and the sum lands in
       a staged table swapped in via ``ALTER TABLE RENAME`` (the old
       table must outlive the stage write that reads it).
-    * ``{prefix}_meta`` — ``n_docs`` adds; ``avgdl`` re-weights
-      exactly: ``(old_avg·old_n + Σ new dl) / (old_n + new_n)``.
+    * ``{prefix}_meta`` — ``n_docs`` and ``sum_dl`` add as exact
+      integers; ``avgdl = sum_dl / n_docs`` recomputes from the totals.
 
     ``check_ids`` pays one doc_id semi-probe of the postings to fail
     loudly on re-ingested ids (double-counted tf would silently
@@ -531,12 +548,28 @@ def append_inverted_index(docs_new: DataFrame, text_col: str, id_col: str,
     old = spark.table(meta_t).collect()[0]
     stats = docs_new.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(tokens(F.col(text_col)))).alias("sum_dl")).collect()[0]
-    n_new, sum_dl = int(stats["n"]), float(stats["sum_dl"] or 0.0)
+        # same NULL-text guard as the build: size(NULL) is -1 under
+        # non-ANSI Spark, and a NULL-text doc must contribute 0 tokens
+        # while still counting in n_docs (ADVICE r11)
+        F.sum(F.when(F.col(text_col).isNull(), F.lit(0))
+               .otherwise(F.size(tokens(F.col(text_col)))))
+         .alias("sum_dl")).collect()[0]
+    n_new, dl_new = int(stats["n"]), int(stats["sum_dl"] or 0)
     n_total = int(old["n_docs"]) + n_new
-    avgdl = ((float(old["avgdl"]) * int(old["n_docs"]) + sum_dl)
-             / n_total) if n_total else 0.0
-    (spark.createDataFrame([(n_total, avgdl)], "n_docs long, avgdl double")
+    if "sum_dl" in old.__fields__ and old["sum_dl"] is not None:
+        # r12 meta persists the exact integer token total, so the
+        # appended mean IS the rebuild's mean bit-for-bit
+        sum_total = int(old["sum_dl"]) + dl_new
+        avgdl = (sum_total / n_total) if n_total else 0.0
+    else:
+        # pre-r12 index without sum_dl: float re-weighting (exact up
+        # to float association, the documented legacy tolerance)
+        sum_total = int(round(float(old["avgdl"]) * int(old["n_docs"]))
+                        ) + dl_new
+        avgdl = ((float(old["avgdl"]) * int(old["n_docs"]) + dl_new)
+                 / n_total) if n_total else 0.0
+    (spark.createDataFrame([(n_total, sum_total, avgdl)],
+                           "n_docs long, sum_dl long, avgdl double")
      .write.mode("overwrite").saveAsTable(meta_t + "_stage2"))
     _drop_table_and_location(spark, meta_t)
     spark.sql(f"ALTER TABLE {meta_t}_stage2 RENAME TO {meta_t}")

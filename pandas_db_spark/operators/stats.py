@@ -167,8 +167,13 @@ def _guarded_totals(na: DataFrame, nb: DataFrame) -> DataFrame:
         "term_drift: n_a*n_b would exceed 2^63-1 — the exact-integer "
         "cross-multiplication would wrap silently under non-ANSI longs; "
         "shard the snapshots or compute with DECIMAL(38) arithmetic")
-    safe = (F.coalesce(F.col("n_b"), F.lit(0)) == 0) | \
-           (F.col("n_a") <= F.expr(f"{maxl} div n_b"))
+    # NULL n_a (sum over an EMPTY snapshot A) is trivially safe — without
+    # the isNull arm the comparison evaluates NULL, CASE treats it as
+    # false, and the guard would raise the overflow message on an empty
+    # side instead of passing the null totals through (ADVICE r11).
+    safe = (F.col("n_a").isNull()
+            | (F.coalesce(F.col("n_b"), F.lit(0)) == 0)
+            | (F.col("n_a") <= F.expr(f"{maxl} div n_b")))
     return (na.crossJoin(nb)
               .select(F.when(safe, F.col("n_a"))
                        .otherwise(F.raise_error(F.lit(guard_msg)))

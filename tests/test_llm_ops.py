@@ -2080,6 +2080,45 @@ def test_strip_common_paragraphs_guard_and_join_fallback(spark):
     assert a == j
 
 
+def test_strip_common_paragraphs_join_all_boiler_non_ansi(spark):
+    """ADVICE r11: under non-ANSI Spark size(NULL) is -1, so the join
+    path's old coalesce-over-size counted __n0+1 stripped paragraphs
+    for a doc whose EVERY paragraph is boilerplate.  The explicit
+    isNull guard makes both ANSI modes agree with the array path."""
+    from pandas_db_spark.operators.dedup import strip_common_paragraphs
+
+    boil = "please accept our cookie policy to continue browsing"
+    rows = [(i, f"unique body paragraph number {i} with characters"
+             + "\n\n" + boil) for i in range(10)]
+    rows.append((99, boil))          # nothing but boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        out = {r["doc_id"]: (r["text_clean"], r["n_stripped"])
+               for r in strip_common_paragraphs(
+                   df, "text", "doc_id", max_docs=5,
+                   strategy="join").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert out[99] == ("", 1)        # was ("", 2) before the fix
+    assert out[3] == ("unique body paragraph number 3 with characters", 1)
+
+
+def test_guarded_totals_empty_side_a_is_safe(spark):
+    """ADVICE r11: an EMPTY snapshot A (sum -> NULL n_a) made `safe`
+    evaluate NULL, which CASE treated as false — the guard raised the
+    misleading overflow error instead of passing the null totals
+    through.  NULL n_a is now trivially safe on both sides."""
+    from pandas_db_spark.operators.stats import _guarded_totals
+
+    empty = spark.createDataFrame([], "c long").agg(
+        F.sum("c").alias("n_a"))
+    nb = spark.createDataFrame([(7,)], "n_b long")
+    row = _guarded_totals(empty, nb).collect()[0]
+    assert row["n_a"] is None and row["n_b"] == 7
+
+
 # ---------------------------------------------------------------------------
 # temperature resampling (operators/sampling)
 # ---------------------------------------------------------------------------

@@ -583,3 +583,37 @@ def test_append_inverted_index_equals_rebuild(spark, db, tmp_path):
         append_inverted_index(hi, "text", "doc_id", "r11app", n_buckets=8)
     with pytest.raises(ValueError, match="does not exist"):
         append_inverted_index(hi, "text", "doc_id", "r11ghost")
+
+
+def test_append_inverted_index_meta_exact_with_null_texts(spark, db):
+    """ADVICE r11: the build's avgdl averaged over non-NULL texts while
+    n_docs counted all rows, so append's weighted-mean update diverged
+    from the rebuild when any indexed doc had NULL text.  Meta now
+    persists the exact integer token total (NULL text counts 0 tokens,
+    in BOTH build and append, under the explicit isNull guard — never
+    size(NULL)), so append meta == rebuild meta EXACTLY (== not
+    approx), NULL texts included."""
+    from pandas_db_spark.operators.retrieval import (append_inverted_index,
+                                                     build_inverted_index)
+
+    base = db.documents.df.select("doc_id", "text").filter(
+        F.col("doc_id") < 120)
+    # plant NULL texts on both sides of the split
+    docs = base.withColumn(
+        "text", F.when(F.col("doc_id") % 37 == 0, F.lit(None))
+                 .otherwise(F.col("text")))
+    lo = docs.filter(F.col("doc_id") < 60)
+    hi = docs.filter(F.col("doc_id") >= 60)
+
+    build_inverted_index(lo, "text", "doc_id", "r12nullapp", n_buckets=4)
+    append_inverted_index(hi, "text", "doc_id", "r12nullapp", n_buckets=4)
+    build_inverted_index(docs, "text", "doc_id", "r12nullfull", n_buckets=4)
+
+    am = spark.table("r12nullapp_meta").collect()[0]
+    fm = spark.table("r12nullfull_meta").collect()[0]
+    assert am["n_docs"] == fm["n_docs"] == 120
+    assert am["sum_dl"] == fm["sum_dl"]          # exact integer total
+    assert am["avgdl"] == fm["avgdl"]            # bit-for-bit, not approx
+    for t in ("r12nullapp", "r12nullfull"):
+        for s in ("_postings", "_terms", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
