@@ -1541,7 +1541,49 @@ def append_ivfpq_index(emb_new: DataFrame, path: str,
           .parquet(path + "/vectors"))
 
 
-def compact_index(spark, path: str) -> dict:
+def _count_parquet_files(fs, P, src: str) -> int:
+    it = fs.listFiles(P(src), True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def _assert_stream_quiesced(spark, checkpoint_dir: str) -> None:
+    """Raise unless the Structured Streaming checkpoint shows every
+    started micro-batch COMMITTED (max offsets == max commits).  An
+    uncommitted batch means a crash mid-batch left a PARTIAL
+    ``batch_id=N`` partition that the resumed stream will rewrite —
+    compacting it away first would make the replay a double-append."""
+    fs, P = _fs_for(spark, checkpoint_dir)
+    base = checkpoint_dir.rstrip("/")
+
+    def newest(sub: str) -> int | None:
+        d = base + "/" + sub
+        if not fs.exists(P(d)):
+            return None
+        best = None
+        for st in fs.listStatus(P(d)):
+            nm = st.getPath().getName()
+            if nm.isdigit():
+                v = int(nm)
+                best = v if best is None else max(best, v)
+        return best
+
+    off, com = newest("offsets"), newest("commits")
+    if off is not None and off != com:
+        raise ValueError(
+            f"compact_index: checkpoint {checkpoint_dir} shows batch "
+            f"{off} started but not committed (last commit: {com}) — "
+            "the stream is not quiesced.  Run the ingest once more "
+            "(availableNow drains and commits the replay) before "
+            "compacting, or the resumed stream would double-append "
+            "the partial batch")
+
+
+def compact_index(spark, path: str, checkpoint_dir: str | None = None
+                  ) -> dict:
     """Fold append-fragmented index partitions: each
     :func:`append_ivf_index` / :func:`append_ivfpq_index` call adds one
     file per touched ``list_id=`` directory, and after many ingest
@@ -1550,37 +1592,79 @@ def compact_index(spark, path: str) -> dict:
     IVF-PQ index) at ONE file per list partition — ``repartition`` on
     the ``list_id`` hash routes each list to a single task, so lists
     compact in parallel and each task writes exactly its list's file —
-    via a staging directory + atomic directory swap (posix/HDFS rename
-    semantics; run OFFLINE between ingest runs, the same contract as
-    ``reband_store``/``compact_signlsh_store``).  Content is
-    untouched — rows, assignments and codes are byte-identical, only
-    the file layout changes — so every serving plan (partition pruning
-    included) is unaffected.  Returns per-dataset file counts
-    before/after for the caller's log."""
-    import glob
-    import os
-    import shutil
+    via a staging directory + directory swap through the Hadoop
+    ``FileSystem`` API (the same ``_fs_for`` path every store swap in
+    this module uses), so the fold runs on whatever filesystem the
+    index actually lives on — HDFS/S3A included, not just the driver's
+    local disk.  Run OFFLINE between ingest runs, the same contract as
+    ``reband_store``/``compact_signlsh_store``.  Content is untouched —
+    rows, assignments and codes are byte-identical, only the file
+    layout changes — so every serving plan (partition pruning included)
+    is unaffected.
 
+    Streaming indexes (:func:`streaming.ingest.run_ivf_index_ingest`
+    directories, detected by their ``batch_id=N/list_id=M`` two-level
+    layout) KEEP the two-level layout: all rows fold into the reserved
+    ``batch_id=-1`` partition — one file per list under it — so
+    partition discovery never sees mixed depths and a RESUMED stream
+    composes cleanly: Structured Streaming assigns real batches
+    monotonically increasing non-negative ids, never ``-1``, so later
+    dynamic-partition writes can't clobber the compacted data, and
+    committed batches are never replayed while the checkpoint lives
+    (losing the checkpoint after compaction double-ingests — the same
+    rule as any replay-after-checkpoint-loss).  Pass the stream's
+    ``checkpoint_dir`` to VERIFY quiescence first: compaction refuses
+    to run while the checkpoint shows a started-but-uncommitted batch,
+    whose partial partition the resumed stream must rewrite.
+
+    A crash mid-swap leaves the previous copy in ``_{sub}_old``; the
+    next call rolls it back before compacting (the
+    :func:`recover_staged` discipline).  Returns per-dataset file
+    counts before/after and the detected layout for the caller's
+    log."""
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    base = path.rstrip("/")
+    fs, P = _fs_for(spark, base)
     report = {}
     for sub in ("vectors", "codes"):
-        src = os.path.join(path, sub)
-        if not os.path.exists(src):
+        src = base + "/" + sub
+        old = base + f"/_{sub}_old"
+        # roll back a crashed previous swap: data is only in _old
+        if not fs.exists(P(src)) and fs.exists(P(old)):
+            if not fs.rename(P(old), P(src)):
+                raise IOError(f"compact_index: recovery rename "
+                              f"{old} -> {src} failed")
+        if not fs.exists(P(src)):
             continue
-        before = len(glob.glob(os.path.join(src, "*", "*.parquet")))
+        streaming = any(
+            st.isDirectory()
+            and st.getPath().getName().startswith("batch_id=")
+            for st in fs.listStatus(P(src)))
+        before = _count_parquet_files(fs, P, src)
         df = spark.read.parquet(src)
-        stage = os.path.join(path, f"_{sub}_compact_tmp")
-        shutil.rmtree(stage, ignore_errors=True)
+        parts = ["list_id"]
+        if streaming:
+            df = df.withColumn("batch_id", F.lit(-1))
+            parts = ["batch_id", "list_id"]
+        stage = base + f"/_{sub}_compact_tmp"
+        if fs.exists(P(stage)):
+            fs.delete(P(stage), True)
         (df.repartition(F.col("list_id"))
-           .write.mode("overwrite").partitionBy("list_id").parquet(stage))
-        old = os.path.join(path, f"_{sub}_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(src, old)
-        os.rename(stage, src)
-        shutil.rmtree(old, ignore_errors=True)
+           .write.mode("overwrite").partitionBy(*parts).parquet(stage))
+        if fs.exists(P(old)):
+            fs.delete(P(old), True)
+        if not fs.rename(P(src), P(old)):
+            raise IOError(f"compact_index: rename {src} -> {old} failed")
+        if not fs.rename(P(stage), P(src)):
+            fs.rename(P(old), P(src))   # roll back, old copy still live
+            raise IOError(f"compact_index: rename {stage} -> {src} "
+                          "failed; previous layout restored")
+        fs.delete(P(old), True)
         report[sub] = {
             "files_before": before,
-            "files_after": len(glob.glob(
-                os.path.join(src, "*", "*.parquet")))}
+            "files_after": _count_parquet_files(fs, P, src),
+            "layout": "streaming" if streaming else "batch"}
     if not report:
         raise ValueError(f"{path} holds no /vectors or /codes dataset")
     return report

@@ -467,9 +467,15 @@ def run_ivf_index_ingest(stream_df: DataFrame, index_dir: str,
     (the contract every store sink in :func:`run_dedup_ingest` honors).
     Serving prunes on ``list_id`` across every batch directory —
     partition filters apply to any partition column regardless of
-    nesting — and :func:`operators.similarity.compact_index` remains
-    the offline fold for file-count growth (drop the ``batch_id``
-    level while compacting once the stream is quiesced).
+    nesting — and :func:`operators.similarity.compact_index` is the
+    offline fold for file-count growth: it detects this two-level
+    layout and folds everything into the reserved ``batch_id=-1``
+    partition (real batch ids are non-negative, so a resumed stream
+    composes cleanly and partition depths never mix); pass this
+    stream's ``checkpoint_dir`` so compaction verifies the stream is
+    quiesced first.  KEEP the checkpoint across compaction — resetting
+    it replays the source into a corpus the compacted partition already
+    holds.
 
     Growth: appends FATTEN lists while ``nlist`` stays pinned; pass
     ``design_corpus`` to get a per-batch warning once the indexed count

