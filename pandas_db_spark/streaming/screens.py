@@ -17,7 +17,10 @@ contract every screen here honors, and custom screens must too:
   still ONE narrow stage at 100 TB.
 
 The factories below wrap the round-10 web-curation battery
-(``functions.text``) in this contract.  The corpus-GLOBAL stage of
+(``functions.text``), the Gopher quality rules, and the trained linear
+classifier (``operators.lm``) in this contract — every STATELESS stage
+of ``pipeline_web_clean`` + ``gopher_rules`` + the classifier gate has
+a screen (r12).  The corpus-GLOBAL stage of
 ``pipeline_web_clean`` — :func:`operators.dedup.strip_common_paragraphs`
 — is deliberately NOT a screen: boilerplate is defined by cross-corpus
 paragraph counts, which a micro-batch cannot know; run it as the
@@ -82,4 +85,88 @@ def make_c4_page_screen(text_col: str) -> Screen:
 
     def screen(df: DataFrame) -> DataFrame:
         return df.where(c4_page_flags(F.col(text_col))["c4_keep"])
+    return screen
+
+
+def make_gopher_screen(text_col: str, **rule_kwargs) -> Screen:
+    """Drop rows failing the Gopher / MassiveText document-quality
+    rules (:func:`functions.text.gopher_flags` — Rae et al. 2021
+    A1.1: word count, mean word length, symbol/alpha/stopword/bullet/
+    ellipsis ratios; threshold kwargs pass through).  Pure integer
+    comparisons over row-local token arrays — stateless, narrow,
+    replay-deterministic (r12, VERDICT r11 Next #5)."""
+    from pandas_db_spark.functions.text import gopher_flags
+
+    def screen(df: DataFrame) -> DataFrame:
+        return df.where(
+            gopher_flags(F.col(text_col), **rule_kwargs)["gopher_keep"])
+    return screen
+
+
+def make_classifier_screen(text_col: str, weights, bias: float = 0.0,
+                           threshold: float = 0.0) -> Screen:
+    """Keep rows whose linear quality-classifier logit exceeds
+    ``threshold`` — the trained-model ingest gate (FineWeb-Edu's
+    corpus-scoring pass applied AT THE DOOR; fit ``weights``/``bias``
+    offline with :func:`operators.lm.classifier_fit`).
+
+    Bit-parity with the batch scorer: the logit is computed row-LOCALLY
+    (tokens → polynomial word hashes → hashed-bigram buckets → a
+    run-length fold over the SORTED bucket array that accumulates
+    ``w[bucket]·count`` in ascending bucket order — the exact float
+    sequence :func:`operators.lm.classifier_score_hashed` executes), so
+    a document passes the screen iff the batch pass would score it past
+    the threshold, bit-for-bit.  Docs with fewer than two tokens carry
+    no features and are DROPPED (the batch scorer's absent-row
+    contract).
+
+    Scale trade, stated: the batch scorer dictionary-encodes the char
+    fold over DISTINCT tokens (two shuffles, ~50× cheaper per corpus
+    pass at sf0.1); a screen must stay narrow and stateless, so it
+    folds every occurrence in place.  Right for micro-batch ingest;
+    for scoring an accumulated corpus, use the batch scorer.  The
+    weight vector rides as a literal up to the
+    ``operators.lm._WEIGHT_LITERAL_MAX`` bound and as a one-row
+    broadcast above (no shuffle either way)."""
+    from pandas_db_spark.functions.text import _FP_MOD, tokens, word_hash
+    from pandas_db_spark.operators.lm import _with_weight_arrays
+
+    n_buckets = len(weights)
+    wlist = [float(x) for x in weights]
+
+    def screen(df: DataFrame) -> DataFrame:
+        aw = _with_weight_arrays(df, {"__w": wlist})
+        toks = tokens(F.col(text_col))
+        whs = F.transform(toks, word_hash)
+        buckets = F.array_sort(F.transform(
+            F.sequence(F.lit(1), F.size(whs) - 1),
+            lambda i: ((F.element_at(whs, i) * 31
+                        + F.element_at(whs, (i + 1).cast("int")))
+                       % F.lit(_FP_MOD)) % F.lit(n_buckets)))
+        zero = F.struct(F.lit(-1).cast("long").alias("prev"),
+                        F.lit(0).cast("long").alias("run"),
+                        F.lit(float(bias)).alias("z"))
+
+        def flush(acc):
+            return F.when(
+                acc["run"] > 0,
+                acc["z"] + F.element_at(
+                    F.col("__w"), acc["prev"].cast("int") + 1)
+                * acc["run"]).otherwise(acc["z"])
+
+        def step(acc, bkt):
+            return F.when(
+                bkt == acc["prev"],
+                F.struct(acc["prev"].alias("prev"),
+                         (acc["run"] + 1).alias("run"),
+                         acc["z"].alias("z"))
+            ).otherwise(
+                F.struct(bkt.alias("prev"),
+                         F.lit(1).cast("long").alias("run"),
+                         flush(acc).alias("z")))
+
+        logit = F.aggregate(buckets, zero, step, flush)
+        return (aw.where((F.size(toks) >= 2)
+                         & (logit > F.lit(float(threshold))))
+                  .drop("__w"))
     return screen

@@ -1054,6 +1054,110 @@ def test_ingest_web_curation_screens_match_batch_pipeline(spark, tmp_path):
     assert any(t[2] == 1 for t in inc)
 
 
+def test_ingest_gopher_and_classifier_screens_match_batch(spark, tmp_path):
+    """r12 (VERDICT r11 Next #5): the quality battery's remaining
+    stateless stages run as ingest screens — Gopher rules and the
+    TRAINED linear classifier — and the incremental survivor set EQUALS
+    the batch application of the same stages: the classifier screen's
+    row-local logit reproduces classifier_score_hashed's ascending-
+    bucket float sequence bit-for-bit, so the threshold decision can
+    never diverge between the door and the corpus pass.  Replay is a
+    no-op, and kwargs (min_words) pass through the Gopher screen."""
+    from pandas_db_spark.functions.text import gopher_flags
+    from pandas_db_spark.operators.lm import (classifier_fit,
+                                              classifier_score_hashed)
+    from pandas_db_spark.streaming.ingest import run_dedup_ingest
+    from pandas_db_spark.streaming.screens import (make_classifier_screen,
+                                                   make_gopher_screen)
+
+    # fluent filler with >= 2 distinct Gopher stopwords per doc, plus a
+    # separable marker pair for the classifier
+    def body(i):
+        base = (f"the document number {i} explains its topic clearly "
+                f"and walks through details of item {i} with care")
+        return base + (" useful useful useful" if i % 2 else
+                       " junk junk junk")
+
+    rows = []
+    for i in range(30):
+        t = body(i)
+        if i % 10 == 4:
+            t = f"tiny {i} text"                # fails min_words=8
+        if i % 10 == 7:
+            t = "#" * 40 + " " + t              # fails symbol_ok
+        rows.append((i, t, i % 2))
+    train = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    w, b = classifier_fit(train, "y", n_buckets=128, n_iter=20, lr=1.0)
+
+    screens = [make_gopher_screen("text", min_words=8),
+               make_classifier_screen("text", w, bias=b, threshold=0.0)]
+
+    src = tmp_path / "incoming"
+
+    def ingest():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(f"{src}/b*"))
+        run_dedup_ingest(stream, "text", "doc_id",
+                         corpus_dir=str(tmp_path / "corpus"),
+                         store_dir=str(tmp_path / "store"),
+                         checkpoint_dir=str(tmp_path / "ckpt"),
+                         screens=screens)
+
+    data = [(i, t) for i, t, _ in rows]
+    for bi, chunk in enumerate([data[:15], data[15:]]):
+        (spark.createDataFrame(chunk, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        ingest()
+    ingest()                                   # replay: no-op
+
+    inc_ids = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "corpus")).select("doc_id").collect()}
+
+    # batch reference: gopher flags + the BATCH scorer's thresholding
+    full = spark.createDataFrame(data, "doc_id long, text string")
+    gok = full.where(gopher_flags(F.col("text"), min_words=8)
+                     ["gopher_keep"])
+    scored = classifier_score_hashed(gok, w, bias=b)
+    ref_ids = {r["doc_id"] for r in
+               gok.join(scored.where(F.col("logit") > 0), "doc_id")
+                  .select("doc_id").collect()}
+    assert inc_ids == ref_ids
+    # classifier kept odd ids (useful-marker class), gopher dropped the
+    # planted violations regardless of class
+    assert all(i % 2 == 1 for i in inc_ids)
+    assert 7 not in inc_ids and 17 not in inc_ids and 27 not in inc_ids
+    assert len(inc_ids) > 5
+
+
+def test_classifier_screen_threshold_bit_parity(spark):
+    """The classifier screen's row-local logit is BIT-IDENTICAL to
+    classifier_score_hashed's: using a document's exact batch logit as
+    the screen threshold, strict > must drop exactly that document and
+    keep exactly the strictly-greater ones — a single ulp of float
+    divergence between the two paths would flip the boundary doc."""
+    from pandas_db_spark.operators.lm import classifier_score_hashed
+    from pandas_db_spark.streaming.screens import make_classifier_screen
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs today",
+             "a stitch in time saves nine they always say",
+             "the rain in spain falls mainly on the plain",
+             "every good boy deserves fudge and extra credit",
+             "sphinx of black quartz judge my vow at once"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    weights = [((b * 53 + 7) % 997 - 498) / 250.0 for b in range(96)]
+    batch = {r["doc_id"]: r["logit"] for r in classifier_score_hashed(
+        docs, weights, bias=0.125).collect()}
+    assert len(set(batch.values())) == len(batch)   # distinct boundaries
+    for probe in (0, 2, 5):
+        scr = make_classifier_screen("text", weights, bias=0.125,
+                                     threshold=batch[probe])
+        kept = {r["doc_id"] for r in scr(docs).collect()}
+        assert kept == {d for d, z in batch.items() if z > batch[probe]}
+        assert probe not in kept
+
+
 def test_ivf_index_ingest_serves_and_replays_idempotently(spark, tmp_path):
     """run_ivf_index_ingest (r11): a vector stream maintains a servable
     IVF index — first batch pins the centroids, later batches append
