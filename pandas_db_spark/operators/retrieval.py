@@ -229,6 +229,106 @@ def bm25_topk_indexed(spark, table_prefix: str, query: str, k: int = 10,
                        "doc_id", "score"))
 
 
+def append_bm25_stream_batch(batch_df: DataFrame, batch_id: int,
+                             index_dir: str, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n_buckets: int = 32) -> None:
+    """Write one micro-batch of documents into a STREAMING BM25 index
+    directory (r12) — the text-retrieval twin of the IVF streaming
+    maintenance's per-batch write, factored out of the ``foreachBatch``
+    handler so the driver-gate oracle can replay batches
+    deterministically without a checkpoint.
+
+    Layout (plain partitioned parquet, no catalog tables — a stream
+    can't run ``ALTER TABLE`` swaps per batch):
+
+    * ``{dir}/postings/batch_id=N/tbucket=B`` — (term, doc_id, tf, dl)
+      rows, ``tbucket = xxhash64(term) mod n_buckets``.  A query's
+      terms prune to their buckets ACROSS every batch directory
+      (partition filters apply at any nesting level — the
+      ``run_ivf_index_ingest`` serving trick), so a probe reads
+      ~|query terms|/n_buckets of the postings, never the corpus.
+    * ``{dir}/meta/batch_id=N`` — one (n_docs, sum_dl) row of EXACT
+      integers per batch; serving sums them, so the corpus scalars
+      equal a from-scratch batch build bit-for-bit (the r12
+      ``sum_dl`` discipline — NULL texts count 0 tokens, in n_docs).
+
+    Both writes use dynamic partition overwrite keyed on ``batch_id``:
+    a crash REPLAY of a micro-batch rewrites its own partitions instead
+    of double-appending (every store sink in ``run_dedup_ingest``
+    honors the same contract).  Each doc id must arrive in exactly one
+    batch — the Structured Streaming checkpoint guarantees it; losing
+    the checkpoint and re-ingesting double-counts, as with any
+    replay-after-checkpoint-loss."""
+    p = _postings(batch_df, text_col, id_col)
+    tf = (p.groupBy("term", "doc_id")
+          .agg(F.first("dl").cast("long").alias("dl"),
+               F.count(F.lit(1)).alias("tf"))
+          .withColumn("tbucket", F.pmod(F.xxhash64("term"),
+                                        F.lit(n_buckets)))
+          .withColumn("batch_id", F.lit(batch_id)))
+    (tf.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("batch_id", "tbucket")
+       .parquet(index_dir + "/postings"))
+    (batch_df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col(text_col).isNull(), F.lit(0))
+               .otherwise(F.size(tokens(F.col(text_col)))))
+         .cast("long").alias("sum_dl"))
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(index_dir + "/meta"))
+
+
+def bm25_topk_streamed(spark, index_dir: str, query: str, k: int = 10,
+                       k1: float = 1.2, b: float = 0.75,
+                       n_buckets: int = 32) -> DataFrame:
+    """BM25 top-k served from a streaming index directory
+    (:func:`append_bm25_stream_batch` / ``run_bm25_index_ingest``) as
+    of the last drained batch — no rebuild, no document scan.
+
+    Plan shape: the query's terms hash to their ``tbucket`` values (one
+    bounded |terms|-row job), the postings read prunes to those bucket
+    partitions across every batch directory, per-term df is counted
+    from the PRUNED rows (each (term, doc) pair appears once because
+    each doc arrives in one batch), and the corpus scalars are the
+    exact-integer sums of the per-batch meta rows — so the served
+    ranking equals :func:`bm25_topk_indexed` over a from-scratch batch
+    build of the same corpus.  ``n_buckets`` must match the ingest's
+    (it is part of the pinned geometry, like the IVF centroids)."""
+    q_terms = sorted({t for t in query.strip().split() if t})
+    if not q_terms:
+        raise ValueError("bm25_topk_streamed: query has no terms")
+    tb = (spark.createDataFrame([(t,) for t in q_terms], "term string")
+          .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                  .alias("tb")).distinct().collect())
+    buckets = [int(r["tb"]) for r in tb]
+    meta = (spark.read.parquet(index_dir + "/meta")
+            .agg(F.sum("n_docs").alias("n"),
+                 F.sum("sum_dl").alias("s")).collect()[0])
+    n_docs = int(meta["n"])
+    avgdl = (int(meta["s"]) / n_docs) if n_docs else 0.0
+    tf = (spark.read.parquet(index_dir + "/postings")
+          .where(F.col("tbucket").isin(buckets)
+                 & F.col("term").isin(q_terms)))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+    scored = (tf.join(F.broadcast(df), "term")
+              .select("doc_id", (idf * norm).alias("s"))
+              .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    top = (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+           .select("doc_id", "score"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.select(F.row_number().over(w).alias("rank"),
+                       "doc_id", "score"))
+
+
 def token_rarity(docs: DataFrame, text_col: str, id_col: str,
                  broadcast_vocab: bool = True) -> DataFrame:
     """Per-document corpus-frequency profile — the exact-integer rarity

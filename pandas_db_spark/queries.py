@@ -68,7 +68,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
-    "ann_compact_invariant", "bm25_append_meta",
+    "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
     # last driver receipt r7
@@ -4200,6 +4200,55 @@ def bm25_append_postings(spark, sf_dir):
                           "text", "doc_id", "apx_gate", n_buckets=8)
     return spark.table("apx_gate_postings").select(
         "term", "doc_id", "dl", "tf")
+
+
+@q("bm25_stream_topk",
+   "WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws "
+   "FROM documents), "
+   "st AS (SELECT count(*) n, avg(len(ws)) avgdl FROM d), "
+   "p AS (SELECT doc_id, len(ws) dl, unnest(ws) term FROM d), "
+   "tf AS (SELECT doc_id, term, any_value(dl) dl, count(*) tf FROM p "
+   "WHERE term IN ('merge', 'vector', 'stream') GROUP BY doc_id, term), "
+   "dfq AS (SELECT term, count(*) df FROM tf GROUP BY term), "
+   "sc AS (SELECT tf.doc_id, sum(ln(1 + (st.n - dfq.df + 0.5) "
+   "/ (dfq.df + 0.5)) * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 "
+   "+ 0.75 * tf.dl / st.avgdl))) AS score "
+   "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st "
+   "GROUP BY tf.doc_id) "
+   "SELECT rank::INT AS rank, doc_id FROM (SELECT row_number() OVER ("
+   "ORDER BY score DESC, doc_id) AS rank, doc_id FROM sc) WHERE rank <= 10")
+def bm25_stream_topk(spark, sf_dir):
+    """BM25 top-10 served from the STREAMING text index (r12,
+    operators/retrieval.append_bm25_stream_batch + bm25_topk_streamed —
+    the text twin of the servable streaming IVF index): the corpus
+    arrives as two micro-batches (doc_id parity split, written exactly
+    as run_bm25_index_ingest's foreachBatch handler writes them, minus
+    the checkpoint machinery the gate can't host), postings land under
+    batch_id/tbucket dynamic-overwrite partitions, corpus scalars are
+    per-batch exact-integer rows summed at serve time — and the served
+    ranking must equal DuckDB's whole-corpus BM25.  Rank-integer
+    output (the bm25_topk device: adjacent-score gaps orders above
+    ulp noise).  Fresh temp dir per run (the index is stateful)."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.operators.retrieval import (
+        append_bm25_stream_batch, bm25_topk_streamed)
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="pds_bm25_stream_")
+    try:
+        append_bm25_stream_batch(d.filter(F.col("doc_id") % 2 == 0),
+                                 0, idx)
+        append_bm25_stream_batch(d.filter(F.col("doc_id") % 2 == 1),
+                                 1, idx)
+        # materialize the 10-row result before the temp index is
+        # removed — a lazily returned plan would read a deleted dir
+        rows = bm25_topk_streamed(spark, idx, "merge vector stream",
+                                  k=10).select("rank", "doc_id").collect()
+        return spark.createDataFrame(
+            [(int(r["rank"]), int(r["doc_id"])) for r in rows],
+            "rank int, doc_id long")
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 @q("bm25_topk",

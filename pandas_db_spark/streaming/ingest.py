@@ -526,3 +526,43 @@ def run_ivf_index_ingest(stream_df: DataFrame, index_dir: str,
         qr.processAllAvailable()
     finally:
         qr.stop()
+
+
+def run_bm25_index_ingest(stream_df: DataFrame, index_dir: str,
+                          checkpoint_dir: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n_buckets: int = 32) -> None:
+    """Maintain a SERVABLE BM25 text index from a document stream
+    (r12): the text-retrieval complement of :func:`run_ivf_index_ingest`
+    — every micro-batch's postings land under
+    ``postings/batch_id=N/tbucket=B`` and its exact-integer corpus
+    scalars under ``meta/batch_id=N`` via
+    :func:`operators.retrieval.append_bm25_stream_batch`, so
+    ``bm25_topk_streamed`` serves the corpus as of the last drained
+    batch with no rebuild in the loop and term probes prune to
+    ~|query terms|/n_buckets of the postings across all batch dirs.
+
+    Replay idempotence: both writes use dynamic partition overwrite
+    keyed on ``batch_id`` — a crash replay rewrites its own partitions
+    (the contract every sink in this module honors).  ``n_buckets`` is
+    pinned geometry: serve with the same value.  Unlike the catalog
+    ``append_inverted_index`` there is no per-batch table swap, so the
+    ingest loop is two partitioned writes per batch; the trade is that
+    per-term df is counted at SERVE time from the pruned probe rows
+    (bounded by the probe, not the corpus) instead of being
+    pre-merged."""
+    from pandas_db_spark.operators.retrieval import append_bm25_stream_batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_bm25_stream_batch(batch_df, batch_id, index_dir,
+                                 text_col, id_col, n_buckets)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()

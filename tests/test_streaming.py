@@ -1129,6 +1129,91 @@ def test_ingest_gopher_and_classifier_screens_match_batch(spark, tmp_path):
     assert len(inc_ids) > 5
 
 
+def test_bm25_index_ingest_serves_prunes_and_replays(spark, tmp_path):
+    """run_bm25_index_ingest (r12): a document stream maintains a
+    servable BM25 text index — per-batch postings under
+    batch_id/tbucket dynamic overwrite, exact-integer per-batch meta
+    summed at serve — and bm25_topk_streamed's ranking EQUALS
+    bm25_topk_indexed over a from-scratch catalog build on the same
+    corpus (scores too, not just ranks).  A replay with no new files is
+    a byte-identical no-op, a resumed stream extends the corpus, the
+    probe partition-prunes on tbucket, and n_buckets geometry is
+    honored."""
+    from pandas_db_spark.operators.retrieval import (bm25_topk_indexed,
+                                                     bm25_topk_streamed,
+                                                     build_inverted_index)
+    from pandas_db_spark.plans.explain import formatted_plan
+    from pandas_db_spark.streaming.ingest import run_bm25_index_ingest
+
+    words = ["merge", "vector", "stream", "apple", "banana", "cosine",
+             "delta", "engine", "filter", "gather"]
+    def body(i):
+        return " ".join(words[(i + j) % len(words)]
+                        for j in range(3 + (i % 7)))
+    rows = [(i, body(i)) for i in range(120)]
+
+    src = tmp_path / "docs_in"
+    idx = str(tmp_path / "bm25idx")
+
+    def ingest():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(f"{src}/b*"))
+        run_bm25_index_ingest(stream, idx,
+                              checkpoint_dir=str(tmp_path / "ck"),
+                              n_buckets=8)
+
+    for bi, chunk in enumerate([rows[:50], rows[50:100]]):
+        (spark.createDataFrame(chunk, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        ingest()
+
+    before = sorted(map(tuple, spark.read.parquet(
+        idx + "/postings").collect()))
+    ingest()                        # replay: no new files -> no-op
+    after = sorted(map(tuple, spark.read.parquet(
+        idx + "/postings").collect()))
+    assert after == before
+
+    q = "merge vector stream"
+    served = bm25_topk_streamed(spark, idx, q, k=10, n_buckets=8)
+    assert "PartitionFilters" in formatted_plan(served)
+    got = [tuple(r) for r in served.collect()]
+
+    corpus = spark.createDataFrame(rows[:100], "doc_id long, text string")
+    build_inverted_index(corpus, "text", "doc_id", "r12bmref",
+                         n_buckets=8)
+    ref = [tuple(r) for r in bm25_topk_indexed(
+        spark, "r12bmref", q, k=10).collect()]
+    assert got == ref and len(got) == 10
+
+    # resume: batch 2 extends the corpus; served == rebuild over 120
+    (spark.createDataFrame(rows[100:], "doc_id long, text string")
+     .coalesce(1).write.parquet(f"{src}/b2"))
+    ingest()
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    build_inverted_index(full, "text", "doc_id", "r12bmref2",
+                         n_buckets=8)
+    got2 = [tuple(r) for r in bm25_topk_streamed(
+        spark, idx, q, k=10, n_buckets=8).collect()]
+    ref2 = [tuple(r) for r in bm25_topk_indexed(
+        spark, "r12bmref2", q, k=10).collect()]
+    assert got2 == ref2
+
+    # meta sums are the exact integers of the batch-build discipline
+    m = (spark.read.parquet(idx + "/meta")
+         .groupBy().sum("n_docs", "sum_dl").collect()[0])
+    ref_meta = spark.table("r12bmref2_meta").collect()[0]
+    assert m[0] == ref_meta["n_docs"] == 120
+    assert m[1] == ref_meta["sum_dl"]
+
+    import pytest
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_streamed(spark, idx, "   ")
+    for t in ("r12bmref", "r12bmref2"):
+        for s in ("_postings", "_terms", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
 def test_classifier_screen_threshold_bit_parity(spark):
     """The classifier screen's row-local logit is BIT-IDENTICAL to
     classifier_score_hashed's: using a document's exact batch logit as
