@@ -115,6 +115,7 @@ HEADLINE = [
     "url_screen",         # RefinedWeb URL screen, anchored-regex projection (r10 add)
     "corpus_drift",       # snapshot TVD drift: pre-aggregated vocab full-outer join (r10 add)
     "span_candidates_winnowed",  # winnowed ~2/(w+1)-density span index, string-verified (r11 add)
+    "bm25_stream_topk",   # streaming BM25 index: 2-batch build + tbucket-pruned serve (r12 add)
     # (classifier_fit_score / langid_fit_score are iterative FITS —
     #  n_iter driver-reduced gradient steps, ~25 s by construction —
     #  correctness surface like semdedup, not a perf surface; their

@@ -282,6 +282,38 @@ def append_bm25_stream_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(index_dir + "/meta"))
 
 
+def compact_bm25_stream_index(spark, index_dir: str,
+                              checkpoint_dir: str | None = None) -> dict:
+    """Fold a streaming BM25 index's per-batch fragmentation
+    (:func:`append_bm25_stream_batch` adds one file per touched
+    ``tbucket`` per batch, plus one meta file per batch): postings
+    rewrite at one file per ``tbucket`` under the reserved
+    ``batch_id=-1`` partition, meta rows fold to a single file under
+    the same partition — content is row-identical, only the layout
+    changes, and serving's integer meta sums are unaffected.  The same
+    contract, machinery (Hadoop FS staging swap, crash rollback), and
+    streaming-layout rules as ``similarity.compact_index``: run
+    OFFLINE, keep the checkpoint, pass ``checkpoint_dir`` to refuse
+    compaction while a batch is started-but-uncommitted."""
+    from pandas_db_spark.operators.similarity import (
+        _assert_stream_quiesced, _compact_partitioned_dataset)
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    report = {}
+    folded = _compact_partitioned_dataset(spark, index_dir, "postings",
+                                          "tbucket")
+    if folded is not None:
+        report["postings"] = folded
+    folded = _compact_partitioned_dataset(spark, index_dir, "meta",
+                                          None, coalesce_one=True)
+    if folded is not None:
+        report["meta"] = folded
+    if "postings" not in report:
+        raise ValueError(f"{index_dir} holds no /postings dataset — "
+                         "not a streaming BM25 index directory")
+    return report
+
+
 def bm25_topk_streamed(spark, index_dir: str, query: str, k: int = 10,
                        k1: float = 1.2, b: float = 0.75,
                        n_buckets: int = 32) -> DataFrame:

@@ -1624,47 +1624,74 @@ def compact_index(spark, path: str, checkpoint_dir: str | None = None
     log."""
     if checkpoint_dir is not None:
         _assert_stream_quiesced(spark, checkpoint_dir)
-    base = path.rstrip("/")
-    fs, P = _fs_for(spark, base)
     report = {}
     for sub in ("vectors", "codes"):
-        src = base + "/" + sub
-        old = base + f"/_{sub}_old"
-        # roll back a crashed previous swap: data is only in _old
-        if not fs.exists(P(src)) and fs.exists(P(old)):
-            if not fs.rename(P(old), P(src)):
-                raise IOError(f"compact_index: recovery rename "
-                              f"{old} -> {src} failed")
-        if not fs.exists(P(src)):
-            continue
-        streaming = any(
-            st.isDirectory()
-            and st.getPath().getName().startswith("batch_id=")
-            for st in fs.listStatus(P(src)))
-        before = _count_parquet_files(fs, P, src)
-        df = spark.read.parquet(src)
-        parts = ["list_id"]
-        if streaming:
-            df = df.withColumn("batch_id", F.lit(-1))
-            parts = ["batch_id", "list_id"]
-        stage = base + f"/_{sub}_compact_tmp"
-        if fs.exists(P(stage)):
-            fs.delete(P(stage), True)
-        (df.repartition(F.col("list_id"))
-           .write.mode("overwrite").partitionBy(*parts).parquet(stage))
-        if fs.exists(P(old)):
-            fs.delete(P(old), True)
-        if not fs.rename(P(src), P(old)):
-            raise IOError(f"compact_index: rename {src} -> {old} failed")
-        if not fs.rename(P(stage), P(src)):
-            fs.rename(P(old), P(src))   # roll back, old copy still live
-            raise IOError(f"compact_index: rename {stage} -> {src} "
-                          "failed; previous layout restored")
-        fs.delete(P(old), True)
-        report[sub] = {
-            "files_before": before,
-            "files_after": _count_parquet_files(fs, P, src),
-            "layout": "streaming" if streaming else "batch"}
+        folded = _compact_partitioned_dataset(spark, path, sub, "list_id")
+        if folded is not None:
+            report[sub] = folded
     if not report:
         raise ValueError(f"{path} holds no /vectors or /codes dataset")
     return report
+
+
+def _compact_partitioned_dataset(spark, path: str, sub: str,
+                                 part_col: str,
+                                 coalesce_one: bool = False
+                                 ) -> dict | None:
+    """The shared fold behind :func:`compact_index` and the streaming
+    BM25 compactor: rewrite ``{path}/{sub}`` at one file per
+    ``part_col`` partition (``repartition`` on the column hash routes
+    each partition to a single task), detecting and KEEPING a
+    streaming ``batch_id=N/{part_col}=M`` two-level layout by folding
+    into the reserved ``batch_id=-1`` partition.  Hadoop FS staging
+    swap with checked renames, rollback on a failed second rename, and
+    crash recovery from a leftover ``_old`` directory.  Returns None
+    when the dataset does not exist; ``coalesce_one`` folds to a single
+    file with no partition column (per-batch meta rows)."""
+    base = path.rstrip("/")
+    fs, P = _fs_for(spark, base)
+    src = base + "/" + sub.strip("/")
+    flat = sub.strip("/").replace("/", "_")
+    old = base + f"/_{flat}_old"
+    # roll back a crashed previous swap: data is only in _old
+    if not fs.exists(P(src)) and fs.exists(P(old)):
+        if not fs.rename(P(old), P(src)):
+            raise IOError(f"compact: recovery rename "
+                          f"{old} -> {src} failed")
+    if not fs.exists(P(src)):
+        return None
+    streaming = any(
+        st.isDirectory()
+        and st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(P(src)))
+    before = _count_parquet_files(fs, P, src)
+    df = spark.read.parquet(src)
+    stage = base + f"/_{flat}_compact_tmp"
+    if fs.exists(P(stage)):
+        fs.delete(P(stage), True)
+    if coalesce_one:
+        w = df
+        if streaming:
+            w = w.withColumn("batch_id", F.lit(-1))
+        (w.coalesce(1).write.mode("overwrite")
+          .partitionBy(*(["batch_id"] if streaming else []))
+          .parquet(stage))
+    else:
+        parts = [part_col]
+        if streaming:
+            df = df.withColumn("batch_id", F.lit(-1))
+            parts = ["batch_id", part_col]
+        (df.repartition(F.col(part_col))
+           .write.mode("overwrite").partitionBy(*parts).parquet(stage))
+    if fs.exists(P(old)):
+        fs.delete(P(old), True)
+    if not fs.rename(P(src), P(old)):
+        raise IOError(f"compact: rename {src} -> {old} failed")
+    if not fs.rename(P(stage), P(src)):
+        fs.rename(P(old), P(src))   # roll back, old copy still live
+        raise IOError(f"compact: rename {stage} -> {src} "
+                      "failed; previous layout restored")
+    fs.delete(P(old), True)
+    return {"files_before": before,
+            "files_after": _count_parquet_files(fs, P, src),
+            "layout": "streaming" if streaming else "batch"}

@@ -550,7 +550,10 @@ def run_bm25_index_ingest(stream_df: DataFrame, index_dir: str,
     ingest loop is two partitioned writes per batch; the trade is that
     per-term df is counted at SERVE time from the pruned probe rows
     (bounded by the probe, not the corpus) instead of being
-    pre-merged."""
+    pre-merged.  File-count growth (one file per touched tbucket per
+    batch) folds OFFLINE with
+    :func:`operators.retrieval.compact_bm25_stream_index` — same
+    quiesce/keep-the-checkpoint contract as ``compact_index``."""
     from pandas_db_spark.operators.retrieval import append_bm25_stream_batch
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -1214,6 +1214,86 @@ def test_bm25_index_ingest_serves_prunes_and_replays(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
 
 
+def test_bm25_stream_index_quiesce_compact_resume(spark, tmp_path):
+    """compact_bm25_stream_index (r12): the BM25 twin of the IVF
+    quiesce-compact-resume contract — per-batch fragmentation folds
+    into batch_id=-1 at one postings file per tbucket and a single
+    meta file, content row-identical, served ranking unchanged, an
+    uncommitted checkpoint is refused, and a resumed stream appends
+    batch 2 beside the compacted partition with serving equal to a
+    from-scratch build over the full corpus."""
+    import pytest
+    from pandas_db_spark.operators.retrieval import (
+        bm25_topk_indexed, bm25_topk_streamed, build_inverted_index,
+        compact_bm25_stream_index)
+    from pandas_db_spark.streaming.ingest import run_bm25_index_ingest
+
+    words = ["merge", "vector", "stream", "apple", "banana", "cosine",
+             "delta", "engine", "filter", "gather"]
+    rows = [(i, " ".join(words[(i + j) % len(words)]
+                         for j in range(3 + (i % 7))))
+            for i in range(90)]
+    src = tmp_path / "docs_in"
+    idx = str(tmp_path / "bmidx")
+    ck = str(tmp_path / "ck")
+
+    def ingest():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(f"{src}/b*"))
+        run_bm25_index_ingest(stream, idx, checkpoint_dir=ck,
+                              n_buckets=8)
+
+    for bi, chunk in enumerate([rows[:30], rows[30:60]]):
+        (spark.createDataFrame(chunk, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        ingest()
+
+    fake = tmp_path / "fake_ck"
+    (fake / "offsets").mkdir(parents=True)
+    (fake / "commits").mkdir()
+    (fake / "offsets" / "0").write_text("{}")
+    (fake / "offsets" / "1").write_text("{}")
+    (fake / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="not quiesced"):
+        compact_bm25_stream_index(spark, idx, checkpoint_dir=str(fake))
+
+    q = "merge vector stream"
+    pre = [tuple(r) for r in bm25_topk_streamed(
+        spark, idx, q, k=10, n_buckets=8).collect()]
+    pre_posts = sorted(map(tuple, spark.read.parquet(
+        idx + "/postings").select("term", "doc_id", "tf", "dl",
+                                  "tbucket").collect()))
+    rep = compact_bm25_stream_index(spark, idx, checkpoint_dir=ck)
+    assert rep["postings"]["layout"] == "streaming"
+    assert rep["postings"]["files_after"] <= 8 \
+        < rep["postings"]["files_before"]
+    assert rep["meta"]["files_after"] == 1
+    post_posts = sorted(map(tuple, spark.read.parquet(
+        idx + "/postings").select("term", "doc_id", "tf", "dl",
+                                  "tbucket").collect()))
+    assert post_posts == pre_posts
+    assert [tuple(r) for r in bm25_topk_streamed(
+        spark, idx, q, k=10, n_buckets=8).collect()] == pre
+
+    # resume beside the compacted partition; no double-ingest
+    (spark.createDataFrame(rows[60:], "doc_id long, text string")
+     .coalesce(1).write.parquet(f"{src}/b2"))
+    ingest()
+    bids = {r[0] for r in spark.read.parquet(idx + "/postings")
+            .select("batch_id").distinct().collect()}
+    assert bids == {-1, 2}
+    build_inverted_index(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "text", "doc_id", "r12bmcomp", n_buckets=8)
+    got = [tuple(r) for r in bm25_topk_streamed(
+        spark, idx, q, k=10, n_buckets=8).collect()]
+    ref = [tuple(r) for r in bm25_topk_indexed(
+        spark, "r12bmcomp", q, k=10).collect()]
+    assert got == ref
+    for s in ("_postings", "_terms", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS r12bmcomp{s}")
+
+
 def test_classifier_screen_threshold_bit_parity(spark):
     """The classifier screen's row-local logit is BIT-IDENTICAL to
     classifier_score_hashed's: using a document's exact batch logit as
