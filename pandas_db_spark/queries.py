@@ -68,6 +68,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
+    "graph_pagerank",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -4880,3 +4881,73 @@ def mm_byte_histogram(spark, sf_dir):
             .filter(F.col("n") > 0)
             .select("doc_id", F.col("bin").cast("int").alias("bin"),
                     F.col("n")))
+
+
+# =====================================================================
+# Graph centrality (operators/graph.py pagerank) — added r12 part 3.
+# The first ITERATIVE algorithm in the registry with a full value-hash
+# oracle: fixed-point integer arithmetic makes every power-iteration
+# step engine-exact, so the oracle is the genuine unrolled replay (6
+# iterations of CTEs), not a rows-only invariant like kmeans/ANN.
+# =====================================================================
+
+_PR_OFF = 10_000_000          # part ids offset into a disjoint id space
+_PR_UNIT = 10 ** 9
+_PR_DPM = 850                 # damping 0.85 in per-mille
+
+
+def _pagerank_oracle(k: int) -> str:
+    """Unrolled k-iteration fixed-point PageRank over the symmetric
+    supplier<->part bipartite graph from lineitem.  MATERIALIZED CTEs are
+    load-bearing: c{i} and d{i} both reference r{i-1}, so default inline
+    expansion is 2^k copies of the whole chain (measured 12 s at sf0.001;
+    0.7 s at sf0.01 materialized)."""
+    tele = ((1000 - _PR_DPM) * _PR_UNIT) // 1000
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, "
+        f"l_partkey + {_PR_OFF} AS dst FROM lineitem "
+        f"UNION SELECT DISTINCT l_partkey + {_PR_OFF}, l_suppkey "
+        "FROM lineitem), "
+        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg "
+        "FROM e GROUP BY 1), "
+        "n AS MATERIALIZED (SELECT src AS id FROM e "
+        "UNION SELECT dst FROM e), "
+        "nn AS (SELECT count(*)::BIGINT AS cnt FROM n), "
+        f"r0 AS (SELECT id, {_PR_UNIT}::BIGINT AS r FROM n)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS id, "
+            f"SUM(((r.r // d.outdeg) * {_PR_DPM}) // 1000)::BIGINT "
+            f"AS inflow FROM r{p} r JOIN deg d ON r.id = d.src "
+            f"JOIN e ON e.src = r.id GROUP BY 1)"
+            f", d{i} AS (SELECT COALESCE(SUM(r.r), 0)::BIGINT AS dang "
+            f"FROM r{p} r LEFT JOIN deg d ON r.id = d.src "
+            "WHERE d.src IS NULL)"
+            f", r{i} AS MATERIALIZED (SELECT n.id, ({tele}::BIGINT "
+            "+ COALESCE(c.inflow, 0) "
+            f"+ ((d.dang // nn.cnt) * {_PR_DPM}) // 1000)::BIGINT AS r "
+            f"FROM n LEFT JOIN c{i} c ON n.id = c.id "
+            f"CROSS JOIN d{i} d CROSS JOIN nn)")
+    return "".join(parts) + f" SELECT id, r AS rank_fp FROM r{k}"
+
+
+@q("graph_pagerank", _pagerank_oracle(6))
+def graph_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/graph.py) over the symmetric
+    supplier<->part co-supply graph: 6 power iterations, each ONE job
+    (rank vector joins the stationary checkpointed edge table, map-side-
+    combined groupBy(dst), lineage truncated every 2nd round).  Exact
+    64-bit integer arithmetic end-to-end — rank_fp hash-compares against
+    DuckDB's unrolled 6-iteration replay bit-for-bit, the discipline
+    that keeps kmeans/ANN rows-only applied until it isn't needed."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df
+    fwd = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                    (F.col("l_partkey") + _PR_OFF).cast("long")
+                    .alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    return G.pagerank(edges, iterations=6, unit=_PR_UNIT,
+                      damping_pm=_PR_DPM)

@@ -199,3 +199,103 @@ def test_keep_components_by_null_scores(spark):
     kept = {r["doc_id"] for r in
             keep_components_by(docs, pairs, "doc_id", "score").collect()}
     assert kept == {2, 4, 9}
+
+
+# ---------------------------------------------------------------------
+# pagerank — fixed-point power iteration
+# ---------------------------------------------------------------------
+
+def _pagerank_py(edges, iterations, damping_pm=850, unit=10 ** 9):
+    """Pure-Python replay of the documented integer recurrence — the
+    arbiter for the Spark implementation on hand-sized graphs."""
+    from collections import defaultdict
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            out[u].add(v)
+    n = len(nodes)
+    tele = ((1000 - damping_pm) * unit) // 1000
+    r = {x: unit for x in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for u in nodes:
+            if out[u]:
+                c = ((r[u] // len(out[u])) * damping_pm) // 1000
+                for v in out[u]:
+                    inflow[v] += c
+        dang = sum(r[u] for u in nodes if not out[u])
+        share = ((dang // n) * damping_pm) // 1000
+        r = {x: tele + inflow[x] + share for x in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replay_with_dangling(spark):
+    """Directed graph WITH a dangling sink: 1->2, 1->3, 2->3, 3 emits
+    nothing — the dangling-mass redistribution path is exercised
+    numerically, not just structurally (the registry query's symmetric
+    graph has no dangling nodes)."""
+    from pandas_db_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=5).collect()}
+    assert got == _pagerank_py(edges, 5)
+    # sink 3 receives from both and must outrank everything
+    assert got[3] > got[2] > 0
+
+
+def test_pagerank_hub_dominates_and_mass_conserved(spark):
+    """Star graph (all spokes -> hub, hub -> all spokes): the hub's rank
+    dominates; total mass stays within floor leakage of n*unit."""
+    from pandas_db_spark.operators.graph import pagerank
+
+    spokes = list(range(1, 9))
+    edges = [(s, 0) for s in spokes] + [(0, s) for s in spokes]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=8).collect()}
+    assert got == _pagerank_py(edges, 8)
+    assert got[0] > max(got[s] for s in spokes) * 3
+    n, unit = 9, 10 ** 9
+    leak_bound = 8 * n * (max(len(spokes), 1) + 1000)  # iters*n*(deg+dpm)
+    assert n * unit >= sum(got.values()) > n * unit - leak_bound
+
+
+def test_pagerank_self_loops_dropped_duplicates_collapse(spark):
+    from pandas_db_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, 1)], "src long, dst long")
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=3).collect()}
+    assert got == _pagerank_py([(1, 2), (2, 1)], 3)
+    # symmetric 2-cycle: ranks identical by symmetry
+    assert got[1] == got[2]
+
+
+def test_pagerank_empty_and_validation(spark):
+    import pytest as _pt
+    from pandas_db_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iterations=2).count() == 0
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pt.raises(ValueError, match="damping_pm"):
+        pagerank(df, damping_pm=0)
+    with _pt.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=-1)
+    with _pt.raises(ValueError, match="unit"):
+        pagerank(df, unit=10)
+    with _pt.raises(ValueError, match="overflow"):
+        pagerank(df, unit=2 ** 61)
+
+
+def test_pagerank_iterations_zero_is_uniform(spark):
+    from pandas_db_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=0).collect()}
+    assert got == {1: 10 ** 9, 2: 10 ** 9, 3: 10 ** 9}
