@@ -371,3 +371,81 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         if i % 2 == 1 or i == iterations - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+# =====================================================================
+# Incremental connected components (label-store maintenance)
+# =====================================================================
+
+def append_components(labels: DataFrame, new_pairs: DataFrame,
+                      id_a: str = "id_a", id_b: str = "id_b",
+                      max_iter: int = 25,
+                      driver_threshold: int = 100_000) -> DataFrame:
+    """Fold a batch of new duplicate pairs into an existing component
+    labeling WITHOUT re-running connected components over the corpus.
+
+    ``labels`` is a prior :func:`connected_components` output
+    ``(id, component)`` — component = the min id reachable.  Returns the
+    same shape for the UNION graph (all pairs ever seen plus
+    ``new_pairs``), exactly what a from-scratch recompute over the full
+    pair history would produce — pinned by the closure oracle in
+    ``queries.py`` and the recompute-equality pytest.
+
+    Why it's exact: contracting each existing component to its label
+    preserves connectivity (a path through a component enters and leaves
+    through labeled members), so CC over the QUOTIENT graph — new pairs
+    with endpoints mapped to their current labels — yields precisely the
+    merged components; and since every existing label is its component's
+    minimum id and a new node's quotient id is itself, the min over
+    merged labels IS the min over all member ids.
+
+    Scale shape (the reason this exists): the quotient edge set is
+    bounded by the BATCH size, never the corpus — CC runs over at most
+    2·|new_pairs| nodes (the driver union-find fast path in practice).
+    The only corpus-wide work is ONE narrow broadcast-join scan of the
+    label store to apply the (tiny, batch-bounded) old-label→new-label
+    remap; untouched components pass through the join unchanged and
+    nothing about the store ever shuffles.  At 100 TB the store lives as
+    a parquet table and this is a map-only rewrite — or, with a
+    merge-on-read consumer, the remap itself is the delta to publish.
+    """
+    np_ = (new_pairs.select(F.col(id_a).alias("u"),
+                            F.col(id_b).alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                  & (F.col("u") != F.col("v")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    store = labels.select(F.col("id").alias("__sid"),
+                          F.col("component").alias("__scomp"))
+    touched = (np_.select("u").union(np_.select(F.col("v").alias("u")))
+               .distinct())
+    # label(x) = stored component, or x itself for a first-seen node
+    tl = (touched.join(store, touched["u"] == store["__sid"], "left")
+          .select(F.col("u").alias("node"),
+                  F.coalesce("__scomp", "u").alias("lab"))
+          .localCheckpoint(eager=True))
+    la = tl.select(F.col("node").alias("u"), F.col("lab").alias("la"))
+    lb = tl.select(F.col("node").alias("v"), F.col("lab").alias("lb"))
+    quotient = (np_.join(la, "u").join(lb, "v")
+                .where(F.col("la") != F.col("lb"))
+                .select(F.col("la").alias("id_a"),
+                        F.col("lb").alias("id_b")))
+    remap = (connected_components(quotient, max_iter=max_iter,
+                                  driver_threshold=driver_threshold)
+             .where(F.col("id") != F.col("component"))
+             .select(F.col("id").alias("__old"),
+                     F.col("component").alias("__new"))
+             .localCheckpoint(eager=True))
+    # corpus-side: one broadcast-join scan relabels merged components
+    updated = (store.join(F.broadcast(remap),
+                          store["__scomp"] == F.col("__old"), "left")
+               .select(F.col("__sid").alias("id"),
+                       F.coalesce("__new", "__scomp").alias("component")))
+    # batch-side: first-seen nodes enter with their (possibly remapped)
+    # quotient label
+    fresh = (tl.join(store, tl["node"] == store["__sid"], "left_anti")
+             .join(F.broadcast(remap), tl["lab"] == F.col("__old"),
+                   "left")
+             .select(F.col("node").alias("id"),
+                     F.coalesce("__new", "lab").alias("component")))
+    return updated.union(fresh)

@@ -68,7 +68,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
-    "graph_pagerank",
+    "graph_pagerank", "dedup_components_incremental",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -4951,3 +4951,26 @@ def graph_pagerank(spark, sf_dir):
                                  F.col("src").alias("dst")))
     return G.pagerank(edges, iterations=6, unit=_PR_UNIT,
                       damping_pm=_PR_DPM)
+
+
+@q("dedup_components_incremental",
+   _CC_CLOSURE + "SELECT id, component FROM cc")
+def dedup_components_incremental(spark, sf_dir):
+    """Incremental cluster maintenance (operators/graph.py
+    append_components): the MinHash dup-pair stream split into two
+    batches — batch 1 builds the component store, batch 2 folds in via
+    the quotient-graph trick (CC over new pairs with endpoints mapped to
+    their current labels; cost bounded by the BATCH, the store only sees
+    one narrow broadcast-join relabel scan).  The oracle is the same
+    full recursive closure that gates dedup_components, so incremental
+    == from-scratch is checked value-for-value, including bridges that
+    merge two stored clusters and new nodes that become component
+    minima."""
+    from pandas_db_spark.operators import dedup as D
+    from pandas_db_spark.operators import graph as G
+    d = get_db(spark, sf_dir).documents
+    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    b1 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    b2 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 != 0)
+    store = G.connected_components(b1)
+    return G.append_components(store, b2)

@@ -299,3 +299,100 @@ def test_pagerank_iterations_zero_is_uniform(spark):
     got = {r["id"]: r["rank_fp"]
            for r in pagerank(df, iterations=0).collect()}
     assert got == {1: 10 ** 9, 2: 10 ** 9, 3: 10 ** 9}
+
+
+# ---------------------------------------------------------------------
+# append_components — incremental label-store maintenance
+# ---------------------------------------------------------------------
+
+def _cc_full(spark, pairs):
+    from pandas_db_spark.operators.graph import connected_components
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    return {r["id"]: r["component"]
+            for r in connected_components(df).collect()}
+
+
+def _cc_incremental(spark, batch1, batch2):
+    from pandas_db_spark.operators.graph import (append_components,
+                                                 connected_components)
+    store = connected_components(
+        spark.createDataFrame(batch1, "id_a long, id_b long"))
+    out = append_components(
+        store, spark.createDataFrame(batch2, "id_a long, id_b long"))
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_append_components_bridge_merges_two_clusters(spark):
+    """A single new pair bridging two existing components relabels EVERY
+    member of the higher-labeled one."""
+    b1 = [(1, 2), (2, 3), (10, 11), (11, 12)]
+    b2 = [(3, 10)]
+    assert _cc_incremental(spark, b1, b2) == _cc_full(spark, b1 + b2)
+
+
+def test_append_components_untouched_survive_new_nodes_enter(spark):
+    b1 = [(1, 2), (10, 11)]
+    b2 = [(20, 21), (21, 22)]          # disjoint new cluster
+    got = _cc_incremental(spark, b1, b2)
+    assert got == _cc_full(spark, b1 + b2)
+    assert got[10] == 10 and got[11] == 10    # untouched labels intact
+
+
+def test_append_components_chain_spans_batches(spark):
+    """B joins the store via one endpoint and drags a new chain in: the
+    whole chain takes the OLD component's min label."""
+    b1 = [(5, 6)]
+    b2 = [(6, 7), (7, 8), (8, 9)]
+    got = _cc_incremental(spark, b1, b2)
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
+
+
+def test_append_components_new_min_id_wins(spark):
+    """A NEW node with a smaller id than the stored label becomes the
+    component minimum — labels must move DOWN, not just merge."""
+    b1 = [(10, 11)]
+    b2 = [(1, 10)]
+    got = _cc_incremental(spark, b1, b2)
+    assert got == {1: 1, 10: 1, 11: 1}
+
+
+def test_append_components_same_component_pair_is_noop(spark):
+    b1 = [(1, 2), (2, 3)]
+    b2 = [(1, 3)]                      # already connected
+    assert _cc_incremental(spark, b1, b2) == _cc_full(spark, b1)
+
+
+def test_append_components_empty_store_equals_cc(spark):
+    from pandas_db_spark.operators.graph import (append_components,
+                                                 connected_components)
+    empty = connected_components(
+        spark.createDataFrame([], "id_a long, id_b long"))
+    out = append_components(
+        empty, spark.createDataFrame([(4, 2), (2, 9)],
+                                     "id_a long, id_b long"))
+    assert ({r["id"]: r["component"] for r in out.collect()}
+            == {2: 2, 4: 2, 9: 2})
+
+
+def test_append_components_empty_batch_is_identity(spark):
+    from pandas_db_spark.operators.graph import (append_components,
+                                                 connected_components)
+    store = connected_components(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"))
+    out = append_components(
+        store, spark.createDataFrame([], "id_a long, id_b long"))
+    assert ({r["id"]: r["component"] for r in out.collect()}
+            == {1: 1, 2: 1})
+
+
+def test_append_components_randomized_equals_recompute(spark):
+    """Deterministic pseudo-random multi-merge topology: 60 pairs over 40
+    ids split into two batches — incremental == from-scratch, pair for
+    pair."""
+    import random
+    rng = random.Random(12)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    cut = len(pairs) // 2
+    assert (_cc_incremental(spark, pairs[:cut], pairs[cut:])
+            == _cc_full(spark, pairs))
