@@ -210,12 +210,30 @@ def term_drift(a: DataFrame, b: DataFrame, text_col: str = "text"
     wrong drift.  Past that scale, run the report per SHARD or switch
     to DECIMAL(38) — the report is per-snapshot-pair, not
     per-history."""
-    def counts(df: DataFrame, side: str) -> DataFrame:
-        toks = F.explode(
-            F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
-        return (df.select(toks)
-                  .groupBy("term").agg(F.count("*").alias(f"c_{side}")))
-    ca, cb = counts(a, "a"), counts(b, "b")
+    return drift_from_counts(term_counts(a, text_col),
+                             term_counts(b, text_col))
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact per-term token counts ``(term, c)`` — one explode + one
+    map-side-combined count.  The pre-aggregated form every drift
+    consumer composes over (a |vocab|-row table, never the corpus):
+    batch snapshots of this table are what the streaming monitor
+    persists and folds."""
+    toks = F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    return df.select(toks).groupBy("term").agg(
+        F.count("*").alias("c"))
+
+
+def drift_from_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """:func:`term_drift` over PRE-AGGREGATED count tables
+    ``(term, c)`` — the entry point for consumers that already hold
+    vocab counts (the streaming drift monitor's persisted per-batch
+    snapshots, a warehouse vocab table).  Identical output contract
+    and overflow guard; counts must be the exact per-side totals."""
+    ca = ca.select("term", F.col("c").alias("c_a"))
+    cb = cb.select("term", F.col("c").alias("c_b"))
     na = ca.agg(F.sum("c_a").alias("n_a"))
     nb = cb.agg(F.sum("c_b").alias("n_b"))
     scalars = _guarded_totals(na, nb)

@@ -68,7 +68,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
-    "graph_pagerank", "dedup_components_incremental",
+    "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -4974,3 +4974,61 @@ def dedup_components_incremental(spark, sf_dir):
     b2 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 != 0)
     store = G.connected_components(b1)
     return G.append_components(store, b2)
+
+
+# =====================================================================
+# Streaming drift monitor (streaming/monitor.py) — added r12 part 3
+# =====================================================================
+
+def _drift_batch_sql(where_cum: str, where_ref: str) -> str:
+    """One exact-integer (tvd_num, n_corpus, n_ref) row: the cumulative
+    corpus under ``where_cum`` drifted against the reference under
+    ``where_ref`` — the monitor's per-batch output replayed in SQL."""
+    return (
+        "(WITH tc AS (SELECT unnest(string_split_regex(trim(text), "
+        f"'\\s+')) AS term FROM documents WHERE {where_cum}), "
+        "tr AS (SELECT unnest(string_split_regex(trim(text), "
+        f"'\\s+')) AS term FROM documents WHERE {where_ref}), "
+        "cc AS (SELECT term, count(*)::BIGINT AS c_c FROM tc GROUP BY 1), "
+        "cr AS (SELECT term, count(*)::BIGINT AS c_r FROM tr GROUP BY 1), "
+        "nc AS (SELECT sum(c_c)::BIGINT AS n FROM cc), "
+        "nr AS (SELECT sum(c_r)::BIGINT AS n FROM cr), "
+        "u AS (SELECT coalesce(c_c, 0) AS c_c, coalesce(c_r, 0) AS c_r "
+        "FROM cc FULL OUTER JOIN cr ON cc.term = cr.term) "
+        "SELECT sum(abs(c_c * (SELECT n FROM nr) "
+        "- c_r * (SELECT n FROM nc)))::BIGINT AS tvd_num, "
+        "(SELECT n FROM nc) AS n_corpus, (SELECT n FROM nr) AS n_ref "
+        "FROM u)")
+
+
+@q("stream_drift_tvd",
+   "SELECT 0::BIGINT AS batch_id, * FROM "
+   + _drift_batch_sql("doc_id % 4 = 1", "doc_id % 2 = 0")
+   + " UNION ALL SELECT 1::BIGINT AS batch_id, * FROM "
+   + _drift_batch_sql("doc_id % 2 = 1", "doc_id % 2 = 0"))
+def stream_drift_tvd(spark, sf_dir):
+    """Streaming drift monitor (streaming/monitor.py): odd documents
+    arrive as two micro-batches (doc_id % 4 split, written exactly as
+    run_drift_monitor's foreachBatch handler writes them, minus the
+    checkpoint machinery the gate can't host) against the even-docs
+    reference pinned on first batch.  EVERY batch's cumulative
+    exact-integer TVD row must equal DuckDB's from-scratch replay over
+    the corresponding corpus prefix — the incremental fold and the
+    batch computation agree value-for-value at each step, not just at
+    the end.  Fresh temp dir per run (the monitor is stateful)."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   drift_history)
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    mon = tempfile.mkdtemp(prefix="pds_drift_mon_")
+    try:
+        append_drift_batch(d.where(F.col("doc_id") % 4 == 1), 0, mon,
+                           reference_df=ref)
+        append_drift_batch(d.where(F.col("doc_id") % 4 == 3), 1, mon)
+        rows = drift_history(spark, mon).collect()
+    finally:
+        shutil.rmtree(mon, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "batch_id long, tvd_num long, n_corpus long, n_ref long")

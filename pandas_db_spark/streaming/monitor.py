@@ -1,0 +1,141 @@
+"""Streaming corpus-drift monitor — term-distribution TVD per micro-batch.
+
+The batch drift report (``operators/stats.term_drift`` /
+``tvd_summary``) answers "did the mix move?" between two snapshots.  A
+rolling ingest needs the same answer CONTINUOUSLY: after every
+micro-batch, how far has the accumulated corpus drifted from the pinned
+reference distribution (yesterday's corpus, the training mix the model
+was tuned on)?  This module maintains that series with the module's
+standard ``foreachBatch`` + partitioned-parquet-store contract.
+
+Layout under ``monitor_dir`` (plain partitioned parquet):
+
+* ``reference/``            — the pinned reference vocab counts
+  ``(term, c)``, written ONCE when the monitor first runs; later runs
+  must not pass a different reference (the series would silently
+  change meaning), so a reference re-supply is ignored once pinned.
+* ``counts/batch_id=N/``    — each micro-batch's exact ``(term, c)``
+  counts.  Pre-aggregated vocab tables, never documents: the store
+  grows with |vocab|·batches, not corpus size.
+* ``drift/batch_id=N/``     — one row per batch:
+  ``(batch_id, tvd_num, n_corpus, n_ref)`` where the CUMULATIVE corpus
+  (all batches up to and including N) has
+  ``TVD = tvd_num / (2·n_corpus·n_ref)`` against the reference — the
+  same exact-integer surface as ``corpus_drift_tvd``, so the series
+  hash-compares against a whole-corpus batch replay bit-for-bit.
+
+Replay idempotence: both per-batch writes are dynamic partition
+overwrites keyed on ``batch_id`` — a crash replay rewrites its own
+partitions (the contract every sink in ``streaming/ingest.py`` honors).
+The drift row for batch N is recomputed FROM THE COUNTS STORE, so a
+replayed batch N produces the identical row even though later batches
+may already exist (the cumulative fold filters ``batch_id <= N``).
+
+Scale shape: per-batch cost is one token-count aggregate over the BATCH
+plus a groupBy-sum fold over the persisted per-batch vocab tables and
+one full-outer join against the reference vocab — all |vocab|-sized,
+none corpus-sized.  At 100 TB the counts store is the only thing that
+grows; fold it offline by summing old batches into one partition if
+batch count ever matters (the same shape as the index compactors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pandas_db_spark.operators.stats import (drift_from_counts,
+                                             term_counts, tvd_summary)
+
+
+def _reference_counts(spark: SparkSession, monitor_dir: str,
+                      reference_df: DataFrame | None,
+                      text_col: str) -> DataFrame:
+    """Load the pinned reference vocab, writing it exactly once."""
+    ref_path = monitor_dir + "/reference"
+    try:
+        return spark.read.parquet(ref_path)
+    except Exception as exc:  # noqa: BLE001 — PATH_NOT_FOUND only
+        if "PATH_NOT_FOUND" not in str(exc) and \
+                "Path does not exist" not in str(exc):
+            raise
+    if reference_df is None:
+        raise ValueError(
+            "drift monitor has no pinned reference at "
+            f"{ref_path} and no reference_df was supplied — the first "
+            "run must provide the distribution to drift against")
+    term_counts(reference_df, text_col).write.mode(
+        "error").parquet(ref_path)
+    return spark.read.parquet(ref_path)
+
+
+def append_drift_batch(batch_df: DataFrame, batch_id: int,
+                       monitor_dir: str,
+                       reference_df: DataFrame | None = None,
+                       text_col: str = "text") -> None:
+    """Fold one micro-batch into the monitor: persist its vocab counts,
+    recompute the cumulative-corpus-vs-reference TVD, persist the drift
+    row.  Factored out of the ``foreachBatch`` handler so the driver
+    gate can replay batches deterministically without a checkpoint."""
+    spark = batch_df.sparkSession
+    ref = _reference_counts(spark, monitor_dir, reference_df, text_col)
+    (term_counts(batch_df, text_col)
+     .withColumn("batch_id", F.lit(batch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(monitor_dir + "/counts"))
+    # cumulative fold FROM THE STORE, bounded at this batch id, so a
+    # replay of batch N yields batch N's row even after N+1 landed
+    cum = (spark.read.parquet(monitor_dir + "/counts")
+           .where(F.col("batch_id") <= batch_id)
+           .groupBy("term").agg(F.sum("c").alias("c")))
+    row = (tvd_summary(drift_from_counts(cum, ref))
+           .select(F.col("tvd_num").cast("long").alias("tvd_num"),
+                   F.col("n_a").cast("long").alias("n_corpus"),
+                   F.col("n_b").cast("long").alias("n_ref"))
+           .withColumn("batch_id", F.lit(batch_id)))
+    (row.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(monitor_dir + "/drift"))
+
+
+def run_drift_monitor(stream_df: DataFrame, monitor_dir: str,
+                      checkpoint_dir: str,
+                      reference_df: DataFrame | None = None,
+                      text_col: str = "text") -> None:
+    """Drive the monitor from a document stream (availableNow drain —
+    the module's standard wrapper).  ``reference_df`` is only consulted
+    on the very first batch ever; thereafter the pinned reference under
+    ``monitor_dir/reference`` is authoritative."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_drift_batch(batch_df, batch_id, monitor_dir,
+                           reference_df, text_col)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+
+
+def drift_history(spark: SparkSession, monitor_dir: str) -> DataFrame:
+    """The monitor's output series: one exact-integer row per drained
+    batch, ascending ``batch_id``."""
+    return (spark.read.parquet(monitor_dir + "/drift")
+            .select("batch_id", "tvd_num", "n_corpus", "n_ref")
+            .orderBy("batch_id"))
+
+
+def drift_top_terms(spark: SparkSession, monitor_dir: str,
+                    k: int = 20) -> DataFrame:
+    """Which terms moved: the full per-term drift report of the CURRENT
+    cumulative corpus vs the pinned reference, top-k by exact integer
+    drift (ties broken by term so the cut is deterministic)."""
+    ref = spark.read.parquet(monitor_dir + "/reference")
+    cum = (spark.read.parquet(monitor_dir + "/counts")
+           .groupBy("term").agg(F.sum("c").alias("c")))
+    return (drift_from_counts(cum, ref)
+            .orderBy(F.col("drift_num").desc(), "term").limit(k))

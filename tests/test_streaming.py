@@ -1459,3 +1459,83 @@ def test_ivf_index_ingest_quiesce_compact_resume(spark, tmp_path):
     served = ivf_topk_indexed(spark, idx, [10, 300], k=5, nprobe=2)
     assert "PartitionFilters" in formatted_plan(served)
     assert {r["query_id"] for r in served.collect()} == {10, 300}
+
+
+# ---------------------------------------------------------------------
+# streaming drift monitor (r12 part 3)
+# ---------------------------------------------------------------------
+
+def test_drift_monitor_matches_batch_tvd_and_replays(spark, tmp_path):
+    """run_drift_monitor: the final cumulative drift row equals the
+    BATCH term_drift/tvd_summary over the whole streamed corpus vs the
+    same reference (exact integers, value for value); each batch's row
+    is monotone in coverage; a replayed batch rewrites its own
+    partitions byte-identically (no double count)."""
+    from pandas_db_spark.operators.stats import term_drift, tvd_summary
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   drift_history,
+                                                   drift_top_terms,
+                                                   run_drift_monitor)
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    ref_rows = [(100 + i, " ".join(words[j % 5]
+                                   for j in range(i, i + 6)))
+                for i in range(40)]
+    # streamed corpus skews toward 'alpha' so drift is nonzero
+    cur_rows = [(i, " ".join(["alpha"] * 3
+                             + [words[(i + j) % 5] for j in range(3)]))
+                for i in range(50)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    cur = spark.createDataFrame(cur_rows, "doc_id long, text string")
+
+    src = tmp_path / "docs_in"
+    mon = str(tmp_path / "monitor")
+    ck = str(tmp_path / "ck")
+    for bi, chunk in enumerate([cur_rows[:20], cur_rows[20:]]):
+        (spark.createDataFrame(chunk, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(f"{src}/b*"))
+        run_drift_monitor(stream, mon, checkpoint_dir=ck,
+                          reference_df=ref)
+
+    hist = [tuple(r) for r in drift_history(spark, mon).collect()]
+    assert [h[0] for h in hist] == [0, 1]
+    # final row == whole-corpus batch replay, bit for bit
+    want = tvd_summary(term_drift(cur, ref)).collect()[0]
+    got = hist[-1]
+    assert (got[1], got[2], got[3]) == (want["tvd_num"],
+                                        want["n_a"], want["n_b"])
+    # replay batch 1: identical row, history length unchanged
+    b1 = spark.read.parquet(f"{src}/b1")
+    append_drift_batch(b1, 1, mon)
+    assert [tuple(r)
+            for r in drift_history(spark, mon).collect()] == hist
+    # the skewed term tops the report
+    top = drift_top_terms(spark, mon, k=1).collect()[0]
+    assert top["term"] == "alpha"
+
+
+def test_drift_monitor_reference_pinned_and_required(spark, tmp_path):
+    """First run without a reference raises; once pinned, a DIFFERENT
+    reference_df on a later call is ignored (the series keeps its
+    meaning)."""
+    import pytest
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   drift_history)
+
+    batch = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a b")], "doc_id long, text string")
+    mon = str(tmp_path / "mon2")
+    with pytest.raises(ValueError, match="no pinned reference"):
+        append_drift_batch(batch, 0, mon)
+    ref1 = spark.createDataFrame([(9, "a b c d")],
+                                 "doc_id long, text string")
+    append_drift_batch(batch, 0, mon, reference_df=ref1)
+    row0 = drift_history(spark, mon).collect()[0]
+    assert row0["n_ref"] == 4
+    ref2 = spark.createDataFrame([(9, "x y")],
+                                 "doc_id long, text string")
+    append_drift_batch(batch, 1, mon, reference_df=ref2)
+    row1 = drift_history(spark, mon).collect()[1]
+    assert row1["n_ref"] == 4          # still the PINNED reference
