@@ -69,6 +69,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
+    "pca_invariant",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5032,3 +5033,45 @@ def stream_drift_tvd(spark, sf_dir):
         shutil.rmtree(mon, ignore_errors=True)
     return spark.createDataFrame(
         rows, "batch_id long, tvd_num long, n_corpus long, n_ref long")
+
+
+# =====================================================================
+# PCA / whitening (operators/pca.py) — added r12 part 3
+# =====================================================================
+
+@q("pca_invariant",
+   "SELECT max(len(embedding))::INT AS d, 8::INT AS k, "
+   "count(*)::BIGINT AS n, true AS ortho_ok, true AS eig_desc_ok, "
+   "true AS var_match_ok FROM embeddings")
+def pca_invariant(spark, sf_dir):
+    """Driver-checkable contract for the PCA fit (operators/pca.py) —
+    eigendecomposition has no SQL replay, so like the ANN-recall gates
+    this pins the properties that fail loudly when the moment pass or
+    the basis is wrong: components orthonormal to 1e-8, eigenvalues
+    non-increasing and non-negative (to fp noise), and the POPULATION
+    variance of each JVM-projected component equal to its eigenvalue
+    within 1e-4 relative — the fit (exact-integer Gram, driver eigh)
+    and the projection (codegen'd zip_with folds) check each other.
+    d and n come from the data on both sides."""
+    import numpy as np
+    from pandas_db_spark.operators.pca import pca_fit, pca_project
+    e = get_db(spark, sf_dir).embeddings.df
+    k = 8
+    m = pca_fit(e, "embedding", k=k)
+    w = np.asarray(m["components"])
+    eig = np.asarray(m["eigvals"])
+    ortho_ok = bool(np.abs(w @ w.T - np.eye(k)).max() < 1e-8)
+    eig_desc_ok = bool(np.all(np.diff(eig) <= 1e-12)
+                       and np.all(eig >= -1e-9))
+    proj = pca_project(e, m, "embedding")
+    var_row = proj.agg(*[F.var_pop(F.col("pca")[j]).alias(f"v{j}")
+                         for j in range(k)]).collect()[0]
+    # var_pop divides by n; eigvals are population variances too
+    var_match_ok = all(
+        abs(var_row[f"v{j}"] - eig[j]) <= 1e-4 * max(eig[j], 1e-12)
+        for j in range(k))
+    return spark.createDataFrame(
+        [(int(m["d"]), k, int(m["n"]),
+          ortho_ok, eig_desc_ok, var_match_ok)],
+        "d int, k int, n long, ortho_ok boolean, eig_desc_ok boolean, "
+        "var_match_ok boolean")
