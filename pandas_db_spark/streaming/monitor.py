@@ -139,3 +139,29 @@ def drift_top_terms(spark: SparkSession, monitor_dir: str,
            .groupBy("term").agg(F.sum("c").alias("c")))
     return (drift_from_counts(cum, ref)
             .orderBy(F.col("drift_num").desc(), "term").limit(k))
+
+
+def compact_drift_counts(spark: SparkSession, monitor_dir: str,
+                         checkpoint_dir: str | None = None) -> dict:
+    """Fold the monitor's per-batch fragmentation offline (one counts
+    file and one drift file land per batch): both stores rewrite
+    row-identically under the reserved ``batch_id=-1`` partition at one
+    file each — the cumulative fold's ``batch_id <= N`` filter keeps
+    including them (−1 ≤ anything), so a resumed stream composes and
+    later replays of POST-compaction batches stay idempotent.  Same
+    contract, machinery (Hadoop FS staging swap, crash rollback) and
+    rules as the index compactors: run OFFLINE, keep the checkpoint,
+    pass ``checkpoint_dir`` to refuse while a batch is
+    started-but-uncommitted."""
+    from pandas_db_spark.operators.similarity import (
+        _assert_stream_quiesced, _compact_partitioned_dataset)
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    report = {}
+    for sub in ("counts", "drift"):
+        folded = _compact_partitioned_dataset(spark, monitor_dir, sub,
+                                              part_col="",
+                                              coalesce_one=True)
+        if folded is not None:
+            report[sub] = folded
+    return report

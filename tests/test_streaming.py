@@ -1539,3 +1539,65 @@ def test_drift_monitor_reference_pinned_and_required(spark, tmp_path):
     append_drift_batch(batch, 1, mon, reference_df=ref2)
     row1 = drift_history(spark, mon).collect()[1]
     assert row1["n_ref"] == 4          # still the PINNED reference
+
+
+def test_drift_monitor_quiesce_compact_resume(spark, tmp_path):
+    """compact_drift_counts: per-batch counts/drift fragmentation folds
+    row-identically into batch_id=-1 at one file per store, an
+    uncommitted checkpoint is refused, and a resumed stream appends the
+    next batch beside the compacted partition with the SAME drift row a
+    never-compacted monitor produces."""
+    import pytest
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   compact_drift_counts,
+                                                   drift_history)
+
+    ref = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string")
+    rows = [(i, " ".join(["alpha"] * (1 + i % 3) + ["beta"]))
+            for i in range(30)]
+    mon = str(tmp_path / "mon3")
+    append_drift_batch(spark.createDataFrame(rows[:10],
+                                             "doc_id long, text string"),
+                       0, mon, reference_df=ref)
+    append_drift_batch(spark.createDataFrame(rows[10:20],
+                                             "doc_id long, text string"),
+                       1, mon)
+    pre_counts = sorted(
+        map(tuple, spark.read.parquet(mon + "/counts").collect()))
+    pre_hist = [tuple(r) for r in drift_history(spark, mon).collect()]
+
+    fake = tmp_path / "fake_ck"
+    (fake / "offsets").mkdir(parents=True)
+    (fake / "commits").mkdir()
+    (fake / "offsets" / "0").write_text("{}")
+    (fake / "commits").joinpath("0").write_text("{}")
+    (fake / "offsets" / "1").write_text("{}")
+    with pytest.raises(ValueError, match="not quiesced"):
+        compact_drift_counts(spark, mon, checkpoint_dir=str(fake))
+
+    rep = compact_drift_counts(spark, mon)
+    assert rep["counts"]["files_after"] == 1
+    assert rep["drift"]["files_after"] == 1
+    # row-identical content (ignoring the folded batch_id column)
+    post_counts = sorted(map(tuple, spark.read.parquet(mon + "/counts")
+                             .select("term", "c").collect()))
+    assert post_counts == sorted((t[0], t[1]) for t in pre_counts)
+    # drift history survives the fold with batch ids collapsed to -1
+    post_hist = sorted(
+        tuple(r) for r in drift_history(spark, mon).collect())
+    assert post_hist == sorted((-1,) + h[1:] for h in pre_hist)
+    # resume: batch 2 lands beside batch_id=-1; its cumulative row
+    # equals the never-compacted monitor's
+    append_drift_batch(spark.createDataFrame(rows[20:],
+                                             "doc_id long, text string"),
+                       2, mon)
+    mon2 = str(tmp_path / "mon_ref")
+    for bi, chunk in enumerate([rows[:10], rows[10:20], rows[20:]]):
+        append_drift_batch(
+            spark.createDataFrame(chunk, "doc_id long, text string"),
+            bi, mon2, reference_df=ref)
+    got = drift_history(spark, mon).where("batch_id = 2").collect()[0]
+    want = drift_history(spark, mon2).where("batch_id = 2").collect()[0]
+    assert tuple(got) == tuple(want)
