@@ -121,3 +121,40 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                     .alias("week_offset"))
             .groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def transition_counts(events: DataFrame, gap_minutes: int = 15,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_cols: Sequence[str] = ("event_id",)
+                      ) -> DataFrame:
+    """First-order Markov transition counts over sessionized event
+    streams: ``(from_type, to_type, n, n_from)`` for every consecutive
+    in-session event pair, where ``n_from`` is the total transitions
+    leaving ``from_type`` — the transition PROBABILITY is ``n / n_from``,
+    left as a division for the caller so the surface stays exact
+    integers (the TVD discipline).
+
+    The behavioral-analytics sibling of :func:`funnel_depth`: the funnel
+    checks ONE prescribed path, the transition matrix surfaces every
+    observed path edge (where users actually go next, loop intensity,
+    drop points).  Plan: :func:`sessionize`'s single keyed window + one
+    ``lead`` over the same (user, ts, tiebreak) ordering — Catalyst
+    folds both into ONE sort/shuffle — then a map-side-combined
+    ``groupBy(from, to)`` and a tiny broadcast of per-from totals.
+    Session boundaries (and the last event of each session) emit no
+    pair; NULL users or types are excluded up front."""
+    e = events.where(F.col(user_col).isNotNull()
+                     & F.col(type_col).isNotNull())
+    s = sessionize(e, gap_minutes, user_col, ts_col, order_cols)
+    from pyspark.sql import Window
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(user_col, "session_idx").orderBy(*order)
+    pairs = (s.select(F.col(type_col).alias("from_type"),
+                      F.lead(F.col(type_col)).over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    n = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = n.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return n.join(F.broadcast(totals), "from_type").select(
+        "from_type", "to_type", "n", "n_from")

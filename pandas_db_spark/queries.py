@@ -69,7 +69,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
-    "pca_invariant",
+    "pca_invariant", "events_transitions",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5075,3 +5075,31 @@ def pca_invariant(spark, sf_dir):
           ortho_ok, eig_desc_ok, var_match_ok)],
         "d int, k int, n long, ortho_ok boolean, eig_desc_ok boolean, "
         "var_match_ok boolean")
+
+
+@q("events_transitions",
+   "WITH lagd AS (SELECT event_id, user_id, ts, event_type, "
+   "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+   "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL), "
+   "sess AS (SELECT event_id, user_id, ts, event_type, "
+   "sum(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) "
+   "> 900000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+   "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
+   "FROM lagd), "
+   "pairs AS (SELECT event_type AS from_type, lead(event_type) OVER ("
+   "PARTITION BY user_id, session_idx ORDER BY ts, event_id) "
+   "AS to_type FROM sess), "
+   "n AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM pairs "
+   "WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+   "SELECT from_type, to_type, n, "
+   "sum(n) OVER (PARTITION BY from_type)::BIGINT AS n_from FROM n")
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over 15-minute sessions
+    (operators/funnel.transition_counts): sessionize's keyed window and
+    the next-event lead fold into ONE sort/shuffle, then a map-side-
+    combined pair count with per-from totals broadcast back — the
+    every-edge sibling of the single-path funnel.  Exact integer counts;
+    the probability division stays out of the hashed surface."""
+    from pandas_db_spark.operators import funnel as FU
+    e = get_db(spark, sf_dir).events
+    return FU.transition_counts(e.df, gap_minutes=15)

@@ -134,3 +134,51 @@ def test_sessionize_counts_match_session_windows(spark, db):
            .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
     assert sorted(map(tuple, lab.collect())) == \
         sorted(map(tuple, agg.collect()))
+
+
+# ---------------------------------------------------------------------
+# transition_counts — Markov edges over sessionized streams
+# ---------------------------------------------------------------------
+
+def test_transition_counts_hand_computed(spark):
+    """One user, two sessions (40-min gap splits), one NULL-type event
+    excluded: pairs never cross the session boundary, the last event of
+    each session emits nothing, and n_from sums the from-side."""
+    from datetime import datetime as dt
+    from pandas_db_spark.operators.funnel import transition_counts
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0), 7, "view"),
+        (2, dt(2024, 1, 1, 10, 5), 7, "click"),
+        (3, dt(2024, 1, 1, 10, 8), 7, "view"),
+        # 40-minute gap -> new session: (view->buy) NOT (view)->(buy)
+        (4, dt(2024, 1, 1, 10, 48), 7, "view"),
+        (5, dt(2024, 1, 1, 10, 50), 7, "buy"),
+        (6, dt(2024, 1, 1, 10, 52), 7, None),      # excluded
+        (7, dt(2024, 1, 1, 10, 53), None, "view"),  # excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["n_from"])
+           for r in transition_counts(df, gap_minutes=15).collect()}
+    assert got == {
+        ("view", "click"): (1, 2),
+        ("click", "view"): (1, 1),
+        ("view", "buy"): (1, 2),
+    }
+
+
+def test_transition_counts_same_ts_tiebreak_deterministic(spark):
+    """Equal timestamps order by event_id, so the pair direction is
+    pinned."""
+    from datetime import datetime as dt
+    from pandas_db_spark.operators.funnel import transition_counts
+
+    t = dt(2024, 1, 1, 12, 0)
+    df = spark.createDataFrame(
+        [(10, t, 1, "a"), (11, t, 1, "b"), (12, t, 1, "c")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["from_type"], r["to_type"]) for r in
+           transition_counts(df).collect()}
+    assert got == {("a", "b"), ("b", "c")}
