@@ -258,7 +258,9 @@ def keep_components_by(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 6, damping_pm: int = 850,
-             unit: int = 10 ** 9, max_iter_guard: int = 64) -> DataFrame:
+             unit: int = 10 ** 9, max_iter_guard: int = 64,
+             seeds: DataFrame | None = None,
+             seed_col: str = "id") -> DataFrame:
     """PageRank over a directed edge set, computed in EXACT 64-bit
     fixed-point arithmetic so the result is bit-identical across engines,
     runs, and partitionings.
@@ -303,10 +305,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     non-increasing), checked against 2⁶² at entry — at the default unit,
     graphs up to ~4.6e9 nodes fit; pass a smaller ``unit`` beyond that.
 
+    **Personalized mode** (``seeds`` given — a DataFrame whose
+    ``seed_col`` lists trusted node ids): ALL teleport mass and ALL
+    dangling mass return to the seed set instead of spreading uniformly
+    — authority flows outward from the seeds, the TrustRank /
+    seed-domain-curation form.  Same integer recurrence with
+
+        tele(v)  = [v ∈ S] · ((1000−damping_pm)·n·unit) div (1000·|S|)
+        share(v) = [v ∈ S] · ((dangling div |S|) · damping_pm) div 1000
+
+    Seeds not present in the graph are ignored (|S| counts the
+    intersection); an empty intersection raises.  Total mass and the
+    overflow bound are unchanged (teleport redistributes, it doesn't
+    grow), so the same guard applies.
+
     Reference scope: the reference engine has no graph operators; this is
     beyond-parity capability (host/document authority scoring for
     web-curation quality weighting, the CommonCrawl host-rank use) with
-    semantics pinned by the unrolled-SQL oracle in ``queries.py``.
+    semantics pinned by the unrolled-SQL oracles in ``queries.py``
+    (``graph_pagerank``, ``graph_pagerank_seeded``).
     """
     if not 0 < damping_pm < 1000:
         raise ValueError("damping_pm must be in (0, 1000), got "
@@ -334,15 +351,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         raise ValueError(
             f"(n + 1) * unit = {(n + 1) * unit} risks 64-bit overflow; "
             f"pass unit <= {2 ** 62 // (n + 1)} for this graph")
-    teleport = ((1000 - damping_pm) * unit) // 1000
-    # (id, rank, outdeg) — outdeg rides with the rank vector so the loop
-    # never re-joins deg; NULL outdeg marks a dangling node.  Whether any
-    # dangling node EXISTS is topology, not rank state — decided once
-    # here, so the common all-nodes-emit case (symmetric dup/host graphs)
-    # never pays the per-iteration dangling-mass aggregate subtree.
+    # (id, rank, outdeg[, is_seed]) — outdeg (and seed membership) ride
+    # with the rank vector so the loop never re-joins them; NULL outdeg
+    # marks a dangling node.  Whether any dangling node EXISTS is
+    # topology, not rank state — decided once here, so the common
+    # all-nodes-emit case (symmetric dup/host graphs) never pays the
+    # per-iteration dangling-mass aggregate subtree.
     ranks = (nodes.join(deg, nodes["id"] == deg["u"], "left")
-             .select("id", F.lit(unit).cast("long").alias("r"), "outdeg")
-             .localCheckpoint(eager=True))
+             .select("id", F.lit(unit).cast("long").alias("r"), "outdeg"))
+    if seeds is not None:
+        sd = (seeds.select(F.col(seed_col).cast("long").alias("sid"))
+              .where(F.col("sid").isNotNull()).distinct())
+        ranks = (ranks.join(sd, ranks["id"] == sd["sid"], "left")
+                 .select("id", "r", "outdeg",
+                         F.col("sid").isNotNull().alias("is_seed")))
+        s_count = ranks.where("is_seed").count()
+        if s_count == 0:
+            raise ValueError(
+                "pagerank: no seed id appears in the graph — the "
+                "personalized teleport has nowhere to land")
+        seed_tele = ((1000 - damping_pm) * n * unit) // (1000 * s_count)
+        tele_col = F.when(F.col("is_seed"),
+                          F.lit(seed_tele)).otherwise(F.lit(0))
+    else:
+        s_count = 0
+        tele_col = F.lit(((1000 - damping_pm) * unit) // 1000)
+    ranks = ranks.localCheckpoint(eager=True)
     has_dangling = deg.count() < n
     for i in range(iterations):
         # `div` is SQL integer division — never `/`, which promotes to
@@ -353,7 +387,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                                   "div 1000").alias("c")))
         inflow = (e.join(contrib, e["u"] == contrib["cu"])
                   .groupBy("v").agg(F.sum("c").alias("inflow")))
-        new_r = (F.lit(teleport).cast("long")
+        new_r = (tele_col.cast("long")
                  + F.coalesce(F.col("inflow"), F.lit(0)))
         ranks = ranks.join(inflow, ranks["id"] == inflow["v"], "left")
         if has_dangling:
@@ -361,9 +395,16 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .agg(F.coalesce(F.sum("r"), F.lit(0))
                          .alias("__dang")))
             ranks = ranks.crossJoin(F.broadcast(dang))
-            new_r = new_r + F.expr(
-                f"((__dang div {n}) * {damping_pm}) div 1000")
-        ranks = ranks.select("id", new_r.alias("r"), "outdeg")
+            if seeds is not None:
+                new_r = new_r + F.when(
+                    F.col("is_seed"),
+                    F.expr(f"((__dang div {s_count}) * {damping_pm}) "
+                           "div 1000")).otherwise(F.lit(0))
+            else:
+                new_r = new_r + F.expr(
+                    f"((__dang div {n}) * {damping_pm}) div 1000")
+        keep = ["outdeg"] + (["is_seed"] if seeds is not None else [])
+        ranks = ranks.select("id", new_r.alias("r"), *keep)
         # checkpoint every other round: plan growth between checkpoints
         # is linear (one join + one agg per round), so k=2 halves the
         # materialization jobs while keeping the plan bounded; the LAST

@@ -69,7 +69,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
-    "pca_invariant", "events_transitions",
+    "pca_invariant", "events_transitions", "graph_pagerank_seeded",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5103,3 +5103,63 @@ def events_transitions(spark, sf_dir):
     from pandas_db_spark.operators import funnel as FU
     e = get_db(spark, sf_dir).events
     return FU.transition_counts(e.df, gap_minutes=15)
+
+
+def _pagerank_seeded_oracle(k: int) -> str:
+    """Unrolled personalized-PageRank replay: teleport and dangling mass
+    land only on the supplier side of the bipartite graph (ids below the
+    part offset).  Same MATERIALIZED discipline as the uniform oracle."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, "
+        f"l_partkey + {_PR_OFF} AS dst FROM lineitem "
+        f"UNION SELECT DISTINCT l_partkey + {_PR_OFF}, l_suppkey "
+        "FROM lineitem), "
+        "deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg "
+        "FROM e GROUP BY 1), "
+        "n AS MATERIALIZED (SELECT src AS id FROM e "
+        "UNION SELECT dst FROM e), "
+        "nn AS (SELECT count(*)::BIGINT AS cnt FROM n), "
+        f"sc AS (SELECT count(*)::BIGINT AS cnt FROM n "
+        f"WHERE id < {_PR_OFF}), "
+        f"r0 AS (SELECT id, {_PR_UNIT}::BIGINT AS r FROM n)",
+    ]
+    tele = (f"(CASE WHEN n.id < {_PR_OFF} THEN "
+            f"({1000 - _PR_DPM} * nn.cnt * {_PR_UNIT}) "
+            "// (1000 * sc.cnt) ELSE 0 END)")
+    share = (f"(CASE WHEN n.id < {_PR_OFF} THEN "
+             f"((d.dang // sc.cnt) * {_PR_DPM}) // 1000 ELSE 0 END)")
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS id, "
+            f"SUM(((r.r // d.outdeg) * {_PR_DPM}) // 1000)::BIGINT "
+            f"AS inflow FROM r{p} r JOIN deg d ON r.id = d.src "
+            f"JOIN e ON e.src = r.id GROUP BY 1)"
+            f", d{i} AS (SELECT COALESCE(SUM(r.r), 0)::BIGINT AS dang "
+            f"FROM r{p} r LEFT JOIN deg d ON r.id = d.src "
+            "WHERE d.src IS NULL)"
+            f", r{i} AS MATERIALIZED (SELECT n.id, ({tele} "
+            f"+ COALESCE(c.inflow, 0) + {share})::BIGINT AS r "
+            f"FROM n LEFT JOIN c{i} c ON n.id = c.id "
+            f"CROSS JOIN d{i} d CROSS JOIN nn CROSS JOIN sc)")
+    return "".join(parts) + f" SELECT id, r AS rank_fp FROM r{k}"
+
+
+@q("graph_pagerank_seeded", _pagerank_seeded_oracle(6))
+def graph_pagerank_seeded(spark, sf_dir):
+    """Personalized (seeded) fixed-point PageRank: all teleport and
+    dangling mass return to the SUPPLIER nodes — the TrustRank /
+    seed-domain form a curation pipeline uses to score authority
+    outward from trusted hosts.  Same one-job iterations and integer
+    exactness as graph_pagerank; the oracle replays the seeded
+    recurrence unrolled, bit-for-bit."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df
+    fwd = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                    (F.col("l_partkey") + _PR_OFF).cast("long")
+                    .alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    seeds = li.select(F.col("l_suppkey").cast("long").alias("id"))
+    return G.pagerank(edges, iterations=6, unit=_PR_UNIT,
+                      damping_pm=_PR_DPM, seeds=seeds)

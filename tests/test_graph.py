@@ -396,3 +396,77 @@ def test_append_components_randomized_equals_recompute(spark):
     cut = len(pairs) // 2
     assert (_cc_incremental(spark, pairs[:cut], pairs[cut:])
             == _cc_full(spark, pairs))
+
+
+def _pagerank_py_seeded(edges, seeds, iterations, damping_pm=850,
+                        unit=10 ** 9):
+    """Python replay of the personalized recurrence."""
+    from collections import defaultdict
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            out[u].add(v)
+    n = len(nodes)
+    s = sorted(set(seeds) & set(nodes))
+    tele = ((1000 - damping_pm) * n * unit) // (1000 * len(s))
+    r = {x: unit for x in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for u in nodes:
+            if out[u]:
+                c = ((r[u] // len(out[u])) * damping_pm) // 1000
+                for v in out[u]:
+                    inflow[v] += c
+        dang = sum(r[u] for u in nodes if not out[u])
+        share = ((dang // len(s)) * damping_pm) // 1000
+        r = {x: (tele if x in s else 0) + inflow[x]
+             + (share if x in s else 0) for x in nodes}
+    return r
+
+
+def test_pagerank_seeded_matches_replay_and_concentrates(spark):
+    """Personalized mode: seed {1} on a graph with a dangling sink —
+    teleport AND dangling mass return to the seed, so the seed's
+    neighborhood outranks the far side; exact match vs the Python
+    replay of the documented recurrence."""
+    from pandas_db_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5)]  # 5 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1,)], "id long")
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=6, seeds=sd).collect()}
+    assert got == _pagerank_py_seeded(edges, [1], 6)
+    # uniform mode differs (sanity that seeding changed the answer)
+    uni = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=6).collect()}
+    assert got != uni
+    assert got[1] > uni[1]
+
+
+def test_pagerank_seeded_all_nodes_equals_uniform_shape(spark):
+    """Seeding EVERY node reproduces uniform PageRank up to the per-node
+    floor difference: tele_all = ((150·n·unit) div (1000·n)) vs uniform
+    ((150·unit) div 1000) differ by < 1 unit step, so ranks match within
+    iterations ulps of the fixed-point grid."""
+    from pandas_db_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sd = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    seeded = {r["id"]: r["rank_fp"]
+              for r in pagerank(df, iterations=5, seeds=sd).collect()}
+    uni = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=5).collect()}
+    assert all(abs(seeded[k] - uni[k]) <= 10 for k in uni)
+
+
+def test_pagerank_seeded_unknown_seed_raises(spark):
+    import pytest as _pt
+    from pandas_db_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sd = spark.createDataFrame([(99,)], "id long")
+    with _pt.raises(ValueError, match="no seed id appears"):
+        pagerank(df, iterations=2, seeds=sd)
