@@ -116,6 +116,13 @@ HEADLINE = [
     "corpus_drift",       # snapshot TVD drift: pre-aggregated vocab full-outer join (r10 add)
     "span_candidates_winnowed",  # winnowed ~2/(w+1)-density span index, string-verified (r11 add)
     "bm25_stream_topk",   # streaming BM25 index: 2-batch build + tbucket-pruned serve (r12 add)
+    "graph_pagerank",     # fixed-point PageRank: 6 one-job iterations, rank vector broadcast vs stationary edges (r12 add)
+    "dedup_components_incremental",  # quotient-graph CC append: batch-bounded CC + broadcast relabel scan (r12 add)
+    "stream_drift_tvd",   # 2-batch drift monitor replay: vocab-sized folds, exact-int TVD (r12 add)
+    "events_transitions", # Markov edges: sessionize+lead in one sort, map-side pair counts (r12 add)
+    "pca_invariant",      # exact-int Gram fit (one Arrow pass) + JVM projection variance check (r12 add)
+    # (graph_pagerank_seeded shares graph_pagerank's plan shape — one
+    #  bench row for the family is enough.)
     # (classifier_fit_score / langid_fit_score are iterative FITS —
     #  n_iter driver-reduced gradient steps, ~25 s by construction —
     #  correctness surface like semdedup, not a perf surface; their

@@ -490,3 +490,75 @@ def append_components(labels: DataFrame, new_pairs: DataFrame,
              .select(F.col("node").alias("id"),
                      F.coalesce("__new", "lab").alias("component")))
     return updated.union(fresh)
+
+
+# =====================================================================
+# Triangle counting (degree-oriented wedge join)
+# =====================================================================
+
+def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph —
+    ``(id, n_tri)`` for every node in at least one triangle, exact
+    64-bit integers (hash-oracle-able; a triangle {u,v,w} adds 1 to each
+    member).
+
+    Algorithm: the standard degree-orientation wedge join (the
+    MapReduce/GraphX scheme).  Every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, making the oriented
+    out-degree of ANY node ≤ O(√m) amortized — the join below therefore
+    never builds the quadratic wedge list a raw adjacency self-join
+    would on a celebrity node (the scale cliff in naive triangle
+    counting on power-law graphs).  Three steps, all edge-sized
+    shuffles: orient (one groupBy for degrees + one broadcast-free
+    join), wedge (self-join of the oriented set on the source), close
+    (semi-join the wedge's (v, w) endpoints against the oriented set).
+
+    Self-loops and duplicate/reversed pairs are normalized away first;
+    ids must be orderable.  Bipartite graphs return empty (no odd
+    cycles) — use a co-occurrence projection first, as the
+    ``graph_triangles`` registry query does.
+    """
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("x"))
+           .union(e.select(F.col("b").alias("x")))
+           .groupBy("x").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    # orient low-(deg, id) -> high-(deg, id)
+    o = (e.join(da, "a").join(db, "b")
+         .select(F.when((F.col("da") < F.col("db"))
+                        | ((F.col("da") == F.col("db"))
+                           & (F.col("a") < F.col("b"))),
+                        F.struct(F.col("a").alias("u"),
+                                 F.col("b").alias("v")))
+                 .otherwise(F.struct(F.col("b").alias("u"),
+                                     F.col("a").alias("v")))
+                 .alias("e"))
+         .select("e.u", "e.v")
+         .localCheckpoint(eager=True))
+    # rank of the oriented heads, for a canonical wedge order (each
+    # unordered out-pair generated once)
+    o1 = o.select(F.col("u"), F.col("v").alias("w1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("w2"))
+    rk = deg.select(F.col("x"), F.col("d"))
+    r1 = rk.select(F.col("x").alias("w1"), F.col("d").alias("d1"))
+    r2 = rk.select(F.col("x").alias("w2"), F.col("d").alias("d2"))
+    wedges = (o1.join(o2, "u")
+              .join(r1, "w1").join(r2, "w2")
+              .where((F.col("d1") < F.col("d2"))
+                     | ((F.col("d1") == F.col("d2"))
+                        & (F.col("w1") < F.col("w2"))))
+              .select("u", "w1", "w2"))
+    closed = wedges.join(
+        o.select(F.col("u").alias("w1"), F.col("v").alias("w2")),
+        ["w1", "w2"], "left_semi")
+    members = (closed.select(F.col("u").alias("id"))
+               .union(closed.select(F.col("w1").alias("id")))
+               .union(closed.select(F.col("w2").alias("id"))))
+    return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))

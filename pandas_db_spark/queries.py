@@ -70,6 +70,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
+    "graph_triangles",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5163,3 +5164,51 @@ def graph_pagerank_seeded(spark, sf_dir):
     seeds = li.select(F.col("l_suppkey").cast("long").alias("id"))
     return G.pagerank(edges, iterations=6, unit=_PR_UNIT,
                       damping_pm=_PR_DPM, seeds=seeds)
+
+
+_TRI_ORACLE = """
+WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 35),
+e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+deg AS MATERIALIZED (SELECT x, count(*)::BIGINT AS d FROM
+  (SELECT a AS x FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+o AS MATERIALIZED (SELECT
+  CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+       THEN e.a ELSE e.b END AS u,
+  CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+       THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON da.x = e.a JOIN deg db ON db.x = e.b),
+w AS (SELECT o1.u AS u, o1.v AS w1, o2.v AS w2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u
+  JOIN deg d1 ON d1.x = o1.v JOIN deg d2 ON d2.x = o2.v
+  WHERE (d1.d < d2.d) OR (d1.d = d2.d AND o1.v < o2.v)),
+t AS (SELECT u, w1, w2 FROM w
+  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.w1 AND o.v = w.w2)),
+m AS (SELECT u AS id FROM t UNION ALL SELECT w1 FROM t
+  UNION ALL SELECT w2 FROM t)
+SELECT id, count(*)::BIGINT AS n_tri FROM m GROUP BY 1
+"""
+
+
+@q("graph_triangles", _TRI_ORACLE)
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_counts) over
+    the part co-purchase graph (parts sharing a high-quantity order):
+    degree-orientation bounds every node's oriented out-degree at
+    O(sqrt(m)) amortized, so the wedge self-join never builds the
+    quadratic adjacency list a celebrity node would force — the
+    clustering-coefficient primitive community detection and spam-graph
+    screens run.  Exact integers; the oracle replays the identical
+    orientation + wedge + closure in SQL."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    lp = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p")).distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("id_a"),
+                     F.col("b.p").alias("id_b")))
+    return G.triangle_counts(pairs)

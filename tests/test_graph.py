@@ -470,3 +470,70 @@ def test_pagerank_seeded_unknown_seed_raises(spark):
     sd = spark.createDataFrame([(99,)], "id long")
     with _pt.raises(ValueError, match="no seed id appears"):
         pagerank(df, iterations=2, seeds=sd)
+
+
+# ---------------------------------------------------------------------
+# triangle_counts — degree-oriented wedge join
+# ---------------------------------------------------------------------
+
+def _triangles_py(edges):
+    import itertools
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    cnt = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for x in (u, v, w):
+                cnt[x] = cnt.get(x, 0) + 1
+    return cnt
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    import random
+    from pandas_db_spark.operators.graph import triangle_counts
+
+    rng = random.Random(5)
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(25), rng.randrange(25))
+                                 for _ in range(120)) if a != b})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == _triangles_py(edges)
+
+
+def test_triangle_counts_normalizes_input(spark):
+    """Self-loops dropped; duplicate and reversed pairs collapse — the
+    count is a property of the simple graph, not the pair multiset."""
+    from pandas_db_spark.operators.graph import triangle_counts
+
+    clean = [(1, 2), (2, 3), (1, 3)]
+    noisy = clean + [(2, 1), (3, 2), (1, 1), (1, 2)]
+    df = spark.createDataFrame(noisy, "id_a long, id_b long")
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_triangle_free_graphs(spark):
+    """A bipartite (square) graph and a tree both return empty."""
+    from pandas_db_spark.operators.graph import triangle_counts
+
+    square = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "id_a long, id_b long")
+    assert triangle_counts(square).count() == 0
+    tree = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long")
+    assert triangle_counts(tree).count() == 0
+
+
+def test_triangle_counts_k5_complete(spark):
+    """K5: every node is in C(4,2) = 6 triangles."""
+    import itertools
+    from pandas_db_spark.operators.graph import triangle_counts
+
+    edges = list(itertools.combinations(range(5), 2))
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["n_tri"] for r in triangle_counts(df).collect()}
+    assert got == {i: 6 for i in range(5)}
