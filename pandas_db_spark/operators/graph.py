@@ -260,7 +260,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 6, damping_pm: int = 850,
              unit: int = 10 ** 9, max_iter_guard: int = 64,
              seeds: DataFrame | None = None,
-             seed_col: str = "id") -> DataFrame:
+             seed_col: str = "id",
+             weight_col: str | None = None) -> DataFrame:
     """PageRank over a directed edge set, computed in EXACT 64-bit
     fixed-point arithmetic so the result is bit-identical across engines,
     runs, and partitionings.
@@ -319,6 +320,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     overflow bound are unchanged (teleport redistributes, it doesn't
     grow), so the same guard applies.
 
+    **Weighted mode** (``weight_col`` given — positive integer edge
+    weights; duplicate (src, dst) rows SUM):
+
+        contrib(u→v) = (((rank(u) · w_uv) div wstrength(u))
+                        · damping_pm) div 1000
+
+    with ``wstrength`` the node's total outgoing weight — per-EDGE
+    integer ops instead of the unweighted per-node divide, still exact
+    and engine-replayable.  The multiply tightens the overflow bound to
+    ``(n + 1) · unit · max(w) < 2⁶²``, checked at entry (lower ``unit``
+    for heavy-weight graphs); weights < 1 raise.
+
     Reference scope: the reference engine has no graph operators; this is
     beyond-parity capability (host/document authority scoring for
     web-curation quality weighting, the CommonCrawl host-rank use) with
@@ -333,24 +346,40 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                          f"got {iterations}")
     if unit < 1000:
         raise ValueError(f"unit must be >= 1000, got {unit}")
-    e = (edges.select(F.col(src).cast("long").alias("u"),
-                      F.col(dst).cast("long").alias("v"))
-         .where(F.col("u").isNotNull() & F.col("v").isNotNull()
-                & (F.col("u") != F.col("v")))
-         .distinct()
-         .repartition("u")
-         .localCheckpoint(eager=True))
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        *([F.col(weight_col).cast("long").alias("w")]
+          if weight_col is not None else []))
+    base = base.where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                      & (F.col("u") != F.col("v")))
+    if weight_col is not None:
+        e = (base.groupBy("u", "v").agg(F.sum("w").alias("w"))
+             .repartition("u").localCheckpoint(eager=True))
+        wstats = e.agg(F.min("w").alias("lo"),
+                       F.max("w").alias("hi")).collect()[0]
+        w_min = wstats["lo"] if wstats["lo"] is not None else 1
+        w_max = wstats["hi"] if wstats["hi"] is not None else 1
+        if w_min < 1:
+            raise ValueError(
+                f"pagerank: edge weights must be >= 1, found {w_min}")
+        deg = e.groupBy("u").agg(F.sum("w").alias("outdeg"))
+    else:
+        w_max = 1
+        e = (base.distinct().repartition("u")
+             .localCheckpoint(eager=True))
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (e.select("u").union(e.select(F.col("v").alias("u")))
              .distinct().select(F.col("u").alias("id"))
              .localCheckpoint(eager=True))
     n = nodes.count()
     if n == 0:
         return nodes.select("id", F.lit(0).cast("long").alias("rank_fp"))
-    if (n + 1) * unit >= 2 ** 62:
+    if (n + 1) * unit * w_max >= 2 ** 62:
         raise ValueError(
-            f"(n + 1) * unit = {(n + 1) * unit} risks 64-bit overflow; "
-            f"pass unit <= {2 ** 62 // (n + 1)} for this graph")
+            f"(n + 1) * unit * max_weight = {(n + 1) * unit * w_max} "
+            "risks 64-bit overflow; pass unit <= "
+            f"{2 ** 62 // ((n + 1) * w_max)} for this graph")
     # (id, rank, outdeg[, is_seed]) — outdeg (and seed membership) ride
     # with the rank vector so the loop never re-joins them; NULL outdeg
     # marks a dangling node.  Whether any dangling node EXISTS is
@@ -381,12 +410,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     for i in range(iterations):
         # `div` is SQL integer division — never `/`, which promotes to
         # double and loses exactness past 2^53
-        contrib = (ranks.where(F.col("outdeg").isNotNull())
-                   .select(F.col("id").alias("cu"),
-                           F.expr(f"((r div outdeg) * {damping_pm}) "
-                                  "div 1000").alias("c")))
-        inflow = (e.join(contrib, e["u"] == contrib["cu"])
-                  .groupBy("v").agg(F.sum("c").alias("inflow")))
+        if weight_col is not None:
+            rv = (ranks.where(F.col("outdeg").isNotNull())
+                  .select(F.col("id").alias("cu"), "r",
+                          F.col("outdeg").alias("ws")))
+            inflow = (e.join(rv, e["u"] == rv["cu"])
+                      .select("v", F.expr(
+                          f"(((r * w) div ws) * {damping_pm}) div 1000")
+                          .alias("c"))
+                      .groupBy("v").agg(F.sum("c").alias("inflow")))
+        else:
+            contrib = (ranks.where(F.col("outdeg").isNotNull())
+                       .select(F.col("id").alias("cu"),
+                               F.expr(f"((r div outdeg) * {damping_pm}) "
+                                      "div 1000").alias("c")))
+            inflow = (e.join(contrib, e["u"] == contrib["cu"])
+                      .groupBy("v").agg(F.sum("c").alias("inflow")))
         new_r = (tele_col.cast("long")
                  + F.coalesce(F.col("inflow"), F.lit(0)))
         ranks = ranks.join(inflow, ranks["id"] == inflow["v"], "left")

@@ -70,7 +70,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
-    "graph_triangles",
+    "graph_triangles", "graph_pagerank_weighted",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5212,3 +5212,58 @@ def graph_triangles(spark, sf_dir):
              .select(F.col("a.p").alias("id_a"),
                      F.col("b.p").alias("id_b")))
     return G.triangle_counts(pairs)
+
+
+def _pagerank_weighted_oracle(k: int) -> str:
+    """Unrolled weighted replay: edge weight = lineitem multiplicity of
+    the (supplier, part) pair, per-edge (((r·w) // ws) · dpm) // 1000."""
+    tele = ((1000 - _PR_DPM) * _PR_UNIT) // 1000
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT AS w "
+        "FROM (SELECT l_suppkey AS src, "
+        f"l_partkey + {_PR_OFF} AS dst FROM lineitem "
+        f"UNION ALL SELECT l_partkey + {_PR_OFF}, l_suppkey "
+        "FROM lineitem) GROUP BY 1, 2), "
+        "deg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS ws "
+        "FROM e GROUP BY 1), "
+        "n AS MATERIALIZED (SELECT src AS id FROM e "
+        "UNION SELECT dst FROM e), "
+        "nn AS (SELECT count(*)::BIGINT AS cnt FROM n), "
+        f"r0 AS (SELECT id, {_PR_UNIT}::BIGINT AS r FROM n)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS id, "
+            f"SUM((((r.r * e.w) // d.ws) * {_PR_DPM}) // 1000)::BIGINT "
+            f"AS inflow FROM r{p} r JOIN deg d ON r.id = d.src "
+            f"JOIN e ON e.src = r.id GROUP BY 1)"
+            f", d{i} AS (SELECT COALESCE(SUM(r.r), 0)::BIGINT AS dang "
+            f"FROM r{p} r LEFT JOIN deg d ON r.id = d.src "
+            "WHERE d.src IS NULL)"
+            f", r{i} AS MATERIALIZED (SELECT n.id, ({tele}::BIGINT "
+            "+ COALESCE(c.inflow, 0) "
+            f"+ ((d.dang // nn.cnt) * {_PR_DPM}) // 1000)::BIGINT AS r "
+            f"FROM n LEFT JOIN c{i} c ON n.id = c.id "
+            f"CROSS JOIN d{i} d CROSS JOIN nn)")
+    return "".join(parts) + f" SELECT id, r AS rank_fp FROM r{k}"
+
+
+@q("graph_pagerank_weighted", _pagerank_weighted_oracle(6))
+def graph_pagerank_weighted(spark, sf_dir):
+    """Edge-WEIGHTED fixed-point PageRank: weight = how many lineitems
+    tie the supplier to the part, so heavily co-supplied pairs carry
+    proportionally more authority — the form host-graph curation uses
+    when link multiplicity matters.  Per-edge integer ops
+    ((r·w div wstrength)·dpm div 1000), same one-job iterations, oracle
+    replays the weighted recurrence unrolled bit-for-bit."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df
+    fwd = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                    (F.col("l_partkey") + _PR_OFF).cast("long")
+                    .alias("dst"),
+                    F.lit(1).cast("long").alias("w"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"), "w"))
+    return G.pagerank(edges, iterations=6, unit=_PR_UNIT,
+                      damping_pm=_PR_DPM, weight_col="w")

@@ -537,3 +537,72 @@ def test_triangle_counts_k5_complete(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["n_tri"] for r in triangle_counts(df).collect()}
     assert got == {i: 6 for i in range(5)}
+
+
+def _pagerank_py_weighted(wedges, iterations, damping_pm=850,
+                          unit=10 ** 9):
+    """Python replay of the weighted recurrence (duplicate edges summed
+    by the operator before it sees them — pass pre-summed here)."""
+    from collections import defaultdict
+    nodes = sorted({u for u, _, _ in wedges} | {v for _, v, _ in wedges})
+    out = defaultdict(dict)
+    for u, v, w in wedges:
+        out[u][v] = out[u].get(v, 0) + w
+    n = len(nodes)
+    tele = ((1000 - damping_pm) * unit) // 1000
+    r = {x: unit for x in nodes}
+    for _ in range(iterations):
+        inflow = defaultdict(int)
+        for u in nodes:
+            ws = sum(out[u].values())
+            for v, w in out[u].items():
+                inflow[v] += (((r[u] * w) // ws) * damping_pm) // 1000
+        dang = sum(r[u] for u in nodes if not out[u])
+        share = ((dang // n) * damping_pm) // 1000
+        r = {x: tele + inflow[x] + share for x in nodes}
+    return r
+
+
+def test_pagerank_weighted_matches_replay(spark):
+    """Weighted mode: heavy edge 1->2 (w=9) vs light 1->3 (w=1) — node 2
+    receives ~9x node 3's inflow from 1; exact match vs the Python
+    replay, duplicate (src, dst) rows summed."""
+    from pandas_db_spark.operators.graph import pagerank
+
+    rows = [(1, 2, 4), (1, 2, 5), (1, 3, 1), (2, 1, 2), (3, 1, 2)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r["id"]: r["rank_fp"]
+           for r in pagerank(df, iterations=5,
+                             weight_col="w").collect()}
+    assert got == _pagerank_py_weighted(
+        [(1, 2, 9), (1, 3, 1), (2, 1, 2), (3, 1, 2)], 5)
+    assert got[2] > got[3]
+
+
+def test_pagerank_weighted_uniform_weights_equal_unweighted(spark):
+    """All weights 1 reproduce the unweighted recurrence exactly —
+    (((r*1) div d) * dpm) div 1000 == ((r div d) * dpm) div 1000."""
+    from pandas_db_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    wdf = spark.createDataFrame([(a, b, 1) for a, b in edges],
+                                "src long, dst long, w long")
+    assert ({r["id"]: r["rank_fp"] for r in
+             pagerank(df, iterations=4).collect()}
+            == {r["id"]: r["rank_fp"] for r in
+                pagerank(wdf, iterations=4, weight_col="w").collect()})
+
+
+def test_pagerank_weighted_validation(spark):
+    import pytest as _pt
+    from pandas_db_spark.operators.graph import pagerank
+
+    bad = spark.createDataFrame([(1, 2, 0)],
+                                "src long, dst long, w long")
+    with _pt.raises(ValueError, match="weights must be >= 1"):
+        pagerank(bad, iterations=2, weight_col="w")
+    heavy = spark.createDataFrame([(1, 2, 2 ** 52)],
+                                  "src long, dst long, w long")
+    with _pt.raises(ValueError, match="overflow"):
+        pagerank(heavy, iterations=2, weight_col="w")
