@@ -121,8 +121,9 @@ HEADLINE = [
     "stream_drift_tvd",   # 2-batch drift monitor replay: vocab-sized folds, exact-int TVD (r12 add)
     "events_transitions", # Markov edges: sessionize+lead in one sort, map-side pair counts (r12 add)
     "pca_invariant",      # exact-int Gram fit (one Arrow pass) + JVM projection variance check (r12 add)
-    # (graph_pagerank_seeded shares graph_pagerank's plan shape — one
-    #  bench row for the family is enough.)
+    "graph_triangles",    # degree-oriented wedge join, O(sqrt(m)) out-degree bound (r12 add)
+    # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
+    #  shape — one bench row for the power-iteration family is enough.)
     # (classifier_fit_score / langid_fit_score are iterative FITS —
     #  n_iter driver-reduced gradient steps, ~25 s by construction —
     #  correctness surface like semdedup, not a perf surface; their

@@ -141,7 +141,8 @@ def transition_counts(events: DataFrame, gap_minutes: int = 15,
     drop points).  Plan: :func:`sessionize`'s single keyed window + one
     ``lead`` over the same (user, ts, tiebreak) ordering — Catalyst
     folds both into ONE sort/shuffle — then a map-side-combined
-    ``groupBy(from, to)`` and a tiny broadcast of per-from totals.
+    ``groupBy(from, to)`` with per-from totals as a window over the
+    already-aggregated (|types|², tiny) edge table.
     Session boundaries (and the last event of each session) emit no
     pair; NULL users or types are excluded up front."""
     e = events.where(F.col(user_col).isNotNull()
@@ -149,12 +150,25 @@ def transition_counts(events: DataFrame, gap_minutes: int = 15,
     s = sessionize(e, gap_minutes, user_col, ts_col, order_cols)
     from pyspark.sql import Window
     order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
-    w = Window.partitionBy(user_col, "session_idx").orderBy(*order)
+    # lead over the USER window — the same (user, ts, tiebreak) sort
+    # sessionize already established, so no second Exchange (a
+    # (user, session_idx) window would re-partition: HashPartitioning
+    # on user does not satisfy it even though sessions nest in users).
+    # Cross-session successors are dropped by the session-idx equality.
+    w = Window.partitionBy(user_col).orderBy(*order)
     pairs = (s.select(F.col(type_col).alias("from_type"),
-                      F.lead(F.col(type_col)).over(w).alias("to_type"))
-             .where(F.col("to_type").isNotNull()))
+                      F.lead(F.col(type_col)).over(w).alias("to_type"),
+                      F.col("session_idx"),
+                      F.lead(F.col("session_idx")).over(w)
+                      .alias("__next_sess"))
+             .where(F.col("to_type").isNotNull()
+                    & (F.col("__next_sess") == F.col("session_idx"))))
     n = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n"))
-    totals = n.groupBy("from_type").agg(F.sum("n").alias("n_from"))
-    return n.join(F.broadcast(totals), "from_type").select(
-        "from_type", "to_type", "n", "n_from")
+    # per-from totals as a window over the ALREADY-AGGREGATED edge
+    # table (|types|^2 rows) — a groupBy-and-join-back would plan the
+    # whole pair subtree twice (measured: the broadcast side re-ran
+    # scan -> windows -> count)
+    tw = Window.partitionBy("from_type")
+    return n.select("from_type", "to_type", "n",
+                    F.sum("n").over(tw).cast("long").alias("n_from"))

@@ -566,30 +566,30 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
          .localCheckpoint(eager=True))
     deg = (e.select(F.col("a").alias("x"))
            .union(e.select(F.col("b").alias("x")))
-           .groupBy("x").agg(F.count(F.lit(1)).alias("d")))
+           .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
     da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
-    # orient low-(deg, id) -> high-(deg, id)
+    # orient low-(deg, id) -> high-(deg, id); the HEAD's degree rides
+    # along so the wedge stage never re-joins the degree table
     o = (e.join(da, "a").join(db, "b")
          .select(F.when((F.col("da") < F.col("db"))
                         | ((F.col("da") == F.col("db"))
                            & (F.col("a") < F.col("b"))),
                         F.struct(F.col("a").alias("u"),
-                                 F.col("b").alias("v")))
+                                 F.col("b").alias("v"),
+                                 F.col("db").alias("dv")))
                  .otherwise(F.struct(F.col("b").alias("u"),
-                                     F.col("a").alias("v")))
+                                     F.col("a").alias("v"),
+                                     F.col("da").alias("dv")))
                  .alias("e"))
-         .select("e.u", "e.v")
+         .select("e.u", "e.v", "e.dv")
          .localCheckpoint(eager=True))
-    # rank of the oriented heads, for a canonical wedge order (each
-    # unordered out-pair generated once)
-    o1 = o.select(F.col("u"), F.col("v").alias("w1"))
-    o2 = o.select(F.col("u"), F.col("v").alias("w2"))
-    rk = deg.select(F.col("x"), F.col("d"))
-    r1 = rk.select(F.col("x").alias("w1"), F.col("d").alias("d1"))
-    r2 = rk.select(F.col("x").alias("w2"), F.col("d").alias("d2"))
+    # canonical wedge order by the carried (deg, id) rank — each
+    # unordered out-pair generated once, zero extra joins
+    o1 = o.select("u", F.col("v").alias("w1"), F.col("dv").alias("d1"))
+    o2 = o.select("u", F.col("v").alias("w2"), F.col("dv").alias("d2"))
     wedges = (o1.join(o2, "u")
-              .join(r1, "w1").join(r2, "w2")
               .where((F.col("d1") < F.col("d2"))
                      | ((F.col("d1") == F.col("d2"))
                         & (F.col("w1") < F.col("w2"))))
@@ -597,7 +597,8 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
     closed = wedges.join(
         o.select(F.col("u").alias("w1"), F.col("v").alias("w2")),
         ["w1", "w2"], "left_semi")
-    members = (closed.select(F.col("u").alias("id"))
-               .union(closed.select(F.col("w1").alias("id")))
-               .union(closed.select(F.col("w2").alias("id"))))
+    # one explode, not a 3-way union — a union would re-plan the wedge
+    # join once per branch (measured: 13 -> 5 static exchanges)
+    members = closed.select(
+        F.explode(F.array("u", "w1", "w2")).alias("id"))
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -5098,7 +5098,8 @@ def events_transitions(spark, sf_dir):
     """First-order Markov transition matrix over 15-minute sessions
     (operators/funnel.transition_counts): sessionize's keyed window and
     the next-event lead fold into ONE sort/shuffle, then a map-side-
-    combined pair count with per-from totals broadcast back — the
+    combined pair count with per-from totals as a window over the
+    tiny aggregated edge table — the
     every-edge sibling of the single-path funnel.  Exact integer counts;
     the probability division stays out of the hashed surface."""
     from pandas_db_spark.operators import funnel as FU
