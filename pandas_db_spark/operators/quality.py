@@ -178,3 +178,69 @@ def check_expectations_by(df: DataFrame, group_cols: Sequence[str],
     return stacked.select(
         *group_cols, "rule", "violations", "n_rows",
         (F.col("violations") == 0).alias("ok"))
+
+
+def k_anonymize(df: DataFrame, quasi_cols: Sequence[str], k: int,
+                mode: str = "suppress",
+                redacted: str = "*") -> DataFrame:
+    """k-anonymity over quasi-identifier columns — the release gate a
+    training-data pipeline runs before publishing per-record metadata
+    (who contributed, from where, when): every surviving combination of
+    ``quasi_cols`` values must be shared by at least ``k`` rows, so no
+    record is isolatable by those attributes (Sweeney 2002's model; the
+    structured-data complement of the text-side PII redaction in
+    ``functions/text``).
+
+    ``mode="suppress"`` (default) DROPS rows whose quasi-group has
+    fewer than ``k`` members; ``mode="redact"`` keeps every row but
+    overwrites ALL quasi columns of under-k rows with ``redacted``
+    (string quasi columns only — the redacted rows then form one
+    merged group, which satisfies k-anonymity whenever it reaches size
+    k; it may remain smaller, which suppress-mode callers care about,
+    so redact-mode is for cardinality-preserving exports).  NULL is a
+    value like any other (two NULL-city rows are the same group —
+    SQL ``GROUP BY`` semantics on both engines).
+
+    Plan shape: one map-side-combined ``groupBy(quasi_cols)`` count of
+    the (small, group-cardinality-sized) combination table, broadcast
+    back as a semi/anti filter — the corpus itself never shuffles, so
+    this composes with any scan at any scale.  Exact integer counts:
+    the survivor set hash-matches a SQL replay.
+    """
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("k_anonymize: quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k_anonymize: k must be >= 1, got {k}")
+    if mode not in ("suppress", "redact"):
+        raise ValueError(
+            f"k_anonymize: mode must be 'suppress' or 'redact', "
+            f"got {mode!r}")
+    groups = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("__gn"))
+    small = groups.where(F.col("__gn") < k).drop("__gn")
+    if mode == "suppress":
+        # null-safe anti join: NULL quasi values must match themselves
+        cond = None
+        for c in quasi:
+            eq = df[c].eqNullSafe(small[c])
+            cond = eq if cond is None else cond & eq
+        return df.join(F.broadcast(small), cond, "left_anti")
+    # rename the (self-join-derived) small side so column refs stay
+    # unambiguous under Spark's self-join lineage check
+    sm = small.select(*[F.col(c).alias(f"__q_{i}")
+                        for i, c in enumerate(quasi)],
+                      F.lit(1).alias("__small"))
+    flag = None
+    for i, c in enumerate(quasi):
+        eq = F.col(c).eqNullSafe(F.col(f"__q_{i}"))
+        flag = eq if flag is None else flag & eq
+    marked = df.join(F.broadcast(sm), flag, "left")
+    out_cols = []
+    for c in df.columns:
+        if c in quasi:
+            out_cols.append(
+                F.when(F.col("__small").isNotNull(), F.lit(redacted))
+                .otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return marked.select(*out_cols)

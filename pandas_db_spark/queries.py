@@ -70,7 +70,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
-    "graph_triangles", "graph_pagerank_weighted",
+    "graph_triangles", "graph_pagerank_weighted", "k_anonymity",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5268,3 +5268,26 @@ def graph_pagerank_weighted(spark, sf_dir):
                                  F.col("src").alias("dst"), "w"))
     return G.pagerank(edges, iterations=6, unit=_PR_UNIT,
                       damping_pm=_PR_DPM, weight_col="w")
+
+
+@q("k_anonymity",
+   "WITH b AS (SELECT doc_id, lang, source, n_chars // 500 AS len_bucket "
+   "FROM documents), "
+   "g AS (SELECT *, count(*) OVER (PARTITION BY lang, source, "
+   "len_bucket) AS gn FROM b) "
+   "SELECT doc_id, lang, source, len_bucket::BIGINT AS len_bucket "
+   "FROM g WHERE gn >= 5")
+def k_anonymity(spark, sf_dir):
+    """k-anonymity release gate (operators/quality.k_anonymize, k=5)
+    over the (lang, source, length-bucket) quasi-identifier tuple: 90
+    of the sf0.01 combination groups fall under k, so the suppress
+    filter genuinely binds.  One map-side-combined count of the tiny
+    combination table broadcast back as a null-safe anti join — the
+    corpus never shuffles.  The oracle replays group sizes as a window
+    count, so NULL-valued quasi tuples group identically on both
+    engines."""
+    from pandas_db_spark.operators.quality import k_anonymize
+    d = (get_db(spark, sf_dir).documents.df
+         .select("doc_id", "lang", "source",
+                 F.expr("n_chars div 500").alias("len_bucket")))
+    return k_anonymize(d, ["lang", "source", "len_bucket"], k=5)
