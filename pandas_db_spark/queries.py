@@ -71,6 +71,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
     "graph_triangles", "graph_pagerank_weighted", "k_anonymity",
+    "stream_drift_alert",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5291,3 +5292,37 @@ def k_anonymity(spark, sf_dir):
          .select("doc_id", "lang", "source",
                  F.expr("n_chars div 500").alias("len_bucket")))
     return k_anonymize(d, ["lang", "source", "len_bucket"], k=5)
+
+
+@q("stream_drift_alert",
+   "SELECT * FROM ("
+   "SELECT 0::BIGINT AS batch_id, * FROM "
+   + _drift_batch_sql("doc_id % 4 = 1", "doc_id % 2 = 0")
+   + " UNION ALL SELECT 1::BIGINT AS batch_id, * FROM "
+   + _drift_batch_sql("doc_id % 2 = 1", "doc_id % 2 = 0")
+   + ") WHERE tvd_num::DECIMAL(38,0) * 1000000 "
+   "> 30000::DECIMAL(38,0) * 2 * n_corpus * n_ref")
+def stream_drift_alert(spark, sf_dir):
+    """Drift alerting (streaming/monitor.drift_alert): the same
+    two-batch monitor replay as stream_drift_tvd, thresholded at
+    30000 ppm — a level that FIRES on the small first batch and stays
+    quiet once the second batch pulls the cumulative mix back toward
+    the reference, so both alert branches bind.  The threshold compare
+    is exact DECIMAL(38) cross-multiplication on both engines (the
+    int64 surface never holds the product)."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   drift_alert)
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    mon = tempfile.mkdtemp(prefix="pds_drift_alert_")
+    try:
+        append_drift_batch(d.where(F.col("doc_id") % 4 == 1), 0, mon,
+                           reference_df=ref)
+        append_drift_batch(d.where(F.col("doc_id") % 4 == 3), 1, mon)
+        rows = drift_alert(spark, mon, threshold_ppm=30000).collect()
+    finally:
+        shutil.rmtree(mon, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "batch_id long, tvd_num long, n_corpus long, n_ref long")

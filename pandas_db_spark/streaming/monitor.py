@@ -165,3 +165,24 @@ def compact_drift_counts(spark: SparkSession, monitor_dir: str,
         if folded is not None:
             report[sub] = folded
     return report
+
+
+def drift_alert(spark: SparkSession, monitor_dir: str,
+                threshold_ppm: int) -> DataFrame:
+    """Batches whose cumulative drift exceeded the budget: rows of
+    :func:`drift_history` with ``TVD > threshold_ppm / 1e6`` — the
+    trigger a rolling ingest wires to pause intake or page when a crawl
+    shifts the mix.  The compare runs as EXACT DECIMAL(38) integer
+    cross-multiplication (``tvd_num·10⁶ > thr·2·n_corpus·n_ref`` — both
+    sides can exceed int64, so the int64 surface is never trusted with
+    the product), keeping the alert decision bit-identical to any SQL
+    replay, same as the series itself."""
+    if threshold_ppm < 0:
+        raise ValueError(
+            f"threshold_ppm must be >= 0, got {threshold_ppm}")
+    h = drift_history(spark, monitor_dir)
+    d = "decimal(38,0)"
+    lhs = F.col("tvd_num").cast(d) * F.lit(1_000_000).cast(d)
+    rhs = (F.lit(int(threshold_ppm)).cast(d) * F.lit(2).cast(d)
+           * F.col("n_corpus").cast(d) * F.col("n_ref").cast(d))
+    return h.where(lhs > rhs)

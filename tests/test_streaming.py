@@ -1601,3 +1601,39 @@ def test_drift_monitor_quiesce_compact_resume(spark, tmp_path):
     got = drift_history(spark, mon).where("batch_id = 2").collect()[0]
     want = drift_history(spark, mon2).where("batch_id = 2").collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_drift_alert_thresholds_fire_both_ways(spark, tmp_path):
+    """drift_alert: exact-decimal threshold compare — a budget between
+    the two batches' TVDs fires on one and not the other; 0 ppm fires
+    on any nonzero drift; an impossible budget never fires; negative
+    budgets raise."""
+    import pytest
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   drift_alert,
+                                                   drift_history)
+
+    ref = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string")
+    skew = [(i, "alpha alpha alpha alpha") for i in range(10)]
+    calm = [(10 + i, "alpha beta gamma delta") for i in range(40)]
+    mon = str(tmp_path / "alert_mon")
+    append_drift_batch(spark.createDataFrame(
+        skew, "doc_id long, text string"), 0, mon, reference_df=ref)
+    append_drift_batch(spark.createDataFrame(
+        calm, "doc_id long, text string"), 1, mon)
+    hist = {r["batch_id"]: r for r in
+            drift_history(spark, mon).collect()}
+    tvd = {b: r["tvd_num"] / (2 * r["n_corpus"] * r["n_ref"])
+           for b, r in hist.items()}
+    assert tvd[0] > tvd[1]          # dilution pulled the mix back
+    mid_ppm = int((tvd[0] + tvd[1]) / 2 * 1_000_000)
+    fired = {r["batch_id"] for r in
+             drift_alert(spark, mon, mid_ppm).collect()}
+    assert fired == {0}
+    assert {r["batch_id"] for r in
+            drift_alert(spark, mon, 0).collect()} == {0, 1}
+    assert drift_alert(spark, mon, 1_000_000).count() == 0
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        drift_alert(spark, mon, -1)
