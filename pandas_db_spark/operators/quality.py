@@ -244,3 +244,77 @@ def k_anonymize(df: DataFrame, quasi_cols: Sequence[str], k: int,
         else:
             out_cols.append(F.col(c))
     return marked.select(*out_cols)
+
+
+def k_anonymize_generalize(df: DataFrame, quasi_cols: Sequence[str],
+                           ladder_col: str, k: int,
+                           max_level: int = 8,
+                           base: int = 2) -> DataFrame:
+    """k-anonymity by GLOBAL RECODING instead of suppression: coarsen
+    one ordered quasi column (``ladder_col``, integral) by the minimal
+    power-of-``base`` level at which EVERY (quasi_cols..., coarsened)
+    group reaches ``k`` members, then publish every row at that level —
+    no record is dropped, utility degrades uniformly, and the released
+    table is k-anonymous by construction (Sweeney's generalization
+    lattice, restricted to one ladder so the minimum is total-ordered
+    and unique).  Level L maps ``v -> v div base^L``.
+
+    Returns the input with ``ladder_col`` replaced by its coarsened
+    value plus a ``gen_level`` column (the chosen L, identical on every
+    row).  Raises if even ``max_level`` cannot reach ``k`` — the caller
+    must then suppress (:func:`k_anonymize`) or widen the ladder.
+
+    Plan shape: all candidate levels are evaluated in ONE pass — a
+    single ``GROUPING SETS`` aggregate over (quasi..., level-L bucket)
+    for L = 0..max_level (one shuffle, map-side combined), folded to
+    the per-level minimum group size; the chosen level applies as a
+    zero-shuffle projection.  Exact integers throughout, so the
+    released table and the chosen level hash-match a SQL replay.
+    """
+    quasi = list(quasi_cols)
+    if k < 1:
+        raise ValueError(f"k_anonymize_generalize: k must be >= 1, "
+                         f"got {k}")
+    if max_level < 0 or base < 2:
+        raise ValueError("k_anonymize_generalize: need max_level >= 0 "
+                         f"and base >= 2, got {max_level}, {base}")
+    lvl_cols = [
+        F.expr(f"{ladder_col} div {base ** lv}").alias(f"__l{lv}")
+        for lv in range(max_level + 1)]
+    src = df.select(*df.columns, *lvl_cols)
+    sets = ", ".join(
+        "(" + ", ".join([*quasi, f"__l{lv}"]) + ")"
+        for lv in range(max_level + 1))
+    src.createOrReplaceTempView("__kgen_src")
+    try:
+        # grouping(__lL) = 0 marks the rows of level L's grouping set —
+        # the NULL-proof discriminator (a NULL-filled __lL can't tell a
+        # level apart from a genuinely-NULL ladder value)
+        mins = src.sparkSession.sql(
+            "SELECT count(*) AS __gn, " + ", ".join(
+                f"grouping(__l{lv}) AS __g{lv}"
+                for lv in range(max_level + 1))
+            + f" FROM __kgen_src GROUP BY GROUPING SETS ({sets})")
+        per_level = [
+            F.min(F.when(F.col(f"__g{lv}") == 0, F.col("__gn")))
+            .alias(f"__m{lv}") for lv in range(max_level + 1)]
+        row = mins.agg(*per_level).collect()[0]
+    finally:
+        src.sparkSession.catalog.dropTempView("__kgen_src")
+    chosen = None
+    for lv in range(max_level + 1):
+        m = row[f"__m{lv}"]
+        if m is not None and m >= k:
+            chosen = lv
+            break
+    if chosen is None:
+        raise ValueError(
+            f"k_anonymize_generalize: no level <= {max_level} reaches "
+            f"k={k} (min group size at the coarsest level: "
+            f"{row[f'__m{max_level}']}); suppress instead or widen "
+            "the ladder")
+    out_cols = [
+        F.expr(f"{ladder_col} div {base ** chosen}").alias(ladder_col)
+        if c == ladder_col else F.col(c) for c in df.columns]
+    return df.select(*out_cols,
+                     F.lit(chosen).cast("int").alias("gen_level"))

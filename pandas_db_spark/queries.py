@@ -71,7 +71,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
     "graph_triangles", "graph_pagerank_weighted", "k_anonymity",
-    "stream_drift_alert",
+    "stream_drift_alert", "k_anonymity_generalized",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5326,3 +5326,48 @@ def stream_drift_alert(spark, sf_dir):
         shutil.rmtree(mon, ignore_errors=True)
     return spark.createDataFrame(
         rows, "batch_id long, tvd_num long, n_corpus long, n_ref long")
+
+
+def _kgen_oracle(k: int, max_level: int) -> str:
+    """Replay of the global-recoding level search: per-level min group
+    sizes from ONE GROUPING SETS pass, minimal level reaching k, ladder
+    republished at that level (CASE divisor chain — pow() is float)."""
+    lvls = list(range(max_level + 1))
+    lcols = ", ".join(f"v // {2 ** lv} AS l{lv}" for lv in lvls)
+    sets = ", ".join(f"(lang, l{lv})" for lv in lvls)
+    gcols = ", ".join(f"grouping(l{lv}) AS g{lv}" for lv in lvls)
+    mins = ", ".join(
+        f"min(CASE WHEN g{lv} = 0 THEN gn END) AS m{lv}" for lv in lvls)
+    pick = "CASE " + " ".join(
+        f"WHEN m{lv} >= {k} THEN {lv}" for lv in lvls) + " END"
+    div = "CASE " + " ".join(
+        f"WHEN lvl.L = {lv} THEN {2 ** lv}" for lv in lvls) + " END"
+    return (
+        "WITH src AS (SELECT doc_id, lang, n_chars // 50 AS v "
+        "FROM documents), "
+        f"e AS (SELECT *, {lcols} FROM src), "
+        f"g AS (SELECT count(*) AS gn, {gcols} FROM e "
+        f"GROUP BY GROUPING SETS ({sets})), "
+        f"m AS (SELECT {mins} FROM g), "
+        f"lvl AS (SELECT {pick} AS L FROM m) "
+        f"SELECT doc_id, lang, (v // ({div}))::BIGINT AS len_bucket, "
+        "lvl.L::INT AS gen_level FROM src CROSS JOIN lvl")
+
+
+@q("k_anonymity_generalized", _kgen_oracle(5, 8))
+def k_anonymity_generalized(spark, sf_dir):
+    """k-anonymity by GLOBAL RECODING
+    (operators/quality.k_anonymize_generalize, k=5): instead of
+    dropping under-k rows, the length-bucket ladder coarsens by the
+    minimal power-of-2 level at which every (lang, bucket) group
+    reaches k — level 2 at sf0.001/0.01, so the search genuinely
+    iterates.  All candidate levels are measured in ONE GROUPING SETS
+    aggregate (one shuffle); the chosen level applies as a zero-shuffle
+    projection.  The oracle replays the identical level search and
+    republication."""
+    from pandas_db_spark.operators.quality import k_anonymize_generalize
+    d = (get_db(spark, sf_dir).documents.df
+         .select("doc_id", "lang",
+                 F.expr("n_chars div 50").alias("len_bucket")))
+    return k_anonymize_generalize(d, ["lang"], "len_bucket", k=5,
+                                  max_level=8)

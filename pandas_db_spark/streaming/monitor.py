@@ -51,12 +51,17 @@ def _reference_counts(spark: SparkSession, monitor_dir: str,
                       reference_df: DataFrame | None,
                       text_col: str) -> DataFrame:
     """Load the pinned reference vocab, writing it exactly once."""
+    from pyspark.errors import AnalysisException
     ref_path = monitor_dir + "/reference"
     try:
         return spark.read.parquet(ref_path)
-    except Exception as exc:  # noqa: BLE001 — PATH_NOT_FOUND only
-        if "PATH_NOT_FOUND" not in str(exc) and \
-                "Path does not exist" not in str(exc):
+    except AnalysisException as exc:
+        # ONLY path-not-found means "first run"; a corrupted reference
+        # or IO error must propagate — silently refitting would change
+        # the series' meaning (the _read_store discipline)
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if not ((cond and "PATH_NOT_FOUND" in cond)
+                or "Path does not exist" in str(exc)):
             raise
     if reference_df is None:
         raise ValueError(

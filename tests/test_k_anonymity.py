@@ -55,3 +55,69 @@ def test_k_one_is_identity_and_validation(spark):
         k_anonymize(df, [], k=2)
     with pytest.raises(ValueError, match="mode"):
         k_anonymize(df, ["lang"], k=2, mode="mask")
+
+
+# ---------------------------------------------------------------------
+# k_anonymize_generalize — global recoding over one ladder column
+# ---------------------------------------------------------------------
+
+def _ladder_df(spark):
+    # values 0..7 with lang split: at level 0 every (lang, v) group is
+    # size 1; level 1 (v div 2) gives groups of 2; level 2 groups of 4
+    rows = [(i, "en", i % 8) for i in range(8)] + \
+           [(100 + i, "fr", i % 8) for i in range(8)]
+    return spark.createDataFrame(rows, "id long, lang string, v long")
+
+
+def test_generalize_picks_minimal_level(spark):
+    from pandas_db_spark.operators.quality import k_anonymize_generalize
+
+    out = k_anonymize_generalize(_ladder_df(spark), ["lang"], "v", k=2)
+    rows = out.collect()
+    assert {r["gen_level"] for r in rows} == {1}
+    # level 1: v -> v div 2, so values 0..3
+    assert {r["v"] for r in rows} == {0, 1, 2, 3}
+    # and the released table IS k-anonymous
+    from collections import Counter
+    c = Counter((r["lang"], r["v"]) for r in rows)
+    assert min(c.values()) >= 2
+
+
+def test_generalize_level_zero_when_already_anonymous(spark):
+    from pandas_db_spark.operators.quality import k_anonymize_generalize
+
+    out = k_anonymize_generalize(_ladder_df(spark), ["lang"], "v", k=1)
+    assert {r["gen_level"] for r in out.collect()} == {0}
+    assert {r["v"] for r in out.collect()} == set(range(8))
+
+
+def test_generalize_raises_when_ladder_exhausted(spark):
+    from pandas_db_spark.operators.quality import k_anonymize_generalize
+
+    df = spark.createDataFrame(
+        [(1, "en", 0), (2, "fr", 0)], "id long, lang string, v long")
+    # lang itself splits the table into singletons forever
+    with pytest.raises(ValueError, match="no level"):
+        k_anonymize_generalize(df, ["lang"], "v", k=2, max_level=3)
+
+
+def test_generalize_matches_bruteforce_on_skewed_ladder(spark):
+    from collections import Counter
+    from pandas_db_spark.operators.quality import k_anonymize_generalize
+
+    vals = [0, 1, 2, 3, 8, 9, 40, 41, 42, 43, 44, 45]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v long")
+    k = 3
+    want_level = None
+    for lv in range(9):
+        c = Counter(v // (2 ** lv) for v in vals)
+        if min(c.values()) >= k:
+            want_level = lv
+            break
+    # empty quasi list: the ladder column alone defines the groups
+    out = k_anonymize_generalize(df, [], "v", k=k)
+    got = out.collect()
+    assert {r["gen_level"] for r in got} == {want_level}
+    assert [r["v"] for r in sorted(got, key=lambda r: r["id"])] == \
+        [v // (2 ** want_level) for v in vals]
