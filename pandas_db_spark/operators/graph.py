@@ -602,3 +602,31 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
     members = closed.select(
         F.explode(F.array("u", "w1", "w2")).alias("id"))
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+def clustering_coefficients(pairs: DataFrame, id_a: str = "id_a",
+                            id_b: str = "id_b") -> DataFrame:
+    """Local clustering coefficient inputs per node —
+    ``(id, n_tri, n_wedges)`` for every node of degree ≥ 2, where
+    ``n_wedges = deg·(deg−1)/2`` and the coefficient is
+    ``n_tri / n_wedges`` — left as a division so the surface stays
+    exact integers (the TVD discipline), hash-replayable in SQL.
+    Community-density / spam-cluster screening on top of
+    :func:`triangle_counts`: one extra degree aggregate and a left
+    join of the (sparse) triangle table onto it; nodes in no triangle
+    report ``n_tri = 0``."""
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    deg = (e.select(F.col("a").alias("id"))
+           .union(e.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("__d"))
+           .where(F.col("__d") >= 2))
+    tri = triangle_counts(pairs, id_a, id_b)
+    return (deg.join(tri, "id", "left")
+            .select("id",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+                    (F.col("__d") * (F.col("__d") - 1) / 2)
+                    .cast("long").alias("n_wedges")))

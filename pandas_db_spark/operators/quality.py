@@ -318,3 +318,33 @@ def k_anonymize_generalize(df: DataFrame, quasi_cols: Sequence[str],
         if c == ladder_col else F.col(c) for c in df.columns]
     return df.select(*out_cols,
                      F.lit(chosen).cast("int").alias("gen_level"))
+
+
+def l_diversify(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, l: int) -> DataFrame:
+    """l-diversity release gate (Machanavajjhala 2007 — the k-anonymity
+    companion): suppress rows whose quasi-identifier group carries
+    fewer than ``l`` DISTINCT values of ``sensitive_col``, closing the
+    homogeneity attack k-anonymity alone permits (a size-k group that
+    is all one disease value still leaks it).  NULL sensitive values do
+    not count toward diversity (SQL count-distinct semantics); NULL
+    quasi tuples group together, as in :func:`k_anonymize`.
+
+    Same plan shape as :func:`k_anonymize`: one map-side-combined
+    ``groupBy(quasi)`` with a distinct-count (Expand within the same
+    job), the small failing-group table broadcast back as a null-safe
+    anti join — the corpus never shuffles."""
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("l_diversify: quasi_cols must be non-empty")
+    if l < 1:
+        raise ValueError(f"l_diversify: l must be >= 1, got {l}")
+    groups = (df.groupBy(*quasi)
+              .agg(F.count_distinct(F.col(sensitive_col))
+                   .alias("__nd")))
+    bad = groups.where(F.col("__nd") < l).drop("__nd")
+    cond = None
+    for c in quasi:
+        eq = df[c].eqNullSafe(bad[c])
+        cond = eq if cond is None else cond & eq
+    return df.join(F.broadcast(bad), cond, "left_anti")

@@ -71,7 +71,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
     "graph_triangles", "graph_pagerank_weighted", "k_anonymity",
-    "stream_drift_alert", "k_anonymity_generalized",
+    "stream_drift_alert", "k_anonymity_generalized", "l_diversity",
+    "graph_clustering",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5371,3 +5372,59 @@ def k_anonymity_generalized(spark, sf_dir):
                  F.expr("n_chars div 50").alias("len_bucket")))
     return k_anonymize_generalize(d, ["lang"], "len_bucket", k=5,
                                   max_level=8)
+
+
+@q("l_diversity",
+   "WITH b AS (SELECT doc_id, lang, n_chars // 50 AS len_bucket, "
+   "source FROM documents), "
+   "g AS (SELECT lang, len_bucket, count(DISTINCT source) AS nd "
+   "FROM b GROUP BY 1, 2) "
+   "SELECT doc_id, b.lang AS lang, b.len_bucket::BIGINT AS len_bucket, "
+   "source FROM b JOIN g ON b.lang IS NOT DISTINCT FROM g.lang "
+   "AND b.len_bucket IS NOT DISTINCT FROM g.len_bucket "
+   "WHERE g.nd >= 3")
+def l_diversity(spark, sf_dir):
+    """l-diversity release gate (operators/quality.l_diversify, l=3):
+    suppress rows whose (lang, fine length-bucket) group carries fewer
+    than 3 DISTINCT sources — the homogeneity-attack close that
+    k-anonymity alone misses; 5-7 groups fall under l at the driver
+    SFs, so the filter binds.  One map-side-combined distinct-count of
+    the combination table broadcast back as a null-safe anti join; the
+    corpus never shuffles.  The oracle's IS NOT DISTINCT FROM join
+    mirrors the null-safe grouping."""
+    from pandas_db_spark.operators.quality import l_diversify
+    d = (get_db(spark, sf_dir).documents.df
+         .select("doc_id", "lang",
+                 F.expr("n_chars div 50").alias("len_bucket"),
+                 "source"))
+    return l_diversify(d, ["lang", "len_bucket"], "source", l=3)
+
+
+@q("graph_clustering",
+   _TRI_ORACLE.replace(
+       "SELECT id, count(*)::BIGINT AS n_tri FROM m GROUP BY 1",
+       ", tc AS (SELECT id, count(*)::BIGINT AS n_tri FROM m GROUP BY 1), "
+       "dg AS (SELECT x AS id, count(*)::BIGINT AS d FROM "
+       "(SELECT a AS x FROM e UNION ALL SELECT b FROM e) GROUP BY 1) "
+       "SELECT dg.id, COALESCE(tc.n_tri, 0) AS n_tri, "
+       "(dg.d * (dg.d - 1) // 2)::BIGINT AS n_wedges "
+       "FROM dg LEFT JOIN tc ON dg.id = tc.id WHERE dg.d >= 2"))
+def graph_clustering(spark, sf_dir):
+    """Local clustering-coefficient inputs
+    (operators/graph.clustering_coefficients) over the same
+    co-purchase graph as graph_triangles: (id, n_tri, n_wedges) with
+    the coefficient n_tri/n_wedges left as a division so the surface
+    stays exact integers — community-density screening on top of the
+    degree-oriented triangle count (one extra degree aggregate + a
+    left join of the sparse triangle table)."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    lp = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p")).distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("id_a"),
+                     F.col("b.p").alias("id_b")))
+    return G.clustering_coefficients(pairs)

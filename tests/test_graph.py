@@ -606,3 +606,16 @@ def test_pagerank_weighted_validation(spark):
                                   "src long, dst long, w long")
     with _pt.raises(ValueError, match="overflow"):
         pagerank(heavy, iterations=2, weight_col="w")
+
+
+def test_clustering_coefficients_hand_computed(spark):
+    """Triangle 1-2-3 plus pendant 3-4: node 3 has deg 3 (3 wedges,
+    1 triangle), nodes 1/2 have deg 2 (1 wedge, 1 triangle = coeff 1),
+    node 4 (deg 1) is excluded."""
+    from pandas_db_spark.operators.graph import clustering_coefficients
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long")
+    got = {r["id"]: (r["n_tri"], r["n_wedges"])
+           for r in clustering_coefficients(df).collect()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 3)}

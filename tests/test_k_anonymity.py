@@ -121,3 +121,33 @@ def test_generalize_matches_bruteforce_on_skewed_ladder(spark):
     assert {r["gen_level"] for r in got} == {want_level}
     assert [r["v"] for r in sorted(got, key=lambda r: r["id"])] == \
         [v // (2 ** want_level) for v in vals]
+
+
+# ---------------------------------------------------------------------
+# l_diversify — distinct-sensitive-value gate
+# ---------------------------------------------------------------------
+
+def test_l_diversify_homogeneous_group_dropped(spark):
+    from pandas_db_spark.operators.quality import l_diversify
+
+    rows = [
+        (1, "en", "flu"), (2, "en", "cold"), (3, "en", "flu"),
+        (4, "fr", "flu"), (5, "fr", "flu"),       # homogeneous: l=1
+        (6, None, "flu"), (7, None, "cold"),      # NULL group, l=2
+        (8, "de", None), (9, "de", "flu"),        # NULL sensitive !count
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, dx string")
+    out = {r["id"] for r in
+           l_diversify(df, ["lang"], "dx", l=2).collect()}
+    assert out == {1, 2, 3, 6, 7}      # fr homogeneous; de has 1 non-NULL
+
+
+def test_l_diversify_validation(spark):
+    from pandas_db_spark.operators.quality import l_diversify
+
+    df = spark.createDataFrame([(1, "en", "x")],
+                               "id long, lang string, dx string")
+    with pytest.raises(ValueError, match="quasi_cols"):
+        l_diversify(df, [], "dx", l=2)
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversify(df, ["lang"], "dx", l=0)
