@@ -124,6 +124,8 @@ HEADLINE = [
     "graph_triangles",    # degree-oriented wedge join, O(sqrt(m)) out-degree bound (r12 add)
     "k_anonymity",        # quasi-group count broadcast anti join, corpus never shuffles (r12 add)
     "stream_drift_alert", # 2-batch monitor replay + DECIMAL(38) threshold compare (r12 add)
+    "k_anonymity_generalized",  # whole generalization-level search in ONE GROUPING SETS pass (r12 add)
+    "graph_clustering",   # degree agg + sparse triangle left join on the wedge-join plan (r12 add)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)
     # (classifier_fit_score / langid_fit_score are iterative FITS —

@@ -614,7 +614,10 @@ def clustering_coefficients(pairs: DataFrame, id_a: str = "id_a",
     Community-density / spam-cluster screening on top of
     :func:`triangle_counts`: one extra degree aggregate and a left
     join of the (sparse) triangle table onto it; nodes in no triangle
-    report ``n_tri = 0``."""
+    report ``n_tri = 0``.  The pair set is checkpointed ONCE so the
+    degree and triangle branches don't each re-run the (possibly
+    expensive) candidate-generation subtree."""
+    pairs = pairs.localCheckpoint(eager=True)
     e = (pairs.select(F.least(id_a, id_b).alias("a"),
                       F.greatest(id_a, id_b).alias("b"))
          .where(F.col("a").isNotNull() & F.col("b").isNotNull()
