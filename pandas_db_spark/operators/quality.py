@@ -348,3 +348,69 @@ def l_diversify(df: DataFrame, quasi_cols: Sequence[str],
         eq = df[c].eqNullSafe(bad[c])
         cond = eq if cond is None else cond & eq
     return df.join(F.broadcast(bad), cond, "left_anti")
+
+
+def t_closeness_report(df: DataFrame, quasi_cols: Sequence[str],
+                       sensitive_col: str) -> DataFrame:
+    """t-closeness report (Li et al. 2007 — the third rung of the
+    k-anonymity / l-diversity ladder): for every quasi-identifier group,
+    the total-variation distance between the group's ``sensitive_col``
+    distribution and the whole table's, as EXACT INTEGERS —
+    ``(quasi_cols..., tvd_num, n_group, n_total)`` with
+    ``TVD = tvd_num / (2·n_group·n_total)`` ∈ [0, 1] left to the caller
+    (the ``term_drift`` discipline: integer cross-multiplication makes
+    the report order-independent and SQL-hash-replayable; a group whose
+    TVD exceeds the release budget t still leaks its members' sensitive
+    skew even when k-anonymous and l-diverse).
+
+    The absent-value mass is handled in closed form: values the group
+    never takes contribute ``Σ_miss C_v·n_g = n_g·(N − Σ_present C_v)``,
+    so ONE aggregate over the (quasi, sensitive) count table suffices —
+    no dense group×value matrix is ever built.  NULL sensitive values
+    are a category like any other (SQL GROUP BY), unlike l-diversity's
+    distinct-count which ignores them.
+
+    Plan: one ``groupBy(quasi, sensitive)`` count (map-side combined),
+    per-value corpus counts and the total attached as one-row/broadcast
+    joins, one ``groupBy(quasi)`` fold — the corpus shuffles once.
+    Overflow: every cross product is ≤ n_total²; guarded at
+    ``n_total < 2³¹`` (≈2 billion rows — shard the report or switch to
+    DECIMAL(38) past that)."""
+    quasi = list(quasi_cols)
+    if not quasi:
+        raise ValueError("t_closeness_report: quasi_cols must be "
+                         "non-empty")
+    gv = (df.groupBy(*quasi, sensitive_col)
+          .agg(F.count(F.lit(1)).alias("__c"))
+          .localCheckpoint(eager=True))
+    n_total = int(gv.agg(F.sum("__c")).collect()[0][0] or 0)
+    if n_total >= 2 ** 31:
+        raise ValueError(
+            f"t_closeness_report: n_total={n_total} makes c*N exceed "
+            "2^62 — shard the report or use DECIMAL arithmetic")
+    cv = (gv.groupBy(sensitive_col)
+          .agg(F.sum("__c").alias("__cv"))
+          .withColumnRenamed(sensitive_col, "__sv"))
+    j = gv.join(F.broadcast(cv),
+                F.col(sensitive_col).eqNullSafe(F.col("__sv")))
+    # the |c·N − C_v·n_g| term needs n_g per row — attach it first;
+    # the join must be NULL-SAFE or NULL-valued quasi groups vanish
+    ng = gv.groupBy(*quasi).agg(F.sum("__c").alias("n_group")).select(
+        *[F.col(c).alias(f"__g_{i}") for i, c in enumerate(quasi)],
+        "n_group")
+    cond = None
+    for i, c in enumerate(quasi):
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{i}"))
+        cond = eq if cond is None else cond & eq
+    j2 = j.join(F.broadcast(ng), cond)
+    rep = (j2.groupBy(*quasi)
+           .agg(F.first("n_group").alias("n_group"),
+                F.sum(F.abs(F.col("__c") * F.lit(n_total)
+                            - F.col("__cv") * F.col("n_group")))
+                .alias("__present"),
+                F.sum("__cv").alias("__cov")))
+    tvd = (F.col("__present")
+           + F.col("n_group") * (F.lit(n_total) - F.col("__cov")))
+    return rep.select(*quasi, tvd.cast("long").alias("tvd_num"),
+                      F.col("n_group").cast("long").alias("n_group"),
+                      F.lit(n_total).cast("long").alias("n_total"))

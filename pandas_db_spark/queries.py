@@ -72,7 +72,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
     "graph_triangles", "graph_pagerank_weighted", "k_anonymity",
     "stream_drift_alert", "k_anonymity_generalized", "l_diversity",
-    "graph_clustering",
+    "graph_clustering", "t_closeness",
     "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
     # rows-only receipts r4/r6 (value gate lives in their siblings below)
     "agg_sketches", "cluster_kmeans", "ann_ivf",
@@ -5428,3 +5428,38 @@ def graph_clustering(spark, sf_dir):
              .select(F.col("a.p").alias("id_a"),
                      F.col("b.p").alias("id_b")))
     return G.clustering_coefficients(pairs)
+
+
+@q("t_closeness",
+   "WITH b AS (SELECT lang, n_chars // 500 AS len_bucket, source "
+   "FROM documents), "
+   "gv AS (SELECT lang, len_bucket, source, count(*)::BIGINT AS c "
+   "FROM b GROUP BY 1, 2, 3), "
+   "cv AS (SELECT source, sum(c)::BIGINT AS cv FROM gv GROUP BY 1), "
+   "nt AS (SELECT sum(c)::BIGINT AS n FROM gv), "
+   "ng AS (SELECT lang, len_bucket, sum(c)::BIGINT AS n_group "
+   "FROM gv GROUP BY 1, 2) "
+   "SELECT gv.lang AS lang, gv.len_bucket::BIGINT AS len_bucket, "
+   "(sum(abs(gv.c * nt.n - cv.cv * ng.n_group)) "
+   "+ any_value(ng.n_group) * (any_value(nt.n) - sum(cv.cv)))::BIGINT "
+   "AS tvd_num, any_value(ng.n_group) AS n_group, "
+   "any_value(nt.n) AS n_total "
+   "FROM gv JOIN cv ON gv.source IS NOT DISTINCT FROM cv.source "
+   "JOIN ng ON gv.lang IS NOT DISTINCT FROM ng.lang "
+   "AND gv.len_bucket IS NOT DISTINCT FROM ng.len_bucket "
+   "CROSS JOIN nt GROUP BY 1, 2")
+def t_closeness(spark, sf_dir):
+    """t-closeness report (operators/quality.t_closeness_report) —
+    the third rung of the privacy ladder: per-(lang, length-bucket)
+    group, the EXACT-INTEGER total-variation distance between the
+    group's source distribution and the corpus's (the term_drift
+    cross-multiplication discipline applied to release gating; absent
+    values folded in closed form, so one aggregate over the sparse
+    (quasi, sensitive) count table suffices).  TVD =
+    tvd_num/(2·n_group·n_total) stays a caller-side division, out of
+    the hashed surface."""
+    from pandas_db_spark.operators.quality import t_closeness_report
+    d = (get_db(spark, sf_dir).documents.df
+         .select("lang", F.expr("n_chars div 500").alias("len_bucket"),
+                 "source"))
+    return t_closeness_report(d, ["lang", "len_bucket"], "source")

@@ -151,3 +151,55 @@ def test_l_diversify_validation(spark):
         l_diversify(df, [], "dx", l=2)
     with pytest.raises(ValueError, match="l must be"):
         l_diversify(df, ["lang"], "dx", l=0)
+
+
+# ---------------------------------------------------------------------
+# t_closeness_report — per-group sensitive-distribution TVD
+# ---------------------------------------------------------------------
+
+def test_t_closeness_matches_python_replay_with_nulls(spark):
+    """NULL quasi group and NULL sensitive value both count as
+    categories; every group's integer TVD equals the brute-force
+    replay, including the closed-form absent-value mass."""
+    from collections import Counter, defaultdict
+    from pandas_db_spark.operators.quality import t_closeness_report
+
+    rows = [(1, "en", "a"), (2, "en", "a"), (3, "en", "b"),
+            (4, "fr", "a"), (5, "fr", "c"), (6, None, "b"),
+            (7, None, None), (8, "de", "a")]
+    df = spark.createDataFrame(rows, "id long, lang string, sv string")
+    got = {r["lang"]: (r["tvd_num"], r["n_group"], r["n_total"])
+           for r in t_closeness_report(df, ["lang"], "sv").collect()}
+    n = len(rows)
+    corpus = Counter(r[2] for r in rows)
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r[1]].append(r[2])
+    want = {}
+    for g, vs in groups.items():
+        cg = Counter(vs)
+        want[g] = (sum(abs(cg.get(v, 0) * n - corpus[v] * len(vs))
+                       for v in corpus), len(vs), n)
+    assert got == want
+
+
+def test_t_closeness_uniform_group_is_zero(spark):
+    """A group whose distribution equals the corpus's exactly has
+    integer TVD 0 — the report's fixed point."""
+    from pandas_db_spark.operators.quality import t_closeness_report
+
+    rows = [(i, "g1", ["a", "b"][i % 2]) for i in range(4)] + \
+           [(10 + i, "g2", ["a", "b"][i % 2]) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, grp string, sv string")
+    out = {r["grp"]: r["tvd_num"]
+           for r in t_closeness_report(df, ["grp"], "sv").collect()}
+    assert out == {"g1": 0, "g2": 0}
+
+
+def test_t_closeness_validation(spark):
+    from pandas_db_spark.operators.quality import t_closeness_report
+
+    df = spark.createDataFrame([(1, "en", "x")],
+                               "id long, lang string, sv string")
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_report(df, [], "sv")
