@@ -5463,3 +5463,50 @@ def t_closeness(spark, sf_dir):
          .select("lang", F.expr("n_chars div 500").alias("len_bucket"),
                  "source"))
     return t_closeness_report(d, ["lang", "len_bucket"], "source")
+
+
+# =====================================================================
+# Graph reachability + link prediction (operators/graph.py) — r12 part 4
+# =====================================================================
+
+_BFS_ORACLE = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 10000000 AS dst
+  FROM lineitem WHERE l_quantity >= 49
+  UNION SELECT DISTINCT l_partkey + 10000000, l_suppkey
+  FROM lineitem WHERE l_quantity >= 49),
+seeds AS (SELECT DISTINCT s_suppkey AS id FROM supplier
+  WHERE s_nationkey % 5 = 3 AND s_suppkey IN (SELECT src FROM e)),
+walk(id, dist) AS (
+  SELECT id, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.id
+  WHERE w.dist < 6)
+SELECT id, min(dist)::BIGINT AS dist FROM walk GROUP BY 1
+"""
+
+
+@q("graph_bfs", _BFS_ORACLE)
+def graph_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/graph.bfs_distances):
+    'within k hops of a trusted seed' — the seed-set-expansion
+    reachability primitive web-corpus allow/deny-listing needs, the
+    distance dual of the personalized pagerank.  Seeds = nation-0
+    mod-5-class-3-nation suppliers; graph = the sparse
+    (l_quantity >= 49) co-supply
+    bipartite graph, where 6 hops genuinely spread distances 0..5
+    instead of saturating at 2 (seed nations chosen mod-5 so a seed
+    exists at every SF, sf0.001 included).  Exact integers; the oracle is
+    DuckDB's recursive-CTE replay with min(dist) folding the
+    per-level frontier rows."""
+    from pandas_db_spark.operators import graph as G
+    db = get_db(spark, sf_dir)
+    li = db.lineitem.df.where(F.col("l_quantity") >= 49)
+    fwd = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                    (F.col("l_partkey") + _PR_OFF).cast("long")
+                    .alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    seeds = (db.supplier.df.where(F.col("s_nationkey") % 5 == 3)
+             .select(F.col("s_suppkey").cast("long").alias("id")))
+    return G.bfs_distances(edges, seeds, max_hops=6)

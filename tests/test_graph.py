@@ -619,3 +619,89 @@ def test_clustering_coefficients_hand_computed(spark):
     got = {r["id"]: (r["n_tri"], r["n_wedges"])
            for r in clustering_coefficients(df).collect()}
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 3)}
+
+
+# ---------------------------------------------------------------------
+# bfs_distances (multi-source hop distances) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _bfs_py(edges, seeds, max_hops):
+    """Reference BFS over an adjacency dict — the semantics oracle."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            nodes.add(u)
+            nodes.add(v)
+    dist = {s: 0 for s in seeds if s in nodes}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_python_replay_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    seeds = [0, 17, 99]  # 99 not in the graph -> ignored
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "id long")
+    got = {r["id"]: r["dist"]
+           for r in G.bfs_distances(e, s, max_hops=5).collect()}
+    assert got == _bfs_py(edges, seeds, 5)
+
+
+def test_bfs_directed_chain_and_hop_cap(spark):
+    """Directed path 1->2->3->4->5: distances follow direction only,
+    and max_hops truncates the frontier expansion."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "id long")
+    full = {r["id"]: r["dist"]
+            for r in G.bfs_distances(e, s, max_hops=8).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {r["id"]: r["dist"]
+              for r in G.bfs_distances(e, s, max_hops=2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+    # reverse reachability: node 5 reaches nothing
+    s5 = spark.createDataFrame([(5,)], "id long")
+    assert ({r["id"]: r["dist"]
+             for r in G.bfs_distances(e, s5, max_hops=8).collect()}
+            == {5: 0})
+
+
+def test_bfs_min_distance_wins_across_seeds(spark):
+    """Two seeds at different distances from the same node: the minimum
+    hop count is reported (3 is 2 hops from 1 but 1 hop from 10)."""
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 3)], "src long, dst long")
+    s = spark.createDataFrame([(1,), (10,)], "id long")
+    got = {r["id"]: r["dist"]
+           for r in G.bfs_distances(e, s, max_hops=4).collect()}
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}
+
+
+def test_bfs_validation(spark):
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s_out = spark.createDataFrame([(9,)], "id long")
+    with pytest.raises(ValueError, match="no seed id appears"):
+        G.bfs_distances(e, s_out, max_hops=3)
+    s = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="max_hops"):
+        G.bfs_distances(e, s, max_hops=-1)
+    # max_hops=0: seeds only
+    assert ({r["id"]: r["dist"]
+             for r in G.bfs_distances(e, s, max_hops=0).collect()}
+            == {1: 0})
