@@ -678,6 +678,73 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+def common_neighbor_counts(pairs: DataFrame, id_a: str = "id_a",
+                           id_b: str = "id_b", min_common: int = 2,
+                           max_center_degree: int | None = None) -> DataFrame:
+    """Link prediction / graph-similarity primitive over an undirected
+    simple graph: ``(id_a, id_b, n_common, deg_a, deg_b)`` for every
+    node pair (adjacent or not, ``id_a < id_b``) sharing at least
+    ``min_common`` neighbors — exact 64-bit integers, hash-oracle-able.
+    The classic scores derive without further graph work: common-
+    neighbors IS ``n_common``, Jaccard = ``n_common /
+    (deg_a + deg_b - n_common)``, preferential attachment =
+    ``deg_a * deg_b`` — all divisions left to the caller so the surface
+    stays exact (the TVD discipline).  The curation use: "documents
+    co-cited with ≥ k shared sources" / "hosts sharing ≥ k outlink
+    targets" — near-dup evidence the content hashes can't see.
+
+    Plan: normalize to canonical undirected edges, symmetrize, compute
+    degrees, then ONE self-join of the adjacency on the CENTER node
+    (each shared neighbor generates the pair once under the
+    ``nbr_a < nbr_b`` canonical order) into a map-side-combined
+    ``groupBy(pair)`` count, then two broadcast-friendly degree joins.
+
+    The scale honesty: pair volume through a center of degree d is
+    d·(d−1)/2 — inherently quadratic in hub degree, the same cliff
+    every common-neighbor system faces.  ``max_center_degree`` caps it:
+    centers above the cap are EXCLUDED from pair generation (their
+    pairs lose those paths; ``n_common`` is then a lower bound exactly
+    like a capped inverted index) and the number of dropped centers is
+    counted eagerly and WARNED — no silent cap, mirroring
+    ``jaccard_pairs(max_df=)``.  Degrees are always reported from the
+    FULL graph, cap or not."""
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct()
+         .localCheckpoint(eager=True))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
+    adj = sym
+    if max_center_degree is not None:
+        n_dropped = deg.where(F.col("d") > max_center_degree).count()
+        if n_dropped:
+            import warnings
+            warnings.warn(
+                f"common_neighbor_counts: {n_dropped} hub node(s) with "
+                f"degree > {max_center_degree} excluded from pair "
+                "generation; n_common through those hubs is undercounted "
+                "(degrees remain exact)", stacklevel=2)
+        adj = sym.join(deg.where(F.col("d") <= max_center_degree)
+                       .select("a"), "a", "left_semi")
+    n1 = adj.select(F.col("a").alias("c"), F.col("b").alias("na"))
+    n2 = adj.select(F.col("a").alias("c"), F.col("b").alias("nb"))
+    pairs_cn = (n1.join(n2, "c")
+                .where(F.col("na") < F.col("nb"))
+                .groupBy("na", "nb")
+                .agg(F.count(F.lit(1)).alias("n_common"))
+                .where(F.col("n_common") >= min_common))
+    da = deg.select(F.col("a").alias("na"), F.col("d").alias("deg_a"))
+    db_ = deg.select(F.col("a").alias("nb"), F.col("d").alias("deg_b"))
+    return (pairs_cn.join(da, "na").join(db_, "nb")
+            .select(F.col("na").alias("id_a"), F.col("nb").alias("id_b"),
+                    "n_common", "deg_a", "deg_b"))
+
+
 def clustering_coefficients(pairs: DataFrame, id_a: str = "id_a",
                             id_b: str = "id_b") -> DataFrame:
     """Local clustering coefficient inputs per node —

@@ -5510,3 +5510,43 @@ def graph_bfs(spark, sf_dir):
     seeds = (db.supplier.df.where(F.col("s_nationkey") % 5 == 3)
              .select(F.col("s_suppkey").cast("long").alias("id")))
     return G.bfs_distances(edges, seeds, max_hops=6)
+
+
+_CN_ORACLE = """
+WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+  FROM lineitem WHERE l_quantity >= 35),
+e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p),
+sym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS MATERIALIZED (SELECT a AS x, count(*)::BIGINT AS d
+  FROM sym GROUP BY 1),
+cn AS (SELECT n1.b AS na, n2.b AS nb, count(*)::BIGINT AS n_common
+  FROM sym n1 JOIN sym n2 ON n1.a = n2.a AND n1.b < n2.b
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT cn.na AS id_a, cn.nb AS id_b, cn.n_common,
+  da.d AS deg_a, db.d AS deg_b
+FROM cn JOIN deg da ON da.x = cn.na JOIN deg db ON db.x = cn.nb
+"""
+
+
+@q("graph_common_neighbors", _CN_ORACLE)
+def graph_common_neighbors(spark, sf_dir):
+    """Common-neighbor link prediction
+    (operators/graph.common_neighbor_counts) over the part co-purchase
+    graph: every part pair sharing >= 3 co-purchase partners, with both
+    degrees riding along so Jaccard / preferential-attachment scores
+    are caller-side divisions over an exact-integer surface.  One
+    center-keyed adjacency self-join into a map-side-combined pair
+    count — the canonical nbr_a < nbr_b order generates each pair once
+    per shared neighbor, never twice."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    lp = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p")).distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("id_a"),
+                     F.col("b.p").alias("id_b")))
+    return G.common_neighbor_counts(pairs, min_common=3)

@@ -705,3 +705,75 @@ def test_bfs_validation(spark):
     assert ({r["id"]: r["dist"]
              for r in G.bfs_distances(e, s, max_hops=0).collect()}
             == {1: 0})
+
+
+# ---------------------------------------------------------------------
+# common_neighbor_counts (link prediction) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _cn_py(edges, min_common):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            c = len(adj[x] & adj[y])
+            if c >= min_common:
+                out[(x, y)] = (c, len(adj[x]), len(adj[y]))
+    return out
+
+
+def test_common_neighbors_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(13)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(25), rng.randrange(25))
+                               for _ in range(90)) if a != b})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["deg_a"], r["deg_b"])
+           for r in G.common_neighbor_counts(df, min_common=2).collect()}
+    assert got == _cn_py(edges, 2)
+
+
+def test_common_neighbors_square_and_normalization(spark):
+    """4-cycle 1-2-3-4-1 (with duplicate/reversed/self edges thrown in):
+    the two diagonals each share BOTH their neighbors, adjacent pairs
+    share none."""
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 1), (1, 1), (3, 4)],
+        "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["n_common"]
+           for r in G.common_neighbor_counts(df, min_common=1).collect()}
+    assert got == {(1, 3): 2, (2, 4): 2}
+
+
+def test_common_neighbors_hub_cap_warns_and_undercounts(spark):
+    """Star center 0 with leaves 1..5 plus edge 1-2: uncapped, every
+    leaf pair shares the hub; capped at degree 2, only paths through
+    low-degree centers survive (degrees stay exact)."""
+    import warnings as W
+
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    df = spark.createDataFrame(star, "id_a long, id_b long")
+    full = {(r["id_a"], r["id_b"]): r["n_common"]
+            for r in G.common_neighbor_counts(df, min_common=1).collect()}
+    # C(5,2)=10 leaf pairs through the hub, plus (0,1)/(0,2) through
+    # the degree-2 centers 2 and 1
+    assert full[(1, 2)] == 1 and full[(3, 4)] == 1 and len(full) == 12
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        capped = G.common_neighbor_counts(
+            df, min_common=1, max_center_degree=2).collect()
+    assert any("excluded from pair generation" in str(w.message)
+               for w in caught)
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["deg_a"], r["deg_b"])
+           for r in capped}
+    # only centers 1 and 2 (degree 2) generate pairs: (0,2) via 1, (0,1) via 2
+    assert got == {(0, 1): (1, 5, 2), (0, 2): (1, 5, 2)}
+    with pytest.raises(ValueError, match="min_common"):
+        G.common_neighbor_counts(df, min_common=0)
