@@ -5550,3 +5550,58 @@ def graph_common_neighbors(spark, sf_dir):
              .select(F.col("a.p").alias("id_a"),
                      F.col("b.p").alias("id_b")))
     return G.common_neighbor_counts(pairs, min_common=3)
+
+
+def _hits_oracle(k: int, unit: int) -> str:
+    """Unrolled k-iteration integer HITS replay over the DIRECTED
+    supplier->part graph (high-quantity lineitems): the same
+    max-normalized BIGINT recurrence operators/graph.hits runs."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, "
+        f"l_partkey + {_PR_OFF} AS dst FROM lineitem "
+        "WHERE l_quantity >= 35), "
+        "n AS MATERIALIZED (SELECT src AS id FROM e "
+        "UNION SELECT dst FROM e), "
+        f"h0 AS (SELECT id, {unit}::BIGINT AS h FROM n)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f", a{i}r AS (SELECT e.dst AS id, SUM(h.h)::BIGINT AS ar "
+            f"FROM h{p} h JOIN e ON e.src = h.id GROUP BY 1)"
+            f", a{i}m AS (SELECT GREATEST(COALESCE(MAX(ar), 1), 1)"
+            f"::BIGINT AS m FROM a{i}r)"
+            f", a{i} AS MATERIALIZED (SELECT n.id, "
+            f"COALESCE((r.ar * {unit}) // m.m, 0)::BIGINT AS a "
+            f"FROM n LEFT JOIN a{i}r r ON n.id = r.id CROSS JOIN a{i}m m)"
+            f", h{i}r AS (SELECT e.src AS id, SUM(a.a)::BIGINT AS hr "
+            f"FROM a{i} a JOIN e ON e.dst = a.id GROUP BY 1)"
+            f", h{i}m AS (SELECT GREATEST(COALESCE(MAX(hr), 1), 1)"
+            f"::BIGINT AS m FROM h{i}r)"
+            f", h{i} AS MATERIALIZED (SELECT n.id, "
+            f"COALESCE((r.hr * {unit}) // m.m, 0)::BIGINT AS h "
+            f"FROM n LEFT JOIN h{i}r r ON n.id = r.id CROSS JOIN h{i}m m)")
+    parts.append(
+        f" SELECT n.id, h{k}.h AS hub_fp, a{k}.a AS auth_fp "
+        f"FROM n JOIN h{k} ON n.id = h{k}.id "
+        f"JOIN a{k} ON n.id = a{k}.id")
+    return "".join(parts)
+
+
+@q("graph_hits", _hits_oracle(4, 10 ** 6))
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.hits) over the DIRECTED
+    supplier->part high-quantity graph — suppliers are pure hubs, parts
+    pure authorities, the bipartite aggregator-vs-content separation
+    pagerank's single score conflates.  4 iterations of the
+    max-normalized BIGINT recurrence; exact integers end-to-end, so
+    both scores hash-compare against DuckDB's unrolled replay
+    bit-for-bit (the pagerank discipline extended to the second
+    classic centrality)."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + _PR_OFF).cast("long").alias("dst"))
+    return G.hits(edges, iterations=4, unit=10 ** 6)

@@ -777,3 +777,70 @@ def test_common_neighbors_hub_cap_warns_and_undercounts(spark):
     assert got == {(0, 1): (1, 5, 2), (0, 2): (1, 5, 2)}
     with pytest.raises(ValueError, match="min_common"):
         G.common_neighbor_counts(df, min_common=0)
+
+
+# ---------------------------------------------------------------------
+# hits (hubs & authorities) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _hits_py(edges, k, unit):
+    nodes = sorted({x for e in edges for x in e if e[0] != e[1]})
+    es = sorted({e for e in edges if e[0] != e[1]})
+    h = {x: unit for x in nodes}
+    a = {x: 0 for x in nodes}
+    for _ in range(k):
+        ar = {x: 0 for x in nodes}
+        for u, v in es:
+            ar[v] += h[u]
+        m = max(max(ar.values(), default=0), 1)
+        a = {x: (ar[x] * unit) // m for x in nodes}
+        hr = {x: 0 for x in nodes}
+        for u, v in es:
+            hr[u] += a[v]
+        m = max(max(hr.values(), default=0), 1)
+        h = {x: (hr[x] * unit) // m for x in nodes}
+    return {x: (h[x], a[x]) for x in nodes}
+
+
+def test_hits_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["hub_fp"], r["auth_fp"])
+           for r in G.hits(df, iterations=3, unit=10 ** 6).collect()}
+    assert got == _hits_py(edges, 3, 10 ** 6)
+
+
+def test_hits_bipartite_structure(spark):
+    """Hubs 1,2 -> authorities 10,11,12; hub 1 points at all three,
+    hub 2 at one.  Hub 1 dominates, authorities covered by hub 1 beat
+    the rest; pure hubs have auth 0, pure authorities hub 0."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long")
+    got = {r["id"]: (r["hub_fp"], r["auth_fp"])
+           for r in G.hits(df, iterations=4).collect()}
+    unit = 10 ** 6
+    assert got[1][0] == unit and got[1][1] == 0          # dominant hub
+    assert got[2][0] < unit and got[2][1] == 0
+    assert got[10][1] == unit                            # best authority
+    assert got[10][0] == 0
+    assert 0 < got[11][1] < unit and got[11][1] == got[12][1]
+
+
+def test_hits_validation_and_empty(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        G.hits(df, iterations=-1)
+    with pytest.raises(ValueError, match="unit must be"):
+        G.hits(df, unit=10)
+    big = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflow"):
+        G.hits(big, unit=2 ** 31)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert G.hits(empty, iterations=2).count() == 0
+    # iterations=0: everything at unit
+    assert ({r["id"]: (r["hub_fp"], r["auth_fp"])
+             for r in G.hits(df, iterations=0).collect()}
+            == {1: (10 ** 6, 10 ** 6), 2: (10 ** 6, 10 ** 6)})
