@@ -334,6 +334,17 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     :func:`exact_dedup_keep` handles.  Pass ``max_df=None`` for the exact
     inverted index when the corpus is known stopword-clean."""
     sh = _shared_shingles(df, text_col, id_col, n, persist)
+    cand = _posting_candidates(sh, id_col, max_df)
+    return _verify_pairs(cand, sh, id_col, threshold)
+
+
+def _posting_candidates(sh: DataFrame, id_col: str,
+                        max_df: int | None) -> DataFrame:
+    """Inverted-index candidate (id_a, id_b) pairs from a shingle-set
+    frame: explode → posting lists → within-list pairs, with the lazy
+    no-silent-cap ``max_df`` machinery.  Shared by :func:`jaccard_pairs`
+    and :func:`containment_pairs` — any pair sharing ≥ 1 shingle is
+    generated, so both criteria are exact at ``max_df=None``."""
     posting = sh.select(F.col(id_col), F.explode("shingles").alias("sh"))
     lists = (posting.groupBy("sh")
                     .agg(F.collect_set(id_col).alias("ids"))
@@ -361,12 +372,56 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         .filter(F.col("df") > max_df))
         _register_jaccard_observation(obs, max_df, probe)
         lists = lists.filter(F.size("ids") <= max_df)
-    cand = (lists.select(F.explode("ids").alias("id_a"), F.col("ids"))
-                 .select(F.col("id_a"),
-                         F.explode(F.filter(
-                             "ids", lambda x: x > F.col("id_a"))).alias("id_b"))
-                 .distinct())
-    return _verify_pairs(cand, sh, id_col, threshold)
+    return (lists.select(F.explode("ids").alias("id_a"), F.col("ids"))
+            .select(F.col("id_a"),
+                    F.explode(F.filter(
+                        "ids", lambda x: x > F.col("id_a"))).alias("id_b"))
+            .distinct())
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      threshold: float = 0.8, n: int = 3,
+                      max_df: int | None = JACCARD_DEFAULT_MAX_DF,
+                      persist: bool = True) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: ``(id_a, id_b, n_inter, n_a, n_b)``
+    for every pair whose shingle CONTAINMENT — |A∩B| / min(|A|, |B|),
+    the Broder containment of the smaller set — reaches ``threshold``.
+
+    The failure mode this closes: Jaccard misses subset duplication.  A
+    short document quoted whole inside a much longer one has
+    J = |A|/|B| ≈ 0 however verbatim the copy, but containment 1.0 —
+    quote-farms, wrapper pages, and prompt-in-completion leakage are
+    exactly this shape, and an LLM dedup pass that only thresholds
+    Jaccard ships them.  (Span-level dedup catches the copied REGION;
+    containment flags the document PAIR, which is what keep-policies
+    and decontamination joins consume.)
+
+    Same exact inverted-index candidate generation as
+    :func:`jaccard_pairs` (a pair with containment ≥ t > 0 shares ≥ 1
+    shingle, so ``max_df=None`` is exhaustive; the capped default
+    trades ultra-common-shingle recall for bounded Σdf² work, with the
+    same eager-warned no-silent-cap contract).  The verify join keeps
+    the surface EXACT INTEGERS — intersection and both set sizes —
+    with the single float compare ``n_inter / least(n_a, n_b) >= t``
+    done in one correctly-rounded double division (bit-stable across
+    engines); the quotient itself stays out of the output per the TVD
+    discipline.  Directionality is recovered by the caller: A ⊂ B when
+    ``n_inter ≈ n_a``, B ⊂ A when ``n_inter ≈ n_b``."""
+    sh = _shared_shingles(df, text_col, id_col, n, persist)
+    cand = _posting_candidates(sh, id_col, max_df)
+    a = sh.select(F.col(id_col).alias("id_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"),
+                  F.col("shingles").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = joined.select(
+        "id_a", "id_b", inter.cast("long").alias("n_inter"),
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"))
+    return out.filter(
+        F.col("n_inter").cast("double")
+        / F.least("n_a", "n_b") >= threshold)
 
 
 # ---------------------------------------------------------------------------

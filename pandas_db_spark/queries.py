@@ -5605,3 +5605,26 @@ def graph_hits(spark, sf_dir):
         F.col("l_suppkey").cast("long").alias("src"),
         (F.col("l_partkey") + _PR_OFF).cast("long").alias("dst"))
     return G.hits(edges, iterations=4, unit=10 ** 6)
+
+
+@q("dedup_containment",
+   _SHINGLES +
+   "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+   "len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter, "
+   "len(a.sh)::BIGINT AS n_a, len(b.sh)::BIGINT AS n_b "
+   "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+   "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE "
+   "/ least(len(a.sh), len(b.sh)) >= 0.6")
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment pairs (operators/dedup.containment_pairs):
+    |A∩B| / min(|A|,|B|) >= 0.6 over 3-gram shingle sets — the
+    subset-duplication criterion Jaccard structurally misses (a short
+    doc quoted whole inside a long one has J ~ |A|/|B| but containment
+    1.0).  Exact-integer surface (n_inter, n_a, n_b); the one float
+    compare is a single correctly-rounded division on both engines.
+    max_df=None: the oracle is exact all-pairs, so the operator's skew
+    cap must not apply."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    return D.containment_pairs(d.df, "text", "doc_id", threshold=0.6,
+                               max_df=None)

@@ -2612,3 +2612,55 @@ def test_auto_minhash_geometry_modes(spark):
     pairs = {(r2["id_a"], r2["id_b"]) for r2 in got} if got and "id_a" in got[0].__fields__ else {tuple(sorted((x[0], x[1]))) for x in got}
     assert (0, 1) in pairs
     assert all(2 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------
+# containment_pairs (asymmetric subset-dup) — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A 10-word doc quoted verbatim inside a 60-word doc: Jaccard is
+    ~8/56 (far below any dedup threshold) but containment is 1.0 — the
+    quote-farm / wrapper-page shape.  Unrelated docs stay unpaired."""
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(50))
+    other = " ".join(f"unrelated{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string")
+
+    jac = D.jaccard_pairs(df, "text", "doc_id", threshold=0.5,
+                          max_df=None)
+    assert jac.count() == 0
+
+    cont = D.containment_pairs(df, "text", "doc_id", threshold=0.9,
+                               max_df=None).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    r = cont[0]
+    # all 8 of the short doc's 3-gram shingles appear in the long doc
+    assert r["n_inter"] == r["n_a"] == 8 and r["n_b"] == 58
+
+
+def test_containment_matches_brute_force(spark, db):
+    """sf0.001 documents at t=0.6: operator == all-pairs python replay
+    over the same shingle sets."""
+    rows = db.documents.df.select("doc_id", "text").collect()
+
+    def sh(t):
+        ws = t.strip().split(" ")
+        if len(ws) >= 3:
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    sets = {r["doc_id"]: sh(r["text"]) for r in rows}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / min(len(sets[a]), len(sets[b])) >= 0.6:
+                want[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    got = {(r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+           for r in D.containment_pairs(
+               db.documents.df, "text", "doc_id", threshold=0.6,
+               max_df=None).collect()}
+    assert got == want and len(got) > 0
