@@ -1,0 +1,117 @@
+"""Blocked fuzzy record linkage (entity resolution).
+
+The classic two-phase ER shape — **block, then compare** — expressed
+Spark-first: a cheap deterministic blocking key (substring, phonetic
+code, sorted-token prefix, …) turns the quadratic all-pairs comparison
+into an equi-join Catalyst can hash-partition, and the expensive string
+metric runs only inside blocks.  At 100 TB the blocking key IS the
+algorithm: candidate volume is Σ_b |L_b|·|R_b| over blocks, so a key
+with bounded block sizes keeps the join linear-ish in the data while
+the metric (JVM ``levenshtein``, codegen'd, no Python) prices each
+candidate.
+
+Why not similarity-join on shingles (``operators/dedup.py``)?  Edit
+distance and set similarity disagree exactly where record linkage
+lives: "Jon Smith" vs "John Smith" shares almost no 3-gram shingles of
+words but is edit distance 1; conversely two long documents can share
+every shingle while being globally different.  Dedup owns documents;
+linkage owns NAMES/KEYS — short strings, typo-scale differences,
+cross-source conventions.
+
+Exactness contract: with ``max_dist`` given, a pair is returned iff its
+blocking keys are EQUAL and ``levenshtein ≤ max_dist`` — blocking
+recall is the caller's choice of key (a pair whose keys differ is
+never compared; that is the documented trade, same as every production
+ER system), while within-block results are exact integers and
+hash-replayable in SQL (DuckDB's ``levenshtein`` is the same
+Wagner–Fischer distance).
+
+Reference scope note: the reference engine (pandas-db) has no fuzzy
+join; this is beyond-parity capability for multi-source corpus
+curation (joining crawl metadata to registries, canonicalizing author/
+host/product names before grouping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               text_l, text_r, id_l: str, id_r: str,
+               block_l, block_r, max_dist: int,
+               max_block: int | None = 10_000) -> DataFrame:
+    """Blocked fuzzy join: ``(id_l, id_r, dist)`` for every cross pair
+    whose blocking keys are equal and ``levenshtein(text_l, text_r) <=
+    max_dist``.  ``text_*`` / ``block_*`` accept a column name or any
+    Column expression (``F.substring(F.col("name"), -4, 4)``,
+    ``F.soundex("name")``, …); NULL texts and NULL blocking keys never
+    match (SQL join semantics).
+
+    Plan shape: project each side to (id, text, key) → equi-join on the
+    key (hash-partitioned both sides, AQE-skew-splittable) → one
+    codegen'd ``levenshtein`` per candidate.  Spark's three-argument
+    ``levenshtein(l, r, threshold)`` is used so the DP matrix
+    short-circuits at ``max_dist`` — comparisons price O(max_dist·len)
+    instead of O(len²), the standard banded trick.
+
+    ``max_block`` bounds the quadratic cliff: blocking keys whose
+    LEFT-side frequency exceeds it are excluded from the join, and the
+    number of excluded keys is counted eagerly and WARNED — the
+    no-silent-cap contract (``jaccard_pairs(max_df=)``).  A key that
+    hot usually means a degenerate blocking choice (empty string,
+    "UNKNOWN"), which a real ER run wants surfaced, not silently
+    ground through."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    lt = left.select(_as_col(id_l).alias("__idl"),
+                     _as_col(text_l).alias("__tl"),
+                     _as_col(block_l).alias("__bk"))
+    rt = right.select(_as_col(id_r).alias("__idr"),
+                      _as_col(text_r).alias("__tr"),
+                      _as_col(block_r).alias("__bk"))
+    if max_block is not None:
+        hot = (lt.groupBy("__bk").agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > max_block))
+        n_hot = hot.count()
+        if n_hot:
+            import warnings
+            warnings.warn(
+                f"fuzzy_join: {n_hot} blocking key(s) with left-side "
+                f"frequency > {max_block} excluded from comparison — "
+                "pairs under those keys are NOT returned; choose a more "
+                "selective blocking key if they matter", stacklevel=2)
+            lt = lt.join(hot.select("__bk"), "__bk", "left_anti")
+    dist = F.levenshtein("__tl", "__tr", max_dist)
+    out = (lt.join(rt, "__bk")
+           .select("__idl", "__idr", dist.alias("dist"))
+           .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist)))
+    nl = id_l if isinstance(id_l, str) else "id_l"
+    nr = id_r if isinstance(id_r, str) else "id_r"
+    if nl == nr:  # self-join: disambiguate
+        nl, nr = nl + "_l", nr + "_r"
+    return out.select(F.col("__idl").alias(nl),
+                      F.col("__idr").alias(nr),
+                      F.col("dist").cast("long").alias("dist"))
+
+
+def fuzzy_self_pairs(df: DataFrame, text_col, id_col: str, block,
+                     max_dist: int,
+                     max_block: int | None = 10_000) -> DataFrame:
+    """Within-table fuzzy duplicate candidates: ``(id_a, id_b, dist)``
+    with ``id_a < id_b`` — :func:`fuzzy_join` of a table against itself
+    with the mirror-pair halving.  Feed the output to
+    ``graph.keep_components`` / ``keep_components_by`` for the
+    transitive survivor policy, exactly like the shingle-based pair
+    generators."""
+    out = fuzzy_join(df, df, text_col, text_col, id_col, id_col,
+                     block, block, max_dist, max_block=max_block)
+    # fuzzy_join aliases both sides to id_col; rename positionally
+    a, b, d = out.columns
+    return (out.select(F.col(a).alias("id_a"), F.col(b).alias("id_b"),
+                       F.col(d).alias("dist"))
+            .where(F.col("id_a") < F.col("id_b")))

@@ -5628,3 +5628,53 @@ def dedup_containment(spark, sf_dir):
     d = get_db(spark, sf_dir).documents
     return D.containment_pairs(d.df, "text", "doc_id", threshold=0.6,
                                max_df=None)
+
+
+# =====================================================================
+# Fuzzy record linkage (operators/linkage.py) — r12 part 4
+# =====================================================================
+
+@q("link_customer_supplier",
+   "SELECT c.c_custkey, s.s_suppkey, "
+   "levenshtein(c.c_name, s.s_name)::BIGINT AS dist "
+   "FROM customer c JOIN supplier s "
+   "ON right(c.c_name, 4) = right(s.s_name, 4) "
+   "WHERE levenshtein(c.c_name, s.s_name) <= 5")
+def link_customer_supplier(spark, sf_dir):
+    """Cross-source entity resolution (operators/linkage.fuzzy_join):
+    customers and suppliers carry different naming conventions
+    ('Customer#000000042' vs 'Supplier#000000042'); blocking on the
+    4-digit id suffix plus a banded levenshtein <= 5 links the same
+    underlying entity across tables — block-then-compare, the
+    equi-join shape that keeps ER linear at 100 TB.  The exact
+    Wagner-Fischer distance is the hashed surface; DuckDB's
+    levenshtein replays it bit-for-bit."""
+    from pandas_db_spark.operators.linkage import fuzzy_join
+    db = get_db(spark, sf_dir)
+    return fuzzy_join(
+        db.customer.df, db.supplier.df,
+        "c_name", "s_name", "c_custkey", "s_suppkey",
+        F.substring("c_name", -4, 4), F.substring("s_name", -4, 4),
+        max_dist=5)
+
+
+@q("link_customer_dups",
+   "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+   "levenshtein(a.c_name, b.c_name)::BIGINT AS dist "
+   "FROM customer a JOIN customer b "
+   "ON right(a.c_name, 2) = right(b.c_name, 2) "
+   "AND a.c_custkey < b.c_custkey "
+   "WHERE levenshtein(a.c_name, b.c_name) <= 1")
+def link_customer_dups(spark, sf_dir):
+    """Within-table fuzzy duplicate candidates
+    (operators/linkage.fuzzy_self_pairs): customer names within one
+    edit of each other under a 2-char-suffix block (collides at
+    every SF, sf0.001 included) — the typo-scale
+    near-key dedup shingle methods can't see (edit distance 1 shares
+    almost no word shingles).  Output pairs feed
+    graph.keep_components like every other pair generator."""
+    from pandas_db_spark.operators.linkage import fuzzy_self_pairs
+    db = get_db(spark, sf_dir)
+    return fuzzy_self_pairs(
+        db.customer.df, "c_name", "c_custkey",
+        F.substring("c_name", -2, 2), max_dist=1)

@@ -1,0 +1,97 @@
+"""Blocked fuzzy record linkage (operators/linkage.py): exact
+within-block distances, blocking-miss semantics, the hot-key cap
+contract, and the self-pair halving."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_db_spark.operators.linkage import fuzzy_join, fuzzy_self_pairs
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, "jon smith"), (2, "john smith"), (3, "mary jones"),
+         (4, None), (5, "jon smyth")],
+        "id long, name string")
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(10, "john smith"), (11, "marie jones"), (12, "bob stone"),
+         (13, None)],
+        "rid long, rname string")
+
+
+def test_fuzzy_join_blocked_levenshtein(spark):
+    """Block on the first character: 'jon smith'~'john smith' (d=1)
+    and 'jon smyth'~'john smith' (d=2) link; 'mary jones'~'marie
+    jones' (d=2) links in the m-block; NULLs never match."""
+    out = fuzzy_join(_left(spark), _right(spark), "name", "rname",
+                     "id", "rid",
+                     F.substring("name", 1, 1),
+                     F.substring("rname", 1, 1), max_dist=2)
+    got = {(r["id"], r["rid"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 10): 1, (2, 10): 0, (5, 10): 2, (3, 11): 2}
+
+
+def test_fuzzy_join_blocking_miss_is_the_contract(spark):
+    """'bob stone' is distance 8 from 'jon smith' — under max_dist=9 a
+    CROSS comparison would link them, but their blocks differ, so they
+    are never compared: blocking recall is the caller's key choice."""
+    out = fuzzy_join(_left(spark), _right(spark), "name", "rname",
+                     "id", "rid",
+                     F.substring("name", 1, 1),
+                     F.substring("rname", 1, 1), max_dist=9)
+    assert (1, 12) not in {(r["id"], r["rid"]) for r in out.collect()}
+
+
+def test_fuzzy_join_matches_duckdb(spark, db, duck):
+    """sf0.001 cross-table linkage equals the SQL replay value-for-value
+    (the driver-gate compare, locally)."""
+    got = {(r["c_custkey"], r["s_suppkey"]): r["dist"]
+           for r in fuzzy_join(
+               db.customer.df, db.supplier.df, "c_name", "s_name",
+               "c_custkey", "s_suppkey",
+               F.substring("c_name", -4, 4),
+               F.substring("s_name", -4, 4), max_dist=5).collect()}
+    want = {(c, s): d for c, s, d in duck.execute(
+        "SELECT c_custkey, s_suppkey, levenshtein(c_name, s_name) "
+        "FROM customer c JOIN supplier s "
+        "ON right(c_name, 4) = right(s_name, 4) "
+        "WHERE levenshtein(c_name, s_name) <= 5").fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_fuzzy_join_hot_block_cap_warns_and_drops(spark):
+    """A degenerate blocking key ('', the empty-name bucket) beyond
+    max_block is excluded with a warning; selective keys still link."""
+    import warnings as W
+
+    left = spark.createDataFrame(
+        [(i, f"x{i}", "") for i in range(5)] + [(9, "abc", "k")],
+        "id long, name string, blk string")
+    right = spark.createDataFrame(
+        [(20, "abd", "k"), (21, "zzz", "")],
+        "rid long, rname string, rblk string")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        out = fuzzy_join(left, right, "name", "rname", "id", "rid",
+                         "blk", "rblk", max_dist=3,
+                         max_block=3).collect()
+    assert any("excluded from comparison" in str(w.message)
+               for w in caught)
+    assert {(r["id"], r["rid"]) for r in out} == {(9, 20)}
+    with pytest.raises(ValueError, match="max_dist"):
+        fuzzy_join(left, right, "name", "rname", "id", "rid",
+                   "blk", "rblk", max_dist=-1)
+
+
+def test_fuzzy_self_pairs_halves_and_orders(spark):
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abce"), (3, "abcf"), (4, "zzzz")],
+        "doc long, t string")
+    out = fuzzy_self_pairs(df, "t", "doc", F.substring("t", 1, 2),
+                           max_dist=1)
+    assert out.columns == ["id_a", "id_b", "dist"]
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
