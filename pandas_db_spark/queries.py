@@ -5678,3 +5678,62 @@ def link_customer_dups(spark, sf_dir):
     return fuzzy_self_pairs(
         db.customer.df, "c_name", "c_custkey",
         F.substring("c_name", -2, 2), max_dist=1)
+
+
+# =====================================================================
+# Interval-overlap join (operators/temporal.interval_join) — r12 part 4
+# =====================================================================
+
+_SESS_IV = (
+    "WITH lagd AS (SELECT event_id, user_id, ts, "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events WHERE user_id IS NOT NULL), "
+    "sess AS (SELECT user_id, ts, "
+    "sum(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) "
+    "> 900000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx "
+    "FROM lagd), "
+    "iv AS (SELECT user_id, session_idx::BIGINT AS session_idx, "
+    "min(ts) AS lo, max(ts) AS hi FROM sess GROUP BY 1, 2) ")
+
+
+@q("sessions_overlap",
+   _SESS_IV +
+   "SELECT a.user_id AS user_a, a.session_idx AS sess_a, "
+   "b.user_id AS user_b, b.session_idx AS sess_b, "
+   "(least(epoch_us(a.hi), epoch_us(b.hi)) "
+   "- greatest(epoch_us(a.lo), epoch_us(b.lo)))::BIGINT AS overlap_us "
+   "FROM iv a JOIN iv b ON a.user_id < b.user_id "
+   "AND epoch_us(a.lo) <= epoch_us(b.hi) "
+   "AND epoch_us(b.lo) <= epoch_us(a.hi)")
+def sessions_overlap(spark, sf_dir):
+    """Interval×interval overlap join (operators/temporal.interval_join
+    — the concurrency sibling of range_join's point-in-interval):
+    which user sessions were CO-ACTIVE?  Sessionize (15-min gap), fold
+    each (user, session) to its [first-event, last-event] interval,
+    then the chunked self-join — both sides explode to their hourly
+    epoch buckets, equi-join on the bucket, exact overlap predicate
+    inside, and the max(lo)-anchor rule keeps each pair exactly once
+    with NO distinct shuffle.  overlap_us is exact integer micros."""
+    from pandas_db_spark.operators.funnel import sessionize
+    from pandas_db_spark.operators.temporal import interval_join
+    e = (get_db(spark, sf_dir).events.df
+         .where(F.col("user_id").isNotNull())
+         .select("user_id", "ts", "event_id"))
+    iv = (sessionize(e)
+          .groupBy("user_id", "session_idx")
+          .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")))
+    a = iv.select(F.col("user_id").alias("user_a"),
+                  F.col("session_idx").alias("sess_a"),
+                  F.col("lo").alias("lo_a"), F.col("hi").alias("hi_a"))
+    b = iv.select(F.col("user_id").alias("user_b"),
+                  F.col("session_idx").alias("sess_b"),
+                  F.col("lo").alias("lo_b"), F.col("hi").alias("hi_b"))
+    j = interval_join(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+                      bucket_s=3600)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (j.where(F.col("user_a") < F.col("user_b"))
+            .select("user_a", "sess_a", "user_b", "sess_b",
+                    (F.least(us("hi_a"), us("hi_b"))
+                     - F.greatest(us("lo_a"), us("lo_b")))
+                    .alias("overlap_us")))

@@ -219,3 +219,83 @@ def test_asof_hot_key_spreads_over_chunks(spark):
                             .cast("long").alias("c"))
                     .distinct().count())
     assert n_chunks > 1
+
+
+# ---------------------------------------------------------------------
+# interval_join (interval x interval overlap) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _iv(spark, rows, prefix):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(i, base + dt.timedelta(minutes=lo), base + dt.timedelta(minutes=hi))
+            for i, (lo, hi) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, f"{prefix}id long, {prefix}lo timestamp, {prefix}hi timestamp")
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Random minute-scale intervals vs a small bucket (600 s), so many
+    pairs span several buckets: chunked join == the O(n^2) predicate."""
+    import random
+
+    from pandas_db_spark.operators.temporal import interval_join
+
+    rng = random.Random(5)
+    L = [(a, a + rng.randrange(0, 90)) for a in
+         (rng.randrange(0, 600) for _ in range(40))]
+    R = [(a, a + rng.randrange(0, 90)) for a in
+         (rng.randrange(0, 600) for _ in range(40))]
+    lt, rt = _iv(spark, L, "l"), _iv(spark, R, "r")
+    got = {(r["lid"], r["rid"]) for r in interval_join(
+        lt, rt, "llo", "lhi", "rlo", "rhi", bucket_s=600).collect()}
+    want = {(i, j) for i, (a, b) in enumerate(L)
+            for j, (c, d) in enumerate(R) if a <= d and c <= b}
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_anchor_dedup_no_distinct(spark):
+    """An 5-hour interval overlapping a 5-hour interval shares 5+ hourly
+    buckets; the anchor rule must emit the pair exactly ONCE — and
+    genuine duplicate input rows must emit once EACH (no distinct)."""
+    from pandas_db_spark.operators.temporal import interval_join
+
+    lt = _iv(spark, [(0, 300), (0, 300)], "l")  # two identical rows
+    rt = _iv(spark, [(30, 330)], "r")
+    out = interval_join(lt, rt, "llo", "lhi", "rlo", "rhi",
+                        bucket_s=3600).collect()
+    assert len(out) == 2  # one per duplicate left row, not 2 x buckets
+
+
+def test_interval_join_by_keys_touching_and_disjoint(spark):
+    import datetime as dt
+
+    from pandas_db_spark.operators.temporal import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    lt = spark.createDataFrame(
+        [("k1", 1, m(0), m(60)), ("k2", 2, m(0), m(60))],
+        "k string, lid long, llo timestamp, lhi timestamp")
+    rt = spark.createDataFrame(
+        [("k1", 10, m(60), m(90)),    # touches at the closed endpoint
+         ("k1", 11, m(61), m(90)),    # disjoint by one minute
+         ("k2", 12, m(59), m(90))],   # overlaps but only under k2
+        "k string, rid long, rlo timestamp, rhi timestamp")
+    got = {(r["lid"], r["rid"]) for r in interval_join(
+        lt, rt, "llo", "lhi", "rlo", "rhi", by=["k"]).collect()}
+    assert got == {(1, 10), (2, 12)}
+
+
+def test_interval_join_validation(spark):
+    import pytest as _pt
+
+    from pandas_db_spark.operators.temporal import interval_join
+
+    lt = _iv(spark, [(0, 10)], "l")
+    with _pt.raises(ValueError, match="both sides"):
+        interval_join(lt, lt, "llo", "lhi", "llo", "lhi")
+    rt = _iv(spark, [(0, 10)], "r")
+    with _pt.raises(ValueError, match="bucket_s"):
+        interval_join(lt, rt, "llo", "lhi", "rlo", "rhi", bucket_s=0)
