@@ -5737,3 +5737,34 @@ def sessions_overlap(spark, sf_dir):
                     (F.least(us("hi_a"), us("hi_b"))
                      - F.greatest(us("lo_a"), us("lo_b")))
                     .alias("overlap_us")))
+
+
+@q("vocab_top_streamed",
+   "WITH tc AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) "
+   "AS term FROM documents WHERE doc_id % 2 = 1), "
+   "c AS (SELECT term, count(*)::BIGINT AS cf FROM tc GROUP BY 1) "
+   "SELECT term, cf FROM c ORDER BY cf DESC, term LIMIT 50")
+def vocab_top_streamed(spark, sf_dir):
+    """Streaming heavy hitters (streaming/monitor.vocab_top_streamed):
+    odd documents arrive as two micro-batches into the drift monitor's
+    per-batch counts store; the top-50 cumulative terms are then served
+    from the STORE (one vocab-sized fold + TakeOrdered — no corpus
+    re-scan) and must equal DuckDB's from-scratch count over the same
+    corpus, the exactness a count-min sketch can't offer.  Fresh temp
+    dir per run (the monitor is stateful)."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   vocab_top_streamed
+                                                   as _serve)
+    d = get_db(spark, sf_dir).documents.df.select("doc_id", "text")
+    ref = d.where(F.col("doc_id") % 2 == 0)
+    mon = tempfile.mkdtemp(prefix="pds_vocab_mon_")
+    try:
+        append_drift_batch(d.where(F.col("doc_id") % 4 == 1), 0, mon,
+                           reference_df=ref)
+        append_drift_batch(d.where(F.col("doc_id") % 4 == 3), 1, mon)
+        rows = _serve(spark, mon, k=50).collect()
+    finally:
+        shutil.rmtree(mon, ignore_errors=True)
+    return spark.createDataFrame(rows, "term string, cf long")

@@ -146,6 +146,25 @@ def drift_top_terms(spark: SparkSession, monitor_dir: str,
             .orderBy(F.col("drift_num").desc(), "term").limit(k))
 
 
+def vocab_top_streamed(spark: SparkSession, monitor_dir: str,
+                       k: int = 50) -> DataFrame:
+    """Streaming heavy hitters: the top-k terms of the cumulative
+    corpus AS OF the last drained batch, served from the monitor's
+    per-batch counts store — ``(term, cf)`` with the deterministic
+    ``(cf DESC, term)`` tie-break.
+
+    The store IS the sketch: each micro-batch wrote its own exact
+    vocab partition, so serving is one vocab-sized ``groupBy(term)``
+    fold over ``counts/`` plus a TakeOrdered — never a corpus re-scan,
+    and exact (no count-min error term), replay-idempotent because the
+    underlying partitions are.  Cost grows with STORE vocab, not
+    corpus; ``compact_drift_counts`` folds the per-batch partitions
+    when batch count dominates vocab size."""
+    cum = (spark.read.parquet(monitor_dir + "/counts")
+           .groupBy("term").agg(F.sum("c").alias("cf")))
+    return cum.orderBy(F.col("cf").desc(), "term").limit(k)
+
+
 def compact_drift_counts(spark: SparkSession, monitor_dir: str,
                          checkpoint_dir: str | None = None) -> dict:
     """Fold the monitor's per-batch fragmentation offline (one counts

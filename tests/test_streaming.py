@@ -1637,3 +1637,41 @@ def test_drift_alert_thresholds_fire_both_ways(spark, tmp_path):
     assert drift_alert(spark, mon, 1_000_000).count() == 0
     with pytest.raises(ValueError, match="threshold_ppm"):
         drift_alert(spark, mon, -1)
+
+
+def test_vocab_top_streamed_equals_batch_and_survives_replay(spark, tmp_path):
+    """Heavy hitters from the counts store == a from-scratch batch
+    count (exact, tie-broken), unchanged by a batch replay, and
+    correctly folded after compaction."""
+    from pandas_db_spark.streaming.monitor import (append_drift_batch,
+                                                   compact_drift_counts,
+                                                   vocab_top_streamed)
+
+    docs = [(i, f"common tok{i % 3} rare{i}") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    mon = str(tmp_path / "mon")
+    append_drift_batch(df.where("doc_id < 10"), 0, mon, reference_df=df)
+    append_drift_batch(df.where("doc_id >= 10 AND doc_id < 20"), 1, mon)
+    append_drift_batch(df.where("doc_id >= 20"), 2, mon)
+
+    def batch_top(frame, k):
+        from pandas_db_spark.operators.stats import term_counts
+        import pyspark.sql.functions as F
+        return [(r["term"], r["c"]) for r in
+                term_counts(frame, "text")
+                .orderBy(F.col("c").desc(), "term").limit(k).collect()]
+
+    got = [(r["term"], r["cf"]) for r in
+           vocab_top_streamed(spark, mon, k=5).collect()]
+    assert got == batch_top(df, 5)
+    assert got[0] == ("common", 30)
+
+    # replay of batch 1 is a no-op for the served answer
+    append_drift_batch(df.where("doc_id >= 10 AND doc_id < 20"), 1, mon)
+    assert [(r["term"], r["cf"]) for r in
+            vocab_top_streamed(spark, mon, k=5).collect()] == got
+
+    # compaction folds the store without changing the answer
+    compact_drift_counts(spark, mon)
+    assert [(r["term"], r["cf"]) for r in
+            vocab_top_streamed(spark, mon, k=5).collect()] == got
