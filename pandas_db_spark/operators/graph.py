@@ -785,6 +785,59 @@ def triangle_counts(pairs: DataFrame, id_a: str = "id_a",
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_tri"))
 
 
+def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
+                       min_count: int = 1,
+                       max_group_size: int | None = 10_000) -> DataFrame:
+    """Bipartite projection: ``(id_a, id_b, n_groups)`` — how many
+    groups contain BOTH items (``id_a < id_b``), exact integers.  The
+    graph constructor everything above consumes: parts co-purchased per
+    order, terms co-occurring per document, hosts co-linked per page —
+    project the (group, item) incidence once, then feed the weighted
+    pair set to pagerank/triangles/components.  (The registry's
+    co-purchase queries inline this join; new pipelines should call
+    this.)
+
+    Plan: ONE groupBy shuffle to collect each group's distinct item
+    set, then the in-array pair expansion (the ``_bucket_pairs``
+    shape from dedup) into a map-side-combined pair count — no
+    self-join, so the incidence table is shuffled once, not twice.
+
+    The scale honesty (same cliff as :func:`common_neighbor_counts`):
+    a group with d items emits d·(d−1)/2 pairs.  ``max_group_size``
+    caps it — larger groups are EXCLUDED from projection (an order
+    containing every part co-purchases nothing meaningful; a document
+    containing every term is boilerplate) and the exclusion count is
+    WARNED eagerly, never silent.  ``None`` disables the cap for
+    known-bounded group keys."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    inc = (df.select(F.col(group_col).alias("g"),
+                     F.col(item_col).alias("it"))
+           .where(F.col("g").isNotNull() & F.col("it").isNotNull())
+           .distinct())
+    groups = (inc.groupBy("g")
+              .agg(F.collect_set("it").alias("items"))
+              .where(F.size("items") > 1))
+    if max_group_size is not None:
+        n_big = groups.where(F.size("items") > max_group_size).count()
+        if n_big:
+            import warnings
+            warnings.warn(
+                f"cooccurrence_pairs: {n_big} group(s) larger than "
+                f"{max_group_size} items excluded from projection — "
+                "their co-occurrences are not counted", stacklevel=2)
+            groups = groups.where(F.size("items") <= max_group_size)
+    pairs = (groups.select(F.explode("items").alias("id_a"),
+                           F.col("items"))
+             .select("id_a",
+                     F.explode(F.filter(
+                         "items",
+                         lambda x: x > F.col("id_a"))).alias("id_b")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_groups"))
+            .where(F.col("n_groups") >= min_count))
+
+
 def common_neighbor_counts(pairs: DataFrame, id_a: str = "id_a",
                            id_b: str = "id_b", min_common: int = 2,
                            max_center_degree: int | None = None) -> DataFrame:
@@ -850,6 +903,66 @@ def common_neighbor_counts(pairs: DataFrame, id_a: str = "id_a",
     return (pairs_cn.join(da, "na").join(db_, "nb")
             .select(F.col("na").alias("id_a"), F.col("nb").alias("id_b"),
                     "n_common", "deg_a", "deg_b"))
+
+
+def degree_moments(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Degree-assortativity moments of an undirected simple graph — ONE
+    exact-integer row ``(n_nodes, m_edges, s_jk, s_sum, s_sq)`` where,
+    over the canonical edge set with endpoint degrees (j, k):
+
+        s_jk  = Σ j·k        s_sum = Σ (j + k)       s_sq = Σ (j² + k²)
+
+    Newman's degree assortativity is then the caller-side division
+
+        r = (4·m·s_jk − s_sum²) / (2·m·s_sq − s_sum²)
+
+    — every term a 64-bit integer, so the surface hash-compares across
+    engines while r itself (a float) stays out of it (the TVD
+    discipline).  Positive r: hubs link hubs (social shape); negative:
+    hubs link leaves (web/biology shape) — a one-row screen for
+    whether a candidate-pair graph is hub-dominated before the
+    quadratic-sensitive operators run.
+
+    Plan: degrees (one groupBy over the symmetrized edge list), two
+    broadcast-friendly joins back to the edges, one global aggregate.
+    Overflow: s_sq sums squares of degrees — bounded by m·max_deg²;
+    max_deg² < 2⁶²/m holds for any graph with max_deg ≤ ~2e6 at a
+    billion edges, checked cheaply via the degree aggregate."""
+    e = (pairs.select(F.least(id_a, id_b).alias("a"),
+                      F.greatest(id_a, id_b).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("x"))
+           .union(e.select(F.col("b").alias("x")))
+           .groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+           .localCheckpoint(eager=True))
+    stats = deg.agg(F.count(F.lit(1)).alias("n"),
+                    F.max("d").alias("mx")).collect()[0]
+    n_nodes = int(stats["n"] or 0)
+    max_d = int(stats["mx"] or 0)
+    m = e.count()
+    if m > 0 and m * max_d * max_d >= 2 ** 62:
+        raise ValueError(
+            f"degree_moments: m * max_deg^2 = {m * max_d * max_d} "
+            "risks 64-bit overflow on s_sq")
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("j"))
+    db_ = deg.select(F.col("x").alias("b"), F.col("d").alias("k"))
+    mom = (e.join(da, "a").join(db_, "b")
+           .agg(F.coalesce(F.sum(F.col("j") * F.col("k")), F.lit(0))
+                .alias("s_jk"),
+                F.coalesce(F.sum(F.col("j") + F.col("k")), F.lit(0))
+                .alias("s_sum"),
+                F.coalesce(F.sum(F.col("j") * F.col("j")
+                                 + F.col("k") * F.col("k")), F.lit(0))
+                .alias("s_sq")))
+    return mom.select(F.lit(n_nodes).cast("long").alias("n_nodes"),
+                      F.lit(m).cast("long").alias("m_edges"),
+                      F.col("s_jk").cast("long").alias("s_jk"),
+                      F.col("s_sum").cast("long").alias("s_sum"),
+                      F.col("s_sq").cast("long").alias("s_sq"))
 
 
 def clustering_coefficients(pairs: DataFrame, id_a: str = "id_a",

@@ -5768,3 +5768,55 @@ def vocab_top_streamed(spark, sf_dir):
     finally:
         shutil.rmtree(mon, ignore_errors=True)
     return spark.createDataFrame(rows, "term string, cf long")
+
+
+@q("part_copurchase",
+   "WITH lp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it "
+   "FROM lineitem WHERE l_quantity >= 40) "
+   "SELECT a.it AS id_a, b.it AS id_b, count(*)::BIGINT AS n_groups "
+   "FROM lp a JOIN lp b ON a.g = b.g AND a.it < b.it "
+   "GROUP BY 1, 2 HAVING count(*) >= 2")
+def part_copurchase(spark, sf_dir):
+    """Bipartite projection (operators/graph.cooccurrence_pairs): parts
+    co-purchased in >= 2 high-quantity orders — the weighted-pair-graph
+    constructor pagerank/triangles/components consume, built with ONE
+    groupBy shuffle (collect each order's part set, in-array pair
+    expansion) instead of the incidence self-join, and the eager-warned
+    max_group_size cap against degenerate giant groups."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 40)
+    return G.cooccurrence_pairs(li, "l_orderkey", "l_partkey",
+                                min_count=2)
+
+
+@q("graph_degree_moments",
+   "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, "
+   "l_partkey AS p FROM lineitem WHERE l_quantity >= 35), "
+   "e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b "
+   "FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p), "
+   "deg AS MATERIALIZED (SELECT x, count(*)::BIGINT AS d FROM "
+   "(SELECT a AS x FROM e UNION ALL SELECT b FROM e) GROUP BY 1) "
+   "SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes, "
+   "(SELECT count(*) FROM e)::BIGINT AS m_edges, "
+   "sum(da.d * db.d)::BIGINT AS s_jk, "
+   "sum(da.d + db.d)::BIGINT AS s_sum, "
+   "sum(da.d * da.d + db.d * db.d)::BIGINT AS s_sq "
+   "FROM e JOIN deg da ON da.x = e.a JOIN deg db ON db.x = e.b")
+def graph_degree_moments(spark, sf_dir):
+    """Degree-assortativity moments (operators/graph.degree_moments)
+    of the co-purchase graph: one exact-integer row (n, m, Σjk,
+    Σ(j+k), Σ(j²+k²)) from which Newman's r is a caller-side division
+    — the hub-structure screen that decides whether quadratic-
+    sensitive operators need their caps before they run."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    lp = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p")).distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("id_a"),
+                     F.col("b.p").alias("id_b")))
+    return G.degree_moments(pairs)

@@ -844,3 +844,60 @@ def test_hits_validation_and_empty(spark):
     assert ({r["id"]: (r["hub_fp"], r["auth_fp"])
              for r in G.hits(df, iterations=0).collect()}
             == {1: (10 ** 6, 10 ** 6), 2: (10 ** 6, 10 ** 6)})
+
+
+# ---------------------------------------------------------------------
+# cooccurrence_pairs + degree_moments — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_cooccurrence_pairs_counts_and_cap(spark):
+    """Orders {g1: a,b,c}, {g2: a,b}, {g3: a,b} (with a duplicate
+    incidence row): (a,b) co-occurs 3x, (a,c)/(b,c) once; min_count=2
+    keeps only (a,b); a giant group is excluded with a warning."""
+    import warnings as W
+
+    inc = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (2, "b"),
+         (3, "a"), (3, "b"), (4, "solo")],
+        "g long, it string")
+    got = {(r["id_a"], r["id_b"]): r["n_groups"]
+           for r in G.cooccurrence_pairs(inc, "g", "it").collect()}
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    got2 = {(r["id_a"], r["id_b"]): r["n_groups"]
+            for r in G.cooccurrence_pairs(inc, "g", "it",
+                                          min_count=2).collect()}
+    assert got2 == {("a", "b"): 3}
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        capped = {(r["id_a"], r["id_b"]): r["n_groups"]
+                  for r in G.cooccurrence_pairs(
+                      inc, "g", "it", max_group_size=2).collect()}
+    assert any("excluded from projection" in str(w.message)
+               for w in caught)
+    assert capped == {("a", "b"): 2}  # g1 (3 items) dropped
+    with pytest.raises(ValueError, match="min_count"):
+        G.cooccurrence_pairs(inc, "g", "it", min_count=0)
+
+
+def test_degree_moments_hand_computed_star_vs_clique(spark):
+    """Star K1,3: edges (0,1),(0,2),(0,3), degrees 3/1/1/1 — each edge
+    has (j,k)=(3,1): s_jk=9, s_sum=12, s_sq=30; assortativity is
+    maximally negative.  Triangle K3: all degrees 2 — r degenerate,
+    moments exact."""
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    r = G.degree_moments(star).collect()[0]
+    assert (r["n_nodes"], r["m_edges"], r["s_jk"], r["s_sum"], r["s_sq"]) \
+        == (4, 3, 9, 12, 30)
+    # Newman r for a star = -1
+    m, sjk, ss, ssq = r["m_edges"], r["s_jk"], r["s_sum"], r["s_sq"]
+    assert (4 * m * sjk - ss * ss) / (2 * m * ssq - ss * ss) == -1.0
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 1)], "id_a long, id_b long")
+    t = G.degree_moments(tri).collect()[0]
+    assert (t["n_nodes"], t["m_edges"], t["s_jk"], t["s_sum"], t["s_sq"]) \
+        == (3, 3, 12, 12, 24)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    z = G.degree_moments(empty).collect()[0]
+    assert (z["n_nodes"], z["m_edges"], z["s_jk"], z["s_sum"], z["s_sq"]) \
+        == (0, 0, 0, 0, 0)
