@@ -5820,3 +5820,56 @@ def graph_degree_moments(spark, sf_dir):
              .select(F.col("a.p").alias("id_a"),
                      F.col("b.p").alias("id_b")))
     return G.degree_moments(pairs)
+
+
+def _kcore_oracle(k: int) -> str:
+    """Unrolled k-round H-index-iteration replay (Lü et al. 2016:
+    converges monotonically from degrees to coreness).  Measured
+    convergence on this graph: 10-13 rounds at sf0.001/0.01/0.1; extra
+    rounds are fixpoint no-ops, and the Spark side runs with
+    max_rounds=k so a data shift that needed more rounds RAISES
+    instead of hash-mismatching."""
+    parts = [
+        "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, "
+        "l_partkey AS p FROM lineitem WHERE l_quantity >= 35), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b "
+        "FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p), "
+        "sym AS MATERIALIZED (SELECT a, b FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "v0 AS MATERIALIZED (SELECT a AS id, count(*)::BIGINT AS c "
+        "FROM sym GROUP BY 1)",
+    ]
+    for t in range(1, k + 1):
+        p = t - 1
+        parts.append(
+            f", x{t} AS (SELECT s.a AS id, v.c AS val, "
+            "row_number() OVER (PARTITION BY s.a ORDER BY v.c DESC) "
+            f"AS rn FROM sym s JOIN v{p} v ON v.id = s.b)"
+            f", v{t} AS MATERIALIZED (SELECT id, "
+            "count(*) FILTER (val >= rn)::BIGINT AS c "
+            f"FROM x{t} GROUP BY id)")
+    return "".join(parts) + f" SELECT id, c AS core FROM v{k}"
+
+
+@q("graph_kcore", _kcore_oracle(18))
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (operators/graph.core_numbers) of the part
+    co-purchase graph via the PARALLEL H-index iteration — sequential
+    peeling removes one degree class at a time, the H-operator
+    converges to the same coreness in ~10 whole-graph rounds, each one
+    Spark job (join the value vector to the stationary edge table,
+    codegen'd h-index over the sorted neighbor values).  The third
+    ITERATIVE algorithm in the hash gate: exact integers, fixpoint
+    detected by changed-count, and the 18-round oracle unroll is
+    guarded by max_rounds=18 on the Spark side."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    lp = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p")).distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("id_a"),
+                     F.col("b.p").alias("id_b")))
+    return G.core_numbers(pairs, max_rounds=18)

@@ -901,3 +901,68 @@ def test_degree_moments_hand_computed_star_vs_clique(spark):
     z = G.degree_moments(empty).collect()[0]
     assert (z["n_nodes"], z["m_edges"], z["s_jk"], z["s_sum"], z["s_sq"]) \
         == (0, 0, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------
+# core_numbers (k-core via H-index iteration) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _core_py(edges):
+    """Reference coreness by sequential peeling."""
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    core = {}
+    alive = {v: len(ns) for v, ns in adj.items()}
+    level = 0
+    while alive:
+        v = min(alive, key=lambda x: (alive[x], x))
+        level = max(level, alive[v])
+        core[v] = level
+        for u in adj[v]:
+            if u in alive and alive[u] > alive[v]:
+                alive[u] -= 1
+        del alive[v]
+    return core
+
+
+def test_core_numbers_matches_peeling_on_random_graph(spark):
+    import random
+
+    rng = random.Random(21)
+    edges = list({(min(a, b), max(a, b))
+                  for a, b in ((rng.randrange(30), rng.randrange(30))
+                               for _ in range(120)) if a != b})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["core"] for r in G.core_numbers(df).collect()}
+    assert got == _core_py(edges)
+
+
+def test_core_numbers_hand_computed(spark):
+    """K5 is a 4-core; a star is a 1-core; triangle+pendant mixes."""
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    df = spark.createDataFrame(k5, "id_a long, id_b long")
+    assert set({r["core"] for r in G.core_numbers(df).collect()}) == {4}
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "id_a long, id_b long")
+    assert set({r["core"] for r in G.core_numbers(star).collect()}) == {1}
+    tri_p = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)],
+                                  "id_a long, id_b long")
+    got = {r["id"]: r["core"] for r in G.core_numbers(tri_p).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1}
+
+
+def test_core_numbers_round_valve_on_deep_chain(spark):
+    """A path converges one hop per round — the documented O(n) case:
+    max_rounds must RAISE rather than return an unconverged labeling,
+    and a deliberate higher valve converges to all-1s."""
+    path = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                 "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.core_numbers(path, max_rounds=3)
+    got = {r["core"] for r in G.core_numbers(path, max_rounds=20).collect()}
+    assert got == {1}
+    with pytest.raises(ValueError, match="max_rounds"):
+        G.core_numbers(path, max_rounds=0)
