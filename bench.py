@@ -126,6 +126,19 @@ HEADLINE = [
     "stream_drift_alert", # 2-batch monitor replay + DECIMAL(38) threshold compare (r12 add)
     "k_anonymity_generalized",  # whole generalization-level search in ONE GROUPING SETS pass (r12 add)
     "graph_clustering",   # degree agg + sparse triangle left join on the wedge-join plan (r12 add)
+    "graph_kcore",        # parallel H-index iteration to the coreness fixpoint (r12 part 4)
+    "graph_hits",         # 4 max-normalized BIGINT hub/authority rounds (r12 part 4)
+    "graph_bfs",          # frontier BFS vs stationary edges, 6 hops (r12 part 4)
+    "graph_common_neighbors",  # center-keyed adjacency self-join pair counts (r12 part 4)
+    "sessions_overlap",   # interval x interval chunked overlap self-join (r12 part 4)
+    "dedup_containment",  # asymmetric containment via shared inverted index (r12 part 4)
+    "link_customer_supplier",  # blocked banded-levenshtein ER join (r12 part 4)
+    "part_copurchase",    # bipartite projection, one groupBy + in-array pairs (r12 part 4)
+    "vocab_top_streamed", # heavy hitters served from the monitor counts store (r12 part 4)
+    "graph_degree_moments",  # assortativity moments, one agg over deg-joined edges (r12 part 4)
+    "dedup_jaccard_prefix",  # lossless PPJoin prefix index: rarest-shingle postings, no cap (r12 part 4)
+    "events_islands",     # gaps-and-islands coverage fold, one keyed shuffle (r12 part 4)
+    # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)
     # (classifier_fit_score / langid_fit_score are iterative FITS —

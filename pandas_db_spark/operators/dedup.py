@@ -379,6 +379,65 @@ def _posting_candidates(sh: DataFrame, id_col: str,
             .distinct())
 
 
+def jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
+                         threshold: float = 0.8, n: int = 3,
+                         persist: bool = True) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via **prefix filtering** (the SSJoin /
+    PPJoin candidate principle) — same output contract as
+    :func:`jaccard_pairs`, different scale story: EXACT with no
+    ``max_df`` cap, because the candidate generator is lossless by
+    construction instead of exhaustive-then-capped.
+
+    The lemma: order every document's shingles by ONE global canonical
+    order (ascending document frequency, ties by shingle text — rarest
+    first).  If J(A, B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and any pair with
+    overlap ≥ α must share a token within the first |A| − α + 1 tokens
+    of A's canonical order (if all shared tokens sat beyond the
+    prefix, fewer than α positions would remain).  So indexing ONLY
+    each doc's ``|A| − ⌈t·|A|⌉ + 1`` rarest shingles — at t = 0.8,
+    ~20% of them — still generates every qualifying pair, and the
+    indexed shingles are each doc's RAREST, so posting lists stay
+    short even for stopword-heavy corpora: the Σdf² blowup that forces
+    ``jaccard_pairs``'s recall-trading cap simply doesn't reach the
+    index.  (A shingle frequent enough to blow up a posting list is by
+    definition too common to be in many prefixes.)
+
+    Plan: shingle → explode → one vocab-sized df aggregate → re-join
+    frequencies → per-doc sort by (df, shingle) + ``slice`` to the
+    prefix (all JVM array ops) → prefix posting lists → in-bucket
+    pairs → the shared exact verify.  Two keyed shuffles more than the
+    capped index (the df join and re-group), bought back at scale by
+    the candidate-volume collapse; at 100 TB the df table is the
+    vocabulary, broadcastable for real corpora.
+
+    ``threshold`` must be in (0, 1] — prefix length is undefined at 0
+    (every pair would qualify)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}")
+    sh = _shared_shingles(df, text_col, id_col, n, persist)
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("t"))
+    freq = posting.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (posting.join(freq, "t")
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  F.col("df"), F.col("t")))).alias("__ord")))
+    # |A| - floor(t·|A|) + 1, not the textbook ceil: floor(computed) can
+    # never exceed ceil(true) under a 1-ulp multiply error (ceil could),
+    # so this prefix is ALWAYS >= the lossless minimum — at most one
+    # extra indexed token, never a missed pair.
+    plen = (F.size("__ord")
+            - F.floor(F.size("__ord") * F.lit(float(threshold)))
+            .cast("int") + F.lit(1))
+    prefix = ranked.select(
+        F.col(id_col),
+        F.explode(F.slice("__ord", 1, plen)).alias("__p"))
+    cand = _bucket_pairs(
+        prefix.select(F.col(id_col), F.col("__p.t").alias("tok")),
+        ["tok"], id_col)
+    return _verify_pairs(cand, sh, id_col, threshold)
+
+
 def containment_pairs(df: DataFrame, text_col: str, id_col: str,
                       threshold: float = 0.8, n: int = 3,
                       max_df: int | None = JACCARD_DEFAULT_MAX_DF,

@@ -321,3 +321,57 @@ def interval_join(left: DataFrame, right: DataFrame,
                     & (F.col(lo_r) <= F.col(hi_l))
                     & (F.col("__bucket") == anchor))
             .drop("__bucket"))
+
+
+def merge_intervals(df: DataFrame, by: Sequence[str],
+                    lo: str = "lo", hi: str = "hi",
+                    gap_s: int = 0) -> DataFrame:
+    """Gaps-and-islands: coalesce each key's overlapping (or
+    ``gap_s``-close) CLOSED intervals into maximal islands —
+    ``(by…, island_idx, lo, hi, n_intervals)``, ``island_idx`` 0-based
+    per key in time order.  The coverage primitive: activity windows →
+    sessions, validity fragments → contiguous history, incident spans
+    → outage episodes.
+
+    Semantics: intervals belong to one island iff they chain through
+    overlaps-or-gaps ≤ ``gap_s`` seconds (touching endpoints merge at
+    the default 0).  Rows with a NULL bound are dropped (an unbounded
+    fragment has no island semantics); ``lo > hi`` rows are empty
+    intervals and are dropped too.
+
+    Plan: ONE keyed shuffle.  Within the (by…)-partitioned
+    (lo, hi)-sorted window, an island starts where ``lo`` exceeds the
+    RUNNING MAX of all previous ``hi`` (the running max — not lag(hi)
+    — is what makes a long interval absorb short ones that start and
+    end inside it); the island id is the running sum of those starts,
+    and the final fold is a groupBy over the same partitioning, so
+    Catalyst plans window + window + agg behind a single Exchange.
+    Per-key memory is O(1) per row (two running accumulators), never
+    the island's member list."""
+    by = list(by)
+    if gap_s < 0:
+        raise ValueError(f"gap_s must be >= 0, got {gap_s}")
+    from pyspark.sql import Window
+
+    def _us(c):  # NTZ-safe epoch micros (session tz pinned UTC)
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    w = Window.partitionBy(*by).orderBy(_us(lo), _us(hi))
+    prev_max_hi = F.max(_us(hi)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    starts = F.when(
+        prev_max_hi.isNull()
+        | (_us(lo) > prev_max_hi + gap_s * 1_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    labeled = (df
+               .where(F.col(lo).isNotNull() & F.col(hi).isNotNull()
+                      & (_us(lo) <= _us(hi)))
+               .withColumn("__island",
+                           F.sum(starts).over(
+                               w.rowsBetween(Window.unboundedPreceding,
+                                             0)) - 1))
+    return (labeled.groupBy(*by, "__island")
+            .agg(F.min(lo).alias(lo), F.max(hi).alias(hi),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .select(*by, F.col("__island").cast("long")
+                    .alias("island_idx"), lo, hi, "n_intervals"))

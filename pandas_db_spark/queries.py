@@ -67,6 +67,12 @@ def q(name: str, oracle: str | None = None):
 # FULL registry is still verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r12 part-4 additions, never driver-verified (prepended as implemented)
+    "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
+    "dedup_jaccard_prefix", "events_islands",
+    "dedup_containment", "link_customer_supplier", "link_customer_dups",
+    "sessions_overlap", "vocab_top_streamed", "part_copurchase",
+    "graph_degree_moments",
     # r12 additions, never driver-verified (prepended as implemented)
     "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
     "pca_invariant", "events_transitions", "graph_pagerank_seeded",
@@ -5873,3 +5879,57 @@ def graph_kcore(spark, sf_dir):
              .select(F.col("a.p").alias("id_a"),
                      F.col("b.p").alias("id_b")))
     return G.core_numbers(pairs, max_rounds=18)
+
+
+@q("dedup_jaccard_prefix",
+   _EXACT_PAIRS + "WHERE jaccard >= 0.8")
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard (operators/dedup.
+    jaccard_pairs_prefix — the SSJoin/PPJoin candidate principle):
+    index only each doc's |A| - floor(0.8|A|) + 1 RAREST shingles
+    under the global (df, shingle) order — lossless by the prefix
+    lemma, so the result equals the same all-pairs oracle that gates
+    dedup_ngram_jaccard with NO recall-trading max_df cap: the
+    stopword Sigma-df-squared blowup can't reach an index built from
+    each doc's rarest tokens."""
+    from pandas_db_spark.operators import dedup as D
+    d = get_db(spark, sf_dir).documents
+    return D.jaccard_pairs_prefix(d.df, "text", "doc_id",
+                                  threshold=0.8)
+
+
+@q("events_islands",
+   "WITH iv AS (SELECT user_id, ts AS lo, "
+   "ts + INTERVAL 600 SECOND AS hi FROM events "
+   "WHERE user_id IS NOT NULL), "
+   "lab AS (SELECT user_id, lo, hi, "
+   "SUM(CASE WHEN pmh IS NULL OR epoch_us(lo) > pmh + 0 THEN 1 "
+   "ELSE 0 END) OVER (PARTITION BY user_id "
+   "ORDER BY epoch_us(lo), epoch_us(hi) "
+   "ROWS UNBOUNDED PRECEDING) - 1 AS island FROM ("
+   "SELECT user_id, lo, hi, max(epoch_us(hi)) OVER ("
+   "PARTITION BY user_id ORDER BY epoch_us(lo), epoch_us(hi) "
+   "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmh "
+   "FROM iv)) "
+   "SELECT user_id, island::BIGINT AS island_idx, "
+   "min(epoch_us(lo))::BIGINT AS lo_us, "
+   "max(epoch_us(hi))::BIGINT AS hi_us, "
+   "count(*)::BIGINT AS n_intervals FROM lab GROUP BY 1, 2")
+def events_islands(spark, sf_dir):
+    """Gaps-and-islands (operators/temporal.merge_intervals): pad each
+    event to a 10-minute activity window and coalesce per user — the
+    coverage fold (running-max island detection, so long windows
+    absorb short ones; ONE keyed shuffle for window+window+agg).
+    Cross-validates the sessionize family: islands at pad p ==
+    sessions at gap p by construction, derived through a completely
+    different plan."""
+    from pandas_db_spark.operators.temporal import merge_intervals
+    e = (get_db(spark, sf_dir).events.df
+         .where(F.col("user_id").isNotNull())
+         .select("user_id", F.col("ts").alias("lo"),
+                 (F.col("ts").cast("timestamp")
+                  + F.expr("INTERVAL 600 SECONDS")).alias("hi")))
+    m = merge_intervals(e, ["user_id"], "lo", "hi")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return m.select("user_id", "island_idx", us("lo").alias("lo_us"),
+                    us("hi").alias("hi_us"), "n_intervals")

@@ -2664,3 +2664,64 @@ def test_containment_matches_brute_force(spark, db):
                db.documents.df, "text", "doc_id", threshold=0.6,
                max_df=None).collect()}
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------
+# jaccard_pairs_prefix (SSJoin/PPJoin prefix filtering) — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_prefix_jaccard_equals_capped_free_index(db):
+    """On the real sf0.001 corpus the prefix generator must reproduce
+    the exact inverted index (max_df=None) pair-for-pair."""
+    want = {(r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+            for r in D.jaccard_pairs(db.documents.df, "text", "doc_id",
+                                     threshold=0.8,
+                                     max_df=None).collect()}
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+           for r in D.jaccard_pairs_prefix(
+               db.documents.df, "text", "doc_id",
+               threshold=0.8).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_prefix_jaccard_survives_template_corpus_where_cap_loses(spark):
+    """Template farm: 10 docs sharing a 30-token boilerplate frame,
+    each with 2 unique slot tokens — every cross-doc SHARED shingle is
+    boilerplate (df=10), every rare shingle is doc-unique.  All 45
+    pairs have J = 28/32 = 0.875.  The capped inverted index
+    (max_df=2) finds NONE of them — every shared shingle is above the
+    cap, the documented recall trade; prefix filtering finds all 45
+    with no cap, because the lemma is order-independent: a 28-token
+    intersection cannot avoid a |A|-floor(t|A|)+1 prefix."""
+    frame = " ".join(f"boiler{i}" for i in range(30))
+    docs = [(i, frame + f" uniqA{i} uniqB{i}") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        capped = {(r["id_a"], r["id_b"]) for r in
+                  D.jaccard_pairs(df, "text", "doc_id", threshold=0.85,
+                                  max_df=2).collect()}
+    assert capped == set()  # the cap's documented miss, total here
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.jaccard_pairs_prefix(df, "text", "doc_id",
+                                  threshold=0.85).collect()}
+    assert len(got) == 45 and set(got.values()) == {28 / 32}
+
+
+def test_prefix_jaccard_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        D.jaccard_pairs_prefix(df, "text", "doc_id", threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        D.jaccard_pairs_prefix(df, "text", "doc_id", threshold=1.5)
+    # t=1.0 (exact-duplicate mode): prefix length 1, still lossless
+    dup = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w"), (3, "p q r s")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.jaccard_pairs_prefix(dup, "text", "doc_id",
+                                  threshold=1.0).collect()}
+    assert got == {(1, 2)}

@@ -299,3 +299,87 @@ def test_interval_join_validation(spark):
     rt = _iv(spark, [(0, 10)], "r")
     with _pt.raises(ValueError, match="bucket_s"):
         interval_join(lt, rt, "llo", "lhi", "rlo", "rhi", bucket_s=0)
+
+
+# ---------------------------------------------------------------------
+# merge_intervals (gaps-and-islands) — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_merge_intervals_absorbs_contained_and_touching(spark):
+    """[0,60] absorbs [10,20]; [60,70] touches the closed endpoint and
+    merges; [80,90] is its own island — the running-max (not lag)
+    semantics, plus counts."""
+    from pandas_db_spark.operators.temporal import merge_intervals
+
+    iv = _iv(spark, [(0, 60), (10, 20), (60, 70), (80, 90),
+                     (5, 15)], "l")
+    iv = iv.withColumn("k", F.lit("u"))
+    got = [(r["island_idx"], r["llo"].minute, r["lhi"].minute,
+            r["n_intervals"])
+           for r in merge_intervals(iv, ["k"], "llo", "lhi")
+           .orderBy("island_idx").collect()]
+    assert got == [(0, 0, 10, 4), (1, 20, 30, 1)]
+
+
+def test_merge_intervals_gap_tolerance_and_keys(spark):
+    from pandas_db_spark.operators.temporal import merge_intervals
+
+    a = _iv(spark, [(0, 10), (12, 20)], "l").withColumn("k", F.lit("a"))
+    b = _iv(spark, [(0, 10), (12, 20)], "l").withColumn("k", F.lit("b"))
+    both = a.union(b)
+    strict = merge_intervals(both, ["k"], "llo", "lhi")
+    assert strict.count() == 4  # 2-minute gap splits per key
+    loose = merge_intervals(both, ["k"], "llo", "lhi", gap_s=180)
+    got = {(r["k"], r["island_idx"]): r["n_intervals"]
+           for r in loose.collect()}
+    assert got == {("a", 0): 2, ("b", 0): 2}
+
+
+def test_merge_intervals_matches_python_replay(spark):
+    import random
+
+    from pandas_db_spark.operators.temporal import merge_intervals
+
+    rng = random.Random(31)
+    rows = []
+    for _ in range(80):
+        a = rng.randrange(0, 500)
+        rows.append((a, a + rng.randrange(0, 40)))
+    iv = _iv(spark, rows, "l").withColumn("k", F.lit("u"))
+    got = sorted((r["island_idx"], r["llo"], r["lhi"], r["n_intervals"])
+                 for r in merge_intervals(iv, ["k"], "llo", "lhi")
+                 .collect())
+    # replay: sort, sweep with running max
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    ivs = sorted((base + dt.timedelta(minutes=a),
+                  base + dt.timedelta(minutes=b)) for a, b in rows)
+    islands, cur = [], None
+    for lo, hi in ivs:
+        if cur is None or lo > cur[1]:
+            cur = [lo, hi, 1]
+            islands.append(cur)
+        else:
+            cur[1] = max(cur[1], hi)
+            cur[2] += 1
+    want = sorted((i, lo, hi, n)
+                  for i, (lo, hi, n) in enumerate(islands))
+    assert got == want
+
+
+def test_merge_intervals_drops_null_and_inverted(spark):
+    import datetime as dt
+
+    from pandas_db_spark.operators.temporal import merge_intervals
+
+    base = dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [("u", base, base + dt.timedelta(minutes=5)),
+         ("u", None, base),
+         ("u", base + dt.timedelta(minutes=3), base)],  # inverted
+        "k string, llo timestamp, lhi timestamp")
+    out = merge_intervals(iv, ["k"], "llo", "lhi").collect()
+    assert len(out) == 1 and out[0]["n_intervals"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="gap_s"):
+        merge_intervals(iv, ["k"], "llo", "lhi", gap_s=-1)
