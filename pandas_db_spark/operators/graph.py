@@ -454,6 +454,76 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 
 # =====================================================================
+# Label propagation (fixed-round synchronous LPA)
+# =====================================================================
+
+def label_propagation(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b", rounds: int = 4,
+                      max_rounds_guard: int = 64) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    undirected simple graph — ``(id, label)``, where after ``rounds``
+    synchronous updates each node carries the label that was most
+    frequent among its neighbors, ties broken by the SMALLEST label:
+
+        l₀(v)   = v
+        l_{t+1}(v) = argmax_{c} |{u ∈ N(v) : l_t(u) = c}|
+                     (tie → min c)
+
+    Everything about the update is deterministic and integer-valued,
+    so — unlike textbook LPA, whose random update order and random tie
+    -breaks give a different clustering every run — this is
+    bit-reproducible across engines, runs, and partitionings, and an
+    unrolled SQL replay hash-checks it (the pagerank discipline).
+
+    Fixed ``rounds`` is the semantics, not a convergence shortcut:
+    synchronous LPA can oscillate forever on bipartite structures (a
+    two-cycle of label swaps), so "the converged labeling" does not
+    exist in general.  Community practice runs 3-7 sweeps; labels
+    after round k reflect k-hop majority structure.  For connectivity
+    (where a fixpoint DOES exist) use :func:`connected_components`;
+    LPA's value is splitting a connected graph into dense regions.
+
+    Plan per round: join the label vector to the stationary symmetrized
+    edge table, ONE map-side-combined ``groupBy(node, label)`` count,
+    then the argmax as ``max(struct(count, -label))`` — no window, no
+    second shuffle beyond the keyed aggregate pair; lineage truncates
+    every other round.  Ids are cast to long (the negation tie-break
+    needs a numeric domain).
+    """
+    if rounds < 0 or rounds > max_rounds_guard:
+        raise ValueError(f"rounds must be in [0, {max_rounds_guard}], "
+                         f"got {rounds}")
+    e = (pairs.select(F.least(F.col(id_a).cast("long"),
+                              F.col(id_b).cast("long")).alias("a"),
+                      F.greatest(F.col(id_a).cast("long"),
+                                 F.col(id_b).cast("long")).alias("b"))
+         .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+         .distinct())
+    sym = (e.union(e.select(F.col("b").alias("a"),
+                            F.col("a").alias("b")))
+           .repartition("a")
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("id")).distinct()
+              .select("id", F.col("id").alias("label"))
+              .localCheckpoint(eager=True))
+    for i in range(rounds):
+        nbl = (sym.join(labels.select(F.col("id").alias("b"),
+                                      F.col("label").alias("lab")), "b")
+               .groupBy("a", "lab")
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (nbl.groupBy("a")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lab")).alias("nl")))
+                       .alias("m"))
+                  .select(F.col("a").alias("id"),
+                          (-F.col("m.nl")).alias("label")))
+        if i % 2 == 1 or i == rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+# =====================================================================
 # HITS (hubs & authorities, integer fixed point)
 # =====================================================================
 

@@ -69,7 +69,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r12 part-4 additions, never driver-verified (prepended as implemented)
     "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
-    "dedup_jaccard_prefix", "events_islands",
+    "dedup_jaccard_prefix", "events_islands", "graph_lpa",
     "dedup_containment", "link_customer_supplier", "link_customer_dups",
     "sessions_overlap", "vocab_top_streamed", "part_copurchase",
     "graph_degree_moments",
@@ -5933,3 +5933,51 @@ def events_islands(spark, sf_dir):
     us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     return m.select("user_id", "island_idx", us("lo").alias("lo_us"),
                     us("hi").alias("hi_us"), "n_intervals")
+
+
+def _lpa_oracle(k: int) -> str:
+    """Unrolled k-round synchronous-LPA replay (min-label tie-break)
+    over the co-purchase graph — fixed rounds IS the semantics, since
+    synchronous LPA has no general fixpoint (bipartite oscillation)."""
+    parts = [
+        "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, "
+        "l_partkey AS p FROM lineitem WHERE l_quantity >= 35), "
+        "e AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b "
+        "FROM lp a JOIN lp b ON a.ok = b.ok AND a.p < b.p), "
+        "sym AS MATERIALIZED (SELECT a, b FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lab FROM sym)",
+    ]
+    for t in range(1, k + 1):
+        p = t - 1
+        parts.append(
+            f", c{t} AS (SELECT s.a AS id, l.lab AS lab, "
+            f"count(*)::BIGINT AS c FROM sym s JOIN l{p} l "
+            "ON l.id = s.b GROUP BY 1, 2)"
+            f", l{t} AS MATERIALIZED (SELECT id, lab FROM ("
+            "SELECT id, lab, row_number() OVER (PARTITION BY id "
+            f"ORDER BY c DESC, lab ASC) AS rn FROM c{t}) WHERE rn = 1)")
+    return "".join(parts) + f" SELECT id, lab AS label FROM l{k}"
+
+
+@q("graph_lpa", _lpa_oracle(4))
+def graph_lpa(spark, sf_dir):
+    """Synchronous label propagation (operators/graph.
+    label_propagation), 4 rounds over the part co-purchase graph —
+    community detection that SPLITS a connected graph into dense
+    regions, which connected_components structurally can't (one
+    component = one label).  Deterministic (count DESC, label ASC)
+    argmax makes the classically-random algorithm bit-reproducible and
+    SQL-replayable; each round is one keyed count aggregate + one
+    struct-max, no windows."""
+    from pandas_db_spark.operators import graph as G
+    li = get_db(spark, sf_dir).lineitem.df.where(
+        F.col("l_quantity") >= 35)
+    lp = (li.select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("p")).distinct())
+    a, b = lp.alias("a"), lp.alias("b")
+    pairs = (a.join(b, (F.col("a.ok") == F.col("b.ok"))
+                    & (F.col("a.p") < F.col("b.p")))
+             .select(F.col("a.p").alias("id_a"),
+                     F.col("b.p").alias("id_b")))
+    return G.label_propagation(pairs, rounds=4)

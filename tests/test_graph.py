@@ -966,3 +966,65 @@ def test_core_numbers_round_valve_on_deep_chain(spark):
     assert got == {1}
     with pytest.raises(ValueError, match="max_rounds"):
         G.core_numbers(path, max_rounds=0)
+
+
+# ---------------------------------------------------------------------
+# label_propagation (fixed-round synchronous LPA) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _lpa_py(edges, rounds):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, ns in adj.items():
+            cnt = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(44)
+    edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for rounds in (0, 1, 3):
+        got = {r["id"]: r["label"]
+               for r in G.label_propagation(df, rounds=rounds).collect()}
+        assert got == _lpa_py(edges, rounds)
+
+
+def test_lpa_splits_barbell_where_cc_cannot(spark):
+    """Two K4 cliques joined by one bridge edge: CC sees ONE component,
+    LPA after 3 rounds labels each clique by its own minimum."""
+    left = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    right = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(left + right + bridge,
+                               "id_a long, id_b long")
+    cc = {r["component"]
+          for r in G.connected_components(df).collect()}
+    assert cc == {0}  # one component
+    lpa = {r["id"]: r["label"]
+           for r in G.label_propagation(df, rounds=3).collect()}
+    assert {lpa[i] for i in range(4)} == {0}
+    assert {lpa[i] for i in range(10, 14)} == {10}
+
+
+def test_lpa_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="rounds"):
+        G.label_propagation(df, rounds=-1)
+    # rounds=0: identity labeling
+    assert ({r["id"]: r["label"]
+             for r in G.label_propagation(df, rounds=0).collect()}
+            == {1: 1, 2: 2})
