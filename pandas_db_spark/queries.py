@@ -70,6 +70,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r12 part-4 additions, never driver-verified (prepended as implemented)
     "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
     "dedup_jaccard_prefix", "events_islands", "graph_lpa",
+    "mm_phash", "mm_phash_pairs",
     "dedup_containment", "link_customer_supplier", "link_customer_dups",
     "sessions_overlap", "vocab_top_streamed", "part_copurchase",
     "graph_degree_moments",
@@ -5981,3 +5982,52 @@ def graph_lpa(spark, sf_dir):
              .select(F.col("a.p").alias("id_a"),
                      F.col("b.p").alias("id_b")))
     return G.label_propagation(pairs, rounds=4)
+
+
+_DHASH_SQL = (
+    "WITH m AS (SELECT doc_id, text, "
+    "CAST(floor((octet_length(text::BLOB) + 16) / 17.0) AS INT) "
+    "AS chunk FROM documents), "
+    "fr AS (SELECT doc_id, i, substring(text, i*chunk+1, chunk) AS f "
+    "FROM m, (SELECT unnest(range(0, 17)) AS i)), "
+    "st AS (SELECT doc_id, i, "
+    "coalesce(list_sum([ascii(c)::BIGINT for c in "
+    "string_split(f, '')]), 0) AS s, "
+    "greatest(len(f), 1)::BIGINT AS l FROM fr), "
+    "ph AS (SELECT a.doc_id, "
+    "sum(CASE WHEN a.s * b.l > b.s * a.l THEN 1<<a.i ELSE 0 END)"
+    "::BIGINT AS ph FROM st a JOIN st b ON a.doc_id = b.doc_id "
+    "AND b.i = a.i + 1 GROUP BY 1) ")
+
+
+@q("mm_phash", _DHASH_SQL + "SELECT doc_id, ph AS phash FROM ph")
+def mm_phash(spark, sf_dir):
+    """Perceptual difference-hash (operators/multimodal.media_dhash):
+    16 gradient bits over the 17-frame grid, cross-multiplied integer
+    mean compares (no float division) so the hash is engine-exact —
+    the multimodal near-dup signature byte-exact hashing can't give.
+    Arrow-batched like the rest of the codec plumbing; the oracle
+    replays frames + byte sums in SQL (payload bytes == ASCII chars
+    on this corpus)."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    return M.media_dhash(media)
+
+
+@q("mm_phash_pairs",
+   _DHASH_SQL +
+   "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+   "bit_count(xor(a.ph, b.ph))::BIGINT AS hamming "
+   "FROM ph a JOIN ph b ON a.doc_id < b.doc_id "
+   "WHERE bit_count(xor(a.ph, b.ph)) <= 2")
+def mm_phash_pairs(spark, sf_dir):
+    """Perceptual near-dup pairs (operators/multimodal.phash_pairs):
+    dHash signatures within Hamming 2, candidates from LOSSLESS
+    3-band pigeonhole bucketing (a 2-bit difference can't touch all
+    3 bands) + exact bit_count verify — the MinHash banding shape
+    applied to media payloads, one groupBy shuffle, never all-pairs."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents
+    media = M.attach_media(d.df, "text", "doc_id")
+    return M.phash_pairs(media, max_hamming=2)

@@ -157,3 +157,107 @@ def test_frame_slices_reassemble(media):
         joined = b"".join(bytes(r["frame"]) for r in fs)
         assert joined == payloads[doc_id]
         assert all(r["frame_len"] == len(bytes(r["frame"])) for r in fs)
+
+
+# ---------------------------------------------------------------------
+# media_dhash / phash_pairs — r12 part 4
+# ---------------------------------------------------------------------
+
+def _dhash_py(payload: bytes, n_frames: int = 17) -> int:
+    n = len(payload)
+    chunk = (n + n_frames - 1) // n_frames
+    if chunk == 0:
+        return 0
+    h = 0
+    for i in range(n_frames - 1):
+        a = payload[i * chunk:(i + 1) * chunk]
+        b = payload[(i + 1) * chunk:(i + 2) * chunk]
+        sa, la = sum(a), max(len(a), 1)
+        sb, lb = sum(b), max(len(b), 1)
+        if sa * lb > sb * la:
+            h |= 1 << i
+    return h
+
+
+def test_media_dhash_matches_python_replay(spark):
+    import random
+
+    from pandas_db_spark.operators import multimodal as M
+
+    rng = random.Random(3)
+    rows = [(i, bytes(rng.randrange(256)
+                      for _ in range(rng.randrange(0, 300))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["phash"]
+           for r in M.media_dhash(df).collect()}
+    assert got == {i: _dhash_py(b) for i, b in rows}
+
+
+def test_phash_pairs_banding_is_lossless_at_budget(spark):
+    """Pairs at Hamming exactly max_hamming are found (pigeonhole:
+    2 flipped bits can't touch 3 bands), one past the budget is not."""
+    from pandas_db_spark.operators import multimodal as M
+
+    base = bytes(range(200))          # a payload with varied gradient
+    h0 = _dhash_py(base)
+    # craft payloads by flipping dHash bits is hard; instead test at
+    # the HASH level through media_dhash determinism + pair verify:
+    # identical payloads pair at hamming 0; a reordered payload drifts.
+    rows = [(1, base), (2, base), (3, base[::-1]),
+            (4, bytes(200))]          # constant payload: hash 0
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = df.select("doc_id", "payload")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.phash_pairs(media, max_hamming=2).collect()}
+    assert got[(1, 2)] == 0
+    rev = _dhash_py(base[::-1])
+    want = {(1, 2): 0}
+    if bin(h0 ^ rev).count("1") <= 2:
+        want[(1, 3)] = want[(2, 3)] = bin(h0 ^ rev).count("1")
+    if bin(h0).count("1") <= 2:
+        want[(1, 4)] = want[(2, 4)] = bin(h0).count("1")
+    if bin(rev).count("1") <= 2:
+        want[(3, 4)] = bin(rev).count("1")
+    assert got == want
+
+
+def test_phash_pairs_exhaustive_vs_brute_force(spark):
+    """Randomized: banding+verify == all-pairs bit_count filter."""
+    import random
+
+    from pandas_db_spark.operators import multimodal as M
+
+    rng = random.Random(17)
+    rows = [(i, bytes(rng.randrange(256) for _ in range(120)))
+            for i in range(30)]
+    # plant near-dup payloads (identical => hamming 0)
+    rows += [(100, rows[0][1]), (101, rows[5][1])]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    media = df.select("doc_id", "payload")
+    hashes = {i: _dhash_py(b) for i, b in rows}
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in M.phash_pairs(media, max_hamming=3).collect()}
+    assert got == want and (rows[0][0], 100) in got
+
+
+def test_phash_validation(spark):
+    import pytest as _pt
+
+    from pandas_db_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with _pt.raises(ValueError, match="n_frames"):
+        M.media_dhash(df, n_frames=1)
+    with _pt.raises(ValueError, match="max_hamming"):
+        M.phash_pairs(df, n_frames=17, max_hamming=16)
+    # empty payload hashes to 0
+    e = spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    assert M.media_dhash(e).collect()[0]["phash"] == 0
