@@ -885,18 +885,28 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
                      F.col(item_col).alias("it"))
            .where(F.col("g").isNotNull() & F.col("it").isNotNull())
            .distinct())
-    groups = (inc.groupBy("g")
-              .agg(F.collect_set("it").alias("items"))
-              .where(F.size("items") > 1))
     if max_group_size is not None:
-        n_big = groups.where(F.size("items") > max_group_size).count()
+        # Cap BEFORE collect_set: the count aggregate is a scalar per
+        # group, so a degenerate 10M-item group is dropped without any
+        # task ever materializing its member array (capping after the
+        # collect would bound the pair explosion but not the collect's
+        # memory).  inc is cached so the size pass and the collect pass
+        # share the dedup shuffle.
+        from pyspark import StorageLevel
+        inc = inc.persist(StorageLevel.MEMORY_AND_DISK)
+        big = (inc.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > max_group_size))
+        n_big = big.count()
         if n_big:
             import warnings
             warnings.warn(
                 f"cooccurrence_pairs: {n_big} group(s) larger than "
                 f"{max_group_size} items excluded from projection — "
                 "their co-occurrences are not counted", stacklevel=2)
-            groups = groups.where(F.size("items") <= max_group_size)
+            inc = inc.join(big.select("g"), "g", "left_anti")
+    groups = (inc.groupBy("g")
+              .agg(F.collect_set("it").alias("items"))
+              .where(F.size("items") > 1))
     pairs = (groups.select(F.explode("items").alias("id_a"),
                            F.col("items"))
              .select("id_a",

@@ -13,8 +13,11 @@ Usage: python tools/measure_graph_scaling_p4.py [iters]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OFF = 1_000_000_000
 PART_OFF = 10_000_000
