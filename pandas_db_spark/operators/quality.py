@@ -40,12 +40,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 @dataclass(frozen=True)
 class Rule:
-    """One expectation.  ``kind`` is 'row' (boolean condition per row)
-    or 'unique' (key-cardinality check)."""
+    """One expectation.  ``kind`` is 'row' (boolean condition per row),
+    'unique' (key-cardinality check), or 'ref' (referential
+    integrity against a dimension key set)."""
     name: str
-    kind: str                      # 'row' | 'unique'
+    kind: str                      # 'row' | 'unique' | 'ref'
     cols: tuple[str, ...] = ()
     _cond: Column | None = field(default=None, compare=False)
+    _ref: tuple | None = field(default=None, compare=False)
 
 
 def not_null(col: str) -> Rule:
@@ -88,6 +90,23 @@ def unique(*cols: str) -> Rule:
     return Rule(f"unique:{','.join(cols)}", "unique", tuple(cols))
 
 
+def references(col: str, dim_df: DataFrame, dim_col: str) -> Rule:
+    """Referential integrity: every NON-NULL ``col`` value must appear
+    in ``dim_df[dim_col]`` — violations are orphaned foreign keys
+    (NULL FKs are not violations; that is :func:`not_null`'s job, and
+    conflating them hides which contract broke).
+
+    Plan: the dimension's distinct key set left-joins onto the fact
+    BEFORE the single aggregate pass, adding one marker column per ref
+    rule — small dims broadcast (AQE decides), so the suite stays one
+    scan of the fact table; a ref rule is the only rule kind that can
+    add a shuffle, and only when the dimension is genuinely large.
+    The dim subtree is evaluated as part of the same lazy plan — no
+    collect, no driver-side set."""
+    return Rule(f"references:{col}->{dim_col}", "ref", (col,),
+                None, (dim_df, dim_col))
+
+
 def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Run the suite in ONE aggregate pass; returns a lazy DataFrame
     ``(rule string, violations long, n_rows long, ok boolean)``, one row
@@ -104,12 +123,29 @@ def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     if len(set(names)) != len(names):
         raise ValueError(f"check_expectations: duplicate rule names in {names}")
 
+    # ref rules: attach one marker column per rule via a left join of
+    # the dimension's distinct keys, then count orphans in the same
+    # aggregate as every other rule
+    for i, r in enumerate(rules):
+        if r.kind == "ref":
+            dim_df, dim_col = r._ref
+            keys = (dim_df.select(F.col(dim_col).alias(f"__k{i}"))
+                    .where(F.col(f"__k{i}").isNotNull()).distinct()
+                    .withColumn(f"__hit{i}", F.lit(1)))
+            df = df.join(keys, df[r.cols[0]] == keys[f"__k{i}"],
+                         "left").drop(f"__k{i}")
+
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
     for i, r in enumerate(rules):
         if r.kind == "row":
             # NOT TRUE (false or null) counts as a violation.
             viol = F.when(r._cond, F.lit(0)).otherwise(F.lit(1))
             aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
+        elif r.kind == "ref":
+            orphan = F.when(F.col(r.cols[0]).isNotNull()
+                            & F.col(f"__hit{i}").isNull(),
+                            F.lit(1)).otherwise(F.lit(0))
+            aggs.append(F.sum(orphan).cast("long").alias(f"__v{i}"))
         elif r.kind == "unique":
             aggs.append(
                 (F.count(F.lit(1)) -
@@ -155,11 +191,25 @@ def check_expectations_by(df: DataFrame, group_cols: Sequence[str],
         raise ValueError(
             f"check_expectations_by: duplicate rule names in {names}")
 
+    for i, r in enumerate(rules):
+        if r.kind == "ref":
+            dim_df, dim_col = r._ref
+            keys = (dim_df.select(F.col(dim_col).alias(f"__k{i}"))
+                    .where(F.col(f"__k{i}").isNotNull()).distinct()
+                    .withColumn(f"__hit{i}", F.lit(1)))
+            df = df.join(keys, df[r.cols[0]] == keys[f"__k{i}"],
+                         "left").drop(f"__k{i}")
+
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
     for i, r in enumerate(rules):
         if r.kind == "row":
             viol = F.when(r._cond, F.lit(0)).otherwise(F.lit(1))
             aggs.append(F.sum(viol).cast("long").alias(f"__v{i}"))
+        elif r.kind == "ref":
+            orphan = F.when(F.col(r.cols[0]).isNotNull()
+                            & F.col(f"__hit{i}").isNull(),
+                            F.lit(1)).otherwise(F.lit(0))
+            aggs.append(F.sum(orphan).cast("long").alias(f"__v{i}"))
         else:  # unique within each group
             aggs.append(
                 (F.count(F.lit(1)) -

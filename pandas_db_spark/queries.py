@@ -70,7 +70,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r12 part-4 additions, never driver-verified (prepended as implemented)
     "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
     "dedup_jaccard_prefix", "events_islands", "graph_lpa",
-    "mm_phash", "mm_phash_pairs",
+    "mm_phash", "mm_phash_pairs", "referential_checks",
     "dedup_containment", "link_customer_supplier", "link_customer_dups",
     "sessions_overlap", "vocab_top_streamed", "part_copurchase",
     "graph_degree_moments",
@@ -6031,3 +6031,38 @@ def mm_phash_pairs(spark, sf_dir):
     d = get_db(spark, sf_dir).documents
     media = M.attach_media(d.df, "text", "doc_id")
     return M.phash_pairs(media, max_hamming=2)
+
+
+@q("referential_checks",
+   "SELECT 'references:l_orderkey->o_orderkey' AS rule, "
+   "(SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL "
+   "AND NOT EXISTS (SELECT 1 FROM orders o "
+   "WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS violations, "
+   "(SELECT count(*) FROM lineitem)::BIGINT AS n_rows, "
+   "(SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL "
+   "AND NOT EXISTS (SELECT 1 FROM orders o "
+   "WHERE o.o_orderkey = l.l_orderkey)) = 0 AS ok "
+   "UNION ALL "
+   "SELECT 'references:l_partkey->p_partkey', "
+   "(SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL "
+   "AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = "
+   "l.l_partkey AND p.p_size > 25))::BIGINT, "
+   "(SELECT count(*) FROM lineitem)::BIGINT, "
+   "(SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL "
+   "AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = "
+   "l.l_partkey AND p.p_size > 25)) = 0")
+def referential_checks(spark, sf_dir):
+    """Referential-integrity expectations (operators/quality.references
+    — the Deequ-style suite extended with FK orphan checks): every
+    lineitem order key must exist in orders (holds, 0 violations), and
+    a dimension-SUBSET check (parts with p_size > 25) that genuinely
+    binds — the 'my dim table is incomplete' production failure.  Dim
+    key sets left-join markers onto the fact before the ONE aggregate
+    pass; small dims broadcast, the fact never shuffles."""
+    from pandas_db_spark.operators import quality as Q
+    db = get_db(spark, sf_dir)
+    big_parts = db.part.df.where(F.col("p_size") > 25)
+    return Q.check_expectations(db.lineitem.df, [
+        Q.references("l_orderkey", db.orders.df, "o_orderkey"),
+        Q.references("l_partkey", big_parts, "p_partkey"),
+    ])

@@ -278,3 +278,48 @@ def test_rolling_scale_validation(spark):
             RO.cumulative(df, "k", "t", "v", scale=bad)
     assert RO.rolling_rows(df, "k", "t", "v", 2, scale=0).count() == 1
     assert RO.cumulative(df, "k", "t", "v", scale=18).count() == 1
+
+
+# ---------------------------------------------------------------------
+# references rule (referential integrity) — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_references_rule_counts_orphans_not_nulls(spark):
+    from pandas_db_spark.operators import quality as Q
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 99), (4, None), (5, 99)],
+        "id long, fk long")
+    dim = spark.createDataFrame([(10,), (11,), (None,)], "k long")
+    out = {r["rule"]: (r["violations"], r["n_rows"], r["ok"])
+           for r in Q.check_expectations(
+               fact, [Q.references("fk", dim, "k"),
+                      Q.not_null("fk")]).collect()}
+    # two orphans (the 99s); the NULL fk is NOT a ref violation —
+    # it is not_null's finding
+    assert out["references:fk->k"] == (2, 5, False)
+    assert out["not_null:fk"] == (1, 5, False)
+
+
+def test_references_rule_clean_and_duplicate_dim_keys(spark):
+    from pandas_db_spark.operators import quality as Q
+
+    fact = spark.createDataFrame([(1, 10), (2, 10)], "id long, fk long")
+    dim = spark.createDataFrame([(10,), (10,), (11,)], "k long")
+    out = Q.check_expectations(
+        fact, [Q.references("fk", dim, "k")]).collect()[0]
+    # duplicate dim keys must not multiply fact rows: n_rows stays 2
+    assert (out["violations"], out["n_rows"], out["ok"]) == (0, 2, True)
+
+
+def test_references_rule_per_group(spark):
+    from pandas_db_spark.operators import quality as Q
+
+    fact = spark.createDataFrame(
+        [("a", 10), ("a", 99), ("b", 10)], "src string, fk long")
+    dim = spark.createDataFrame([(10,)], "k long")
+    out = {(r["src"], r["rule"]): r["violations"]
+           for r in Q.check_expectations_by(
+               fact, ["src"], [Q.references("fk", dim, "k")]).collect()}
+    assert out == {("a", "references:fk->k"): 1,
+                   ("b", "references:fk->k"): 0}
