@@ -141,6 +141,7 @@ HEADLINE = [
     "graph_lpa",          # 4 synchronous LPA rounds, keyed count + struct-argmax (r12 part 4)
     "mm_phash_pairs",     # dHash banding + bit_count verify, MinHash shape on media (r12 part 4)
     "referential_checks", # FK orphan suite: dim-marker joins into ONE agg pass (r12 part 4)
+    "graph_sssp",         # frontier Bellman-Ford, 6 hop-bounded relaxation rounds (r12 part 4)
     # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)

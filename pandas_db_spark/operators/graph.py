@@ -704,6 +704,91 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, src: str = "src",
     return visited
 
 
+def shortest_paths(edges: DataFrame, seeds: DataFrame, src: str = "src",
+                   dst: str = "dst", weight_col: str = "w",
+                   seed_col: str = "id", max_hops: int = 8) -> DataFrame:
+    """Hop-bounded single/multi-source WEIGHTED shortest paths —
+    ``(id, cost)`` = the minimum total edge weight over any path of at
+    most ``max_hops`` edges from the seed set (seeds cost 0; nodes
+    unreachable within the bound are absent).  The weighted sibling of
+    :func:`bfs_distances`: "how strongly connected to a trusted core",
+    not just "how many hops".
+
+    Exactness: integer weights (≥ 0 enforced — a negative weight under
+    a HOP bound would reward path padding, which is never the distance
+    question), integer adds and mins — bit-identical across engines,
+    so the hop-unrolled SQL replay hash-checks it.  Overflow guard:
+    ``max_hops · max_w < 2⁶²`` checked at entry.
+
+    Algorithm: label-correcting Bellman–Ford with FRONTIER relaxation
+    — each round relaxes only edges leaving nodes whose cost improved
+    last round (provably equal to full per-round relaxation: a path
+    improves its prefix nodes in hop order, so every useful relaxation
+    source is in some round's frontier).  Parallel (u, v) edges
+    collapse to their minimum weight up front.  Per round: one join of
+    the frontier against the stationary edge table, one
+    map-side-combined ``groupBy(dst).min``, one anti/semi split
+    against the running distance vector; early exit when a round
+    improves nothing.  Round count is ``max_hops`` by definition — the
+    bound IS the semantics (see :func:`bfs_distances` on why
+    distance-style operators take an explicit bound instead of
+    iterating to a diameter-dependent fixpoint).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"),
+                      F.col(weight_col).cast("long").alias("w"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                & F.col("w").isNotNull() & (F.col("u") != F.col("v")))
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .repartition("u")
+         .localCheckpoint(eager=True))
+    wstats = e.agg(F.min("w").alias("lo"),
+                   F.max("w").alias("hi")).collect()[0]
+    w_min = wstats["lo"] if wstats["lo"] is not None else 0
+    w_max = wstats["hi"] if wstats["hi"] is not None else 0
+    if w_min < 0:
+        raise ValueError(
+            f"shortest_paths: weights must be >= 0, found {w_min}")
+    if max_hops * w_max >= 2 ** 62:
+        raise ValueError(
+            f"max_hops * max_weight = {max_hops * w_max} risks 64-bit "
+            "overflow; lower max_hops or rescale weights")
+    nodes = (e.select("u").union(e.select(F.col("v").alias("u")))
+             .distinct())
+    sd = (seeds.select(F.col(seed_col).cast("long").alias("id"))
+          .where(F.col("id").isNotNull()).distinct()
+          .join(nodes.select(F.col("u").alias("id")), "id", "left_semi")
+          .localCheckpoint(eager=True))
+    if sd.isEmpty():
+        raise ValueError(
+            "shortest_paths: no seed id appears in the graph — every "
+            "cost would be undefined")
+    dist = (sd.select("id", F.lit(0).cast("long").alias("cost"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (e.join(frontier.select(F.col("id").alias("u"),
+                                       F.col("cost").alias("fc")), "u")
+                .groupBy("v")
+                .agg(F.min(F.col("fc") + F.col("w")).alias("nc"))
+                .select(F.col("v").alias("id"), F.col("nc")))
+        improved = (cand.join(dist, "id", "left")
+                    .where(F.col("cost").isNull()
+                           | (F.col("nc") < F.col("cost")))
+                    .select("id", F.col("nc").alias("cost"))
+                    .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        dist = (dist.join(improved.select(F.col("id").alias("iid")),
+                          dist["id"] == F.col("iid"), "left_anti")
+                .union(improved)
+                .localCheckpoint(eager=True))
+        frontier = improved
+    return dist
+
+
 # =====================================================================
 # Incremental connected components (label-store maintenance)
 # =====================================================================

@@ -70,7 +70,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r12 part-4 additions, never driver-verified (prepended as implemented)
     "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
     "dedup_jaccard_prefix", "events_islands", "graph_lpa",
-    "mm_phash", "mm_phash_pairs", "referential_checks",
+    "mm_phash", "mm_phash_pairs", "referential_checks", "graph_sssp",
     "dedup_containment", "link_customer_supplier", "link_customer_dups",
     "sessions_overlap", "vocab_top_streamed", "part_copurchase",
     "graph_degree_moments",
@@ -6066,3 +6066,53 @@ def referential_checks(spark, sf_dir):
         Q.references("l_orderkey", db.orders.df, "o_orderkey"),
         Q.references("l_partkey", big_parts, "p_partkey"),
     ])
+
+
+def _sssp_oracle(k: int) -> str:
+    """Hop-unrolled Bellman-Ford replay over the weighted co-supply
+    graph (w = 101 - l_quantity in [51, 100]: stronger trade = shorter
+    distance; parallel edges collapse to MIN weight on both sides)."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT src, dst, min(w)::BIGINT AS w "
+        "FROM (SELECT l_suppkey AS src, l_partkey + 10000000 AS dst, "
+        "101 - l_quantity AS w FROM lineitem WHERE l_quantity >= 40 "
+        "UNION ALL SELECT l_partkey + 10000000, l_suppkey, "
+        "101 - l_quantity FROM lineitem WHERE l_quantity >= 40) "
+        "GROUP BY 1, 2), "
+        "seeds AS (SELECT DISTINCT s_suppkey AS id FROM supplier "
+        "WHERE s_nationkey % 5 = 3 "
+        "AND s_suppkey IN (SELECT src FROM e)), "
+        "d0 AS (SELECT id, 0::BIGINT AS c FROM seeds)",
+    ]
+    for t in range(1, k + 1):
+        p = t - 1
+        parts.append(
+            f", r{t} AS (SELECT e.dst AS id, MIN(d.c + e.w)::BIGINT "
+            f"AS c FROM d{p} d JOIN e ON e.src = d.id GROUP BY 1)"
+            f", d{t} AS MATERIALIZED (SELECT id, MIN(c)::BIGINT AS c "
+            f"FROM (SELECT id, c FROM d{p} "
+            f"UNION ALL SELECT id, c FROM r{t}) GROUP BY 1)")
+    return "".join(parts) + f" SELECT id, c AS cost FROM d{k}"
+
+
+@q("graph_sssp", _sssp_oracle(6))
+def graph_sssp(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (operators/graph.
+    shortest_paths): minimum trade-distance (w = 101 - quantity) from
+    the mod-5-class-3-nation suppliers within 6 hops of the co-supply
+    graph — frontier Bellman-Ford relaxation (each round joins only
+    LAST round's improved nodes against the stationary edge table),
+    provably equal to the full per-round relaxation the oracle
+    unrolls.  Exact integer adds/mins end-to-end."""
+    from pandas_db_spark.operators import graph as G
+    db = get_db(spark, sf_dir)
+    li = db.lineitem.df.where(F.col("l_quantity") >= 40)
+    fwd = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                    (F.col("l_partkey") + _PR_OFF).cast("long")
+                    .alias("dst"),
+                    (101 - F.col("l_quantity")).cast("long").alias("w"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"), "w"))
+    seeds = (db.supplier.df.where(F.col("s_nationkey") % 5 == 3)
+             .select(F.col("s_suppkey").cast("long").alias("id")))
+    return G.shortest_paths(edges, seeds, max_hops=6)

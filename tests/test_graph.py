@@ -1028,3 +1028,71 @@ def test_lpa_validation(spark):
     assert ({r["id"]: r["label"]
              for r in G.label_propagation(df, rounds=0).collect()}
             == {1: 1, 2: 2})
+
+
+# ---------------------------------------------------------------------
+# shortest_paths (hop-bounded weighted Bellman-Ford) — r12 part 4
+# ---------------------------------------------------------------------
+
+def _sssp_py(edges, seeds, max_hops):
+    best = {}
+    for u, v, w in edges:
+        if u != v:
+            best[(u, v)] = min(best.get((u, v), w), w)
+    nodes = {x for u, v in best for x in (u, v)}
+    dist = {s: 0 for s in seeds if s in nodes}
+    for _ in range(max_hops):
+        new = dict(dist)
+        for (u, v), w in best.items():
+            if u in dist and dist[u] + w < new.get(v, float("inf")):
+                new[v] = dist[u] + w
+        dist = new
+    return dist
+
+
+def test_sssp_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(77)
+    edges = [(rng.randrange(20), rng.randrange(20), rng.randrange(1, 50))
+             for _ in range(90)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(0,), (7,)], "id long")
+    for hops in (0, 1, 4):
+        got = {r["id"]: r["cost"]
+               for r in G.shortest_paths(df, s, max_hops=hops).collect()}
+        assert got == _sssp_py(edges, [0, 7], hops)
+
+
+def test_sssp_cheap_long_path_beats_expensive_short_one(spark):
+    """1->2->3 costs 2, direct 1->3 costs 10: within 2 hops the cheap
+    path wins; within 1 hop only the expensive edge exists — the
+    hop-bound semantics."""
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 10)], "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "id long")
+    two = {r["id"]: r["cost"]
+           for r in G.shortest_paths(df, s, max_hops=2).collect()}
+    assert two == {1: 0, 2: 1, 3: 2}
+    one = {r["id"]: r["cost"]
+           for r in G.shortest_paths(df, s, max_hops=1).collect()}
+    assert one == {1: 0, 2: 1, 3: 10}
+    # parallel edges collapse to the min
+    dup = spark.createDataFrame(
+        [(1, 2, 5), (1, 2, 3)], "src long, dst long, w long")
+    assert ({r["id"]: r["cost"] for r in
+             G.shortest_paths(dup, s, max_hops=1).collect()}
+            == {1: 0, 2: 3})
+
+
+def test_sssp_validation(spark):
+    df = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
+    s = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="weights must be >= 0"):
+        G.shortest_paths(df, s, max_hops=2)
+    ok = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    out = spark.createDataFrame([(9,)], "id long")
+    with pytest.raises(ValueError, match="no seed id"):
+        G.shortest_paths(ok, out, max_hops=2)
+    with pytest.raises(ValueError, match="max_hops"):
+        G.shortest_paths(ok, s, max_hops=-1)
