@@ -1128,15 +1128,17 @@ def core_numbers(pairs: DataFrame, id_a: str = "id_a",
               .groupBy("a")
               .agg(F.sort_array(F.collect_list("nc"), asc=False)
                    .alias("vs")))
-        new_vals = (nb.select(
-            F.col("a").alias("id"),
-            F.expr("cast(size(filter(vs, (x, i) -> x >= i + 1)) "
-                   "as long)").alias("c"))
-            .localCheckpoint(eager=True))
-        changed = (new_vals.alias("n")
-                   .join(vals.alias("o"), F.col("n.id") == F.col("o.id"))
-                   .where(F.col("n.c") != F.col("o.c")).count())
-        vals = new_vals
+        # the old value rides into the SAME checkpointed frame, so the
+        # convergence test is a cheap aggregate over materialized rows
+        # instead of a second old-vs-new join shuffle per round
+        state = (nb.join(vals, nb["a"] == vals["id"])
+                 .select(F.col("id"),
+                         F.expr("cast(size(filter(vs, (x, i) -> "
+                                "x >= i + 1)) as long)").alias("c"),
+                         F.col("c").alias("__old"))
+                 .localCheckpoint(eager=True))
+        changed = state.where(F.col("c") != F.col("__old")).count()
+        vals = state.select("id", "c")
         if changed == 0:
             return vals.select("id", F.col("c").alias("core"))
     raise RuntimeError(
