@@ -142,6 +142,8 @@ HEADLINE = [
     "mm_phash_pairs",     # dHash banding + bit_count verify, MinHash shape on media (r12 part 4)
     "referential_checks", # FK orphan suite: dim-marker joins into ONE agg pass (r12 part 4)
     "graph_sssp",         # frontier Bellman-Ford, 6 hop-bounded relaxation rounds (r12 part 4)
+    "events_concurrency", # global sweep-line prefix sum, broadcast-offset two-phase (r12 part 4)
+    "price_outliers",     # exact median + MAD robust outlier screen, 3 bounded jobs (r12 part 4)
     # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)

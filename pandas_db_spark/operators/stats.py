@@ -257,3 +257,47 @@ def tvd_summary(drift: DataFrame) -> DataFrame:
     return drift.agg(F.sum("drift_num").alias("tvd_num"),
                      F.first("n_a").alias("n_a"),
                      F.first("n_b").alias("n_b"))
+
+
+def mad_summary(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
+    """Robust outlier screen — ONE summary row ``(n, med, mad,
+    n_outliers)``: exact median, exact median-absolute-deviation, and
+    the count of rows with ``|x − med| > k·mad``.  The data-quality
+    companion to the mean/stddev profile: a single fat-finger value
+    drags a z-score gate's own threshold, while median/MAD have a 50%
+    breakdown point — the standard robust screen for numeric corpus
+    columns (prices, token counts, latencies).
+
+    NULLs are excluded everywhere (n counts non-NULL rows).  All three
+    passes are exact: ``F.median`` distributes without a global sort,
+    and the two scalar medians collect as ONE ROW each (bounded driver
+    reduce, the classifier_fit discipline) so the deviation pass can
+    ride them as literals — cheaper and simpler than threading two
+    scalar subqueries through a crossJoin, at the cost of being
+    eager (three jobs).  The outlier compare is single-op IEEE
+    arithmetic on both engines (one subtract, one multiply), so the
+    row hash-replays; a degenerate ``mad = 0`` (> half the values
+    identical) flags every value not exactly equal to the median —
+    documented, standard MAD behavior (use a floor upstream if that
+    is too strict for discrete columns)."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    vals = df.select(F.col(col).alias("__x")).where(
+        F.col("__x").isNotNull())
+    med = vals.agg(F.median("__x")).collect()[0][0]
+    if med is None:
+        return df.sparkSession.createDataFrame(
+            [(0, None, None, 0)],
+            "n long, med double, mad double, n_outliers long")
+    mad = (vals.select(F.abs(F.col("__x") - F.lit(float(med)))
+                       .alias("__d"))
+           .agg(F.median("__d")).collect()[0][0])
+    row = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(float(med)).alias("med"),
+        F.lit(float(mad)).alias("mad"),
+        F.sum(F.when(F.abs(F.col("__x") - F.lit(float(med)))
+                     > F.lit(float(k)) * F.lit(float(mad)),
+                     F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("n_outliers"))
+    return row

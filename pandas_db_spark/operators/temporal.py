@@ -375,3 +375,74 @@ def merge_intervals(df: DataFrame, by: Sequence[str],
                  F.count(F.lit(1)).alias("n_intervals"))
             .select(*by, F.col("__island").cast("long")
                     .alias("island_idx"), lo, hi, "n_intervals"))
+
+
+def concurrency_profile(intervals: DataFrame, lo: str = "lo",
+                        hi: str = "hi",
+                        by: Sequence[str] = ()) -> DataFrame:
+    """Sweep-line concurrency: ``(by…, ts_us, n_active)`` — one row per
+    instant where the number of simultaneously-active CLOSED intervals
+    changes, ``n_active`` = the count active from that instant until
+    the next row.  Peak concurrency, capacity sizing, "how many
+    sessions were live at once" — the aggregate view
+    :func:`interval_join` prices pairwise.
+
+    Semantics: interval [lo, hi] contributes +1 at ``lo`` and −1 at
+    ``hi + 1 µs`` (closed-interval convention, micros precision);
+    same-instant deltas collapse before the running sum, so touching
+    endpoints hand over without a spurious dip.  NULL-bounded and
+    inverted rows are dropped (:func:`merge_intervals` semantics).
+
+    Scale shape: with ``by`` keys the running sum is one keyed window
+    (one Exchange).  KEYLESS — the global profile — is the interesting
+    case: a naive ``Window.orderBy(ts)`` moves everything to ONE task
+    (Spark's own WindowExec warning).  Instead the prefix sum runs in
+    two phases: range-repartition by ``ts``, per-partition running sums
+    (each task sums only its slice), then the per-partition TOTALS —
+    one row per partition, never data — collect to the driver and
+    broadcast back as exclusive-prefix offsets.  Exactly the
+    broadcast-offset ordinal discipline (``plans/ordinal.py``) applied
+    to a sum instead of a count; correct for ANY range boundary
+    placement because offsets come from the actual totals."""
+    by = list(by)
+
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    base = intervals.where(
+        F.col(lo).isNotNull() & F.col(hi).isNotNull()
+        & (_us(lo) <= _us(hi)))
+    deltas = (base.select(*by, _us(lo).alias("ts_us"),
+                          F.lit(1).alias("__d"))
+              .union(base.select(*by, (_us(hi) + 1).alias("ts_us"),
+                                 F.lit(-1).alias("__d")))
+              .groupBy(*by, "ts_us").agg(F.sum("__d").alias("__d")))
+    from pyspark.sql import Window
+    if by:
+        w = (Window.partitionBy(*by).orderBy("ts_us")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return deltas.select(*by, "ts_us",
+                             F.sum("__d").over(w).cast("long")
+                             .alias("n_active"))
+    part = (deltas.repartitionByRange(
+                max(2, deltas.sparkSession.sparkContext
+                    .defaultParallelism), "ts_us")
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
+    w = (Window.partitionBy("__pid").orderBy("ts_us")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = part.withColumn("__run", F.sum("__d").over(w))
+    totals = (part.groupBy("__pid").agg(F.sum("__d").alias("__t"))
+              .collect())
+    offs = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offs[r["__pid"]] = acc
+        acc += r["__t"]
+    spark = intervals.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offs.items()],
+        "__pid int, __off long")
+    return (run.join(F.broadcast(off_df), "__pid")
+            .select("ts_us", (F.col("__run") + F.col("__off"))
+                    .cast("long").alias("n_active")))

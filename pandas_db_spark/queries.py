@@ -71,6 +71,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
     "dedup_jaccard_prefix", "events_islands", "graph_lpa",
     "mm_phash", "mm_phash_pairs", "referential_checks", "graph_sssp",
+    "events_concurrency", "price_outliers",
     "dedup_containment", "link_customer_supplier", "link_customer_dups",
     "sessions_overlap", "vocab_top_streamed", "part_copurchase",
     "graph_degree_moments",
@@ -6116,3 +6117,49 @@ def graph_sssp(spark, sf_dir):
     seeds = (db.supplier.df.where(F.col("s_nationkey") % 5 == 3)
              .select(F.col("s_suppkey").cast("long").alias("id")))
     return G.shortest_paths(edges, seeds, max_hops=6)
+
+
+@q("events_concurrency",
+   "WITH iv AS (SELECT epoch_us(ts) AS lo_us, "
+   "epoch_us(ts + INTERVAL 600 SECOND) + 1 AS hi_us FROM events "
+   "WHERE user_id IS NOT NULL), "
+   "d AS (SELECT lo_us AS ts_us, 1 AS dd FROM iv "
+   "UNION ALL SELECT hi_us, -1 FROM iv), "
+   "g AS (SELECT ts_us, sum(dd)::BIGINT AS dd FROM d GROUP BY 1) "
+   "SELECT ts_us::BIGINT AS ts_us, sum(dd) OVER (ORDER BY ts_us "
+   "ROWS UNBOUNDED PRECEDING)::BIGINT AS n_active FROM g")
+def events_concurrency(spark, sf_dir):
+    """GLOBAL sweep-line concurrency (operators/temporal.
+    concurrency_profile): how many 10-minute activity windows are live
+    at every change instant, across ALL users — the keyless case where
+    a naive Window.orderBy would serialize the corpus into one task;
+    instead the prefix sum runs range-partitioned with per-partition
+    totals broadcast back as exclusive offsets (the ordinal discipline
+    applied to a sum).  Exact integers, engine-replayable."""
+    from pandas_db_spark.operators.temporal import concurrency_profile
+    e = (get_db(spark, sf_dir).events.df
+         .where(F.col("user_id").isNotNull())
+         .select(F.col("ts").alias("lo"),
+                 (F.col("ts").cast("timestamp")
+                  + F.expr("INTERVAL 600 SECONDS")).alias("hi")))
+    return concurrency_profile(e, "lo", "hi")
+
+
+@q("price_outliers",
+   "WITH v AS (SELECT l_extendedprice AS x FROM lineitem "
+   "WHERE l_extendedprice IS NOT NULL), "
+   "m AS (SELECT median(x) AS med FROM v), "
+   "md AS (SELECT median(abs(x - m.med)) AS mad FROM v, m) "
+   "SELECT (SELECT count(*) FROM v)::BIGINT AS n, m.med AS med, "
+   "md.mad AS mad, (SELECT count(*) FROM v, m, md "
+   "WHERE abs(x - m.med) > 3.0 * md.mad)::BIGINT AS n_outliers "
+   "FROM m, md")
+def price_outliers(spark, sf_dir):
+    """Robust MAD outlier screen (operators/stats.mad_summary) on
+    l_extendedprice: exact distributed medians (F.median, no global
+    sort), |x - med| > 3 MAD count — the 50%-breakdown-point gate a
+    mean/stddev z-score can't give when the outliers drag the
+    threshold itself.  Single-op IEEE compares, hash-replayable."""
+    from pandas_db_spark.operators.stats import mad_summary
+    li = get_db(spark, sf_dir).lineitem.df
+    return mad_summary(li, "l_extendedprice", k=3.0)

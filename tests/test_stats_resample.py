@@ -152,3 +152,35 @@ def test_corr_by_groups_and_degenerate(spark, db):
     assert row["corr"] is None
     with pytest.raises(ValueError, match="empty group_cols"):
         ST.corr_by(li, [], ["l_quantity", "l_tax"])
+
+
+# ---------------------------------------------------------------------
+# mad_summary (robust outliers) — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_mad_summary_hand_computed(spark):
+    from pandas_db_spark.operators.stats import mad_summary
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [1, 2, 3, 4, 5, 100]] + [(None,)],
+        "v double")
+    r = mad_summary(df, "v", k=3.0).collect()[0]
+    # median of [1..5,100] = 3.5; deviations [2.5,1.5,.5,.5,1.5,96.5]
+    # -> mad 1.5; threshold 4.5 -> only 100 is out
+    assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (6, 3.5, 1.5, 1)
+
+
+def test_mad_summary_degenerate_and_empty(spark):
+    from pandas_db_spark.operators.stats import mad_summary
+
+    same = spark.createDataFrame([(2.0,), (2.0,), (2.0,), (9.0,)],
+                                 "v double")
+    r = mad_summary(same, "v", k=3.0).collect()[0]
+    # mad = 0: every value != median flags (documented MAD behavior)
+    assert (r["med"], r["mad"], r["n_outliers"]) == (2.0, 0.0, 1)
+    empty = spark.createDataFrame([(None,)], "v double")
+    e = mad_summary(empty, "v").collect()[0]
+    assert (e["n"], e["med"], e["mad"], e["n_outliers"]) == (0, None, None, 0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        mad_summary(same, "v", k=-1)

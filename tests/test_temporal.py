@@ -383,3 +383,72 @@ def test_merge_intervals_drops_null_and_inverted(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="gap_s"):
         merge_intervals(iv, ["k"], "llo", "lhi", gap_s=-1)
+
+
+# ---------------------------------------------------------------------
+# concurrency_profile (sweep line) — r12 part 4
+# ---------------------------------------------------------------------
+
+def test_concurrency_profile_global_matches_python_sweep(spark):
+    import datetime as dt
+    import random
+
+    from pandas_db_spark.operators.temporal import concurrency_profile
+
+    rng = random.Random(9)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for _ in range(60):
+        a = rng.randrange(0, 500)
+        rows.append((base + dt.timedelta(minutes=a),
+                     base + dt.timedelta(minutes=a + rng.randrange(0, 40))))
+    iv = spark.createDataFrame(rows, "lo timestamp, hi timestamp")
+    got = sorted((r["ts_us"], r["n_active"])
+                 for r in concurrency_profile(iv).collect())
+    # python sweep in micros
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    deltas = {}
+    for lo, hi in rows:
+        deltas[us(lo)] = deltas.get(us(lo), 0) + 1
+        deltas[us(hi) + 1] = deltas.get(us(hi) + 1, 0) - 1
+    want, run = [], 0
+    for t in sorted(deltas):
+        run += deltas[t]
+        want.append((t, run))
+    assert got == want
+    # peak sanity: ends at zero
+    assert got[-1][1] == 0
+
+
+def test_concurrency_profile_touching_endpoints_no_dip(spark):
+    import datetime as dt
+
+    from pandas_db_spark.operators.temporal import concurrency_profile
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    # [0,10] and [10,20]: at minute 10 BOTH are active (closed), so the
+    # profile is 1,2,1,0 — a half-open reading would dip to 1-1-1
+    iv = spark.createDataFrame([(m(0), m(10)), (m(10), m(20))],
+                               "lo timestamp, hi timestamp")
+    prof = [r["n_active"] for r in concurrency_profile(iv)
+            .orderBy("ts_us").collect()]
+    assert prof == [1, 2, 1, 0]
+
+
+def test_concurrency_profile_keyed(spark):
+    import datetime as dt
+
+    from pandas_db_spark.operators.temporal import concurrency_profile
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda x: base + dt.timedelta(minutes=x)  # noqa: E731
+    iv = spark.createDataFrame(
+        [("a", m(0), m(10)), ("a", m(5), m(15)), ("b", m(0), m(1))],
+        "k string, lo timestamp, hi timestamp")
+    got = {(r["k"], r["ts_us"]): r["n_active"]
+           for r in concurrency_profile(iv, by=["k"]).collect()}
+    peaks = {}
+    for (k, _), n in got.items():
+        peaks[k] = max(peaks.get(k, 0), n)
+    assert peaks == {"a": 2, "b": 1}
