@@ -1,8 +1,19 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line on stdout:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE JSON line of SCALARS on stdout (the per-query map lives in
+BENCH_DETAIL.json — VERDICT r12 #3: the full map outgrew the driver's
+stdout capture window):
+    {"metric": "...", "value": N, "unit": "sec", "n_queries": K,
+     "detail": "BENCH_DETAIL.json", "sf": ...}
+
+Process recycling (VERDICT r12 #4): the headline set is measured in
+$SPARK_GRAFT_BENCH_PROCS sequential FRESH subprocesses (default 4), each
+a fixed contiguous slice of the headline order in its own JVM, because a
+single ever-growing session accumulated GC/storage pressure that
+inflated later queries' numbers by ~1.24× with unchanged plans.
+Per-query JVM age at measurement is recorded (detail "jvm_uptime") so
+any residual drift is attributable by construction.
 
 Each query is run ``SPARK_GRAFT_BENCH_ITERS`` times (default 3) and the
 reported number is the per-query MINIMUM: single-shot wall time on a shared
@@ -220,20 +231,24 @@ ENGINE_SPLIT_MIN_ROWS = 50_000
 ENGINE_SPLIT_MIN_SEC = 1.0
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
-    load_start = os.getloadavg()
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def _measure(names, sf_dir: str, iters: int) -> dict:
+    """Measure one group of queries in THIS process's Spark session —
+    the worker half of the process-recycled bench.
 
+    Per-query ``jvm_uptime`` records how many seconds old the JVM was
+    when the query's measurement started, so session-accumulation drift
+    is attributable BY CONSTRUCTION (VERDICT r12 #4: the single
+    ever-growing 85-query session showed 1.24× common-set inflation that
+    a fresh session didn't reproduce)."""
     from pandas_db_spark.session import get_spark
     import __spark_entry__ as ent
 
+    t_session = time.perf_counter()
     spark = get_spark()
     registry = ent.queries()
 
-    # Warm the JVM + parquet footers + Python UDF workers once so the numbers
-    # measure the engine, not session/interpreter startup.
+    # Warm the JVM + parquet footers + Python UDF workers once so the
+    # numbers measure the engine, not session/interpreter startup.
     try:
         registry["filter_gt"](spark, sf_dir).count()
         from pyspark.sql import functions as F, types as T
@@ -244,24 +259,15 @@ def main() -> int:
     except Exception:
         pass
 
-    # Optional comma-separated subset (scaling rehearsals run the top-N
-    # most expensive queries at big SFs in bounded chunks).
-    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = ([n for n in HEADLINE if n in only_env.split(",")]
-                if only_env else HEADLINE)
-
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    result_rows: dict[str, int] = {}
-    engine: dict[str, float] = {}
-    failed: list[str] = []
-    total = 0.0
-    for name in headline:
+    out: dict = {"timings": {}, "medians": {}, "runs": {},
+                 "result_rows": {}, "engine": {}, "failed": [],
+                 "jvm_uptime": {}}
+    for name in names:
         fn = registry.get(name)
         if fn is None:
             continue
-        samples: list[float] = []
+        out["jvm_uptime"][name] = round(time.perf_counter() - t_session, 2)
+        samples: list = []
         errored = False
         n_rows = 0
         for _ in range(iters):
@@ -273,61 +279,148 @@ def main() -> int:
             except Exception:
                 errored = True
                 break  # a failing query won't heal on retry
-        runs[name] = [round(s, 4) for s in samples]
+        out["runs"][name] = [round(x, 4) for x in samples]
         if errored:
             # ANY failure marks the query failed — a success on an earlier
             # iteration must not mask an intermittent error, and NaN would
             # make the output line invalid JSON.
-            failed.append(name)
+            out["failed"].append(name)
             continue
-        result_rows[name] = n_rows
+        out["result_rows"][name] = n_rows
         best = min(samples)
-        timings[name] = round(best, 4)
-        medians[name] = round(sorted(samples)[len(samples) // 2], 4)
-        total += best
+        out["timings"][name] = round(best, 4)
+        out["medians"][name] = round(sorted(samples)[len(samples) // 2], 4)
         # Engine-vs-fetch split (VERDICT r7 #7): when the RESULT is large
         # the collect number is dominated by driver row materialization,
         # not the plan — time a noop-sink execution alongside so plan
         # improvements aren't masked by fetch cost.
         if n_rows > ENGINE_SPLIT_MIN_ROWS or best >= ENGINE_SPLIT_MIN_SEC:
-            es: list[float] = []
+            es: list = []
             try:
                 for _ in range(iters):
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop") \
                         .mode("overwrite").save()
                     es.append(time.perf_counter() - t0)
-                engine[name] = round(min(es), 4)
+                out["engine"][name] = round(min(es), 4)
             except Exception:
                 pass  # the split is diagnostic; never fails the bench
-
     if os.environ.get("SPARK_GRAFT_BENCH_DIAG", "1") != "0":
         _diag_candidate_counts(spark, sf_dir)
+    return out
+
+
+def _group_slices(names: list, procs: int) -> list:
+    """FIXED contiguous assignment: group i gets names[b_i:b_{i+1}] with
+    ceil-division bounds — a deterministic function of (HEADLINE order,
+    procs), so a query's group never depends on runtime state and
+    round-over-round numbers compare like-for-like."""
+    k = max(1, min(procs, len(names)))
+    bounds = [round(i * len(names) / k) for i in range(k + 1)]
+    return [names[bounds[i]:bounds[i + 1]] for i in range(k)]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Optional comma-separated subset (scaling rehearsals run the top-N
+    # most expensive queries at big SFs in bounded chunks).
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = ([n for n in HEADLINE if n in only_env.split(",")]
+                if only_env else list(HEADLINE))
+
+    group = os.environ.get("SPARK_GRAFT_BENCH_GROUP")
+    if group:
+        # ---- worker mode: measure one fixed slice in this fresh JVM ----
+        gi, k = (int(x) for x in group.split("/"))
+        res = _measure(_group_slices(headline, k)[gi], sf_dir, iters)
+        with open(os.environ["SPARK_GRAFT_BENCH_OUT"], "w") as fh:
+            json.dump(res, fh)
+        return 0
+
+    load_start = os.getloadavg()
+    # Process-recycling policy (VERDICT r12 #4): the headline set runs in
+    # SPARK_GRAFT_BENCH_PROCS fresh subprocesses (default 4, sequential —
+    # never concurrent, they'd contend for the 32 cores), each with its
+    # own JVM, so best-of-N is taken inside a session at most ~1/4 the
+    # old lifetime and GC/storage accumulation can't compound across the
+    # whole 85-query set.  PROCS=1 restores the single-session bench.
+    procs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PROCS", "4")))
+    slices = [sl for sl in _group_slices(headline, procs) if sl]
+    merged: dict = {"timings": {}, "medians": {}, "runs": {},
+                    "result_rows": {}, "engine": {}, "failed": [],
+                    "jvm_uptime": {}, "group_of": {}}
+    if len(slices) == 1:
+        res = _measure(slices[0], sf_dir, iters)
+        merged.update({k: res[k] for k in
+                       ("timings", "medians", "runs", "result_rows",
+                        "engine", "jvm_uptime")})
+        merged["failed"] = res["failed"]
+        merged["group_of"] = {n: 0 for n in slices[0]}
+    else:
+        import subprocess
+        import tempfile
+        for gi, names in enumerate(slices):
+            fd, path = tempfile.mkstemp(prefix=f"bench_g{gi}_",
+                                        suffix=".json")
+            os.close(fd)
+            env = dict(os.environ,
+                       SPARK_GRAFT_BENCH_GROUP=f"{gi}/{len(slices)}",
+                       SPARK_GRAFT_BENCH_OUT=path)
+            if gi != 0:  # candidate-count diag runs once, in group 0
+                env["SPARK_GRAFT_BENCH_DIAG"] = "0"
+            proc = subprocess.run([sys.executable,
+                                   os.path.abspath(__file__)], env=env)
+            res = None
+            try:
+                with open(path) as fh:
+                    res = json.load(fh)
+            except Exception:
+                pass
+            finally:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+            if res is None:
+                # whole-group crash: every query in it counts as failed
+                print(f"# group {gi} produced no result "
+                      f"(exit {proc.returncode})", file=sys.stderr)
+                merged["failed"].extend(names)
+                continue
+            for key in ("timings", "medians", "runs", "result_rows",
+                        "engine", "jvm_uptime"):
+                merged[key].update(res[key])
+            merged["failed"].extend(res["failed"])
+            merged["group_of"].update({n: gi for n in names})
+
+    timings = merged["timings"]
+    total = sum(timings.values())
+    first_iter_total = sum(r[0] for n, r in merged["runs"].items()
+                           if r and n not in merged["failed"])
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # Metric name carries the estimator (ADVICE r5): "min3" totals are NOT
-    # comparable to the r2-r4 single-shot "headline_total_wall" artifacts,
-    # so the name changes with the estimator and the single-shot total is
-    # emitted alongside for anyone comparing across rounds.
-    first_iter_total = sum(r[0] for n, r in runs.items()
-                           if r and n not in failed)
-    # The stdout line stays COMPACT (VERDICT r9 #5: the r9 full dump
-    # outgrew the driver's stdout-tail capture window and BENCH_r09.json
-    # recorded parsed: null) — per-query bests + totals + load context
-    # only, ~2 KB for the 55-query set.  The bulky diagnosis payload
-    # (per-iteration runs, medians, engine-vs-fetch split, result rows)
-    # goes to BENCH_DETAIL.json next to this script and to stderr.
+    # The stdout line carries SCALARS ONLY (VERDICT r12 #3: the 85-query
+    # per-query map pushed the line past the driver's stdout-tail capture
+    # window and BENCH_r12.json recorded parsed: null — same failure the
+    # r9 full dump had).  The per-query map, iteration runs, medians,
+    # engine-vs-fetch split, result rows, JVM uptimes, and group
+    # assignment all live in BENCH_DETAIL.json next to this script.
     out = {
         "metric": f"headline_total_wall_min{iters}",
         "value": round(total, 4),
         "unit": "sec",
         "first_iter_total": round(first_iter_total, 4),
-        "queries": timings,
         "iters": iters,
+        "n_queries": len(timings),
+        "n_failed": len(merged["failed"]),
+        "procs": len(slices),
         # 1/5/15-min load BEFORE and AFTER the run: a shared-machine
         # artifact carries its own noise context (VERDICT r7 #1)
         "loadavg_start": [round(x, 2) for x in load_start],
@@ -335,17 +428,26 @@ def main() -> int:
         "sf": sf_val,
         "detail": "BENCH_DETAIL.json",
     }
-    if failed:
-        out["failed"] = failed
+    if merged["failed"]:
+        out["failed"] = merged["failed"]
     detail = {
         **out,
-        "queries_median": medians,
-        "runs": runs,
+        "queries": timings,
+        "queries_median": merged["medians"],
+        "runs": merged["runs"],
         # engine-only (noop sink) time for large-result queries: the
         # matching `queries` entry minus this is driver-fetch cost
-        "engine_queries": engine,
-        "result_rows": {n: r for n, r in result_rows.items()
+        "engine_queries": merged["engine"],
+        "result_rows": {n: r for n, r in merged["result_rows"].items()
                         if r > ENGINE_SPLIT_MIN_ROWS},
+        # seconds of JVM age when each query's measurement began, and
+        # which fresh subprocess measured it
+        "jvm_uptime": merged["jvm_uptime"],
+        "group_of": merged["group_of"],
+        "recycling_policy": (
+            f"{len(slices)} sequential fresh subprocesses, fixed "
+            "contiguous slices of HEADLINE order (ceil-division bounds); "
+            "per-query best-of-N never crosses a JVM boundary"),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -356,7 +458,7 @@ def main() -> int:
     except Exception as exc:  # detail is diagnostic; never fail the bench
         print(f"# detail dump failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
-    return 1 if failed else 0
+    return 1 if merged["failed"] else 0
 
 
 if __name__ == "__main__":

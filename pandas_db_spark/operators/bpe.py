@@ -45,6 +45,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_db_spark.operators.graph import _truncate
+
 _EOW = "</w>"   # end-of-word marker, standard in the public algorithm
 
 
@@ -174,7 +176,7 @@ def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
             if rounds % checkpoint_every == 0:
                 # truncate lineage: chained array-folds would otherwise
                 # grow the plan linearly (graph.py discipline)
-                nxt = nxt.localCheckpoint(eager=True)
+                nxt = _truncate(nxt)
             else:
                 nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
             seg.unpersist()
@@ -208,5 +210,5 @@ def bpe_segment(docs: DataFrame, text_col: str,
                              ELSE concat(acc, array(s)) END))""")
         seg = seg.select(id_col, F.expr(fold).alias("wsyms"))
         if (i + 1) % checkpoint_every == 0:
-            seg = seg.localCheckpoint(eager=True)
+            seg = _truncate(seg)
     return seg.select(id_col, F.flatten("wsyms").alias("tokens"))

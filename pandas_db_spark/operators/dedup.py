@@ -1226,7 +1226,8 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
     survivors = (new_sh.select(id_col)
                        .join(dup_new, id_col, "left_anti"))
     if eager_cleanup:
-        survivors = survivors.localCheckpoint(eager=True)
+        from pandas_db_spark.operators.graph import _truncate
+        survivors = _truncate(survivors)
         new_sh.unpersist()
     return survivors
 

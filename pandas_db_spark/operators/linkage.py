@@ -68,6 +68,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     ground through."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    # Reserved internal names (the interval_join guard, ADVICE r12): an
+    # input frame already carrying __bk/__idl/... would make the block
+    # expressions and the equi-join resolve ambiguously — refuse loudly.
+    reserved = {"__bk", "__idl", "__idr", "__tl", "__tr"}
+    clash = sorted((set(left.columns) | set(right.columns)) & reserved)
+    if clash:
+        raise ValueError(
+            f"fuzzy_join: column name(s) {clash} collide with the "
+            "operator's reserved internal names — rename them upstream")
     lt = left.select(_as_col(id_l).alias("__idl"),
                      _as_col(text_l).alias("__tl"),
                      _as_col(block_l).alias("__bk"))

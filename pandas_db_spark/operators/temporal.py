@@ -28,6 +28,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_db_spark.operators.graph import _truncate
+
 _SIDE = "__side"
 _TS = "__ts"
 
@@ -428,7 +430,7 @@ def concurrency_profile(intervals: DataFrame, lo: str = "lo",
                 max(2, deltas.sparkSession.sparkContext
                     .defaultParallelism), "ts_us")
             .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint(eager=True))
+            .transform(_truncate))
     w = (Window.partitionBy("__pid").orderBy("ts_us")
          .rowsBetween(Window.unboundedPreceding, 0))
     run = part.withColumn("__run", F.sum("__d").over(w))

@@ -47,52 +47,38 @@ def q(name: str, oracle: str | None = None):
 
 
 # ---------------------------------------------------------------------
-# Gate-window rotation (round 12): the external driver's correctness gate
+# Gate-window rotation (round 13): the external driver's correctness gate
 # samples a ~50-entry PREFIX of queries() in dict insertion order, so the
 # prefix is rotated each round onto the cohort with the WEAKEST external
 # evidence: first any never-driver-verified new queries, then the
 # registry queries whose newest driver receipt is oldest (judge-computed
 # union over CORRECTNESS_r01..r{N-1}).  The schedule is documented in
 # README.md "Driver contract" (ADVICE r10: gate consumers should know the
-# sample is steered, and why).  This round (VERDICT r11 Next #1/#7): the
-# 39 queries whose newest receipt is r4-r8 — the incremental-dedup/
-# embedding family (r11 churned dedup.py +175 and similarity.py +240
-# lines, so their external evidence is oldest relative to churn), the
-# rolling/quality/corr/reshape batch, the sampling/mixing/budget tier,
-# and EVERY rows-only query + invariant sibling (sample_n_invariant,
+# sample is steered, and why).  This round (VERDICT r12 Next #1): the
+# full 25-query r8 receipt tail (rolling/quality/corr/reshape, the
+# sampling/mixing/budget tier, and the r8 invariant siblings), the two
+# r9 invariant siblings, then the oldest r9 receipts to fill the window.
+#
+# HARD RULE (VERDICT r12 What's-wrong #2, after the same mistake in
+# r2-r4/r6/r12): a name whose REGISTRY oracle is None must NEVER appear
+# in this prefix — the driver records `err: no_oracle` for it and runs
+# NO check at all (not even rows-only), so the slot produces zero
+# evidence.  Those six names (sample_n, agg_sketches, bpe_tokens,
+# cluster_kmeans, ann_ivf, ann_pq) are pinned to the very END of the
+# ordering by _GATE_EXCLUDE below; their value gates are their
+# hash-checked invariant siblings (sample_n_invariant,
 # agg_sketches_bounds, bpe_roundtrip, cluster_kmeans_invariant,
-# ann_ivf/pq/ivfpq_recall) so the invariant layer itself carries fresh
-# receipts.  Every name below exists in REGISTRY (asserted in tests);
-# names not listed keep plain registration order after the prefix.  The
-# FULL registry is still verified locally every round
+# ann_ivf_recall, ann_pq_recall), which DO rotate.  Enforced by a pytest
+# asserting no prefix name has a None oracle.
+#
+# Every name below exists in REGISTRY (asserted in tests); names not
+# listed keep plain registration order after the prefix.  The FULL
+# registry is still verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # r12 part-4 additions, never driver-verified (prepended as implemented)
-    "graph_bfs", "graph_common_neighbors", "graph_hits", "graph_kcore",
-    "dedup_jaccard_prefix", "events_islands", "graph_lpa",
-    "mm_phash", "mm_phash_pairs", "referential_checks", "graph_sssp",
-    "events_concurrency", "price_outliers",
-    "dedup_containment", "link_customer_supplier", "link_customer_dups",
-    "sessions_overlap", "vocab_top_streamed", "part_copurchase",
-    "graph_degree_moments",
-    # r12 additions, never driver-verified (prepended as implemented)
-    "graph_pagerank", "dedup_components_incremental", "stream_drift_tvd",
-    "pca_invariant", "events_transitions", "graph_pagerank_seeded",
-    "graph_triangles", "graph_pagerank_weighted", "k_anonymity",
-    "stream_drift_alert", "k_anonymity_generalized", "l_diversity",
-    "graph_clustering", "t_closeness",
-    "ann_compact_invariant", "bm25_append_meta", "bm25_stream_topk",
-    # rows-only receipts r4/r6 (value gate lives in their siblings below)
-    "agg_sketches", "cluster_kmeans", "ann_ivf",
-    # last driver receipt r7
-    "sample_exact_n_det", "text_redact_pii",
-    # last driver receipt r8 — incremental dedup / embedding / ANN
-    "dedup_incremental", "dedup_minhash_incremental", "dedup_embedding",
-    "dedup_embedding_incremental", "dedup_keep_best", "ann_cosine_pairs",
-    "ann_pairs_planted", "bm25_topk_indexed",
-    # r8 — invariant siblings of the rows-only queries
+    # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
-    "agg_sketches_bounds", "bpe_roundtrip", "bpe_tokens",
+    "agg_sketches_bounds", "bpe_roundtrip",
     # r8 — rolling / temporal / quality / stats / reshape
     "events_rolling_avg", "events_rolling_1h", "events_cumulative",
     "events_scd2", "events_stream_quality", "orders_upsert",
@@ -103,14 +89,31 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r8 — sampling / mixing / budgets
     "epoch_shuffle", "take_until_budget", "mix_tokens",
     "sample_balanced_langs",
-    # r9 invariant siblings (verdict #7: keep the whole layer fresh)
+    # r9 invariant siblings
     "ann_pq_recall", "ann_ivfpq_recall",
+    # oldest r9 receipts — fill the rest of the window (the remainder of
+    # the 49-query r9 cohort rotates in r14)
+    "strip_dup_spans", "lm_score_bigram", "dsir_weights", "top_ngrams",
+    "ccnet_buckets", "winnow_fp", "dedup_span_incremental",
+    "dedup_embedding_ivf", "dedup_embedding_rebanded", "ann_join",
+    "decontam_fuzzy", "decontam_bloom", "gopher_rules", "hybrid_topk",
+    "semdedup", "cap_per_source", "sample_weighted_n",
+    "text_normalize_dedup", "pipeline_curate", "gopher_repetition",
+)
+
+# Oracle-less (rows-only-by-design) names: zero driver evidence per slot,
+# so they are pinned to the END of the ordering — see the HARD RULE above.
+_GATE_EXCLUDE: tuple[str, ...] = (
+    "sample_n", "agg_sketches", "bpe_tokens", "cluster_kmeans",
+    "ann_ivf", "ann_pq",
 )
 
 
 def _ordered_names() -> list[str]:
-    rest = [n for n in REGISTRY if n not in set(_GATE_PRIORITY)]
-    return [n for n in _GATE_PRIORITY if n in REGISTRY] + rest
+    skip = set(_GATE_PRIORITY) | set(_GATE_EXCLUDE)
+    rest = [n for n in REGISTRY if n not in skip]
+    return ([n for n in _GATE_PRIORITY if n in REGISTRY] + rest
+            + [n for n in _GATE_EXCLUDE if n in REGISTRY])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6071,8 +6074,9 @@ def referential_checks(spark, sf_dir):
 
 def _sssp_oracle(k: int) -> str:
     """Hop-unrolled Bellman-Ford replay over the weighted co-supply
-    graph (w = 101 - l_quantity in [51, 100]: stronger trade = shorter
-    distance; parallel edges collapse to MIN weight on both sides)."""
+    graph (w = 101 - l_quantity, bounded to [51, 61] by the
+    l_quantity >= 40 filter: stronger trade = shorter distance;
+    parallel edges collapse to MIN weight on both sides)."""
     parts = [
         "WITH e AS MATERIALIZED (SELECT src, dst, min(w)::BIGINT AS w "
         "FROM (SELECT l_suppkey AS src, l_partkey + 10000000 AS dst, "

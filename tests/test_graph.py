@@ -1096,3 +1096,52 @@ def test_sssp_validation(spark):
         G.shortest_paths(ok, out, max_hops=2)
     with pytest.raises(ValueError, match="max_hops"):
         G.shortest_paths(ok, s, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# Reliable-checkpoint path (VERDICT r12 #1): with a checkpoint dir set, every
+# iterative operator must truncate through DataFrame.checkpoint (DFS-backed,
+# survives executor loss) and produce bit-identical results to the
+# localCheckpoint default.
+
+
+def test_reliable_checkpoint_reachable_and_bit_identical(spark, tmp_path):
+    from pathlib import Path
+
+    from pandas_db_spark.operators.graph import core_numbers, pagerank
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # the local[32] default
+
+    edges = ([(i, (i * 3 + 1) % 40) for i in range(40)]
+             + [(i, (i + 7) % 40) for i in range(40)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(a + 1, 8)]
+        + [(100 + i, 101 + i) for i in range(5)], "id_a long, id_b long")
+
+    local_pr = {r["id"]: r["rank_fp"]
+                for r in pagerank(df, iterations=4).collect()}
+    local_core = {r["id"]: r["core"]
+                  for r in core_numbers(pairs).collect()}
+
+    ckdir = tmp_path / "reliable_ck"
+    sc.setCheckpointDir(str(ckdir))
+    try:
+        rel_pr = {r["id"]: r["rank_fp"]
+                  for r in pagerank(df, iterations=4).collect()}
+        rel_core = {r["id"]: r["core"]
+                    for r in core_numbers(pairs).collect()}
+        # bit-identical across checkpoint flavors (integer fixed point)
+        assert rel_pr == local_pr
+        assert rel_core == local_core
+        # the reliable path actually wrote checkpoint files to the dir —
+        # the property localCheckpoint can never provide
+        ck_files = [p for p in Path(str(ckdir)).rglob("*") if p.is_file()]
+        assert ck_files, "no reliable checkpoint files were written"
+    finally:
+        # restore the session default so later tests see local behavior
+        # (SparkContext has no public unset; clear the underlying Option)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+    assert sc.getCheckpointDir() is None

@@ -2442,6 +2442,25 @@ def test_gate_priority_names_all_registered():
     assert len(set(_GATE_PRIORITY)) == len(_GATE_PRIORITY)
 
 
+def test_gate_priority_carries_evidence():
+    """HARD RULE (VERDICT r12 #2): a prefix slot spent on an oracle-less
+    name produces ZERO driver evidence (`err: no_oracle`, no rows-only
+    fallback) — every rotated name must carry an oracle, the six
+    rows-only-by-design names must be pinned to the END of the ordering,
+    and every one of them must be excluded (not silently forgotten)."""
+    from pandas_db_spark.queries import (REGISTRY, _GATE_EXCLUDE,
+                                         _GATE_PRIORITY, _ordered_names)
+
+    no_oracle = [n for n in _GATE_PRIORITY if REGISTRY[n][1] is None]
+    assert not no_oracle, f"oracle-less names in the gate prefix: {no_oracle}"
+    all_rows_only = {n for n in REGISTRY if REGISTRY[n][1] is None}
+    assert set(_GATE_EXCLUDE) == all_rows_only
+    order = _ordered_names()
+    assert order[-len(_GATE_EXCLUDE):] == [n for n in _GATE_EXCLUDE
+                                           if n in REGISTRY]
+    assert set(order) == set(REGISTRY)
+
+
 def test_term_drift_overflow_guard(spark):
     """ADVICE r10: the exact-integer cross multiplication is now
     RUNTIME-guarded — planted totals past the 2^63 product bound raise
