@@ -11,8 +11,13 @@ This container has no image/audio libraries, so the decode step is split:
   record batches, explicit output schema, per-batch vectorization.  The
   default ``codec="fake"`` derives deterministic pseudo-metadata from the
   byte length (so plumbing is testable end-to-end and oracle-checkable);
+  ``codec="ppm"`` is a REAL pure-stdlib netpbm (binary PPM/PGM) decoder —
+  genuinely parsed headers and rasters with zero extra dependencies;
   ``codec="pil"``/``"ffmpeg"`` raise ``NotImplementedError`` with the exact
   integration point documented.
+* :func:`decode_pixels` — the raster half: decoded sample bytes plus
+  exact integer checksums, composable with :func:`media_dhash` so
+  perceptual hashing runs over PIXELS, not container bytes.
 * :func:`frame_slices` — fixed-count payload chunking ("frame sampling" for
   the fake codec) as pure JVM ``substring`` on binary — no Python at all.
 * :func:`extract_features` — fixed-dimension feature vector per payload
@@ -63,8 +68,13 @@ def attach_media(df: DataFrame, content_col: str = "text",
 # decoder and every decode_media call site runs it unchanged.
 _CODECS: dict = {}
 
+# name -> fn(payload: pd.Series of bytes) -> pd.Series of bytes (the
+# decoded raster), for codecs that can also surface PIXELS (not just
+# dimensions) — feeds decode_pixels / the decoded-dHash composition.
+_PIXEL_CODECS: dict = {}
 
-def register_codec(name: str, fn) -> None:
+
+def register_codec(name: str, fn, pixels=None) -> None:
     """Register a decode codec for :func:`decode_media`.
 
     ``fn`` receives one Arrow batch's payload column as a
@@ -87,8 +97,16 @@ def register_codec(name: str, fn) -> None:
                 "channels": pd.Series(3, dtype="int32",
                                       index=payloads.index)})
         register_codec("pil", pil_codec)
+
+    ``pixels`` (optional) is the raster half of the codec:
+    ``fn(payloads) -> pd.Series of bytes`` returning each payload's
+    DECODED sample bytes — it powers :func:`decode_pixels` and the
+    decoded-pixel dHash composition.  Codecs registered without it
+    support metadata decode only.
     """
     _CODECS[name] = fn
+    if pixels is not None:
+        _PIXEL_CODECS[name] = pixels
 
 
 def _fake_codec(payloads: pd.Series) -> pd.DataFrame:
@@ -102,7 +120,101 @@ def _fake_codec(payloads: pd.Series) -> pd.DataFrame:
     })
 
 
-register_codec("fake", _fake_codec)
+register_codec("fake", _fake_codec,
+               # the fake codec's "raster" is the payload itself — lets
+               # the pixel pipeline run end-to-end with no real format
+               pixels=lambda payloads: payloads.map(bytes))
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codec: binary PPM/PGM (netpbm P6/P5) — no external library
+# needed (VERDICT r12 Next #5).  This is a REAL format decoder (magic,
+# comment-tolerant whitespace-token header, 8/16-bit raster with length
+# validation), so the decode/resize/dHash pipeline is exercised on
+# genuinely-parsed payloads, not length-derived fakes.
+
+
+_PNM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _parse_pnm_header(b: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a binary netpbm header: returns (width, height, channels,
+    maxval, raster_offset, bytes_per_sample).  Follows the netpbm spec:
+    magic ``P6`` (PPM, 3 channels) or ``P5`` (PGM, 1 channel); then
+    width, height, maxval as ASCII integers separated by whitespace,
+    with ``#``-to-end-of-line comments allowed wherever whitespace is;
+    EXACTLY one whitespace byte after maxval, then the raster —
+    ``w*h*channels`` samples, 1 byte each for maxval < 256, else 2
+    (big-endian).  Raises ``ValueError`` on bad magic, malformed
+    header, out-of-range maxval, or a truncated raster — decode errors
+    must surface, not produce garbage dimensions."""
+    if b[0:1] != b"P" or b[1:2] not in (b"5", b"6"):
+        raise ValueError(
+            "not a binary PPM/PGM payload: magic must be P5 or P6, got "
+            f"{b[:2]!r}")
+    channels = 3 if b[1:2] == b"6" else 1
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(b):  # whitespace + comments
+            if b[i:i + 1] in _PNM_WS:
+                i += 1
+            elif b[i:i + 1] == b"#":
+                nl = b.find(b"\n", i)
+                if nl == -1:
+                    raise ValueError("unterminated comment in PNM header")
+                i = nl + 1
+            else:
+                break
+        j = i
+        while j < len(b) and b[j:j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError(
+                f"malformed PNM header: expected integer at byte {i}")
+        vals.append(int(b[i:j]))
+        i = j
+    if i >= len(b) or b[i:i + 1] not in _PNM_WS:
+        raise ValueError("PNM header must end with one whitespace byte")
+    i += 1
+    w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PNM dimensions must be positive, got {w}x{h}")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PNM maxval must be in [1, 65535], got {maxval}")
+    bps = 1 if maxval < 256 else 2
+    need = w * h * channels * bps
+    if len(b) - i < need:
+        raise ValueError(
+            f"truncated PNM raster: need {need} bytes after the header, "
+            f"have {len(b) - i}")
+    return w, h, channels, maxval, i, bps
+
+
+def _ppm_codec(payloads: pd.Series) -> pd.DataFrame:
+    dims = [_parse_pnm_header(bytes(b))[:3] for b in payloads]
+    return pd.DataFrame({
+        "width": pd.Series([d[0] for d in dims], dtype="int32",
+                           index=payloads.index),
+        "height": pd.Series([d[1] for d in dims], dtype="int32",
+                            index=payloads.index),
+        "channels": pd.Series([d[2] for d in dims], dtype="int32",
+                              index=payloads.index),
+    })
+
+
+def _ppm_pixels(payloads: pd.Series) -> pd.Series:
+    out = []
+    for raw in payloads:
+        b = bytes(raw)
+        w, h, ch, _maxval, off, bps = _parse_pnm_header(b)
+        raster = b[off:off + w * h * ch * bps]
+        if bps == 2:
+            raster = raster[0::2]  # 16-bit big-endian -> high-byte view
+        out.append(raster)
+    return pd.Series(out, index=payloads.index)
+
+
+register_codec("ppm", _ppm_codec, pixels=_ppm_pixels)
 
 
 def decode_media(media: DataFrame, id_col: str = "doc_id",
@@ -143,6 +255,52 @@ def decode_media(media: DataFrame, id_col: str = "doc_id",
 
     return media.select(id_col, "payload").mapInPandas(_decode_batch,
                                                        out_schema)
+
+
+def decode_pixels(media: DataFrame, id_col: str = "doc_id",
+                  codec: str = "ppm") -> DataFrame:
+    """Decode payloads to their raster bytes —
+    ``(id, pixels: binary, n_px, px_sum)`` via the same Arrow-batched
+    ``mapInPandas`` plumbing as :func:`decode_media`, using the codec's
+    PIXEL half (``register_codec(..., pixels=fn)``).
+
+    ``n_px``/``px_sum`` (sample count, exact integer sum of all decoded
+    sample bytes) ride along so a decode can be value-verified without
+    shipping rasters to an oracle.  Compose with the rest of the media
+    family for genuinely-decoded paths, e.g. dHash over PIXELS instead
+    of over the encoded container::
+
+        px = decode_pixels(media, codec="ppm")
+        h = media_dhash(px.select("doc_id",
+                                  F.col("pixels").alias("payload")))
+
+    Scale shape: a narrow Arrow-batched map, no shuffle — identical to
+    every other decode pass here."""
+    fn = _PIXEL_CODECS.get(codec)
+    if fn is None:
+        raise NotImplementedError(
+            f"codec={codec!r} has no registered pixel decoder: call "
+            "register_codec(name, meta_fn, pixels=raster_fn).  The "
+            "stdlib 'ppm' codec and the 'fake' codec are pre-registered.")
+    out_schema = (f"{id_col} long, pixels binary, n_px long, "
+                  "px_sum long")
+
+    def _px(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rasters = fn(pdf["payload"])
+            arrs = [np.frombuffer(r, dtype=np.uint8) for r in rasters]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "pixels": rasters,
+                "n_px": pd.Series([a.size for a in arrs], dtype="int64",
+                                  index=pdf.index),
+                "px_sum": pd.Series([int(a.sum()) for a in arrs],
+                                    dtype="int64", index=pdf.index),
+            })
+
+    return media.select(id_col, "payload").mapInPandas(_px, out_schema)
 
 
 def frame_slices(media: DataFrame, n_frames: int = 4,
@@ -206,7 +364,7 @@ def extract_features(media: DataFrame, id_col: str = "doc_id",
 
 
 def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", codec: str = "fake") -> DataFrame:
     """(id, width, height, out_w, out_h) — aspect-preserving resize plan:
     scale = min(target_w/w, target_h/h), output dims = max(1, floor(dim ×
     scale)), with source dims clamped to ≥ 1 (the fake codec can emit 0).
@@ -214,8 +372,9 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224,
     ``floor`` (not round) keeps the arithmetic a fixed IEEE-double op
     sequence that any engine reproduces bit-for-bit — parity matters more
     than the off-by-one pixel.  Pure JVM after the decode pass; a real
-    pipeline would fuse the actual pixel resample into the decode batch."""
-    d = decode_media(media, id_col)
+    pipeline would fuse the actual pixel resample into the decode batch.
+    ``codec`` selects the decoder (``"ppm"`` for real netpbm payloads)."""
+    d = decode_media(media, id_col, codec=codec)
     w = F.greatest(F.col("width"), F.lit(1)).cast("double")
     h = F.greatest(F.col("height"), F.lit(1)).cast("double")
     scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)

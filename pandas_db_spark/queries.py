@@ -76,6 +76,8 @@ def q(name: str, oracle: str | None = None):
 # registry is still verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
+    # r13 additions, never driver-verified (prepended as implemented)
+    "mm_ppm_pipeline",
     # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
     "agg_sketches_bounds", "bpe_roundtrip",
@@ -6035,6 +6037,67 @@ def mm_phash_pairs(spark, sf_dir):
     d = get_db(spark, sf_dir).documents
     media = M.attach_media(d.df, "text", "doc_id")
     return M.phash_pairs(media, max_hamming=2)
+
+
+@q("mm_ppm_pipeline",
+   "WITH d AS (SELECT doc_id, 1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h "
+   "FROM documents WHERE doc_id < 60), "
+   "n AS (SELECT doc_id, w, h, 3*w*h AS n, (3*w*h + 8) // 9 AS chunk "
+   "FROM d), "
+   "pxr AS (SELECT n.doc_id, g.p, 1 + (n.doc_id + 37 * g.p) % 127 AS v, "
+   "n.chunk FROM n, LATERAL (SELECT unnest(range(0, n.n)) AS p) g), "
+   "fr0 AS (SELECT doc_id, p // chunk AS fi, SUM(v)::BIGINT AS s, "
+   "COUNT(*)::BIGINT AS c FROM pxr GROUP BY 1, 2), "
+   "allf AS (SELECT n.doc_id, g.fi, COALESCE(fr0.s, 0) AS s, "
+   "GREATEST(COALESCE(fr0.c, 0), 1) AS l "
+   "FROM n CROSS JOIN (SELECT unnest(range(0, 9)) AS fi) g "
+   "LEFT JOIN fr0 ON fr0.doc_id = n.doc_id AND fr0.fi = g.fi), "
+   "ph AS (SELECT a.doc_id, SUM(CASE WHEN a.s * b.l > b.s * a.l "
+   "THEN 1 << a.fi ELSE 0 END)::BIGINT AS phash "
+   "FROM allf a JOIN allf b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1 "
+   "GROUP BY 1), "
+   "sums AS (SELECT doc_id, COUNT(*)::BIGINT AS n_px, "
+   "SUM(v)::BIGINT AS px_sum FROM pxr GROUP BY 1), "
+   "s2 AS (SELECT doc_id, w::DOUBLE AS wd, h::DOUBLE AS hd FROM n) "
+   "SELECT n.doc_id, n.w::INTEGER AS width, n.h::INTEGER AS height, "
+   "3::INTEGER AS channels, sums.n_px, sums.px_sum, "
+   "greatest(1, floor(s2.wd * least(224.0 / s2.wd, 224.0 / s2.hd)))"
+   "::INT AS out_w, "
+   "greatest(1, floor(s2.hd * least(224.0 / s2.wd, 224.0 / s2.hd)))"
+   "::INT AS out_h, ph.phash "
+   "FROM n JOIN sums USING (doc_id) JOIN ph USING (doc_id) "
+   "JOIN s2 USING (doc_id)")
+def mm_ppm_pipeline(spark, sf_dir):
+    """GENUINELY-DECODED multimodal path (VERDICT r12 Next #5): plant
+    binary P6 PPM payloads (header with a comment line + strided-ramp
+    raster, built JVM-side from doc_id so the oracle knows the truth),
+    then run the whole media family through the stdlib netpbm codec
+    (operators/multimodal): decode_media parses the real header for
+    dimensions, decode_pixels surfaces the raster (count + exact byte
+    checksum), resize_media scales the PARSED dims, and media_dhash
+    runs over the DECODED PIXELS, not the container bytes.  Every
+    stage is the production Arrow-batched mapInPandas plumbing; the
+    oracle replays header arithmetic, raster checksums, IEEE resize,
+    and the 8-bit gradient hash in pure SQL."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents.df.where(F.col("doc_id") < 60)
+    n = "(3 * (1 + doc_id % 8) * (1 + doc_id % 5))"
+    payload = F.expr(
+        "cast(concat('P6', char(10), '# planted', char(10), "
+        "cast(1 + doc_id % 8 as string), ' ', "
+        "cast(1 + doc_id % 5 as string), char(10), '255', char(10), "
+        f"array_join(transform(sequence(0, {n} - 1), "
+        "p -> char(1 + pmod(doc_id + 37 * p, 127))), '')) as binary)")
+    media = d.select("doc_id", payload.alias("payload"))
+    meta = M.decode_media(media, codec="ppm")
+    px = M.decode_pixels(media, codec="ppm")
+    rs = (M.resize_media(media, 224, 224, codec="ppm")
+          .select("doc_id", "out_w", "out_h"))
+    dh = M.media_dhash(
+        px.select("doc_id", F.col("pixels").alias("payload")),
+        n_frames=9)
+    return (meta.join(px.select("doc_id", "n_px", "px_sum"), "doc_id")
+            .join(rs, "doc_id").join(dh, "doc_id"))
 
 
 @q("referential_checks",
