@@ -77,7 +77,7 @@ def q(name: str, oracle: str | None = None):
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
     # r13 additions, never driver-verified (prepended as implemented)
-    "mm_ppm_pipeline",
+    "mm_ppm_pipeline", "heavy_hitters_mg", "heavy_hitters_bound",
     # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
     "agg_sketches_bounds", "bpe_roundtrip",
@@ -5781,6 +5781,111 @@ def vocab_top_streamed(spark, sf_dir):
     finally:
         shutil.rmtree(mon, ignore_errors=True)
     return spark.createDataFrame(rows, "term string, cf long")
+
+
+_HH_SRC_SQL = (
+    "WITH src AS (SELECT l_orderkey % 2 AS b, "
+    "'t' || CAST(CAST(FLOOR(SQRT((l_partkey % 2500)::DOUBLE)) AS BIGINT) "
+    "AS VARCHAR) AS term FROM lineitem), ")
+
+
+def _hh_store(spark, sf_dir, capacity: int = 16) -> tuple[list, object]:
+    """Shared plant for the heavy-hitter gate queries: fold the skewed
+    term stream (term = sqrt-binned part key, quadratic head) through
+    the bounded store as two parity micro-batches; returns the final
+    summary rows and the cumulative meta row.  Fresh temp dir per run
+    (the store is stateful)."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (
+        append_heavy_hitters_batch, heavy_hitters_meta,
+        heavy_hitters_topk)
+    li = get_db(spark, sf_dir).lineitem.df.select(
+        "l_orderkey",
+        F.concat(F.lit("t"), F.floor(F.sqrt(F.col("l_partkey") % 2500))
+                 .cast("long").cast("string")).alias("text"))
+    store = tempfile.mkdtemp(prefix="pds_hh_")
+    try:
+        append_heavy_hitters_batch(li.where(F.col("l_orderkey") % 2 == 0),
+                                   0, store, capacity=capacity)
+        append_heavy_hitters_batch(li.where(F.col("l_orderkey") % 2 == 1),
+                                   1, store, capacity=capacity)
+        rows = heavy_hitters_topk(spark, store, k=capacity).collect()
+        meta = heavy_hitters_meta(spark, store).collect()[-1]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return rows, meta
+
+
+@q("heavy_hitters_mg",
+   _HH_SRC_SQL +
+   "b0 AS (SELECT term, count(*)::BIGINT AS c FROM src WHERE b = 0 "
+   "GROUP BY 1), "
+   "d0 AS (SELECT CASE WHEN (SELECT count(*) FROM b0) <= 16 THEN 0 "
+   "ELSE (SELECT min(c) FROM (SELECT c FROM b0 ORDER BY c DESC "
+   "LIMIT 17)) END AS delta), "
+   "s0 AS (SELECT term, c - (SELECT delta FROM d0) AS c FROM b0 "
+   "WHERE c > (SELECT delta FROM d0)), "
+   "b1 AS (SELECT term, count(*)::BIGINT AS c FROM src WHERE b = 1 "
+   "GROUP BY 1), "
+   "m AS (SELECT COALESCE(s0.term, b1.term) AS term, "
+   "COALESCE(s0.c, 0) + COALESCE(b1.c, 0) AS c "
+   "FROM s0 FULL JOIN b1 ON s0.term = b1.term), "
+   "d1 AS (SELECT CASE WHEN (SELECT count(*) FROM m) <= 16 THEN 0 "
+   "ELSE (SELECT min(c) FROM (SELECT c FROM m ORDER BY c DESC "
+   "LIMIT 17)) END AS delta) "
+   "SELECT term, (c - (SELECT delta FROM d1))::BIGINT AS c_low "
+   "FROM m WHERE c > (SELECT delta FROM d1)")
+def heavy_hitters_mg(spark, sf_dir):
+    """Bounded-memory streaming heavy hitters (streaming/monitor,
+    Misra-Gries mergeable summaries — VERDICT r12 Next #6): the skewed
+    term stream folds through a CAPACITY-16 store as two micro-batches
+    (exact batch counts -> keyed-sum merge -> one value-threshold trim
+    per batch), and because every step is exact-integer and the trim
+    threshold is a VALUE (the 17th largest), the final summary is
+    bit-deterministic — the oracle replays the entire fold in SQL.
+    Store size is <= capacity rows per batch partition, FLAT in corpus
+    and vocab size — the scale property the exact vocab_top_streamed
+    store gives up at 100 TB (where the vocab IS the data)."""
+    rows, _meta = _hh_store(spark, sf_dir, capacity=16)
+    return spark.createDataFrame(
+        [(r["term"], int(r["c_low"])) for r in rows],
+        "term string, c_low long")
+
+
+@q("heavy_hitters_bound",
+   _HH_SRC_SQL +
+   "t AS (SELECT term, count(*)::BIGINT AS c_true FROM src GROUP BY 1) "
+   "SELECT term, c_true, TRUE AS captured, TRUE AS within_bound "
+   "FROM t ORDER BY c_true DESC, term LIMIT 10")
+def heavy_hitters_bound(spark, sf_dir):
+    """The Misra-Gries GUARANTEE, hash-checked (the invariant sibling of
+    heavy_hitters_mg): for the 10 true-heaviest terms of the planted
+    stream, (a) each is CAPTURED by the capacity-16 summary (guaranteed
+    whenever c_true > err_ub), and (b) the estimate brackets the truth:
+    c_low <= c_true <= c_low + err_ub, with err_ub the store's exact
+    cumulative trim total (<= n_tokens/17 by the MG bound).  Output is
+    (term, exact true count, both booleans) — any implementation error
+    flips a boolean and fails the value hash against the TRUE literals
+    the oracle emits."""
+    rows, meta = _hh_store(spark, sf_dir, capacity=16)
+    est = {r["term"]: int(r["c_low"]) for r in rows}
+    err_ub = int(meta["err_ub"])
+    li = get_db(spark, sf_dir).lineitem.df.select(
+        F.concat(F.lit("t"), F.floor(F.sqrt(F.col("l_partkey") % 2500))
+                 .cast("long").cast("string")).alias("term"))
+    top = (li.groupBy("term").agg(F.count(F.lit(1)).alias("c_true"))
+           .orderBy(F.col("c_true").desc(), "term").limit(10).collect())
+    out = []
+    for r in top:
+        t, c_true = r["term"], int(r["c_true"])
+        e = est.get(t)
+        captured = e is not None
+        within = captured and e <= c_true <= e + err_ub
+        out.append((t, c_true, captured, within))
+    return spark.createDataFrame(
+        out, "term string, c_true long, captured boolean, "
+             "within_bound boolean")
 
 
 @q("part_copurchase",

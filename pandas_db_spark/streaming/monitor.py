@@ -210,3 +210,169 @@ def drift_alert(spark: SparkSession, monitor_dir: str,
     rhs = (F.lit(int(threshold_ppm)).cast(d) * F.lit(2).cast(d)
            * F.col("n_corpus").cast(d) * F.col("n_ref").cast(d))
     return h.where(lhs > rhs)
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory streaming heavy hitters — mergeable Misra-Gries summaries
+# (VERDICT r12 Next #6).  vocab_top_streamed above is EXACT but its counts
+# store is vocab-sized, and at 100 TB of web text the vocab IS the data;
+# this family keeps a store of AT MOST `capacity` rows per batch partition
+# with a PROVEN deviation bound, mirroring the repo's exact/sketch pairing
+# (median/quantile_approx, nunique/approx_count_distinct).
+#
+# Guarantee (Misra-Gries 1982; merge rule + proof: Agarwal, Cormode,
+# Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012): with
+# capacity k, every estimate satisfies
+#
+#     c_est(t)  <=  c_true(t)  <=  c_est(t) + err_ub,   err_ub <= N/(k+1)
+#
+# (terms absent from the summary have c_est = 0), because each trim that
+# subtracts delta removes >= delta*(k+1) mass from the running total N.
+# The store additionally records the EXACT cumulative err_ub (the sum of
+# applied deltas), which is typically far below the worst-case N/(k+1).
+#
+# Determinism: batch counts are exact integers, the merge is a keyed sum,
+# and the trim threshold is the (k+1)-th largest VALUE (never a row pick),
+# so for a fixed batch split the summary is bit-identical across
+# partitionings/engines and the whole fold SQL-replays — the registry's
+# heavy_hitters_mg query hash-checks it against a DuckDB replay.
+
+
+def mg_trim(counts: DataFrame, capacity: int) -> tuple[DataFrame, int]:
+    """One Misra-Gries reduction: if ``counts`` (``term``, ``c``) has
+    more than ``capacity`` rows, subtract the (capacity+1)-th largest
+    count from every row and keep the positive remainder (at most
+    ``capacity`` rows survive, since only counts strictly above the
+    threshold stay).  Returns ``(trimmed, delta)`` — delta is the exact
+    error this reduction added to every surviving/dropped estimate.
+
+    The threshold probe is one TakeOrdered job over the count table
+    (bounded: capacity+1 rows reach the driver)."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    top = (counts.orderBy(F.col("c").desc()).limit(capacity + 1)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("c").alias("m")).collect()[0])
+    if int(top["n"] or 0) <= capacity:
+        return counts, 0
+    delta = int(top["m"])
+    return (counts.where(F.col("c") > delta)
+            .select("term", (F.col("c") - delta).cast("long").alias("c")),
+            delta)
+
+
+def _read_hh_state(spark: SparkSession, store_dir: str,
+                   before_batch: int) -> tuple[DataFrame | None, int, int]:
+    """Latest (summary, n_tokens_cum, err_ub_cum) persisted STRICTLY
+    before ``before_batch`` — a replay of batch N folds exactly the
+    state batch N saw the first time, even after N+1 landed."""
+    from pyspark.errors import AnalysisException
+    try:
+        meta = (spark.read.parquet(store_dir + "/hhmeta")
+                .where(F.col("batch_id") < before_batch))
+        row = meta.orderBy(F.col("batch_id").desc()).limit(1).collect()
+    except AnalysisException as exc:
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if not ((cond and "PATH_NOT_FOUND" in cond)
+                or "Path does not exist" in str(exc)):
+            raise
+        return None, 0, 0
+    if not row:
+        return None, 0, 0
+    prev_id = int(row[0]["batch_id"])
+    summary = (spark.read.parquet(store_dir + "/summary")
+               .where(F.col("batch_id") == prev_id)
+               .select("term", "c"))
+    return summary, int(row[0]["n_tokens"]), int(row[0]["err_ub"])
+
+
+def append_heavy_hitters_batch(batch_df: DataFrame, batch_id: int,
+                               store_dir: str, capacity: int = 4096,
+                               text_col: str = "text") -> None:
+    """Fold one micro-batch into the bounded heavy-hitter store:
+    exact batch term counts (batch-bounded, the only corpus-touching
+    step) merge into the previous <=capacity-row summary by keyed sum,
+    then ONE Misra-Gries trim bounds the result back to ``capacity``
+    rows; the new summary and the exact cumulative ``(n_tokens,
+    err_ub)`` land under ``batch_id=N`` dynamic-overwrite partitions
+    (the module's replay-idempotent sink contract).
+
+    Store size: <= capacity rows per batch partition + a 1-row meta —
+    FLAT in corpus size and vocab size, the property the exact monitor
+    store can't have.  Old partitions serve only replay determinism;
+    prune them offline to the latest if batch count ever matters (the
+    compact_drift_counts note)."""
+    spark = batch_df.sparkSession
+    prev, prev_n, prev_err = _read_hh_state(spark, store_dir, batch_id)
+    batch_counts = term_counts(batch_df, text_col)
+    batch_n = int(batch_counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0])
+    if prev is None:
+        merged = batch_counts
+    else:
+        merged = (prev.withColumnRenamed("c", "c_a")
+                  .join(batch_counts.withColumnRenamed("c", "c_b"),
+                        "term", "full_outer")
+                  .select("term",
+                          (F.coalesce("c_a", F.lit(0))
+                           + F.coalesce("c_b", F.lit(0)))
+                          .cast("long").alias("c")))
+    summary, delta = mg_trim(merged, capacity)
+    (summary.withColumn("batch_id", F.lit(batch_id))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/summary"))
+    meta = spark.createDataFrame(
+        [(prev_n + batch_n, prev_err + delta, batch_id)],
+        "n_tokens long, err_ub long, batch_id long")
+    (meta.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/hhmeta"))
+
+
+def run_heavy_hitter_ingest(stream_df: DataFrame, store_dir: str,
+                            checkpoint_dir: str, capacity: int = 4096,
+                            text_col: str = "text") -> None:
+    """Drive the bounded heavy-hitter store from a document stream
+    (availableNow drain — the module's standard wrapper)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_heavy_hitters_batch(batch_df, batch_id, store_dir,
+                                   capacity, text_col)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+
+
+def heavy_hitters_topk(spark: SparkSession, store_dir: str,
+                       k: int = 50) -> DataFrame:
+    """Top-k heavy hitters AS OF the last drained batch —
+    ``(term, c_low)`` with the deterministic ``(c_low DESC, term)``
+    tie-break, served from the LATEST <=capacity-row summary partition
+    only (partition-pruned read; never a corpus or vocab scan).
+    ``c_low`` is the Misra-Gries lower bound: true count is within
+    ``err_ub`` above it (see :func:`heavy_hitters_meta`)."""
+    from pyspark.sql.functions import max as smax
+    latest = (spark.read.parquet(store_dir + "/hhmeta")
+              .agg(smax("batch_id")).collect()[0][0])
+    return (spark.read.parquet(store_dir + "/summary")
+            .where(F.col("batch_id") == int(latest))
+            .select("term", F.col("c").alias("c_low"))
+            .orderBy(F.col("c_low").desc(), "term").limit(k))
+
+
+def heavy_hitters_meta(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The per-batch guarantee ledger: ``(batch_id, n_tokens, err_ub)``
+    cumulative rows, ascending.  For every term, ``c_low <= c_true <=
+    c_low + err_ub``; ``err_ub <= n_tokens / (capacity + 1)`` by the
+    Misra-Gries bound, and the stored value is the exact (usually far
+    smaller) sum of applied trim deltas."""
+    return (spark.read.parquet(store_dir + "/hhmeta")
+            .select("batch_id", "n_tokens", "err_ub")
+            .orderBy("batch_id"))

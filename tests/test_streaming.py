@@ -1675,3 +1675,122 @@ def test_vocab_top_streamed_equals_batch_and_survives_replay(spark, tmp_path):
     compact_drift_counts(spark, mon)
     assert [(r["term"], r["cf"]) for r in
             vocab_top_streamed(spark, mon, k=5).collect()] == got
+
+
+# ---------------------------------------------------------------------
+# bounded-memory streaming heavy hitters (r13, Misra-Gries summaries)
+# ---------------------------------------------------------------------
+
+def _hh_zipf_rows(n_docs: int, start: int = 0):
+    """Deterministic skewed corpus: every doc repeats the heavy head
+    (h0 x4, h1 x2, h2 x1) and adds three rare-tail tokens from a
+    97-term ring — vocab ~100, far above the test capacities, so trims
+    genuinely engage while the head stays unambiguous."""
+    rows = []
+    for i in range(start, start + n_docs):
+        toks = (["h0"] * 4 + ["h1"] * 2 + ["h2"]
+                + [f"r{(i * j + j) % 97}" for j in (1, 2, 3)])
+        rows.append((i, " ".join(toks)))
+    return rows
+
+
+def test_mg_trim_bounds_and_noop(spark):
+    from pandas_db_spark.streaming.monitor import mg_trim
+
+    counts = spark.createDataFrame(
+        [(f"t{i}", 10 + i) for i in range(8)], "term string, c long")
+    same, delta = mg_trim(counts, capacity=8)
+    assert delta == 0 and same.count() == 8
+    trimmed, delta = mg_trim(counts, capacity=3)
+    # 4th largest of 10..17 is 14 -> survivors 15,16,17 minus 14
+    got = {r["term"]: r["c"] for r in trimmed.collect()}
+    assert delta == 14
+    assert got == {"t5": 1, "t6": 2, "t7": 3}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="capacity"):
+        mg_trim(counts, 0)
+
+
+def test_heavy_hitters_guarantee_and_replay(spark, tmp_path):
+    """Two folded batches: every estimate is a lower bound within the
+    stored err_ub of the exact count; absent terms are bounded by err_ub;
+    every true heavy hitter above err_ub is captured; err_ub respects the
+    N/(capacity+1) Misra-Gries bound; store stays <= capacity rows; a
+    replayed batch rewrites its partition byte-identically."""
+    from pandas_db_spark.operators.stats import term_counts
+    from pandas_db_spark.streaming.monitor import (
+        append_heavy_hitters_batch, heavy_hitters_meta,
+        heavy_hitters_topk)
+
+    cap = 16
+    store = str(tmp_path / "hh")
+    b0 = spark.createDataFrame(_hh_zipf_rows(120, 0),
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame(_hh_zipf_rows(120, 120),
+                               "doc_id long, text string")
+    append_heavy_hitters_batch(b0, 0, store, capacity=cap)
+    append_heavy_hitters_batch(b1, 1, store, capacity=cap)
+
+    summary = {r["term"]: r["c_low"]
+               for r in heavy_hitters_topk(spark, store, k=cap).collect()}
+    assert len(summary) <= cap
+    meta = heavy_hitters_meta(spark, store).collect()
+    assert [int(m["batch_id"]) for m in meta] == [0, 1]
+    n_tokens = int(meta[-1]["n_tokens"])
+    err_ub = int(meta[-1]["err_ub"])
+    truth = {r["term"]: int(r["c"]) for r in term_counts(
+        b0.unionByName(b1), "text").collect()}
+    assert n_tokens == sum(truth.values())
+    assert 0 < err_ub <= n_tokens // (cap + 1)
+    for term, est in summary.items():
+        assert est <= truth[term] <= est + err_ub, term
+    for term, true_c in truth.items():
+        if term not in summary:
+            assert true_c <= err_ub, (term, true_c, err_ub)
+        if true_c > err_ub:
+            assert term in summary, (term, true_c, err_ub)
+
+    # replay batch 1: summary and meta unchanged (idempotent rewrite)
+    append_heavy_hitters_batch(b1, 1, store, capacity=cap)
+    again = {r["term"]: r["c_low"]
+             for r in heavy_hitters_topk(spark, store, k=cap).collect()}
+    assert again == summary
+    meta2 = heavy_hitters_meta(spark, store).collect()
+    assert [tuple(m) for m in meta2] == [tuple(m) for m in meta]
+
+
+def test_heavy_hitter_ingest_stream_matches_manual_fold(spark, tmp_path):
+    """run_heavy_hitter_ingest (real availableNow foreachBatch drain)
+    lands the same store state as manual per-batch folds."""
+    from pandas_db_spark.streaming.monitor import (
+        append_heavy_hitters_batch, heavy_hitters_meta,
+        heavy_hitters_topk, run_heavy_hitter_ingest)
+
+    cap = 12
+    src = tmp_path / "hh_in"
+    rows0, rows1 = _hh_zipf_rows(60, 0), _hh_zipf_rows(60, 60)
+    for bi, chunk in enumerate([rows0, rows1]):
+        (spark.createDataFrame(chunk, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+    streamed = str(tmp_path / "hh_stream")
+    ck = str(tmp_path / "ck")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_heavy_hitter_ingest(stream, streamed, checkpoint_dir=ck,
+                            capacity=cap)
+
+    manual = str(tmp_path / "hh_manual")
+    for bi, chunk in enumerate([rows0, rows1]):
+        append_heavy_hitters_batch(
+            spark.createDataFrame(chunk, "doc_id long, text string"),
+            bi, manual, capacity=cap)
+
+    got = [(r["term"], r["c_low"]) for r in
+           heavy_hitters_topk(spark, streamed, k=cap).collect()]
+    want = [(r["term"], r["c_low"]) for r in
+            heavy_hitters_topk(spark, manual, k=cap).collect()]
+    assert got == want and len(got) > 0
+    gm = heavy_hitters_meta(spark, streamed).collect()[-1]
+    wm = heavy_hitters_meta(spark, manual).collect()[-1]
+    assert (gm["n_tokens"], gm["err_ub"]) == (wm["n_tokens"],
+                                              wm["err_ub"])
