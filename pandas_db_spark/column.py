@@ -203,7 +203,7 @@ class Column:
             F.lit(accuracy))
         return self._scalar_agg(f"quantile_approx:{q}:{accuracy}", expr)
 
-    def mode(self) -> dict:
+    def mode(self, max_ties: int = 100_000) -> dict:
         """All values tied at the max count, NULL included if modal
         (reference column.py:233-249 — its GROUP BY has no NULL filter).
 
@@ -211,22 +211,34 @@ class Column:
         but the *tied* rows are collected to the driver — the dict return
         is the reference's API contract.  Real data has few ties, so this
         is fine at any corpus size UNLESS the column is near-unique
-        (every value count 1 → the whole column is "tied" and collected).
-        For high-cardinality columns use :meth:`value_counts` (bounded by
-        its distinct count), or check :meth:`nunique_approx` first."""
+        (every value count 1 → the whole column is "tied").  That caveat
+        is ENFORCED (r13, the graph hub-cap pattern): more than
+        ``max_ties`` tied values raises instead of silently collecting
+        the column; use :meth:`value_counts` (bounded by distinct count),
+        :meth:`nunique_approx` first, or raise the valve deliberately."""
         def compute():
             counts = self._df.groupBy(self._col.alias(self._name)).agg(
                 F.count(F.lit(1)).alias("cnt"))
-            # two tiny jobs share one shuffle: persist the grouped counts so
-            # the max-probe and the tie filter don't re-aggregate the table
+            # tiny jobs share one shuffle: persist the grouped counts so
+            # the max-probe, tie count, and tie collect don't re-aggregate
             counts = counts.persist()
             try:
                 top = counts.agg(F.max("cnt").alias("m")).collect()[0]["m"]
-                rows = counts.filter(F.col("cnt") == top).collect()
+                ties = counts.filter(F.col("cnt") == top)
+                n_ties = ties.count()
+                if n_ties > max_ties:
+                    raise ValueError(
+                        f"mode(): {n_ties} values tied at max count "
+                        f"{top} exceeds max_ties={max_ties} — the column "
+                        "is near-unique and collecting every tie would "
+                        "ship it to the driver; use value_counts()/"
+                        "nunique_approx(), or pass a larger max_ties "
+                        "deliberately")
+                rows = ties.collect()
             finally:
                 counts.unpersist()
             return {row[self._name]: row["cnt"] for row in rows}
-        return self._memo("mode", compute)
+        return self._memo(f"mode:{max_ties}", compute)
 
     def unique(self) -> list:
         """Distinct values, NULL included.  Order is engine-determined (the

@@ -74,6 +74,21 @@ def test_mode_vs_pandas(db):
     assert all(cnt == vc.max() for cnt in modes.values())
 
 
+def test_mode_max_ties_valve(spark, db):
+    """r13 (VERDICT r12 #8): a near-unique column (every value tied at
+    count 1) raises instead of collecting the whole column; raising the
+    valve deliberately restores the collect, and real-tie columns are
+    untouched by the default."""
+    sdf = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    col = Column(sdf, "v", "t")
+    with pytest.raises(ValueError, match="max_ties"):
+        col.mode(max_ties=10)
+    assert len(col.mode(max_ties=50)) == 50  # deliberate override
+    # default untouched for genuinely-modal columns
+    assert set(db.lineitem.l_returnflag.mode()) \
+        == set(db.lineitem.l_returnflag.to_series().mode())
+
+
 def test_unique_set_equality(db):
     col = db.orders.o_orderpriority
     assert set(col.unique()) == set(col.to_series().unique())

@@ -1,18 +1,22 @@
-"""Regenerate the README driver-contract counts from the registry.
+"""Regenerate the README + COVERAGE.md driver-contract counts from the
+registry.
 
-VERDICT r11 #3: per-round query/oracle counts were hand-edited in
-several prose locations and could silently go stale.  This script makes
-them correct BY CONSTRUCTION: it derives the registry totals from
+VERDICT r11 #3 (README) and r12 Next #7 (COVERAGE.md): per-round
+query/oracle counts were hand-edited in several prose locations and
+could silently go stale.  This script makes them correct BY
+CONSTRUCTION: it derives the registry totals from
 ``pandas_db_spark.queries`` (the single source of truth), reads the
 newest ``LOCAL_CORRECTNESS_r{N}.json`` receipt, cross-checks the two,
-and rewrites the count-bearing phrases in README.md in place.  Run it
-as part of every receipts refresh:
+and rewrites (a) the count-bearing phrases in README.md in place and
+(b) the auto-managed summary block between the ``counts:begin`` /
+``counts:end`` markers at the end of COVERAGE.md.  Run it as part of
+every receipts refresh:
 
     python tools/update_counts.py            # rewrite + report
     python tools/update_counts.py --check    # exit 1 on any drift
 
 Every substitution pattern must match EXACTLY once; a missing pattern
-exits 1 so prose drift is loud, never silent.
+or marker exits 1 so prose drift is loud, never silent.
 """
 
 from __future__ import annotations
@@ -58,6 +62,41 @@ def substitute(text: str, pattern: str, repl: str) -> str:
     return out
 
 
+COVERAGE_BEGIN = ("<!-- counts:begin — auto-managed by "
+                  "tools/update_counts.py; do not hand-edit -->")
+COVERAGE_END = "<!-- counts:end -->"
+
+
+def coverage_block(total: int, with_oracle: int, rows_only: int,
+                   fname: str, n_pass: int, n_fail: int,
+                   n_ro: int) -> str:
+    return (f"{COVERAGE_BEGIN}\n"
+            f"Current registry: **{total} queries** — {with_oracle} "
+            f"with oracle SQL, {rows_only} rows-only by design.\n"
+            f"Newest full local receipt `{fname}`: "
+            f"**{n_pass} pass, {n_fail} fail, {n_ro} rows-only**.\n"
+            f"{COVERAGE_END}")
+
+
+def rewrite_coverage(total, with_oracle, rows_only, fname, n_pass,
+                     n_fail, n_ro) -> tuple[str, str, str]:
+    """Returns (path, current_text, updated_text)."""
+    path = os.path.join(ROOT, "COVERAGE.md")
+    with open(path) as f:
+        text = f.read()
+    pattern = (re.escape(COVERAGE_BEGIN) + r".*?"
+               + re.escape(COVERAGE_END))
+    block = coverage_block(total, with_oracle, rows_only, fname,
+                           n_pass, n_fail, n_ro)
+    updated, n = re.subn(pattern, block, text, count=1, flags=re.S)
+    if n != 1:
+        raise SystemExit(
+            "COVERAGE.md is missing the auto-managed counts markers "
+            f"({COVERAGE_BEGIN!r} .. {COVERAGE_END!r}) — re-add the "
+            "block at the end of the file")
+    return path, text, updated
+
+
 def main() -> int:
     check = "--check" in sys.argv
     total, with_oracle, rows_only = registry_counts()
@@ -88,15 +127,25 @@ def main() -> int:
         r"\d+ rows-only by design\)",
         f"(`{fname}`: {n_pass} pass, {n_fail} fail, "
         f"{n_ro} rows-only by design)")
-    if updated == readme:
-        print("README.md: counts already current")
+    cov_path, cov_text, cov_updated = rewrite_coverage(
+        total, with_oracle, rows_only, fname, n_pass, n_fail, n_ro)
+
+    stale = []
+    if updated != readme:
+        stale.append(("README.md", readme_path, updated))
+    if cov_updated != cov_text:
+        stale.append(("COVERAGE.md", cov_path, cov_updated))
+    if not stale:
+        print("README.md + COVERAGE.md: counts already current")
         return 0
     if check:
-        print("README.md: counts STALE (run without --check to rewrite)")
+        for name, _, _ in stale:
+            print(f"{name}: counts STALE (run without --check to rewrite)")
         return 1
-    with open(readme_path, "w") as f:
-        f.write(updated)
-    print("README.md: counts rewritten")
+    for name, path, text in stale:
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"{name}: counts rewritten")
     return 0
 
 
