@@ -155,6 +155,8 @@ HEADLINE = [
     "graph_sssp",         # frontier Bellman-Ford, 6 hop-bounded relaxation rounds (r12 part 4)
     "events_concurrency", # global sweep-line prefix sum, broadcast-offset two-phase (r12 part 4)
     "price_outliers",     # exact median + MAD robust outlier screen, 3 bounded jobs (r12 part 4)
+    "mm_ppm_pipeline",    # real stdlib netpbm decode + pixel dHash + resize, Arrow-batched (r13 add)
+    "heavy_hitters_mg",   # bounded Misra-Gries store: 2-batch fold + value-threshold trims (r13 add)
     # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)

@@ -95,3 +95,16 @@ def test_fuzzy_self_pairs_halves_and_orders(spark):
     assert out.columns == ["id_a", "id_b", "dist"]
     got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_fuzzy_join_reserved_name_guard(spark):
+    """ADVICE r12: inputs already carrying the operator's internal
+    column names are refused loudly instead of resolving ambiguously."""
+    left = spark.createDataFrame([(1, "abc", "k", 9)],
+                                 "id long, name string, k string, __bk long")
+    right = spark.createDataFrame([(2, "abd", "k")],
+                                  "id long, name string, k string")
+    from pandas_db_spark.operators.linkage import fuzzy_join
+    with pytest.raises(ValueError, match="reserved"):
+        fuzzy_join(left, right, "name", "name", "id", "id",
+                   "k", "k", max_dist=2)
