@@ -217,6 +217,86 @@ def _ppm_pixels(payloads: pd.Series) -> pd.Series:
 register_codec("ppm", _ppm_codec, pixels=_ppm_pixels)
 
 
+# ---------------------------------------------------------------------------
+# Second stdlib codec: uncompressed 24-bit BMP — a DIFFERENT real container
+# (little-endian binary headers, 4-byte row padding, bottom-up raster,
+# BGR sample order) through the identical registry interface, proving the
+# codec seam generalizes beyond netpbm with still zero dependencies.
+
+
+def _parse_bmp_header(b: bytes) -> tuple[int, int, int, bool]:
+    """Parse a BMP header: returns (width, height, raster_offset,
+    bottom_up).  Supports the common on-disk shape — BITMAPFILEHEADER
+    ('BM' magic, pixel-array offset at byte 10) + BITMAPINFOHEADER
+    (biSize >= 40, int32 LE width, int32 LE height with negative
+    meaning top-down, 24 bits/pixel, BI_RGB uncompressed).  Anything
+    else raises — decode errors must surface."""
+    import struct
+    if b[0:2] != b"BM":
+        raise ValueError(f"not a BMP payload: magic must be BM, got "
+                         f"{b[:2]!r}")
+    if len(b) < 54:
+        raise ValueError("truncated BMP: header needs 54 bytes, have "
+                         f"{len(b)}")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    bi_size = struct.unpack_from("<I", b, 14)[0]
+    if bi_size < 40:
+        raise ValueError(
+            f"unsupported BMP header size {bi_size} (need "
+            "BITMAPINFOHEADER or later)")
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP dimensions must be nonzero, got {w}x{h}")
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(
+            f"unsupported BMP variant: bpp={bpp} compression="
+            f"{compression} planes={planes} (only uncompressed 24-bit "
+            "BI_RGB is decoded)")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(b) - offset < stride * h:
+        raise ValueError(
+            f"truncated BMP raster: need {stride * h} bytes at offset "
+            f"{offset}, have {len(b) - offset}")
+    return w, h, offset, bottom_up
+
+
+def _bmp_codec(payloads: pd.Series) -> pd.DataFrame:
+    dims = [_parse_bmp_header(bytes(b))[:2] for b in payloads]
+    return pd.DataFrame({
+        "width": pd.Series([d[0] for d in dims], dtype="int32",
+                           index=payloads.index),
+        "height": pd.Series([d[1] for d in dims], dtype="int32",
+                            index=payloads.index),
+        "channels": pd.Series(3, dtype="int32", index=payloads.index),
+    })
+
+
+def _bmp_pixels(payloads: pd.Series) -> pd.Series:
+    """Decoded raster in the canonical top-down RGB order: padding
+    stripped, bottom-up rows flipped, per-pixel BGR -> RGB swapped —
+    the parts of a BMP decode a byte-slice could never fake."""
+    out = []
+    for raw in payloads:
+        b = bytes(raw)
+        w, h, off, bottom_up = _parse_bmp_header(b)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, :w * 3]
+        if bottom_up:
+            rows = rows[::-1]
+        rgb = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        out.append(rgb.tobytes())
+    return pd.Series(out, index=payloads.index)
+
+
+register_codec("bmp", _bmp_codec, pixels=_bmp_pixels)
+
+
 def decode_media(media: DataFrame, id_col: str = "doc_id",
                  codec: str = "fake") -> DataFrame:
     """Decode payloads to (id, width, height, channels) via an Arrow-batched

@@ -78,6 +78,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r13 additions, never driver-verified (prepended as implemented)
     "mm_ppm_pipeline", "heavy_hitters_mg", "heavy_hitters_bound",
+    "distinct_sketch_stream",
     # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
     "agg_sketches_bounds", "bpe_roundtrip",
@@ -5886,6 +5887,55 @@ def heavy_hitters_bound(spark, sf_dir):
     return spark.createDataFrame(
         out, "term string, c_true long, captured boolean, "
              "within_bound boolean")
+
+
+@q("distinct_sketch_stream",
+   "WITH src AS (SELECT l_orderkey, "
+   "'t' || (l_partkey % 1500)::VARCHAR AS t1, "
+   "'u' || (l_suppkey % 300)::VARCHAR AS t2 FROM lineitem), "
+   "toks AS (SELECT t1 AS t FROM src UNION ALL SELECT t2 FROM src) "
+   "SELECT 2::BIGINT AS n_batches, "
+   "(SELECT count(*) FROM toks)::BIGINT AS n_tokens, "
+   "(SELECT count(DISTINCT t) FROM toks)::BIGINT AS n_exact, "
+   "TRUE AS within_band")
+def distinct_sketch_stream(spark, sf_dir):
+    """Streaming distinct-count sketch store (streaming/monitor,
+    DataSketches HLL via Spark's hll_sketch_agg/hll_union_agg): the
+    planted two-token stream folds as two parity micro-batches, ONE
+    KB-sized sketch row lands per batch, and the union estimate must
+    sit within the lg_k=12 error band (1.04/sqrt(4096) RSE ~1.6%;
+    asserted at 5%) of the exact distinct count — the vocab-size
+    companion to heavy_hitters_mg that never stores the vocab.  HLL
+    register merges are max-based, so the estimate is deterministic
+    for a fixed batch split; the oracle recomputes the exact token and
+    distinct counts and the TRUE literal the band check must equal."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (
+        append_distinct_sketch_batch, distinct_estimate)
+    li = get_db(spark, sf_dir).lineitem.df.select(
+        "l_orderkey",
+        F.concat(F.lit("t"), (F.col("l_partkey") % 1500).cast("string"),
+                 F.lit(" u"), (F.col("l_suppkey") % 300).cast("string"))
+        .alias("text"))
+    store = tempfile.mkdtemp(prefix="pds_sk_")
+    try:
+        append_distinct_sketch_batch(li.where(F.col("l_orderkey") % 2 == 0),
+                                     0, store)
+        append_distinct_sketch_batch(li.where(F.col("l_orderkey") % 2 == 1),
+                                     1, store)
+        est = distinct_estimate(spark, store).collect()[0]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    toks = li.select(F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("t"))
+    n_exact = int(toks.agg(F.countDistinct("t")).collect()[0][0])
+    within = abs(int(est["estimate"]) - n_exact) <= max(
+        2, int(0.05 * n_exact))
+    return spark.createDataFrame(
+        [(int(est["n_batches"]), int(est["n_tokens"]), n_exact, within)],
+        "n_batches long, n_tokens long, n_exact long, "
+        "within_band boolean")
 
 
 @q("part_copurchase",

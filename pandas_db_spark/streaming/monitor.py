@@ -376,3 +376,72 @@ def heavy_hitters_meta(spark: SparkSession, store_dir: str) -> DataFrame:
     return (spark.read.parquet(store_dir + "/hhmeta")
             .select("batch_id", "n_tokens", "err_ub")
             .orderBy("batch_id"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming distinct-count store — one mergeable HLL sketch row per batch.
+# The cardinality companion to the heavy hitters above: "how large is the
+# vocab so far?" without storing the vocab (the exact monitor's counts
+# store answers it at vocab-sized cost; this answers it at ~KB/batch).
+# Spark's built-in DataSketches HLL functions (hll_sketch_agg /
+# hll_union_agg / hll_sketch_estimate) do the work JVM-side; register
+# merges are max-based, so the sketch and its estimate are independent
+# of row order and partitioning — deterministic for a fixed batch split.
+
+
+def append_distinct_sketch_batch(batch_df: DataFrame, batch_id: int,
+                                 store_dir: str, text_col: str = "text",
+                                 lg_k: int = 12) -> None:
+    """Fold one micro-batch into the distinct-token sketch store: ONE
+    row ``(sk: binary, n_tokens: long)`` lands under
+    ``sketches/batch_id=N`` (dynamic overwrite — the module's
+    replay-idempotent contract).  ``lg_k`` fixes the sketch's register
+    count (2^lg_k; relative standard error ~1.04/sqrt(2^lg_k), ~1.6%
+    at the default 12) and must be the same for every batch of a
+    store."""
+    if not 4 <= lg_k <= 21:
+        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
+    toks = batch_df.select(F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
+    row = toks.agg(
+        F.hll_sketch_agg("term", F.lit(lg_k)).alias("sk"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    (row.withColumn("lg_k", F.lit(lg_k))
+        .withColumn("batch_id", F.lit(batch_id))
+        .coalesce(1).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(store_dir + "/sketches"))
+
+
+def distinct_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Cumulative distinct-token estimate AS OF the last drained batch:
+    one row ``(n_batches, n_tokens, estimate)`` — a union-merge of the
+    per-batch sketches (one tiny job over n_batches KB-sized rows,
+    never a vocab or corpus scan)."""
+    sk = spark.read.parquet(store_dir + "/sketches")
+    return sk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batches"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long").alias("estimate"))
+
+
+def run_distinct_sketch_ingest(stream_df: DataFrame, store_dir: str,
+                               checkpoint_dir: str,
+                               text_col: str = "text",
+                               lg_k: int = 12) -> None:
+    """Drive the sketch store from a document stream (availableNow
+    drain — the module's standard wrapper)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_distinct_sketch_batch(batch_df, batch_id, store_dir,
+                                     text_col, lg_k)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()

@@ -370,3 +370,84 @@ def test_decode_pixels_requires_pixel_codec(spark):
                                "doc_id long, payload binary")
     with pytest.raises(NotImplementedError, match="pixel decoder"):
         M.decode_pixels(df, codec="pil")
+
+
+# ---------------------------------------------------------------------------
+# Stdlib BMP codec: a second real container (LE headers, row padding,
+# bottom-up raster, BGR order) through the identical registry seam.
+
+
+def _bmp(w, h, rgb_rows, bottom_up=True):
+    """Build an uncompressed 24-bit BMP from top-down RGB rows
+    (list of rows, each a list of (r, g, b))."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    rows = rgb_rows[::-1] if bottom_up else rgb_rows
+    raster = b"".join(
+        b"".join(bytes([px[2], px[1], px[0]]) for px in row) + pad
+        for row in rows)
+    offset = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", offset + len(raster), 0, 0,
+                                  offset)
+              + struct.pack("<IiiHHIIiiII", 40, w,
+                            h if bottom_up else -h,
+                            1, 24, 0, len(raster), 2835, 2835, 0, 0))
+    return header + raster
+
+
+def test_bmp_decode_strips_padding_flips_rows_swaps_bgr(spark):
+    rows = [[(10, 20, 30), (40, 50, 60)],
+            [(70, 80, 90), (100, 110, 120)],
+            [(1, 2, 3), (4, 5, 6)]]          # 2x3, stride pads 6 -> 8
+    want = b"".join(bytes(px) for row in rows for px in row)
+    for bottom_up in (True, False):
+        payload = _bmp(2, 3, rows, bottom_up=bottom_up)
+        w, h, off, bu = M._parse_bmp_header(payload)
+        assert (w, h, bu) == (2, 3, bottom_up)
+        import pandas as pd
+        got = M._bmp_pixels(pd.Series([payload])).iloc[0]
+        assert got == want, f"bottom_up={bottom_up}"
+    df = spark.createDataFrame([(1, bytearray(_bmp(2, 3, rows)))],
+                               "doc_id long, payload binary")
+    meta = M.decode_media(df, codec="bmp").collect()[0]
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 3, 3)
+    px = M.decode_pixels(df, codec="bmp").collect()[0]
+    assert px["n_px"] == 18 and bytes(px["pixels"]) == want
+
+
+def test_bmp_errors_surface():
+    import struct
+    with pytest.raises(ValueError, match="magic"):
+        M._parse_bmp_header(b"PNG....")
+    with pytest.raises(ValueError, match="truncated BMP: header"):
+        M._parse_bmp_header(b"BM" + b"\x00" * 20)
+    good = _bmp(2, 2, [[(0, 0, 0)] * 2] * 2)
+    with pytest.raises(ValueError, match="truncated BMP raster"):
+        M._parse_bmp_header(good[:-4])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)  # 8-bit palette variant
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        M._parse_bmp_header(bytes(bad_bpp))
+
+
+def test_ppm_and_bmp_same_image_same_decoded_dhash(spark):
+    """The codec-seam payoff: the SAME image encoded as PPM and as BMP
+    dHashes identically through decode_pixels — container-independent
+    perceptual identity, which raw-payload hashing cannot give."""
+    from pyspark.sql import functions as F
+
+    w, h = 5, 3
+    rgb = [[((x * 7 + y * 13) % 128, (x * 3) % 128, (y * 11) % 128)
+            for x in range(w)] for y in range(h)]
+    flat = bytes(v for row in rgb for px in row for v in px)
+    ppm_payload = _ppm(w, h, flat)
+    bmp_payload = _bmp(w, h, rgb)
+    hashes = {}
+    for codec, payload in (("ppm", ppm_payload), ("bmp", bmp_payload)):
+        df = spark.createDataFrame([(1, bytearray(payload))],
+                                   "doc_id long, payload binary")
+        px = M.decode_pixels(df, codec=codec).select(
+            "doc_id", F.col("pixels").alias("payload"))
+        hashes[codec] = M.media_dhash(px).collect()[0]["phash"]
+    assert hashes["ppm"] == hashes["bmp"]

@@ -1794,3 +1794,53 @@ def test_heavy_hitter_ingest_stream_matches_manual_fold(spark, tmp_path):
     wm = heavy_hitters_meta(spark, manual).collect()[-1]
     assert (gm["n_tokens"], gm["err_ub"]) == (wm["n_tokens"],
                                               wm["err_ub"])
+
+
+def test_distinct_sketch_store_estimates_and_replays(spark, tmp_path):
+    """HLL sketch store: one KB-sized row per batch; the union estimate
+    tracks the exact cumulative distinct count within the lg_k=12 error
+    band (~1.6% RSE; asserted at 5%); replay is idempotent; the stream
+    drain equals manual folds; lg_k validated."""
+    from pandas_db_spark.streaming.monitor import (
+        append_distinct_sketch_batch, distinct_estimate,
+        run_distinct_sketch_ingest)
+    from pyspark.sql import functions as F
+
+    rows0 = [(i, f"w{i % 700} w{(i * 3) % 700}") for i in range(400)]
+    rows1 = [(i, f"w{(i + 350) % 700} w{i % 50}") for i in range(400, 800)]
+    b0 = spark.createDataFrame(rows0, "doc_id long, text string")
+    b1 = spark.createDataFrame(rows1, "doc_id long, text string")
+    store = str(tmp_path / "sk")
+    append_distinct_sketch_batch(b0, 0, store)
+    append_distinct_sketch_batch(b1, 1, store)
+    est = distinct_estimate(spark, store).collect()[0]
+    exact = (b0.unionByName(b1)
+             .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                     .alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    assert est["n_batches"] == 2
+    assert est["n_tokens"] == 1600
+    assert abs(est["estimate"] - exact) <= max(2, int(0.05 * exact))
+    # replay batch 1: estimate unchanged, still one row per batch
+    append_distinct_sketch_batch(b1, 1, store)
+    again = distinct_estimate(spark, store).collect()[0]
+    assert tuple(again) == tuple(est)
+
+    # stream drain equals the manual fold
+    src = tmp_path / "sk_in"
+    for bi, rows in enumerate([rows0, rows1]):
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+    streamed = str(tmp_path / "sk_stream")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_distinct_sketch_ingest(stream, streamed,
+                               checkpoint_dir=str(tmp_path / "ck"))
+    s_est = distinct_estimate(spark, streamed).collect()[0]
+    assert (s_est["n_batches"], s_est["n_tokens"],
+            s_est["estimate"]) == (est["n_batches"], est["n_tokens"],
+                                   est["estimate"])
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lg_k"):
+        append_distinct_sketch_batch(b0, 0, store, lg_k=2)
