@@ -157,6 +157,8 @@ HEADLINE = [
     "price_outliers",     # exact median + MAD robust outlier screen, 3 bounded jobs (r12 part 4)
     "mm_ppm_pipeline",    # real stdlib netpbm decode + pixel dHash + resize, Arrow-batched (r13 add)
     "heavy_hitters_mg",   # bounded Misra-Gries store: 2-batch fold + value-threshold trims (r13 add)
+    "distinct_sketch_stream",  # HLL sketch store: one KB row/batch, JVM union-merge serve (r13 add)
+    "events_value_histq",  # streaming histogram store: 2-batch fold + ppm-exact bracket serve (r13 add)
     # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)

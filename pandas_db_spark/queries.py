@@ -78,7 +78,7 @@ def q(name: str, oracle: str | None = None):
 _GATE_PRIORITY: tuple[str, ...] = (
     # r13 additions, never driver-verified (prepended as implemented)
     "mm_ppm_pipeline", "heavy_hitters_mg", "heavy_hitters_bound",
-    "distinct_sketch_stream",
+    "distinct_sketch_stream", "events_value_histq",
     # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
     "agg_sketches_bounds", "bpe_roundtrip",
@@ -5887,6 +5887,53 @@ def heavy_hitters_bound(spark, sf_dir):
     return spark.createDataFrame(
         out, "term string, c_true long, captured boolean, "
              "within_bound boolean")
+
+
+@q("events_value_histq",
+   "WITH b AS (SELECT CASE WHEN value < 0.0 THEN -1 "
+   "WHEN value >= 500.0 THEN 250 "
+   "ELSE LEAST(FLOOR((value - 0.0) / 2.0), 249) END::INT AS bin "
+   "FROM events WHERE value IS NOT NULL), "
+   "h AS (SELECT bin, count(*)::BIGINT AS c FROM b GROUP BY 1), "
+   "cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin)::BIGINT AS cum, "
+   "SUM(c) OVER ()::BIGINT AS n FROM h), "
+   "q AS (SELECT unnest([500000, 900000, 990000])::BIGINT AS q_ppm), "
+   "pick AS (SELECT q_ppm, MIN(bin)::INT AS bin, MAX(n)::BIGINT AS n "
+   "FROM cum, q WHERE cum >= (q_ppm * n + 999999) // 1000000 "
+   "GROUP BY 1) "
+   "SELECT q_ppm, bin, "
+   "(CASE WHEN bin >= 0 THEN 0.0 + bin * 2.0 END)::DOUBLE AS bin_lo, "
+   "(CASE WHEN bin < 250 THEN 0.0 + (bin + 1) * 2.0 END)::DOUBLE "
+   "AS bin_hi, n FROM pick")
+def events_value_histq(spark, sf_dir):
+    """Streaming quantile monitor (streaming/monitor,
+    append_histogram_batch + histogram_quantile_bounds): the event
+    value stream folds as two micro-batches into a 250-bin equi-width
+    histogram store (<= n_bins+2 rows per batch — FLAT in stream size,
+    the latency-percentile shape a GK/KLL sketch can't value-oracle
+    because its compaction is order-dependent), then p50/p90/p99 are
+    served as exact one-bin-wide brackets.  Ranks are exact integer
+    ppm ceil-divs (a double 0.9*n product would off-by-one the rank);
+    bin arithmetic is fixed IEEE ops both engines replay bit-for-bit."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (
+        append_histogram_batch, histogram_quantile_bounds)
+    ev = get_db(spark, sf_dir).events.df
+    store = tempfile.mkdtemp(prefix="pds_hist_")
+    try:
+        for bi in range(2):
+            append_histogram_batch(
+                ev.where(F.col("event_id") % 2 == bi), bi, store,
+                "value", lo=0.0, hi=500.0, n_bins=250)
+        rows = histogram_quantile_bounds(
+            spark, store, [0.5, 0.9, 0.99]).collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["q_ppm"]), int(r["bin"]), r["bin_lo"], r["bin_hi"],
+          int(r["n"])) for r in rows],
+        "q_ppm long, bin int, bin_lo double, bin_hi double, n long")
 
 
 @q("distinct_sketch_stream",

@@ -445,3 +445,141 @@ def run_distinct_sketch_ingest(stream_df: DataFrame, store_dir: str,
         qr.processAllAvailable()
     finally:
         qr.stop()
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile monitor — bounded equi-width histogram store.
+# The latency/value-percentile companion to the stores above: per batch,
+# ONE <= (n_bins + 2)-row bin-count table lands under batch_id=N; serving
+# folds the bins and answers any quantile with a PROVEN bracket (the true
+# quantile lies inside the answered bin, so the error is at most one bin
+# width for in-range data).  Everything is exact integers over fixed IEEE
+# bin arithmetic, so both the store and the served bounds are
+# bit-deterministic and SQL-replayable — unlike a GK/KLL sketch, whose
+# compaction order would defeat a value oracle.  The trade is declared up
+# front: the value domain [lo, hi) and resolution are fixed at store
+# creation; out-of-range values land in visible underflow (-1) /
+# overflow (n_bins) bins rather than silently clamping.
+
+
+def append_histogram_batch(batch_df: DataFrame, batch_id: int,
+                           store_dir: str, value_col: str,
+                           lo: float, hi: float,
+                           n_bins: int = 256) -> None:
+    """Fold one micro-batch's values into the histogram store:
+    ``bin = floor((v - lo) / width)`` for v in [lo, hi), -1 below,
+    ``n_bins`` at-or-above; NULLs are dropped.  The per-batch counts
+    (<= n_bins + 2 rows) land under ``hist/batch_id=N`` dynamic
+    overwrite — the module's replay-idempotent contract.  ``lo``, ``hi``
+    and ``n_bins`` must be identical for every batch of a store (the
+    bins ARE the schema); they are persisted beside the counts and
+    enforced on append."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    if not 1 <= n_bins <= 65536:
+        raise ValueError(f"n_bins must be in [1, 65536], got {n_bins}")
+    spark = batch_df.sparkSession
+    from pyspark.errors import AnalysisException
+    geom_path = store_dir + "/geometry"
+    try:
+        g = spark.read.parquet(geom_path).collect()[0]
+        if (float(g["lo"]), float(g["hi"]), int(g["n_bins"])) != \
+                (float(lo), float(hi), int(n_bins)):
+            raise ValueError(
+                "histogram store geometry mismatch: store has "
+                f"(lo={g['lo']}, hi={g['hi']}, n_bins={g['n_bins']}), "
+                f"append asked (lo={lo}, hi={hi}, n_bins={n_bins}) — "
+                "the bins are the store's schema; build a new store to "
+                "change them")
+    except AnalysisException as exc:
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if not ((cond and "PATH_NOT_FOUND" in cond)
+                or "Path does not exist" in str(exc)):
+            raise
+        spark.createDataFrame(
+            [(float(lo), float(hi), int(n_bins))],
+            "lo double, hi double, n_bins int").write.mode(
+            "error").parquet(geom_path)
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_expr = (F.when(v < F.lit(float(lo)), F.lit(-1))
+                .when(v >= F.lit(float(hi)), F.lit(n_bins))
+                # least() guards the FP edge where (v-lo)/width rounds
+                # up to n_bins for v just under hi
+                .otherwise(F.least(
+                    F.floor((v - F.lit(float(lo))) / F.lit(width)),
+                    F.lit(n_bins - 1)))).cast("int")
+    counts = (batch_df.where(v.isNotNull())
+              .groupBy(bin_expr.alias("bin"))
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    (counts.withColumn("batch_id", F.lit(batch_id))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/hist"))
+
+
+def histogram_quantile_bounds(spark: SparkSession, store_dir: str,
+                              qs: list) -> DataFrame:
+    """Served quantile brackets over the cumulative store: for each q
+    in ``qs`` (0 < q <= 1), the row ``(q_ppm, bin, bin_lo, bin_hi, n)``
+    where the value of rank ``ceil(q*n)`` falls in ``bin`` — so
+    ``bin_lo <= quantile_q < bin_hi`` exactly (NULL bounds for the
+    underflow/overflow bins, whose presence means the answer left the
+    declared domain).  The rank is computed in EXACT integer ppm
+    arithmetic (``ceil(q_ppm*n/10^6)`` as an integer ceil-div, never a
+    float product — a double ``0.9*10000`` lands at 9000.000000000002
+    and would off-by-one the rank), so the serve is engine-exact.  One
+    tiny job: the fold is <= n_bins + 2 rows per batch partition, never
+    the value stream."""
+    if not qs or not all(0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    from pyspark.sql import Window
+    g = spark.read.parquet(store_dir + "/geometry").collect()[0]
+    lo, hi, n_bins = float(g["lo"]), float(g["hi"]), int(g["n_bins"])
+    width = (hi - lo) / n_bins
+    cum = (spark.read.parquet(store_dir + "/hist")
+           .groupBy("bin").agg(F.sum("c").alias("c"))
+           .withColumn("cum", F.sum("c").over(
+               Window.orderBy("bin")
+               .rowsBetween(Window.unboundedPreceding, 0))))
+    qdf = spark.createDataFrame(
+        [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
+    n = F.max(F.col("cum")).over(Window.partitionBy())
+    # integer ceil-div (DIV, not /: the float path loses exactness past
+    # 2^53 — q_ppm*n reaches 1e18 at a trillion rows, still inside int64)
+    rank = F.expr("(q_ppm * n + 999999) DIV 1000000")
+    ranked = (cum.crossJoin(qdf)
+              .withColumn("n", n)
+              .where(F.col("cum") >= rank))
+    first = (ranked.groupBy("q_ppm")
+             .agg(F.min("bin").alias("bin"),
+                  F.max("n").cast("long").alias("n")))
+    bin_lo = F.when(F.col("bin") >= 0,
+                    F.lit(lo) + F.col("bin") * F.lit(width))
+    bin_hi = F.when(F.col("bin") < n_bins,
+                    F.lit(lo) + (F.col("bin") + 1) * F.lit(width))
+    return (first.select("q_ppm", "bin",
+                         bin_lo.cast("double").alias("bin_lo"),
+                         bin_hi.cast("double").alias("bin_hi"), "n")
+            .orderBy("q_ppm"))
+
+
+def run_histogram_ingest(stream_df: DataFrame, store_dir: str,
+                         checkpoint_dir: str, value_col: str,
+                         lo: float, hi: float,
+                         n_bins: int = 256) -> None:
+    """Drive the histogram store from a stream (availableNow drain —
+    the module's standard wrapper)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_histogram_batch(batch_df, batch_id, store_dir,
+                               value_col, lo, hi, n_bins)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()

@@ -1844,3 +1844,73 @@ def test_distinct_sketch_store_estimates_and_replays(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="lg_k"):
         append_distinct_sketch_batch(b0, 0, store, lg_k=2)
+
+
+def test_histogram_store_brackets_exact_quantiles(spark, tmp_path):
+    """Histogram quantile monitor: the served bracket contains the exact
+    quantile for every q; under/overflow land in visible sentinel bins;
+    replay is idempotent; geometry is enforced; the stream drain equals
+    manual folds."""
+    from pandas_db_spark.streaming.monitor import (
+        append_histogram_batch, histogram_quantile_bounds,
+        run_histogram_ingest)
+    from pyspark.sql import functions as F
+
+    rows = [(i, ((i * 37) % 1000) / 10.0 - 5.0) for i in range(2000)]
+    rows += [(9001, None), (9002, 130.0), (9003, -10.0)]  # null/over/under
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    store = str(tmp_path / "hist")
+    for bi in range(2):
+        append_histogram_batch(df.where(F.col("event_id") % 2 == bi),
+                               bi, store, "value", lo=0.0, hi=100.0,
+                               n_bins=50)
+    qs = [0.25, 0.5, 0.9, 0.99, 1.0]
+    served = {r["q_ppm"]: r for r in
+              histogram_quantile_bounds(spark, store, qs).collect()}
+    vals = sorted(v for _, v in rows if v is not None)
+    n = len(vals)
+    assert all(r["n"] == n for r in served.values())
+    for q in qs:
+        r = served[int(q * 1_000_000)]
+        exact = vals[max(0, -(-int(q * 1_000_000) * n // 1_000_000) - 1)]
+        if r["bin"] == -1:
+            assert exact < 0.0
+        elif r["bin"] == 50:
+            assert exact >= 100.0
+        else:
+            assert r["bin_lo"] <= exact < r["bin_hi"], (q, exact, r)
+            assert r["bin_hi"] - r["bin_lo"] == 2.0  # one bin width
+    # q=1.0 must land in the overflow bin (max value 130)
+    assert served[1_000_000]["bin"] == 50 \
+        and served[1_000_000]["bin_hi"] is None
+    # replay batch 1: identical serve
+    append_histogram_batch(df.where(F.col("event_id") % 2 == 1), 1,
+                           store, "value", lo=0.0, hi=100.0, n_bins=50)
+    again = {r["q_ppm"]: tuple(r) for r in
+             histogram_quantile_bounds(spark, store, qs).collect()}
+    assert again == {k: tuple(v) for k, v in served.items()}
+    # geometry is the store's schema
+    import pytest as _pt
+    with _pt.raises(ValueError, match="geometry mismatch"):
+        append_histogram_batch(df, 2, store, "value", lo=0.0, hi=200.0,
+                               n_bins=50)
+    with _pt.raises(ValueError, match="n_bins"):
+        append_histogram_batch(df, 0, str(tmp_path / "h2"), "value",
+                               0.0, 1.0, n_bins=0)
+    with _pt.raises(ValueError, match="qs"):
+        histogram_quantile_bounds(spark, store, [0.0])
+
+    # stream drain equals the manual fold
+    src = tmp_path / "hist_in"
+    for bi in range(2):
+        (df.where(F.col("event_id") % 2 == bi).coalesce(1)
+         .write.parquet(f"{src}/b{bi}"))
+    streamed = str(tmp_path / "hist_stream")
+    stream = (spark.readStream.schema("event_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_histogram_ingest(stream, streamed,
+                         checkpoint_dir=str(tmp_path / "ck"),
+                         value_col="value", lo=0.0, hi=100.0, n_bins=50)
+    s = {r["q_ppm"]: tuple(r) for r in
+         histogram_quantile_bounds(spark, streamed, qs).collect()}
+    assert s == {k: tuple(v) for k, v in served.items()}
