@@ -124,3 +124,72 @@ def fuzzy_self_pairs(df: DataFrame, text_col, id_col: str, block,
     return (out.select(F.col(a).alias("id_a"), F.col(b).alias("id_b"),
                        F.col(d).alias("dist"))
             .where(F.col("id_a") < F.col("id_b")))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key, id_col: str,
+                              window: int = 5, text_col=None,
+                              max_dist: int | None = None) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo's
+    merge/purge, SIGMOD 1995): order the corpus by a sorting key, then
+    compare each record only with the ``window - 1`` records that
+    follow it — ``(id_a, id_b, rank_gap[, dist])`` with ``id_a`` the
+    lower-ranked record.  The complement of :func:`fuzzy_join`'s hash
+    blocking: equality blocking misses near-miss KEYS (a typo in the
+    blocking attribute lands the record in a different block), while a
+    sorted neighborhood keeps lexically-close keys adjacent, so key
+    typos still pair as long as the sort prefix survives.
+
+    ``key`` is a column name or expression; ties order by ``id_col``
+    so the rank — and therefore the output — is fully deterministic.
+    With ``text_col`` + ``max_dist``, pairs are verified with the
+    banded three-argument ``levenshtein`` (O(max_dist·len)) like the
+    rest of the module; without them every windowed pair is returned
+    (the caller applies its own comparator).
+
+    Plan shape (the 100 TB story): ONE range-repartition Exchange on
+    (key, id) + in-partition sorts, then the shuffle-free broadcast
+    ordinal (`plans/ordinal.py` — range partitions are ordered, so
+    partition-ordinal IS global rank), then one equi-join keyed on the
+    rank with the left side exploded over the ``window - 1`` offsets —
+    never a global single-task window, never an all-pairs product.
+    Output size is bounded by ``n · (window - 1)`` BY CONSTRUCTION —
+    the skew story needs no hot-key cap because no key, however
+    frequent, can emit more than ``window - 1`` pairs per record."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if (text_col is None) != (max_dist is None):
+        raise ValueError(
+            "pass text_col and max_dist together (or neither)")
+    if max_dist is not None and max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from pandas_db_spark.plans.ordinal import ORDINAL_COL, with_ordinal
+
+    cols = [_as_col(id_col).alias("__id"), _as_col(key).alias("__k")]
+    if text_col is not None:
+        cols.append(_as_col(text_col).alias("__t"))
+    base = df.select(*cols).where(F.col("__k").isNotNull())
+    n_part = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    ranked = with_ordinal(
+        base.repartitionByRange(n_part, F.col("__k"), F.col("__id"))
+            .sortWithinPartitions("__k", "__id"))
+    a_cols = [F.col("__id").alias("id_a"),
+              F.col(ORDINAL_COL).alias("__ra")]
+    b_cols = [F.col("__id").alias("id_b"),
+              F.col(ORDINAL_COL).alias("__rb")]
+    if text_col is not None:
+        a_cols.append(F.col("__t").alias("__ta"))
+        b_cols.append(F.col("__t").alias("__tb"))
+    a = (ranked.select(*a_cols)
+         .withColumn("__gap", F.explode(
+             F.sequence(F.lit(1), F.lit(window - 1))))
+         .withColumn("__rb", F.col("__ra") + F.col("__gap")))
+    out = (a.join(ranked.select(*b_cols), "__rb")
+           .select("id_a", "id_b",
+                   F.col("__gap").cast("int").alias("rank_gap"),
+                   *([F.levenshtein("__ta", "__tb", max_dist)
+                      .alias("dist")] if text_col is not None else [])))
+    if text_col is not None:
+        out = out.where((F.col("dist") >= 0)
+                        & (F.col("dist") <= max_dist)) \
+                 .withColumn("dist", F.col("dist").cast("long"))
+    return out

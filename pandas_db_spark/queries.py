@@ -79,6 +79,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r13 additions, never driver-verified (prepended as implemented)
     "mm_ppm_pipeline", "heavy_hitters_mg", "heavy_hitters_bound",
     "distinct_sketch_stream", "events_value_histq",
+    "link_sorted_neighborhood",
     # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
     "agg_sketches_bounds", "bpe_roundtrip",
@@ -5887,6 +5888,37 @@ def heavy_hitters_bound(spark, sf_dir):
     return spark.createDataFrame(
         out, "term string, c_true long, captured boolean, "
              "within_bound boolean")
+
+
+@q("link_sorted_neighborhood",
+   "WITH b AS (SELECT c_custkey AS id, "
+   "substring(c_name, length(c_name) - 3, 4) AS k, c_name AS t "
+   "FROM customer WHERE c_name IS NOT NULL), "
+   "r AS (SELECT id, t, row_number() OVER (ORDER BY k, id) - 1 AS rnk "
+   "FROM b), "
+   "p AS (SELECT a.id AS id_a, bb.id AS id_b, "
+   "(bb.rnk - a.rnk)::INT AS rank_gap, "
+   "levenshtein(a.t, bb.t)::BIGINT AS dist "
+   "FROM r a JOIN r bb ON bb.rnk > a.rnk AND bb.rnk <= a.rnk + 5) "
+   "SELECT id_a, id_b, rank_gap, dist FROM p WHERE dist <= 3")
+def link_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators/linkage.
+    sorted_neighborhood_pairs — Hernández & Stolfo merge/purge):
+    customers ordered by the name's 4-char suffix, each compared with
+    the 5 records that follow, banded levenshtein <= 3 verify.  The
+    complement of hash blocking (a typo in the blocking key breaks
+    equality but not sort adjacency); output bounded at n·(window−1)
+    BY CONSTRUCTION, so no hot-key cap is needed.  Plan: one
+    range-repartition + in-partition sorts, the shuffle-free broadcast
+    ordinal as global rank, one rank-keyed equi-join — never a
+    single-task global window.  Oracle replays rank + window + full
+    levenshtein in SQL."""
+    from pandas_db_spark.operators.linkage import (
+        sorted_neighborhood_pairs)
+    c = get_db(spark, sf_dir).customer.df
+    return sorted_neighborhood_pairs(
+        c, F.substring(F.col("c_name"), -4, 4), "c_custkey", window=6,
+        text_col="c_name", max_dist=3)
 
 
 @q("events_value_histq",

@@ -108,3 +108,93 @@ def test_fuzzy_join_reserved_name_guard(spark):
     with pytest.raises(ValueError, match="reserved"):
         fuzzy_join(left, right, "name", "name", "id", "id",
                    "k", "k", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (r13)
+
+
+def _snp_py(rows, window, max_dist=None):
+    """Python replay: rows = [(id, key, text)]."""
+    import difflib  # noqa: F401  (documentation only; we use real DP below)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    out = set()
+    for i, (ida, _, ta) in enumerate(ranked):
+        for g in range(1, window):
+            if i + g >= len(ranked):
+                break
+            idb, _, tb = ranked[i + g]
+            if max_dist is None:
+                out.add((ida, idb, g))
+            else:
+                d = lev(ta, tb)
+                if d <= max_dist:
+                    out.add((ida, idb, g, d))
+    return out
+
+
+def test_sorted_neighborhood_matches_python_replay(spark):
+    rows = [(i, f"k{(i * 17) % 23:02d}", f"name{(i * 7) % 10}x{i % 3}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, k string, t string")
+    from pandas_db_spark.operators.linkage import sorted_neighborhood_pairs
+
+    got = {tuple(r) for r in sorted_neighborhood_pairs(
+        df, "k", "id", window=4).collect()}
+    assert got == _snp_py(rows, 4)
+    got_v = {tuple(r) for r in sorted_neighborhood_pairs(
+        df, "k", "id", window=4, text_col="t", max_dist=2).collect()}
+    assert got_v == _snp_py(rows, 4, max_dist=2)
+    assert got_v  # the verified set is non-trivial
+
+
+def test_sorted_neighborhood_catches_key_typos_hash_blocking_misses(spark):
+    """The motivating property: a trailing-char typo in the BLOCKING key
+    breaks equality blocking but not sort adjacency."""
+    from pandas_db_spark.operators.linkage import (fuzzy_self_pairs,
+                                                   sorted_neighborhood_pairs)
+
+    rows = [(1, "smith", "jon smith"), (2, "smitj", "john smith"),
+            (3, "adams", "ada adams"), (4, "zzzzz", "unrelated")]
+    df = spark.createDataFrame(rows, "id long, k string, t string")
+    hash_pairs = {(r["id_a"], r["id_b"]) for r in fuzzy_self_pairs(
+        df, "t", "id", F.col("k"), max_dist=3).collect()}
+    assert (1, 2) not in hash_pairs  # equality blocking misses the typo
+    snp = {(r["id_a"], r["id_b"]) for r in sorted_neighborhood_pairs(
+        df, "k", "id", window=2, text_col="t", max_dist=3).collect()}
+    assert (1, 2) in snp             # sort adjacency recovers it
+
+
+def test_sorted_neighborhood_partition_invariant_and_validated(spark):
+    from pandas_db_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{(i * 5) % 11}", "t") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k string, t string")
+    one = {tuple(r) for r in sorted_neighborhood_pairs(
+        df.coalesce(1), "k", "id", window=3).collect()}
+    many = {tuple(r) for r in sorted_neighborhood_pairs(
+        df.repartition(13), "k", "id", window=3).collect()}
+    assert one == many
+    # NULL keys are excluded
+    with_null = df.union(spark.createDataFrame(
+        [(99, None, "t")], "id long, k string, t string"))
+    got = {tuple(r) for r in sorted_neighborhood_pairs(
+        with_null, "k", "id", window=3).collect()}
+    assert got == one
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "k", "id", window=1)
+    with pytest.raises(ValueError, match="together"):
+        sorted_neighborhood_pairs(df, "k", "id", text_col="t")
+    with pytest.raises(ValueError, match="max_dist"):
+        sorted_neighborhood_pairs(df, "k", "id", text_col="t",
+                                  max_dist=-1)
