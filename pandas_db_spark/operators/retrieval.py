@@ -705,3 +705,68 @@ def append_inverted_index(docs_new: DataFrame, text_col: str, id_col: str,
      .write.mode("overwrite").saveAsTable(meta_t + "_stage2"))
     _drop_table_and_location(spark, meta_t)
     spark.sql(f"ALTER TABLE {meta_t}_stage2 RENAME TO {meta_t}")
+
+
+def phrase_match_counts(docs: DataFrame, text_col: str, id_col: str,
+                        phrase: str) -> DataFrame:
+    """Exact token-sequence phrase search — ``(doc_id, n_matches)`` for
+    every document containing the phrase's tokens CONSECUTIVELY (the
+    positional-index query a bag-of-words BM25 structurally cannot
+    answer: "new york" must not match "york ... new").  Overlapping
+    occurrences all count ("a a" occurs twice in "a a a"), the
+    positional-index convention.
+
+    Plan shape (the 100 TB story): positions explode with
+    ``posexplode``, rows are PRUNED to the phrase's terms before
+    anything shuffles (the bm25_topk postings discipline — the corpus
+    never shuffles, only the query terms' postings), then ONE
+    ``groupBy(doc)`` collects a position array per phrase slot via
+    conditional aggregation, and the consecutive-position check is a
+    codegen'd JVM fold over those arrays (``filter`` +
+    ``array_contains``) — one Exchange total, no m-way self-join, no
+    Python.  A phrase term's posting list for one doc is bounded by
+    that doc's length, so per-group memory is document-scale."""
+    terms = [t for t in phrase.strip().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = tokens(F.col(text_col))
+    pos = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode_outer(toks).alias("pos", "term"))
+           .where(F.col("term").isin(terms)))
+    slots = [F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+             .alias(f"__p{i}") for i, t in enumerate(terms)]
+    per_doc = pos.groupBy("doc_id").agg(*slots)
+    if len(terms) == 1:
+        n = F.size("__p0")
+    else:
+        # anchor on the first term's positions: a start position p is a
+        # match iff slot i contains p + i for every subsequent slot
+        n = F.size(F.filter("__p0", lambda p: _phrase_chain(p, terms)))
+    return (per_doc.select("doc_id", n.cast("long").alias("n_matches"))
+            .where(F.col("n_matches") > 0))
+
+
+def _phrase_chain(p, terms):
+    """p is the candidate start position; require term i at p + i for
+    every subsequent phrase slot (sorted-int array_contains, codegen'd)."""
+    cond = None
+    for i in range(1, len(terms)):
+        c = F.array_contains(F.col(f"__p{i}"), p + F.lit(i))
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def phrase_topk(docs: DataFrame, text_col: str, id_col: str,
+                phrase: str, k: int = 10) -> DataFrame:
+    """Top-k documents by exact phrase occurrence count —
+    ``(rank, doc_id, n_matches)`` with the deterministic
+    ``(n_matches DESC, doc_id)`` tie-break (TakeOrdered, no global
+    sort)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = phrase_match_counts(docs, text_col, id_col, phrase)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n_matches").desc(), "doc_id")
+    return (m.orderBy(F.col("n_matches").desc(), "doc_id").limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id", "n_matches"))

@@ -79,7 +79,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r13 additions, never driver-verified (prepended as implemented)
     "mm_ppm_pipeline", "heavy_hitters_mg", "heavy_hitters_bound",
     "distinct_sketch_stream", "events_value_histq",
-    "link_sorted_neighborhood",
+    "link_sorted_neighborhood", "phrase_topk",
     # last driver receipt r8 — invariant siblings of the rows-only queries
     "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
     "agg_sketches_bounds", "bpe_roundtrip",
@@ -5888,6 +5888,32 @@ def heavy_hitters_bound(spark, sf_dir):
     return spark.createDataFrame(
         out, "term string, c_true long, captured boolean, "
              "within_bound boolean")
+
+
+@q("phrase_topk",
+   "WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') "
+   "AS ws FROM documents WHERE trim(text) <> ''), "
+   "p AS (SELECT doc_id, unnest(ws) AS w, "
+   "generate_subscripts(ws, 1) AS i FROM d), "
+   "m AS (SELECT a.doc_id, count(*)::BIGINT AS n_matches "
+   "FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+   "WHERE a.w = 'table' AND b.w = 'hash' GROUP BY 1) "
+   "SELECT row_number() OVER (ORDER BY n_matches DESC, doc_id)::INT "
+   "AS rank, doc_id, n_matches "
+   "FROM m ORDER BY n_matches DESC, doc_id LIMIT 15")
+def phrase_topk_q(spark, sf_dir):
+    """Exact positional phrase search (operators/retrieval.phrase_topk):
+    top-15 docs by CONSECUTIVE-token occurrences of 'table hash' —
+    the positional-index query bag-of-words BM25 structurally cannot
+    answer ('hash ... table' must not match), overlapping occurrences
+    counted.  Postings prune to the phrase's terms BEFORE the one
+    groupBy shuffle (the bm25 discipline — the corpus token stream
+    never moves); the consecutive check is a codegen'd JVM array fold.
+    Integer counts + (count DESC, doc_id) rank, so the oracle replays
+    positions + the adjacency join exactly."""
+    from pandas_db_spark.operators.retrieval import phrase_topk
+    d = get_db(spark, sf_dir).documents
+    return phrase_topk(d.df, "text", "doc_id", "table hash", k=15)
 
 
 @q("link_sorted_neighborhood",

@@ -617,3 +617,65 @@ def test_append_inverted_index_meta_exact_with_null_texts(spark, db):
     for t in ("r12nullapp", "r12nullfull"):
         for s in ("_postings", "_terms", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{s}")
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search (r13)
+
+
+def _phrase_py(rows, phrase):
+    terms = phrase.split()
+    out = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        n = sum(1 for i in range(len(toks) - len(terms) + 1)
+                if toks[i:i + len(terms)] == terms)
+        if n:
+            out[doc_id] = n
+    return out
+
+
+def test_phrase_match_counts_replay_and_overlap(spark):
+    from pandas_db_spark.operators.retrieval import phrase_match_counts
+
+    rows = [(1, "new york is not york new"),
+            (2, "the new york new york times"),
+            (3, "a a a"),             # overlapping occurrences of "a a"
+            (4, "york new"),          # reversed -> no match
+            (5, "new"), (6, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for phrase in ("new york", "a a", "new", "new york times"):
+        got = {r["doc_id"]: r["n_matches"] for r in
+               phrase_match_counts(df, "text", "doc_id", phrase).collect()}
+        assert got == _phrase_py(rows, phrase), phrase
+    assert _phrase_py(rows, "a a") == {3: 2}  # the overlap convention
+    import pytest as _pt
+    with _pt.raises(ValueError, match="phrase"):
+        phrase_match_counts(df, "text", "doc_id", "   ")
+
+
+def test_phrase_topk_rank_and_ties(spark):
+    from pandas_db_spark.operators.retrieval import phrase_topk
+
+    rows = [(1, "x y x y"), (2, "x y"), (3, "x y x y"), (4, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in
+           phrase_topk(df, "text", "doc_id", "x y", k=3).collect()]
+    # count desc, doc asc tie-break
+    assert got == [(1, 1, 2), (2, 3, 2), (3, 2, 1)]
+
+
+def test_phrase_plan_prunes_to_query_terms(spark, db):
+    """The corpus token stream must be filtered to the phrase's terms
+    BEFORE the shuffle (the bm25 postings discipline)."""
+    from pandas_db_spark.operators.retrieval import phrase_match_counts
+
+    df = phrase_match_counts(db.documents.df, "text", "doc_id",
+                             "merge vector")
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert txt.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+    got = {r["doc_id"]: r["n_matches"] for r in df.collect()}
+    # python replay over the real corpus
+    rows = [(r["doc_id"], r["text"]) for r in
+            db.documents.df.select("doc_id", "text").collect()]
+    assert got == _phrase_py(rows, "merge vector")
