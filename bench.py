@@ -159,6 +159,8 @@ HEADLINE = [
     "heavy_hitters_mg",   # bounded Misra-Gries store: 2-batch fold + value-threshold trims (r13 add)
     "distinct_sketch_stream",  # HLL sketch store: one KB row/batch, JVM union-merge serve (r13 add)
     "events_value_histq",  # streaming histogram store: 2-batch fold + ppm-exact bracket serve (r13 add)
+    "link_sorted_neighborhood",  # rank + window ER blocking, one range exchange + ordinal (r13 add)
+    "phrase_topk",        # positional phrase search over term-pruned postings, one shuffle (r13 add)
     # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)
