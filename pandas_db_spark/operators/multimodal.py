@@ -297,6 +297,92 @@ def _bmp_pixels(payloads: pd.Series) -> pd.Series:
 register_codec("bmp", _bmp_codec, pixels=_bmp_pixels)
 
 
+# ---------------------------------------------------------------------------
+# Third stdlib codec: WAV (RIFF/PCM) — the AUDIO leg of the seam.  The
+# image-shaped metadata schema is kept deliberately (one registry, one
+# mapInPandas plumbing for every modality); the documented mapping is
+#   width    = frames per channel (sample count / channels)
+#   height   = sample rate (Hz)
+#   channels = channel count
+# and the "pixels" are the 8-bit view of the PCM samples (high byte for
+# 16-bit audio) — so frame_slices/media_dhash run over actual AUDIO
+# CONTENT, not RIFF container bytes (two WAVs with different chunk
+# padding but identical samples dHash identically).
+
+
+def _parse_wav_header(b: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a RIFF/WAVE header: returns (n_frames, sample_rate,
+    channels, bits, data_offset, data_len).  Walks the chunk list (fmt
+    may be followed by fact/LIST chunks before data — real encoders emit
+    them), supports uncompressed PCM (format 1) at 8 or 16 bits, raises
+    on anything else — decode errors must surface."""
+    import struct
+    if b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload: got {b[:4]!r}/{b[8:12]!r}")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        body = i + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > len(b):
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", b, body)
+        elif cid == b"data":
+            if body + size > len(b):
+                raise ValueError(
+                    f"truncated WAV data chunk: need {size} bytes, "
+                    f"have {len(b) - body}")
+            data = (body, size)
+        i = body + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV payload is missing a fmt or data chunk")
+    audio_format, channels, rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16) or channels < 1:
+        raise ValueError(
+            f"unsupported WAV variant: format={audio_format} "
+            f"bits={bits} channels={channels} (only 8/16-bit PCM is "
+            "decoded)")
+    bps = bits // 8
+    n_frames = data[1] // (bps * channels)
+    return n_frames, rate, channels, bits, data[0], data[1]
+
+
+def _wav_codec(payloads: pd.Series) -> pd.DataFrame:
+    metas = [_parse_wav_header(bytes(b))[:3] for b in payloads]
+    return pd.DataFrame({
+        "width": pd.Series([m[0] for m in metas], dtype="int32",
+                           index=payloads.index),
+        "height": pd.Series([m[1] for m in metas], dtype="int32",
+                            index=payloads.index),
+        "channels": pd.Series([m[2] for m in metas], dtype="int32",
+                              index=payloads.index),
+    })
+
+
+def _wav_pixels(payloads: pd.Series) -> pd.Series:
+    """PCM samples as an 8-bit view: 8-bit audio verbatim; 16-bit
+    little-endian samples fold to their high (most-significant) byte
+    with the sign flipped to unsigned — the standard 16->8 bit
+    reduction, so louder == larger byte, like image intensity."""
+    out = []
+    for raw in payloads:
+        b = bytes(raw)
+        _f, _r, _c, bits, off, size = _parse_wav_header(b)
+        body = b[off:off + size]
+        if bits == 8:
+            out.append(body)
+        else:
+            hi = np.frombuffer(body, dtype="<i2") >> 8
+            out.append((hi.astype(np.int16) + 128)
+                       .astype(np.uint8).tobytes())
+    return pd.Series(out, index=payloads.index)
+
+
+register_codec("wav", _wav_codec, pixels=_wav_pixels)
+
+
 def decode_media(media: DataFrame, id_col: str = "doc_id",
                  codec: str = "fake") -> DataFrame:
     """Decode payloads to (id, width, height, channels) via an Arrow-batched

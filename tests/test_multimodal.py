@@ -451,3 +451,85 @@ def test_ppm_and_bmp_same_image_same_decoded_dhash(spark):
             "doc_id", F.col("pixels").alias("payload"))
         hashes[codec] = M.media_dhash(px).collect()[0]["phash"]
     assert hashes["ppm"] == hashes["bmp"]
+
+
+# ---------------------------------------------------------------------------
+# Stdlib WAV (RIFF/PCM) codec: the audio leg of the same registry seam.
+
+
+def _wav(samples, rate=8000, channels=1, bits=16, extra_chunk=False):
+    """Build a RIFF/WAVE payload from int samples (interleaved)."""
+    import struct
+    bps = bits // 8
+    if bits == 16:
+        body = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        body = bytes((s + 128) & 0xFF for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bps, channels * bps, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # real encoders emit fact/LIST chunks before data
+        chunks += b"fact" + struct.pack("<I", 4) \
+            + struct.pack("<I", len(samples) // channels)
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_header_and_pixels():
+    import numpy as np
+    import pandas as pd
+
+    samples = [0, 256, -256, 32767, -32768, 12345]
+    b = _wav(samples, rate=44100, channels=2, bits=16, extra_chunk=True)
+    n_frames, rate, ch, bits, off, size = M._parse_wav_header(b)
+    assert (n_frames, rate, ch, bits) == (3, 44100, 2, 16)
+    px = M._wav_pixels(pd.Series([b])).iloc[0]
+    want = ((np.array(samples, dtype="<i2") >> 8) + 128) \
+        .astype(np.uint8).tobytes()
+    assert px == want
+    # 8-bit mono passes samples through verbatim
+    b8 = _wav([0, 10, 250 - 128], rate=8000, channels=1, bits=8)
+    assert M._parse_wav_header(b8)[:4] == (3, 8000, 1, 8)
+    assert M._wav_pixels(pd.Series([b8])).iloc[0] == bytes([128, 138, 250])
+
+
+def test_wav_errors_surface():
+    with pytest.raises(ValueError, match="RIFF"):
+        M._parse_wav_header(b"OggS" + b"\x00" * 40)
+    good = _wav([1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated WAV data"):
+        M._parse_wav_header(good[:-3])
+    import struct
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)  # IEEE-float format
+    with pytest.raises(ValueError, match="unsupported WAV variant"):
+        M._parse_wav_header(bytes(bad))
+    nodata = good[:good.index(b"data")]
+    with pytest.raises(ValueError, match="missing a fmt or data"):
+        M._parse_wav_header(nodata)
+
+
+def test_wav_dhash_sees_samples_not_container(spark):
+    """Two WAV encodings of the SAME audio (one with an extra fact
+    chunk) dHash identically through decode_pixels, while raw-payload
+    dHash differs — the decoded-content property, now on audio."""
+    from pyspark.sql import functions as F
+
+    samples = [(i * 997) % 4096 - 2048 for i in range(400)]
+    plain = _wav(samples)
+    chunked = _wav(samples, extra_chunk=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(chunked))],
+        "doc_id long, payload binary")
+    meta = {r["doc_id"]: r for r in
+            M.decode_media(df, codec="wav").collect()}
+    assert (meta[1]["width"], meta[1]["height"],
+            meta[1]["channels"]) == (400, 8000, 1)
+    decoded = M.decode_pixels(df, codec="wav").select(
+        "doc_id", F.col("pixels").alias("payload"))
+    dec_h = {r["doc_id"]: r["phash"]
+             for r in M.media_dhash(decoded).collect()}
+    raw_h = {r["doc_id"]: r["phash"]
+             for r in M.media_dhash(df).collect()}
+    assert dec_h[1] == dec_h[2]
+    assert raw_h[1] != raw_h[2]

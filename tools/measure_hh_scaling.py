@@ -35,8 +35,15 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     out = {"capacity": CAP, "batches": 2, "ladder": []}
-    for sf in ("0.001", "0.01", "0.1"):
-        sf_dir = f"/root/testdata/sf{sf}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = [("0.001", "/root/testdata/sf0.001"),
+            ("0.01", "/root/testdata/sf0.01"),
+            ("0.1", "/root/testdata/sf0.1"),
+            # one more decade when the synthesized bench corpus exists
+            ("1", os.path.join(repo, "benchdata", "sf1"))]
+    for sf, sf_dir in dirs:
+        if not os.path.isdir(sf_dir):
+            continue
         # Web-text-shaped stream: per row one HEAVY head token (100 hot
         # terms) + one near-unique rare-tail token, so the exact vocab
         # grows WITH the corpus (at 100 TB the vocab IS the data) while
