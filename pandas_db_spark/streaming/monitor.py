@@ -583,3 +583,76 @@ def run_histogram_ingest(stream_df: DataFrame, store_dir: str,
         qr.processAllAvailable()
     finally:
         qr.stop()
+
+
+# ---------------------------------------------------------------------------
+# Store lifecycle for the r13 monitors — same contract family as
+# compact_drift_counts / compact_index: run OFFLINE, keep the streaming
+# checkpoint, pass checkpoint_dir to refuse while a batch is
+# started-but-uncommitted.  Two shapes, matched to each store's read path:
+#
+# * the HH store SERVES from the latest batch partition only, so old
+#   partitions PRUNE (replay determinism needs the immediately-previous
+#   partition, hence keep_last >= 2 by default);
+# * the sketch store FOLDS over all rows at serve time, so fragmentation
+#   compacts row-identically (the drift-counts shape).
+
+
+def prune_heavy_hitter_store(spark: SparkSession, store_dir: str,
+                             keep_last: int = 2,
+                             checkpoint_dir: str | None = None) -> dict:
+    """Delete heavy-hitter batch partitions older than the newest
+    ``keep_last`` from BOTH ``summary/`` and ``hhmeta/`` (one aligned
+    cutoff — a summary without its meta, or vice versa, would break the
+    guarantee ledger).  Serving only ever reads the latest partition
+    and a replayed batch N folds the state at N-1, so ``keep_last=2``
+    preserves both; older partitions exist purely as history.  All
+    filesystem ops go through the Hadoop ``FileSystem`` API (HDFS/S3A
+    real).  Returns ``{"deleted": ..., "kept": ...}``."""
+    if keep_last < 2:
+        raise ValueError(
+            f"keep_last must be >= 2 (serving reads the latest "
+            f"partition, a replay of batch N reads N-1), got {keep_last}")
+    from pandas_db_spark.operators.similarity import (
+        _assert_stream_quiesced, _fs_for)
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    fs, P = _fs_for(spark, store_dir)
+    ids: set[int] = set()
+    for sub in ("summary", "hhmeta"):
+        p = P(store_dir.rstrip("/") + "/" + sub)
+        if not fs.exists(p):
+            return {"deleted": 0, "kept": 0}
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("batch_id="):
+                ids.add(int(name.split("=", 1)[1]))
+    keep = set(sorted(ids)[-keep_last:])
+    deleted = 0
+    for sub in ("summary", "hhmeta"):
+        for bid in ids - keep:
+            p = P(store_dir.rstrip("/") + f"/{sub}/batch_id={bid}")
+            if fs.exists(p):
+                if not fs.delete(p, True):
+                    raise IOError(f"prune: delete of {p} failed")
+                deleted += 1
+    return {"deleted": deleted, "kept": len(keep)}
+
+
+def compact_sketch_store(spark: SparkSession, store_dir: str,
+                         checkpoint_dir: str | None = None) -> dict:
+    """Fold the distinct-sketch store's per-batch fragmentation (one
+    KB-sized file lands per batch) row-identically into the reserved
+    ``batch_id=-1`` partition — the serve path unions ALL rows, so the
+    fold changes nothing it reads; a resumed stream appends fresh
+    non-negative batch ids beside it and composes (the
+    compact_drift_counts contract; replays of PRE-compaction batch ids
+    are forbidden by the quiesce rule, same as there)."""
+    from pandas_db_spark.operators.similarity import (
+        _assert_stream_quiesced, _compact_partitioned_dataset)
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    report = _compact_partitioned_dataset(spark, store_dir, "sketches",
+                                          part_col="",
+                                          coalesce_one=True)
+    return {"sketches": report} if report is not None else {}

@@ -1914,3 +1914,55 @@ def test_histogram_store_brackets_exact_quantiles(spark, tmp_path):
     s = {r["q_ppm"]: tuple(r) for r in
          histogram_quantile_bounds(spark, streamed, qs).collect()}
     assert s == {k: tuple(v) for k, v in served.items()}
+
+
+def test_heavy_hitter_prune_and_sketch_compaction(spark, tmp_path):
+    """Store lifecycle: pruning old HH partitions leaves serving AND
+    replay-of-latest untouched; sketch compaction folds fragmentation
+    row-identically (estimate unchanged) and a resumed batch composes."""
+    from pandas_db_spark.streaming.monitor import (
+        append_distinct_sketch_batch, append_heavy_hitters_batch,
+        compact_sketch_store, distinct_estimate, heavy_hitters_meta,
+        heavy_hitters_topk, prune_heavy_hitter_store)
+
+    cap = 12
+    store = str(tmp_path / "hh")
+    batches = [spark.createDataFrame(_hh_zipf_rows(60, 60 * i),
+                                     "doc_id long, text string")
+               for i in range(3)]
+    for bi, b in enumerate(batches):
+        append_heavy_hitters_batch(b, bi, store, capacity=cap)
+    before = [tuple(r) for r in
+              heavy_hitters_topk(spark, store, k=cap).collect()]
+    rep = prune_heavy_hitter_store(spark, store, keep_last=2)
+    assert rep == {"deleted": 2, "kept": 2}  # batch 0 gone, both dirs
+    after = [tuple(r) for r in
+             heavy_hitters_topk(spark, store, k=cap).collect()]
+    assert after == before
+    metas = heavy_hitters_meta(spark, store).collect()
+    assert [int(m["batch_id"]) for m in metas] == [1, 2]
+    # replay of the LATEST batch still folds batch 1's kept state
+    append_heavy_hitters_batch(batches[2], 2, store, capacity=cap)
+    assert [tuple(r) for r in
+            heavy_hitters_topk(spark, store, k=cap).collect()] == before
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep_last"):
+        prune_heavy_hitter_store(spark, store, keep_last=1)
+
+    sk = str(tmp_path / "sk")
+    rows = [(i, f"w{i % 300} w{(i * 7) % 300}") for i in range(300)]
+    for bi in range(3):
+        append_distinct_sketch_batch(
+            spark.createDataFrame(rows[bi * 100:(bi + 1) * 100],
+                                  "doc_id long, text string"), bi, sk)
+    est0 = tuple(distinct_estimate(spark, sk).collect()[0])
+    rep = compact_sketch_store(spark, sk)
+    assert rep["sketches"]["files_after"] <= rep["sketches"]["files_before"]
+    assert tuple(distinct_estimate(spark, sk).collect()[0]) == est0
+    # a resumed batch lands beside the folded partition and composes
+    append_distinct_sketch_batch(
+        spark.createDataFrame([(999, "brandnew tokens here")],
+                              "doc_id long, text string"), 3, sk)
+    est1 = distinct_estimate(spark, sk).collect()[0]
+    assert est1["n_tokens"] == est0[1] + 3
+    assert est1["estimate"] >= est0[2] + 2  # 3 new distinct-ish tokens
