@@ -329,9 +329,12 @@ def _measure(names, sf_dir: str, iters: int) -> dict:
 
 def _group_slices(names: list, procs: int) -> list:
     """FIXED contiguous assignment: group i gets names[b_i:b_{i+1}] with
-    ceil-division bounds — a deterministic function of (HEADLINE order,
-    procs), so a query's group never depends on runtime state and
-    round-over-round numbers compare like-for-like."""
+    rounded proportional bounds (``round(i*len/k)`` — banker's rounding,
+    NOT ceil-division; the distinction matters because these exact
+    bounds are the round-over-round comparability contract, ADVICE r13)
+    — a deterministic function of (HEADLINE order, procs), so a query's
+    group never depends on runtime state and round-over-round numbers
+    compare like-for-like."""
     k = max(1, min(procs, len(names)))
     bounds = [round(i * len(names) / k) for i in range(k + 1)]
     return [names[bounds[i]:bounds[i + 1]] for i in range(k)]

@@ -203,7 +203,7 @@ class Column:
             F.lit(accuracy))
         return self._scalar_agg(f"quantile_approx:{q}:{accuracy}", expr)
 
-    def mode(self, max_ties: int = 100_000) -> dict:
+    def mode(self, max_ties: int | None = 100_000) -> dict:
         """All values tied at the max count, NULL included if modal
         (reference column.py:233-249 — its GROUP BY has no NULL filter).
 
@@ -215,7 +215,11 @@ class Column:
         is ENFORCED (r13, the graph hub-cap pattern): more than
         ``max_ties`` tied values raises instead of silently collecting
         the column; use :meth:`value_counts` (bounded by distinct count),
-        :meth:`nunique_approx` first, or raise the valve deliberately."""
+        :meth:`nunique_approx` first, or raise the valve deliberately.
+        ``max_ties=None`` disables the valve entirely — exact reference
+        behavior (EVERY tied value returned, however many), documented as
+        the deviation's escape hatch in README's migration notes
+        (ADVICE r13)."""
         def compute():
             counts = self._df.groupBy(self._col.alias(self._name)).agg(
                 F.count(F.lit(1)).alias("cnt"))
@@ -226,7 +230,7 @@ class Column:
                 top = counts.agg(F.max("cnt").alias("m")).collect()[0]["m"]
                 ties = counts.filter(F.col("cnt") == top)
                 n_ties = ties.count()
-                if n_ties > max_ties:
+                if max_ties is not None and n_ties > max_ties:
                     raise ValueError(
                         f"mode(): {n_ties} values tied at max count "
                         f"{top} exceeds max_ties={max_ties} — the column "

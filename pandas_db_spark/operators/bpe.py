@@ -26,8 +26,9 @@ Scale shape — the trick that makes iterative BPE tractable on Spark:
   one row per round);
 * the merge rewrite is a narrow ``aggregate``-fold over each word's
   symbol array (again pure JVM), checkpointed every few rounds to stop
-  lineage growth — the same localCheckpoint discipline as
-  ``operators/graph.py``'s iterative connected components.
+  lineage growth — the same ``graph._truncate`` discipline (reliable
+  ``DataFrame.checkpoint`` when the session has a checkpoint dir, else
+  ``localCheckpoint``) as the iterative connected components.
 
 Not SQL-expressible (iterative fixpoint) — correctness is established
 against a line-for-line reference implementation in the test suite

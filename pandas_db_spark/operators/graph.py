@@ -70,7 +70,16 @@ def _truncate(df: DataFrame) -> DataFrame:
 
     Both flavors are eager, so each iteration stays one job and the
     results are bit-identical across flavors (asserted in
-    ``tests/test_graph.py``: reliable-vs-local hash parity)."""
+    ``tests/test_graph.py``: reliable-vs-local hash parity).
+
+    Required companion conf on the reliable path (ADVICE r13):
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set by
+    :func:`pandas_db_spark.session.get_spark`; sessions built elsewhere
+    must carry it in spark-submit conf, or superseded per-round
+    checkpoints accumulate on the checkpoint filesystem for the
+    application's lifetime (the ContextCleaner only deletes checkpoint
+    files of GC'd RDDs when that flag is on; ``localCheckpoint`` blocks
+    are freed by the BlockManager regardless)."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
@@ -1010,8 +1019,10 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
         # cache entry has no safe unpersist point on a lazy return value
         # and would accumulate across calls in a long-lived session,
         # ADVICE r12) so the size pass and the collect pass share the
-        # dedup shuffle; checkpoint blocks are freed when the plan is
-        # garbage-collected, like every iterative site in this module.
+        # dedup shuffle.  localCheckpoint blocks are freed when the plan
+        # is garbage-collected; reliable-checkpoint FILES are only
+        # cleaned when spark.cleaner.referenceTracking.cleanCheckpoints
+        # is on (set by session.get_spark — see _truncate's docstring).
         inc = _truncate(inc)
         big = (inc.groupBy("g").agg(F.count(F.lit(1)).alias("__n"))
                .where(F.col("__n") > max_group_size))

@@ -345,6 +345,16 @@ def _parse_wav_header(b: bytes) -> tuple[int, int, int, int, int, int]:
             f"bits={bits} channels={channels} (only 8/16-bit PCM is "
             "decoded)")
     bps = bits // 8
+    # A data chunk that is not a whole number of frames is malformed:
+    # flooring would silently include trailing partial-frame bytes in
+    # multi-channel pixel extraction, and numpy's frombuffer on an
+    # odd-length 16-bit body raises an opaque buffer-size error instead
+    # of the module's documented decode ValueError (ADVICE r13).
+    if data[1] % (bps * channels) != 0:
+        raise ValueError(
+            f"malformed WAV data chunk: {data[1]} bytes is not a whole "
+            f"number of {bps * channels}-byte frames ({bits}-bit x "
+            f"{channels} channel)")
     n_frames = data[1] // (bps * channels)
     return n_frames, rate, channels, bits, data[0], data[1]
 
@@ -628,7 +638,8 @@ def phash_pairs(media: DataFrame, id_col: str = "doc_id",
     if max_hamming < 0 or max_hamming >= bits:
         raise ValueError(
             f"max_hamming={max_hamming} must be in [0, {bits - 1}]")
-    h = media_dhash(media, id_col, n_frames).localCheckpoint(eager=True)
+    from pandas_db_spark.operators.graph import _truncate
+    h = _truncate(media_dhash(media, id_col, n_frames))
     n_bands = max_hamming + 1
     base, extra = divmod(bits, n_bands)
     keyed = []

@@ -68,6 +68,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Reliable-checkpoint hygiene (ADVICE r13): when a checkpoint dir
+        # is set, every iterative operator writes DataFrame.checkpoint
+        # files per round (operators/graph._truncate); without this flag
+        # the ContextCleaner never deletes superseded checkpoints, so a
+        # 64-round k-core leaves dozens of full-dataset copies on HDFS/S3A
+        # for the application's lifetime.  Context-level conf — it must be
+        # on the builder (ContextCleaner reads it at SparkContext
+        # construction); sessions we did not build need it in their
+        # spark-submit conf, documented next to setCheckpointDir in
+        # graph._truncate.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
