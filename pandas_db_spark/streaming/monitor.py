@@ -296,7 +296,11 @@ def _read_hh_state(spark: SparkSession, store_dir: str,
               and row[0]["n_rows"] is not None else None)
     if expect == 0:
         return None, prev_n, prev_err
-    summary = (spark.read.parquet(store_dir + "/summary")
+    # Explicit schema: if EVERY summary partition was pruned out of band
+    # the dir reads as 0 rows (instead of UNABLE_TO_INFER_SCHEMA) so the
+    # n_rows receipt below raises the documented inconsistency error.
+    summary = (spark.read.schema("term string, c long, batch_id long")
+               .parquet(store_dir + "/summary")
                .where(F.col("batch_id") == prev_id)
                .select("term", "c"))
     if expect is not None:
@@ -732,7 +736,11 @@ def quantile_estimates(spark: SparkSession, store_dir: str,
         F.coalesce(F.sum("err_ub"), F.lit(0)).alias("err_ub"),
         F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows")).collect()[0]
     n, err_ub = int(meta["n"]), int(meta["err_ub"])
-    rows = spark.read.parquet(store_dir + "/qsummary") if n else None
+    # Explicit schema: a store whose every summary partition was pruned
+    # out of band reads as 0 rows (instead of UNABLE_TO_INFER_SCHEMA)
+    # so the ledger check below can surface the inconsistency.
+    rows = (spark.read.schema("v double, w long, batch_id long")
+            .parquet(store_dir + "/qsummary")) if n else None
     have = rows.count() if rows is not None else 0
     if have != int(meta["n_rows"]):
         raise IOError(

@@ -1966,3 +1966,228 @@ def test_heavy_hitter_prune_and_sketch_compaction(spark, tmp_path):
     est1 = distinct_estimate(spark, sk).collect()[0]
     assert est1["n_tokens"] == est0[1] + 3
     assert est1["estimate"] >= est0[2] + 2  # 3 new distinct-ish tokens
+
+
+# ---------------------------------------------------------------------------
+# Domain-free mergeable quantile summary store (r14, VERDICT r13 Next #5)
+
+
+def test_quantile_summary_guarantee_and_lifecycle(spark, tmp_path):
+    """The rank-stratified summary's one-sided guarantee holds exactly
+    (count(<= served) >= rank, count(< served) <= rank-1+err_ub) for
+    every served quantile; per-batch partitions respect the <= k row
+    bound; restratify preserves total weight and the declared new
+    ledger; compaction is serve-identical and refuses an uncommitted
+    checkpoint; a summary partition lost out of band raises instead of
+    silently skewing the quantiles."""
+    import shutil
+
+    from pandas_db_spark.streaming.monitor import (
+        append_quantile_summary_batch, compact_quantile_store,
+        quantile_estimates, restratify_summary)
+
+    vals0 = [float(i) for i in range(500)]
+    vals1 = [250.0 + 0.5 * i for i in range(500, 1400)]
+    store = str(tmp_path / "qs")
+    append_quantile_summary_batch(
+        spark.createDataFrame([(v,) for v in vals0], "x double"),
+        0, store, "x", k=24)
+    append_quantile_summary_batch(
+        spark.createDataFrame([(v,) for v in vals1], "x double"),
+        1, store, "x", k=24)
+
+    # per-batch row bound: <= k rows in each summary partition
+    per = {int(r["batch_id"]): int(r["n"]) for r in
+           spark.read.parquet(store + "/qsummary")
+           .groupBy("batch_id").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert all(n <= 24 for n in per.values()) and len(per) == 2
+
+    allv = sorted(vals0 + vals1)
+    n_total = len(allv)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+    served = quantile_estimates(spark, store, qs).collect()
+    assert [r["q_ppm"] for r in served] == [
+        10000, 250000, 500000, 900000, 990000, 1000000]
+    for r in served:
+        assert int(r["n"]) == n_total
+        tgt = -(-r["q_ppm"] * n_total // 1_000_000)
+        le = sum(1 for x in allv if x <= r["value"])
+        lt = sum(1 for x in allv if x < r["value"])
+        assert le >= tgt, (r, tgt, le)
+        assert lt <= tgt - 1 + int(r["err_ub"]), (r, tgt, lt)
+
+    with pytest.raises(ValueError, match="qs"):
+        quantile_estimates(spark, store, [0.0])
+    with pytest.raises(ValueError, match="k must"):
+        append_quantile_summary_batch(
+            spark.createDataFrame([(1.0,)], "x double"), 9, store, "x",
+            k=0)
+
+    # restratify: total weight preserved, <= k rows, declared ledger,
+    # and the collapsed summary still satisfies its own (wider) bound
+    rows, meta = restratify_summary(spark, store, k=10)
+    got = rows.collect()
+    assert len(got) == meta["n_rows"] <= 10
+    assert sum(int(r["w"]) for r in got) == meta["n_values"] == n_total
+    kept = sorted((float(r["v"]), int(r["w"])) for r in got)
+    cum = 0
+    for v, w in kept:
+        cum += w
+        true = sum(1 for x in allv if x <= v)
+        assert cum <= true <= cum + meta["err_ub"]
+
+    # quiesce refusal + serve-identical compaction
+    fake = tmp_path / "fake_ck_q"
+    (fake / "offsets").mkdir(parents=True)
+    (fake / "commits").mkdir()
+    (fake / "offsets" / "0").write_text("{}")
+    (fake / "offsets" / "1").write_text("{}")
+    (fake / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="not quiesced"):
+        compact_quantile_store(spark, store, checkpoint_dir=str(fake))
+    pre = [tuple(r) for r in quantile_estimates(spark, store, qs).collect()]
+    rep = compact_quantile_store(spark, store)
+    assert rep["qsummary"]["files_after"] == 1
+    assert rep["qmeta"]["files_after"] == 1
+    post = [tuple(r) for r in quantile_estimates(spark, store, qs).collect()]
+    assert post == pre
+
+    # integrity: losing the (now folded) summary partition raises
+    shutil.rmtree(store + "/qsummary/batch_id=-1")
+    with pytest.raises(IOError, match="inconsistent"):
+        quantile_estimates(spark, store, [0.5])
+
+
+def test_quantile_summary_stream_matches_manual_fold(spark, tmp_path):
+    """run_quantile_summary_ingest (real availableNow foreachBatch
+    drain) produces the identical store a manual per-batch fold does —
+    the summary is a deterministic function of each batch's value
+    multiset, so the two stores serve identical rows."""
+    from pandas_db_spark.streaming.monitor import (
+        append_quantile_summary_batch, quantile_estimates,
+        run_quantile_summary_ingest)
+
+    rows0 = [(i, float((i * 37) % 101)) for i in range(200)]
+    rows1 = [(i, 50.0 + float((i * 13) % 67)) for i in range(200, 420)]
+    src = tmp_path / "qs_in"
+    for bi, chunk in enumerate([rows0, rows1]):
+        (spark.createDataFrame(chunk, "event_id long, value double")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+    streamed = str(tmp_path / "qs_stream")
+    stream = (spark.readStream.schema("event_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_quantile_summary_ingest(stream, streamed,
+                                checkpoint_dir=str(tmp_path / "qs_ck"),
+                                value_col="value", k=16)
+    manual = str(tmp_path / "qs_manual")
+    for bi, chunk in enumerate([rows0, rows1]):
+        append_quantile_summary_batch(
+            spark.createDataFrame(chunk, "event_id long, value double"),
+            bi, manual, "value", k=16)
+    qs = [0.1, 0.5, 0.95]
+    got = [tuple(r) for r in
+           quantile_estimates(spark, streamed, qs).collect()]
+    want = [tuple(r) for r in
+            quantile_estimates(spark, manual, qs).collect()]
+    assert got == want
+
+
+def test_histogram_store_compaction_quiesce_and_resume(spark, tmp_path):
+    """compact_histogram_store (r14, VERDICT r13 Next #7): per-batch
+    hist/ fragmentation folds row-identically into batch_id=-1, serving
+    is unchanged, an uncommitted checkpoint is refused, and a resumed
+    batch lands beside the folded partition and composes."""
+    from pandas_db_spark.streaming.monitor import (
+        append_histogram_batch, compact_histogram_store,
+        histogram_quantile_bounds)
+
+    batches = [
+        spark.createDataFrame(
+            [(float((i * 7) % 100),) for i in range(100 * b, 100 * b + 100)],
+            "value double")
+        for b in range(3)]
+    store = str(tmp_path / "hist_c")
+    for bi, b in enumerate(batches):
+        append_histogram_batch(b, bi, store, "value",
+                               lo=0.0, hi=100.0, n_bins=20)
+    qs = [0.5, 0.9]
+    pre = [tuple(r) for r in
+           histogram_quantile_bounds(spark, store, qs).collect()]
+
+    fake = tmp_path / "fake_ck_h"
+    (fake / "offsets").mkdir(parents=True)
+    (fake / "commits").mkdir()
+    (fake / "offsets" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="not quiesced"):
+        compact_histogram_store(spark, store, checkpoint_dir=str(fake))
+
+    rep = compact_histogram_store(spark, store)
+    assert rep["hist"]["files_after"] == 1
+    assert [tuple(r) for r in
+            histogram_quantile_bounds(spark, store, qs).collect()] == pre
+    # resume: a new batch beside batch_id=-1 composes (geometry enforced)
+    append_histogram_batch(
+        spark.createDataFrame([(99.9,), (0.1,)], "value double"),
+        3, store, "value", lo=0.0, hi=100.0, n_bins=20)
+    post = histogram_quantile_bounds(spark, store, qs).collect()
+    assert all(int(r["n"]) == 302 for r in post)
+
+
+def test_hh_store_integrity_receipts(spark, tmp_path):
+    """r14 hardening: a summary partition lost out of band raises on
+    the next append (hhmeta's n_rows receipt), and pruning a
+    half-written store (one of summary/hhmeta deleted) raises instead
+    of reporting the store empty."""
+    import shutil
+
+    from pandas_db_spark.streaming.monitor import (
+        append_heavy_hitters_batch, prune_heavy_hitter_store)
+
+    store = str(tmp_path / "hh_integrity")
+    b0 = spark.createDataFrame(_hh_zipf_rows(80, 0),
+                               "doc_id long, text string")
+    b1 = spark.createDataFrame(_hh_zipf_rows(80, 80),
+                               "doc_id long, text string")
+    append_heavy_hitters_batch(b0, 0, store, capacity=12)
+    shutil.rmtree(store + "/summary/batch_id=0")
+    with pytest.raises(IOError, match="inconsistent"):
+        append_heavy_hitters_batch(b1, 1, store, capacity=12)
+
+    store2 = str(tmp_path / "hh_half")
+    append_heavy_hitters_batch(b0, 0, store2, capacity=12)
+    shutil.rmtree(store2 + "/hhmeta")
+    with pytest.raises(IOError, match="half-written"):
+        prune_heavy_hitter_store(spark, store2)
+
+
+def test_non_graph_operator_writes_reliable_checkpoint(spark, tmp_path):
+    """VERDICT r13 Next #3: operators outside the iterative graph
+    family that truncate lineage (here multimodal.phash_pairs) also
+    route through graph._truncate, so with a checkpoint dir set they
+    write reliable checkpoint files and return identical results."""
+    from pathlib import Path
+
+    from pandas_db_spark.operators.multimodal import phash_pairs
+
+    media = spark.createDataFrame(
+        [(i, bytes((i * 31 + j * 7) % 127 for j in range(64)))
+         for i in range(12)] + [(100, bytes(range(64))),
+                                (101, bytes(range(64)))],
+        "doc_id long, payload binary")
+    local = sorted(tuple(r) for r in
+                   phash_pairs(media, max_hamming=2).collect())
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = tmp_path / "mm_ck"
+    sc.setCheckpointDir(str(ckdir))
+    try:
+        rel = sorted(tuple(r) for r in
+                     phash_pairs(media, max_hamming=2).collect())
+        assert rel == local
+        ck_files = [p for p in Path(str(ckdir)).rglob("*") if p.is_file()]
+        assert ck_files, "no reliable checkpoint files were written"
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+    assert sc.getCheckpointDir() is None
