@@ -54,10 +54,10 @@ def q(name: str, oracle: str | None = None):
 # registry queries whose newest driver receipt is oldest (judge-computed
 # union over CORRECTNESS_r01..r{N-1}).  The schedule is documented in
 # README.md "Driver contract" (ADVICE r10: gate consumers should know the
-# sample is steered, and why).  This round (VERDICT r12 Next #1): the
-# full 25-query r8 receipt tail (rolling/quality/corr/reshape, the
-# sampling/mixing/budget tier, and the r8 invariant siblings), the two
-# r9 invariant siblings, then the oldest r9 receipts to fill the window.
+# sample is steered, and why).  This round (VERDICT r13 Next #1): the
+# five never-verified r14 queries, then agg_mode first of the 31-query
+# r9 cohort (the §2 core battery — and agg_mode's r9 receipt predates
+# the r13 mode() valve rewrite), then the oldest r10 receipts.
 #
 # HARD RULE (VERDICT r12 What's-wrong #2, after the same mistake in
 # r2-r4/r6/r12): a name whose REGISTRY oracle is None must NEVER appear
@@ -76,33 +76,30 @@ def q(name: str, oracle: str | None = None):
 # registry is still verified locally every round
 # (tools/verify_correctness.py -> LOCAL_CORRECTNESS_r{N}.json).
 _GATE_PRIORITY: tuple[str, ...] = (
-    # r13 additions, never driver-verified (prepended as implemented)
-    "mm_ppm_pipeline", "heavy_hitters_mg", "heavy_hitters_bound",
-    "distinct_sketch_stream", "events_value_histq",
-    "link_sorted_neighborhood", "phrase_topk",
-    # last driver receipt r8 — invariant siblings of the rows-only queries
-    "sample_n_invariant", "ann_ivf_recall", "cluster_kmeans_invariant",
-    "agg_sketches_bounds", "bpe_roundtrip",
-    # r8 — rolling / temporal / quality / stats / reshape
-    "events_rolling_avg", "events_rolling_1h", "events_cumulative",
-    "events_scd2", "events_stream_quality", "orders_upsert",
-    "melt_lineitem", "corr_lineitem", "corr_by_returnflag",
-    "quality_checks", "quality_by_source", "profile_documents",
-    "doc_length_buckets", "terms_by_source", "vocab_top",
-    "embedding_centroids",
-    # r8 — sampling / mixing / budgets
-    "epoch_shuffle", "take_until_budget", "mix_tokens",
-    "sample_balanced_langs",
-    # r9 invariant siblings
-    "ann_pq_recall", "ann_ivfpq_recall",
-    # oldest r9 receipts — fill the rest of the window (the remainder of
-    # the 49-query r9 cohort rotates in r14)
-    "strip_dup_spans", "lm_score_bigram", "dsir_weights", "top_ngrams",
-    "ccnet_buckets", "winnow_fp", "dedup_span_incremental",
-    "dedup_embedding_ivf", "dedup_embedding_rebanded", "ann_join",
-    "decontam_fuzzy", "decontam_bloom", "gopher_rules", "hybrid_topk",
-    "semdedup", "cap_per_source", "sample_weighted_n",
-    "text_normalize_dedup", "pipeline_curate", "gopher_repetition",
+    # r14 additions, never driver-verified (prepended as implemented):
+    # the quantile-summary store trio + the BMP/WAV codec receipts
+    "events_value_qsummary", "qsummary_bound", "qsummary_restratify",
+    "mm_bmp_pipeline", "mm_wav_pipeline",
+    # agg_mode FIRST of the r9 cohort (VERDICT r13 Next #1): its r9
+    # receipt predates the r13 mode() max_ties rewrite — the one
+    # semantics-adjacent façade change without a post-change receipt
+    "agg_mode",
+    # the rest of the 31-query r9 cohort — the §2 core battery, now the
+    # registry's oldest driver receipts (façade stable since r11)
+    "agg_counts", "agg_median", "agg_minmax_num", "agg_minmax_str",
+    "agg_sum_avg", "agg_unique", "column_slice", "column_sort_limit",
+    "describe_numeric", "describe_text", "filter_and", "filter_between",
+    "filter_contains", "filter_eq_null", "filter_gt", "filter_isin",
+    "filter_like", "filter_or_not", "gopher_repetition", "html_extract",
+    "iloc_int", "iloc_list", "iloc_slice", "not_null", "pipeline_curate",
+    "sample_weighted_n", "scan_region", "sort_limit",
+    "text_normalize_dedup", "value_counts",
+    # oldest r10 receipts fill the rest of the ~50-slot window
+    "classifier_score", "c4_line_clean", "c4_rules",
+    "strip_repeated_lines", "strip_boilerplate", "blocklist_screen",
+    "url_screen", "pipeline_web_clean", "corpus_drift",
+    "corpus_drift_tvd", "table_len_shape", "join_sql", "join_native",
+    "join_supplier_volume",
 )
 
 # Oracle-less (rows-only-by-design) names: zero driver evidence per slot,
@@ -6490,3 +6487,311 @@ def price_outliers(spark, sf_dir):
     from pandas_db_spark.operators.stats import mad_summary
     li = get_db(spark, sf_dir).lineitem.df
     return mad_summary(li, "l_extendedprice", k=3.0)
+
+
+# ---------------------------------------------------------------------
+# Round 14: domain-free mergeable quantile summary store (VERDICT r13
+# Next #5 — landed post-r13; these are its driver receipts) and the
+# BMP/WAV codec pipelines (Next #2 — the PPM planted-payload pattern
+# generalized to the other two stdlib codecs).
+
+
+# Shared oracle fragment: deterministic rank-stratified per-batch
+# summaries of the event value stream (two parity micro-batches, k=64)
+# exactly as streaming/monitor.append_quantile_summary_batch folds them
+# — sorted batch ranks m, 2m, ..., n (m = ceil(n/64)), each kept value
+# weighted m (remainder rank carries n mod m), merged by plain union.
+_QSUMMARY_SQL = (
+    "WITH v AS (SELECT event_id % 2 AS b, value::DOUBLE AS v "
+    "FROM events WHERE value IS NOT NULL), "
+    "r AS (SELECT b, v, row_number() OVER (PARTITION BY b ORDER BY v) "
+    "AS rnk, count(*) OVER (PARTITION BY b) AS n FROM v), "
+    "s AS (SELECT b, v, rnk, n, (n + 63) // 64 AS m FROM r), "
+    "keep AS (SELECT v, (CASE WHEN rnk % m = 0 THEN m ELSE n % m END)"
+    "::BIGINT AS w FROM s WHERE rnk % m = 0 OR rnk = n), "
+    "meta AS (SELECT SUM(n)::BIGINT AS n, SUM(m - 1)::BIGINT AS err_ub "
+    "FROM (SELECT DISTINCT b, n, m FROM s)), "
+    "cum AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED "
+    "PRECEDING)::BIGINT AS cum FROM keep), ")
+
+
+def _qsummary_store(spark, sf_dir, k: int = 64):
+    """Shared plant for the quantile-summary gate queries: fold the
+    event value stream through the domain-free store as two parity
+    micro-batches.  Returns the store dir (caller removes)."""
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (
+        append_quantile_summary_batch)
+    ev = get_db(spark, sf_dir).events.df
+    store = tempfile.mkdtemp(prefix="pds_qs_")
+    for bi in range(2):
+        append_quantile_summary_batch(
+            ev.where(F.col("event_id") % 2 == bi), bi, store, "value",
+            k=k)
+    return store
+
+
+@q("events_value_qsummary",
+   _QSUMMARY_SQL +
+   "q AS (SELECT unnest([250000, 500000, 900000, 990000])::BIGINT "
+   "AS q_ppm), "
+   "pick AS (SELECT q.q_ppm, MIN(cum.v) AS value FROM cum, q, meta "
+   "WHERE cum.cum >= (q.q_ppm * meta.n + 999999) // 1000000 "
+   "GROUP BY 1) "
+   "SELECT q_ppm, value::DOUBLE AS value, (SELECT n FROM meta) AS n, "
+   "(SELECT err_ub FROM meta) AS err_ub FROM pick")
+def events_value_qsummary(spark, sf_dir):
+    """Domain-free mergeable quantile summary store (streaming/monitor,
+    append_quantile_summary_batch + quantile_estimates — VERDICT r13
+    Next #5): the event value stream folds as two parity micro-batches
+    into rank-stratified equi-depth summaries (<= k=64 rows per batch,
+    NO lo/hi geometry to pin — the drifting-domain gap the histogram
+    store can't cover), then p25/p50/p90/p99 are served with the exact
+    cumulative rank-error ledger.  Every step is a deterministic
+    function of each batch's value MULTISET (kept values sit at exact
+    sorted ranks; the trim stride is arithmetic, never a row pick), so
+    the oracle replays the entire fold in SQL and the gate hash-checks
+    served VALUES — the GK/MRL/KLL-family store a randomized compactor
+    could only invariant-check."""
+    import shutil
+    from pandas_db_spark.streaming.monitor import quantile_estimates
+    store = _qsummary_store(spark, sf_dir, k=64)
+    try:
+        rows = quantile_estimates(
+            spark, store, [0.25, 0.5, 0.9, 0.99]).collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r["q_ppm"]), float(r["value"]), int(r["n"]),
+          int(r["err_ub"])) for r in rows],
+        "q_ppm long, value double, n long, err_ub long")
+
+
+@q("qsummary_bound",
+   "WITH m AS (SELECT count(value)::BIGINT AS n FROM events "
+   "WHERE value IS NOT NULL), "
+   "q AS (SELECT unnest([100000, 500000, 950000, 990000])::BIGINT "
+   "AS q_ppm) "
+   "SELECT q_ppm, (q_ppm * m.n + 999999) // 1000000 AS tgt, "
+   "TRUE AS le_ok, TRUE AS lt_ok FROM q, m")
+def qsummary_bound(spark, sf_dir):
+    """The quantile summary GUARANTEE, hash-checked (the invariant
+    sibling of events_value_qsummary): for each served quantile the
+    one-sided rank bracket must hold against the EXACT value stream —
+    count(<= served) >= ceil(q*n) exactly, and count(< served) <=
+    ceil(q*n) - 1 + err_ub with err_ub the store's exact cumulative
+    ledger (sum of per-batch stride-1 lags).  Output is (q_ppm, exact
+    target rank, both booleans) — any implementation error flips a
+    boolean and fails the value hash against the TRUE literals the
+    oracle emits."""
+    import shutil
+    from pandas_db_spark.streaming.monitor import quantile_estimates
+    qs = [0.1, 0.5, 0.95, 0.99]
+    store = _qsummary_store(spark, sf_dir, k=64)
+    try:
+        served = quantile_estimates(spark, store, qs).collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    ev = get_db(spark, sf_dir).events.df.where(
+        F.col("value").isNotNull())
+    out = []
+    for r in served:
+        val, n, err = float(r["value"]), int(r["n"]), int(r["err_ub"])
+        tgt = -(-int(r["q_ppm"]) * n // 1_000_000)
+        cnt = ev.agg(
+            F.sum(F.when(F.col("value") <= val, 1).otherwise(0))
+            .alias("le"),
+            F.sum(F.when(F.col("value") < val, 1).otherwise(0))
+            .alias("lt")).collect()[0]
+        out.append((int(r["q_ppm"]), tgt,
+                    int(cnt["le"]) >= tgt,
+                    int(cnt["lt"]) <= tgt - 1 + err))
+    return spark.createDataFrame(
+        out, "q_ppm long, tgt long, le_ok boolean, lt_ok boolean")
+
+
+@q("qsummary_restratify",
+   _QSUMMARY_SQL +
+   "big AS (SELECT wt, err0, ms, (wt + ms - 1) // ms AS nk FROM "
+   "(SELECT n AS wt, err_ub AS err0, (n + 15) // 16 AS ms FROM meta)), "
+   "grid AS (SELECT g.i * big.ms AS tgt, "
+   "(CASE WHEN g.i < big.nk THEN big.ms "
+   "ELSE big.wt - (big.nk - 1) * big.ms END)::BIGINT AS w, "
+   "big.wt, big.ms, big.err0 FROM big, "
+   "LATERAL (SELECT unnest(range(1, big.nk + 1)) AS i) g) "
+   "SELECT MIN(cum.v)::DOUBLE AS v, grid.w, grid.ms::BIGINT AS stride, "
+   "(grid.err0 + grid.ms - 1)::BIGINT AS err_ub "
+   "FROM cum, grid WHERE LEAST(cum.cum, grid.wt) >= "
+   "LEAST(grid.tgt, grid.wt) GROUP BY grid.tgt, grid.w, grid.ms, "
+   "grid.err0")
+def qsummary_restratify(spark, sf_dir):
+    """The store's size valve, value-oracled (streaming/monitor.
+    restratify_summary): the two-batch k=64 fold collapses back to
+    <= 16 rows at stride M = ceil(W/16) — each kept value picked at an
+    exact cumulative-weight multiple of M, so the collapsed summary and
+    its widened ledger (err + M - 1) are deterministic functions of the
+    fold and the oracle replays pick-by-pick.  This is what keeps the
+    store <= k rows when batch COUNT (not stream size) is what grows —
+    the compaction half of the mergeable-summary contract (Agarwal et
+    al., PODS 2012)."""
+    import shutil
+    from pandas_db_spark.streaming.monitor import restratify_summary
+    store = _qsummary_store(spark, sf_dir, k=64)
+    try:
+        rows, meta = restratify_summary(spark, store, k=16)
+        got = rows.collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(float(r["v"]), int(r["w"]), int(meta["stride"]),
+          int(meta["err_ub"])) for r in got],
+        "v double, w long, stride long, err_ub long")
+
+
+@q("mm_bmp_pipeline",
+   "WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS w, 1 + doc_id % 3 AS h "
+   "FROM documents WHERE doc_id < 40), "
+   "n AS (SELECT doc_id, w, h, 3*w*h AS n, ((w*3 + 3) // 4) * 4 "
+   "AS stride, (3*w*h + 8) // 9 AS chunk FROM d), "
+   "pxr AS (SELECT n.doc_id, g.q, "
+   "1 + (n.doc_id * 3 + 7 * ((n.h - 1 - (g.q // (3*n.w))) * n.stride "
+   "+ ((g.q % (3*n.w)) // 3) * 3 + (2 - (g.q % 3)))) % 120 AS v, "
+   "n.chunk FROM n, LATERAL (SELECT unnest(range(0, n.n)) AS q) g), "
+   "fr0 AS (SELECT doc_id, q // chunk AS fi, SUM(v)::BIGINT AS s, "
+   "COUNT(*)::BIGINT AS c FROM pxr GROUP BY 1, 2), "
+   "allf AS (SELECT n.doc_id, g.fi, COALESCE(fr0.s, 0) AS s, "
+   "GREATEST(COALESCE(fr0.c, 0), 1) AS l "
+   "FROM n CROSS JOIN (SELECT unnest(range(0, 9)) AS fi) g "
+   "LEFT JOIN fr0 ON fr0.doc_id = n.doc_id AND fr0.fi = g.fi), "
+   "ph AS (SELECT a.doc_id, SUM(CASE WHEN a.s * b.l > b.s * a.l "
+   "THEN 1 << a.fi ELSE 0 END)::BIGINT AS phash "
+   "FROM allf a JOIN allf b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1 "
+   "GROUP BY 1), "
+   "sums AS (SELECT doc_id, COUNT(*)::BIGINT AS n_px, "
+   "SUM(v)::BIGINT AS px_sum FROM pxr GROUP BY 1) "
+   "SELECT n.doc_id, n.w::INTEGER AS width, n.h::INTEGER AS height, "
+   "3::INTEGER AS channels, sums.n_px, sums.px_sum, "
+   "GREATEST(1, FLOOR(n.w::DOUBLE * LEAST(224.0 / n.w, 224.0 / n.h)))"
+   "::INT AS out_w, "
+   "GREATEST(1, FLOOR(n.h::DOUBLE * LEAST(224.0 / n.w, 224.0 / n.h)))"
+   "::INT AS out_h, ph.phash "
+   "FROM n JOIN sums USING (doc_id) JOIN ph USING (doc_id)")
+def mm_bmp_pipeline(spark, sf_dir):
+    """GENUINELY-DECODED BMP path (VERDICT r13 Next #2 — the PPM
+    planted-payload receipt, ported to the second stdlib codec): plant
+    uncompressed 24-bit bottom-up BMPs JVM-side (real BITMAPFILEHEADER
+    + BITMAPINFOHEADER, 4-byte row padding, BGR sample order; raster
+    bytes a formula of doc_id so the oracle knows ground truth), then
+    decode_media parses the little-endian headers, decode_pixels
+    surfaces the canonical top-down RGB raster (padding stripped,
+    rows FLIPPED, BGR->RGB SWAPPED — the dHash over decoded pixels
+    fails if either reordering is wrong), resize_media scales the
+    parsed dims.  The oracle replays the inverse index mapping
+    (file position of each decoded byte) in pure SQL."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents.df.where(F.col("doc_id") < 40)
+    w, h = "(1 + doc_id % 4)", "(1 + doc_id % 3)"
+    stride = f"(({w} * 3 + 3) div 4 * 4)"
+    byteval = (
+        "CASE WHEN i = 0 THEN 66 WHEN i = 1 THEN 77 "
+        f"WHEN i = 2 THEN 54 + {stride} * {h} "
+        "WHEN i = 10 THEN 54 WHEN i = 14 THEN 40 "
+        f"WHEN i = 18 THEN {w} WHEN i = 22 THEN {h} "
+        "WHEN i = 26 THEN 1 WHEN i = 28 THEN 24 "
+        "WHEN i < 54 THEN 0 "
+        f"WHEN pmod(i - 54, {stride}) < {w} * 3 "
+        "THEN 1 + pmod(doc_id * 3 + 7 * (i - 54), 120) "
+        "ELSE 0 END")
+    payload = F.expr(
+        f"unhex(concat_ws('', transform(sequence(0, 53 + {stride} * "
+        f"{h}), i -> lpad(hex({byteval}), 2, '0'))))")
+    media = d.select("doc_id", payload.alias("payload"))
+    meta = M.decode_media(media, codec="bmp")
+    px = M.decode_pixels(media, codec="bmp")
+    rs = (M.resize_media(media, 224, 224, codec="bmp")
+          .select("doc_id", "out_w", "out_h"))
+    dh = M.media_dhash(
+        px.select("doc_id", F.col("pixels").alias("payload")),
+        n_frames=9)
+    return (meta.join(px.select("doc_id", "n_px", "px_sum"), "doc_id")
+            .join(rs, "doc_id").join(dh, "doc_id"))
+
+
+@q("mm_wav_pipeline",
+   "WITH d AS (SELECT doc_id, 1 + doc_id % 2 AS ch, "
+   "8000 + 100 * (doc_id % 5) AS rate, 4 + doc_id % 6 AS nf "
+   "FROM documents WHERE doc_id < 40), "
+   "n AS (SELECT doc_id, ch, rate, nf, nf * ch AS n, "
+   "(nf * ch + 8) // 9 AS chunk FROM d), "
+   "pxr AS (SELECT n.doc_id, g.k, "
+   "((n.doc_id * 5 + g.k * 13) % 200) + 28 AS v, n.chunk "
+   "FROM n, LATERAL (SELECT unnest(range(0, n.n)) AS k) g), "
+   "fr0 AS (SELECT doc_id, k // chunk AS fi, SUM(v)::BIGINT AS s, "
+   "COUNT(*)::BIGINT AS c FROM pxr GROUP BY 1, 2), "
+   "allf AS (SELECT n.doc_id, g.fi, COALESCE(fr0.s, 0) AS s, "
+   "GREATEST(COALESCE(fr0.c, 0), 1) AS l "
+   "FROM n CROSS JOIN (SELECT unnest(range(0, 9)) AS fi) g "
+   "LEFT JOIN fr0 ON fr0.doc_id = n.doc_id AND fr0.fi = g.fi), "
+   "ph AS (SELECT a.doc_id, SUM(CASE WHEN a.s * b.l > b.s * a.l "
+   "THEN 1 << a.fi ELSE 0 END)::BIGINT AS phash "
+   "FROM allf a JOIN allf b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1 "
+   "GROUP BY 1), "
+   "sums AS (SELECT doc_id, COUNT(*)::BIGINT AS n_px, "
+   "SUM(v)::BIGINT AS px_sum FROM pxr GROUP BY 1) "
+   "SELECT n.doc_id, n.nf::INTEGER AS width, n.rate::INTEGER "
+   "AS height, n.ch::INTEGER AS channels, sums.n_px, sums.px_sum, "
+   "ph.phash FROM n JOIN sums USING (doc_id) JOIN ph USING (doc_id)")
+def mm_wav_pipeline(spark, sf_dir):
+    """GENUINELY-DECODED WAV path (VERDICT r13 Next #2, the audio leg):
+    plant RIFF/PCM payloads JVM-side — real chunk structure with a
+    'fact' chunk BETWEEN fmt and data (so the decoder's chunk walk is
+    genuinely exercised, not just a fixed-offset slice), 16-bit
+    little-endian samples whose high bytes are a formula of doc_id —
+    then decode_media walks the chunks for (frames, rate, channels)
+    and decode_pixels extracts the PCM samples' signed high bytes
+    shifted to unsigned (the documented 16->8-bit reduction); the
+    dHash runs over SAMPLES, not container bytes.  The oracle replays
+    sample extraction + the gradient hash in pure SQL."""
+    from pandas_db_spark.operators import multimodal as M
+    d = get_db(spark, sf_dir).documents.df.where(F.col("doc_id") < 40)
+    ch, nf = "(1 + doc_id % 2)", "(4 + doc_id % 6)"
+    rate = "(8000 + 100 * (doc_id % 5))"
+    br = f"({rate} * {ch} * 2)"
+    dsize = f"({nf} * {ch} * 2)"
+    byteval = (
+        "CASE WHEN i = 0 THEN 82 WHEN i = 1 THEN 73 "
+        "WHEN i = 2 THEN 70 WHEN i = 3 THEN 70 "
+        f"WHEN i = 4 THEN 48 + {dsize} "
+        "WHEN i = 8 THEN 87 WHEN i = 9 THEN 65 "
+        "WHEN i = 10 THEN 86 WHEN i = 11 THEN 69 "
+        "WHEN i = 12 THEN 102 WHEN i = 13 THEN 109 "
+        "WHEN i = 14 THEN 116 WHEN i = 15 THEN 32 "
+        "WHEN i = 16 THEN 16 WHEN i = 20 THEN 1 "
+        f"WHEN i = 22 THEN {ch} "
+        f"WHEN i = 24 THEN {rate} % 256 "
+        f"WHEN i = 25 THEN {rate} div 256 "
+        f"WHEN i = 28 THEN {br} % 256 "
+        f"WHEN i = 29 THEN ({br} div 256) % 256 "
+        f"WHEN i = 32 THEN {ch} * 2 WHEN i = 34 THEN 16 "
+        "WHEN i = 36 THEN 102 WHEN i = 37 THEN 97 "
+        "WHEN i = 38 THEN 99 WHEN i = 39 THEN 116 "
+        "WHEN i = 40 THEN 4 "
+        f"WHEN i = 44 THEN {nf} "
+        "WHEN i = 48 THEN 100 WHEN i = 49 THEN 97 "
+        "WHEN i = 50 THEN 116 WHEN i = 51 THEN 97 "
+        f"WHEN i = 52 THEN {dsize} "
+        "WHEN i < 56 THEN 0 "
+        "WHEN pmod(i - 56, 2) = 0 THEN 0 "
+        "ELSE pmod(pmod(doc_id * 5 + ((i - 56) div 2) * 13, 200) "
+        "- 100, 256) END")
+    payload = F.expr(
+        f"unhex(concat_ws('', transform(sequence(0, 55 + {dsize}), "
+        f"i -> lpad(hex({byteval}), 2, '0'))))")
+    media = d.select("doc_id", payload.alias("payload"))
+    meta = M.decode_media(media, codec="wav")
+    px = M.decode_pixels(media, codec="wav")
+    dh = M.media_dhash(
+        px.select("doc_id", F.col("pixels").alias("payload")),
+        n_frames=9)
+    return (meta.join(px.select("doc_id", "n_px", "px_sum"), "doc_id")
+            .join(dh, "doc_id"))
