@@ -679,3 +679,32 @@ def test_phrase_plan_prunes_to_query_terms(spark, db):
     rows = [(r["doc_id"], r["text"]) for r in
             db.documents.df.select("doc_id", "text").collect()]
     assert got == _phrase_py(rows, "merge vector")
+
+
+def test_phrase_max_df_valve(spark):
+    """VERDICT r13 Next #8: a stopword-heavy phrase term (df over the
+    valve) raises with remediation BEFORE the per-doc position collect
+    shuffles; max_df=None (or a higher cap) restores the scan; rare
+    terms are unaffected at the default cap."""
+    import pytest as _pt
+
+    from pandas_db_spark.operators.retrieval import (phrase_match_counts,
+                                                     phrase_topk)
+
+    rows = [(i, "the quick fox" if i % 10 else "the slow fox jumped")
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with _pt.raises(ValueError, match="max_df=10"):
+        phrase_match_counts(df, "text", "doc_id", "the quick", max_df=10)
+    with _pt.raises(ValueError, match="max_df"):
+        phrase_topk(df, "text", "doc_id", "the quick", k=3, max_df=10)
+    # escape hatch: None disables; a generous cap passes
+    got = {r["doc_id"]: r["n_matches"] for r in phrase_match_counts(
+        df, "text", "doc_id", "the quick", max_df=None).collect()}
+    assert len(got) == 45 and all(v == 1 for v in got.values())
+    assert got == {r["doc_id"]: r["n_matches"] for r in phrase_match_counts(
+        df, "text", "doc_id", "the quick", max_df=60).collect()}
+    # a rare phrase sails through the default cap
+    assert {r["doc_id"]: r["n_matches"] for r in phrase_match_counts(
+        df, "text", "doc_id", "slow fox").collect()} == {
+            i: 1 for i in range(0, 50, 10)}
