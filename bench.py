@@ -161,6 +161,13 @@ HEADLINE = [
     "events_value_histq",  # streaming histogram store: 2-batch fold + ppm-exact bracket serve (r13 add)
     "link_sorted_neighborhood",  # rank + window ER blocking, one range exchange + ordinal (r13 add)
     "phrase_topk",        # positional phrase search over term-pruned postings, one shuffle (r13 add)
+    "events_value_qsummary",  # domain-free quantile store: rank-stratified fold + ppm serve (r14 add)
+    "events_type_qsummary",   # keyed quantile store: per-type fold, group-adaptive stride (r14 add)
+    "mm_bmp_pipeline",    # BMP decode: row flip + BGR swap + padding strip + dHash, Arrow-batched (r14 add)
+    # (mm_wav_pipeline shares mm_bmp_pipeline's plan shape — one codec
+    #  bench row for the r14 planted-payload pair is enough.
+    #  qsummary_bound/qsummary_restratify are invariant/valve GATE
+    #  queries over the same fold events_value_qsummary benches.)
     # (link_customer_dups shares link_customer_supplier's plan shape.)
     # (graph_pagerank_seeded / _weighted share graph_pagerank's plan
     #  shape — one bench row for the power-iteration family is enough.)

@@ -79,7 +79,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r14 additions, never driver-verified (prepended as implemented):
     # the quantile-summary store trio + the BMP/WAV codec receipts
     "events_value_qsummary", "qsummary_bound", "qsummary_restratify",
-    "mm_bmp_pipeline", "mm_wav_pipeline",
+    "events_type_qsummary", "mm_bmp_pipeline", "mm_wav_pipeline",
     # agg_mode FIRST of the r9 cohort (VERDICT r13 Next #1): its r9
     # receipt predates the r13 mode() max_ties rewrite — the one
     # semantics-adjacent façade change without a post-change receipt
@@ -6795,3 +6795,56 @@ def mm_wav_pipeline(spark, sf_dir):
         n_frames=9)
     return (meta.join(px.select("doc_id", "n_px", "px_sum"), "doc_id")
             .join(dh, "doc_id"))
+
+
+@q("events_type_qsummary",
+   "WITH v AS (SELECT event_type AS key, event_id % 2 AS b, "
+   "value::DOUBLE AS v FROM events WHERE value IS NOT NULL), "
+   "r AS (SELECT key, b, v, row_number() OVER (PARTITION BY key, b "
+   "ORDER BY v) AS rnk, count(*) OVER (PARTITION BY key, b) AS n "
+   "FROM v), "
+   "s AS (SELECT key, b, v, rnk, n, (n + 31) // 32 AS m FROM r), "
+   "keep AS (SELECT key, v, (CASE WHEN rnk % m = 0 THEN m "
+   "ELSE n % m END)::BIGINT AS w FROM s "
+   "WHERE rnk % m = 0 OR rnk = n), "
+   "meta AS (SELECT key, SUM(n)::BIGINT AS n, SUM(m - 1)::BIGINT "
+   "AS err_ub FROM (SELECT DISTINCT key, b, n, m FROM s) GROUP BY 1), "
+   "cum AS (SELECT key, v, SUM(w) OVER (PARTITION BY key ORDER BY v "
+   "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM keep), "
+   "q AS (SELECT unnest([500000, 950000])::BIGINT AS q_ppm), "
+   "pick AS (SELECT cum.key, q.q_ppm, MIN(cum.v) AS value, "
+   "MAX(meta.n) AS n, MAX(meta.err_ub) AS err_ub "
+   "FROM cum JOIN meta ON meta.key = cum.key, q "
+   "WHERE cum.cum >= (q.q_ppm * meta.n + 999999) // 1000000 "
+   "GROUP BY 1, 2) "
+   "SELECT key, q_ppm, value::DOUBLE AS value, n, err_ub FROM pick")
+def events_type_qsummary(spark, sf_dir):
+    """GROUPED quantile summary store (streaming/monitor.
+    append_grouped_quantile_batch + grouped_quantile_estimates — the
+    keyed sibling of events_value_qsummary, r14): per-EVENT-TYPE
+    p50/p95 over the value stream, folded as two parity micro-batches
+    with a group-adaptive stride (m_g = ceil(n_g/32) per key per
+    batch) — the 'p99 latency PER route' production ask a flat summary
+    can't answer.  <= k rows per (key, batch); ranks from a KEYED
+    window (hash-partitioned, never the single-task global window);
+    per-key determinism inherited from the flat store, so the oracle
+    replays every key's fold pick-by-pick."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (
+        append_grouped_quantile_batch, grouped_quantile_estimates)
+    ev = get_db(spark, sf_dir).events.df
+    store = tempfile.mkdtemp(prefix="pds_gqs_")
+    try:
+        for bi in range(2):
+            append_grouped_quantile_batch(
+                ev.where(F.col("event_id") % 2 == bi), bi, store,
+                "event_type", "value", k=32)
+        rows = grouped_quantile_estimates(
+            spark, store, [0.5, 0.95]).collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["key"], int(r["q_ppm"]), float(r["value"]), int(r["n"]),
+          int(r["err_ub"])) for r in rows],
+        "key string, q_ppm long, value double, n long, err_ub long")

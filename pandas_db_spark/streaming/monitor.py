@@ -850,6 +850,166 @@ def compact_quantile_store(spark: SparkSession, store_dir: str,
     return report
 
 
+# ---------------------------------------------------------------------------
+# Grouped quantile summary store (r14) — the keyed sibling of the flat
+# store above: per-ENDPOINT / per-SOURCE value percentiles, the actual
+# production monitoring ask ("p99 latency PER route"), which a single
+# flat summary cannot answer.  Same rank-stratified construction applied
+# PER KEY with a group-adaptive stride m_g = ceil(n_g/k): a key with 50
+# values this batch keeps <= 50 rows at stride 1 (exact), a key with 50M
+# keeps <= k.  Store size: <= k rows per (key, batch) + 1 ledger row —
+# bounded by |keys|·k·batches, never by stream size; per-key bounds and
+# determinism are inherited unchanged from the flat store (each key's
+# fold IS a flat fold over that key's value multiset), so the whole
+# thing still SQL-replays per key.
+#
+# Plan shape: ranks come from a KEYED window (partitionBy key — the
+# standard hash-partitioned aggregate shape, never the single-task
+# global window; a pathologically hot key degrades to one partition
+# sorting that key's BATCH-bounded values, the same bound every keyed
+# agg has).
+
+
+def append_grouped_quantile_batch(batch_df: DataFrame, batch_id: int,
+                                  store_dir: str, key_col: str,
+                                  value_col: str, k: int = 64) -> None:
+    """Fold one micro-batch into the grouped quantile summary store:
+    for each key, the values at every m_g-th sorted rank of that key's
+    non-NULL batch values (m_g = ceil(n_g/k), remainder rank carries
+    n_g mod m_g) land as ``(key, v, w)`` under
+    ``gqsummary/batch_id=N``, plus per-key ledger rows ``(key,
+    n_values, stride, err_ub, n_rows)`` under ``gqmeta/batch_id=N`` —
+    dynamic overwrites, the module's replay-idempotent contract.  NULL
+    keys are kept as their own group (monitoring drops nothing
+    silently)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    v = F.col(value_col).cast("double")
+    # key canonicalizes to string so the store's read schema is stable
+    # across key types (the explicit-schema integrity read below)
+    vals = (batch_df.where(v.isNotNull())
+            .select(F.col(key_col).cast("string").alias("key"),
+                    v.alias("v")))
+    w_rank = Window.partitionBy("key").orderBy("v")
+    w_all = Window.partitionBy("key")
+    ranked = (vals.withColumn("rnk", F.row_number().over(w_rank))
+              .withColumn("n", F.count(F.lit(1)).over(w_all)))
+    m = F.ceil(F.col("n") / F.lit(k)).cast("long")
+    keep = (ranked
+            .where((F.col("rnk") % m == 0) | (F.col("rnk") == F.col("n")))
+            .select("key", "v",
+                    F.when(F.col("rnk") % m == 0, m)
+                    .otherwise(F.col("n") % m).cast("long").alias("w")))
+    spark = batch_df.sparkSession
+    (keep.withColumn("batch_id", F.lit(batch_id))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/gqsummary"))
+    meta = (vals.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_values"))
+            .select("key", "n_values",
+                    F.ceil(F.col("n_values") / F.lit(k)).cast("long")
+                    .alias("stride"))
+            .select("key", "n_values", "stride",
+                    (F.col("stride") - 1).cast("long").alias("err_ub"),
+                    F.ceil(F.col("n_values") / F.col("stride"))
+                    .cast("long").alias("n_rows"))
+            .withColumn("batch_id", F.lit(batch_id)))
+    (meta.coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/gqmeta"))
+
+
+def grouped_quantile_estimates(spark: SparkSession, store_dir: str,
+                               qs: list) -> DataFrame:
+    """Served per-key quantiles over the cumulative store: for each key
+    and each q in ``qs`` the row ``(key, q_ppm, value, n, err_ub)``
+    with the flat store's exact semantics applied per key — value is
+    the smallest summary value whose per-key cumulative weight reaches
+    rank ceil(q*n_key), err_ub is that key's exact cumulative ledger.
+    Integrity: total summary rows are counted against the gqmeta
+    ledger and a mismatch raises (the _read_hh_state receipt shape)."""
+    if not qs or not all(0 < q <= 1 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    from pyspark.sql import Window
+    meta = (spark.read.parquet(store_dir + "/gqmeta")
+            .groupBy("key")
+            .agg(F.sum("n_values").alias("n"),
+                 F.sum("err_ub").alias("err_ub"),
+                 F.sum("n_rows").alias("n_rows")))
+    ledger = meta.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
+    rows = (spark.read
+            .schema("key string, v double, w long, batch_id long")
+            .parquet(store_dir + "/gqsummary"))
+    have = rows.count()
+    if have != int(ledger):
+        raise IOError(
+            f"grouped quantile store at {store_dir} is inconsistent: "
+            f"gqmeta ledgers {int(ledger)} summary rows but gqsummary/ "
+            f"yields {have} — a partition was pruned or lost out of "
+            "band; restore it or rebuild the store")
+    cum = rows.withColumn("cum", F.sum("w").over(
+        Window.partitionBy("key").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    qdf = spark.createDataFrame(
+        [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
+    # null-safe key join: a NULL key is a real group (kept at append),
+    # so its quantiles must serve too
+    need = (cum.crossJoin(F.broadcast(qdf)).alias("s")
+            .join(meta.alias("m"),
+                  F.col("s.key").eqNullSafe(F.col("m.key")))
+            .select(F.col("s.key").alias("key"), "s.v", "s.cum",
+                    "q_ppm", "m.n", "m.err_ub"))
+    rank = F.expr("(q_ppm * n + 999999) DIV 1000000")
+    picked = (need.where(F.col("cum") >= rank)
+              .groupBy("key", "q_ppm", "n", "err_ub")
+              .agg(F.min("v").alias("value")))
+    return (picked.select("key", "q_ppm", "value",
+                          F.col("n").cast("long").alias("n"),
+                          F.col("err_ub").cast("long").alias("err_ub"))
+            .orderBy("key", "q_ppm"))
+
+
+def run_grouped_quantile_ingest(stream_df: DataFrame, store_dir: str,
+                                checkpoint_dir: str, key_col: str,
+                                value_col: str, k: int = 64) -> None:
+    """Drive the grouped quantile store from a stream (availableNow
+    drain — the module's standard wrapper)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_grouped_quantile_batch(batch_df, batch_id, store_dir,
+                                      key_col, value_col, k)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+
+
+def compact_grouped_quantile_store(spark: SparkSession, store_dir: str,
+                                   checkpoint_dir: str | None = None
+                                   ) -> dict:
+    """Row-identical fragmentation fold for the grouped store — the
+    compact_quantile_store contract over ``gqsummary``/``gqmeta``."""
+    from pandas_db_spark.operators.similarity import (
+        _assert_stream_quiesced, _compact_partitioned_dataset)
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    report = {}
+    for sub in ("gqsummary", "gqmeta"):
+        folded = _compact_partitioned_dataset(spark, store_dir, sub,
+                                              part_col="",
+                                              coalesce_one=True)
+        if folded is not None:
+            report[sub] = folded
+    return report
+
+
 def compact_histogram_store(spark: SparkSession, store_dir: str,
                             checkpoint_dir: str | None = None) -> dict:
     """Fold the histogram store's per-batch fragmentation (one

@@ -2191,3 +2191,107 @@ def test_non_graph_operator_writes_reliable_checkpoint(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.apply(None))
     assert sc.getCheckpointDir() is None
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantile summary store (r14) — the keyed sibling
+
+
+def test_grouped_quantile_summary_guarantee_and_integrity(spark, tmp_path):
+    """Per-key one-sided guarantee: for every key (including the NULL
+    group and a small exact-stride key) and every served quantile,
+    count(<= served) >= ceil(q*n_key) and count(< served) <=
+    ceil(q*n_key) - 1 + err_ub_key; per-(key, batch) rows respect <= k;
+    ledger mismatch after out-of-band loss raises; compaction is
+    serve-identical."""
+    import shutil
+
+    from pandas_db_spark.streaming.monitor import (
+        append_grouped_quantile_batch, compact_grouped_quantile_store,
+        grouped_quantile_estimates)
+
+    rows = ([("a", float(i)) for i in range(7)]           # exact stride 1
+            + [("b", float((i * 37) % 211)) for i in range(300)]
+            + [(None, 100.0 + i) for i in range(40)])
+    df = spark.createDataFrame(rows, "k string, x double")
+    store = str(tmp_path / "gqs")
+    append_grouped_quantile_batch(df, 0, store, "k", "x", k=16)
+    # second batch shifts b's distribution and adds to the null group
+    rows2 = ([("b", 150.0 + 0.25 * i) for i in range(200)]
+             + [(None, 90.0 + i) for i in range(25)])
+    append_grouped_quantile_batch(
+        spark.createDataFrame(rows2, "k string, x double"), 1, store,
+        "k", "x", k=16)
+
+    per = (spark.read.parquet(store + "/gqsummary")
+           .groupBy("batch_id", "key").count().collect())
+    assert all(r["count"] <= 16 for r in per)
+
+    truth = {}
+    for k, v in rows + rows2:
+        truth.setdefault(k, []).append(v)
+    qs = [0.1, 0.5, 0.99]
+    served = grouped_quantile_estimates(spark, store, qs).collect()
+    seen_keys = {r["key"] for r in served}
+    assert seen_keys == {"a", "b", None}
+    for r in served:
+        vals = sorted(truth[r["key"]])
+        assert int(r["n"]) == len(vals)
+        tgt = -(-r["q_ppm"] * len(vals) // 1_000_000)
+        le = sum(1 for x in vals if x <= r["value"])
+        lt = sum(1 for x in vals if x < r["value"])
+        assert le >= tgt, (r, tgt, le)
+        assert lt <= tgt - 1 + int(r["err_ub"]), (r, tgt, lt)
+    # the exact-stride key serves EXACT quantiles (err_ub 0)
+    for r in served:
+        if r["key"] == "a":
+            assert int(r["err_ub"]) == 0
+            vals = sorted(truth["a"])
+            tgt = -(-r["q_ppm"] * len(vals) // 1_000_000)
+            assert r["value"] == vals[tgt - 1]
+
+    with pytest.raises(ValueError, match="qs"):
+        grouped_quantile_estimates(spark, store, [1.5])
+    pre = [tuple(r) for r in
+           grouped_quantile_estimates(spark, store, qs).collect()]
+    rep = compact_grouped_quantile_store(spark, store)
+    assert rep["gqsummary"]["files_after"] == 1
+    assert [tuple(r) for r in
+            grouped_quantile_estimates(spark, store, qs).collect()] == pre
+
+    shutil.rmtree(store + "/gqsummary/batch_id=-1")
+    with pytest.raises(IOError, match="inconsistent"):
+        grouped_quantile_estimates(spark, store, [0.5])
+
+
+def test_grouped_quantile_stream_matches_manual_and_key_types(spark, tmp_path):
+    """run_grouped_quantile_ingest equals the manual fold, and a
+    non-string key column canonicalizes to string in the store."""
+    from pandas_db_spark.streaming.monitor import (
+        append_grouped_quantile_batch, grouped_quantile_estimates,
+        run_grouped_quantile_ingest)
+
+    rows0 = [(i % 3, float((i * 7) % 50)) for i in range(120)]
+    rows1 = [(i % 3, 25.0 + float(i % 31)) for i in range(120, 300)]
+    src = tmp_path / "gq_in"
+    for bi, chunk in enumerate([rows0, rows1]):
+        (spark.createDataFrame(chunk, "route long, ms double")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+    streamed = str(tmp_path / "gq_stream")
+    stream = (spark.readStream.schema("route long, ms double")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_grouped_quantile_ingest(stream, streamed,
+                                checkpoint_dir=str(tmp_path / "gq_ck"),
+                                key_col="route", value_col="ms", k=8)
+    manual = str(tmp_path / "gq_manual")
+    for bi, chunk in enumerate([rows0, rows1]):
+        append_grouped_quantile_batch(
+            spark.createDataFrame(chunk, "route long, ms double"),
+            bi, manual, "route", "ms", k=8)
+    qs = [0.5, 0.95]
+    got = [tuple(r) for r in
+           grouped_quantile_estimates(spark, streamed, qs).collect()]
+    want = [tuple(r) for r in
+            grouped_quantile_estimates(spark, manual, qs).collect()]
+    assert got == want
+    assert {r[0] for r in got} == {"0", "1", "2"}  # long keys -> strings
