@@ -79,7 +79,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r14 additions, never driver-verified (prepended as implemented):
     # the quantile-summary store trio + the BMP/WAV codec receipts
     "events_value_qsummary", "qsummary_bound", "qsummary_restratify",
-    "events_type_qsummary", "mm_bmp_pipeline", "mm_wav_pipeline",
+    "events_type_qsummary", "kmv_sample_stream", "kmv_estimate_stream",
+    "mm_bmp_pipeline", "mm_wav_pipeline",
     # agg_mode FIRST of the r9 cohort (VERDICT r13 Next #1): its r9
     # receipt predates the r13 mode() max_ties rewrite — the one
     # semantics-adjacent façade change without a post-change receipt
@@ -6848,3 +6849,87 @@ def events_type_qsummary(spark, sf_dir):
         [(r["key"], int(r["q_ppm"]), float(r["value"]), int(r["n"]),
           int(r["err_ub"])) for r in rows],
         "key string, q_ppm long, value double, n long, err_ub long")
+
+
+_KMV_SRC_SQL = (
+    "WITH src AS (SELECT l_orderkey, "
+    "'t' || (l_partkey % 1500)::VARCHAR AS t1, "
+    "'u' || (l_suppkey % 300)::VARCHAR AS t2 FROM lineitem), "
+    "toks AS (SELECT l_orderkey, t1 AS item FROM src "
+    "UNION ALL SELECT l_orderkey, t2 FROM src), "
+    "d AS (SELECT DISTINCT item FROM toks), "
+    "bot AS (SELECT md5(item) AS h, item FROM d ORDER BY h LIMIT 64) ")
+
+
+def _kmv_store(spark, sf_dir, k: int = 64) -> str:
+    """Shared plant for the KMV gate queries: the distinct_sketch_stream
+    token stream folded as two parity micro-batches.  Caller removes."""
+    import tempfile
+    from pandas_db_spark.streaming.monitor import append_kmv_batch
+    li = get_db(spark, sf_dir).lineitem.df.select(
+        "l_orderkey",
+        F.concat(F.lit("t"), (F.col("l_partkey") % 1500).cast("string"),
+                 F.lit(" u"), (F.col("l_suppkey") % 300).cast("string"))
+        .alias("text"))
+    store = tempfile.mkdtemp(prefix="pds_kmv_")
+    for bi in range(2):
+        append_kmv_batch(li.where(F.col("l_orderkey") % 2 == bi), bi,
+                         store, k=k)
+    return store
+
+
+@q("kmv_sample_stream",
+   _KMV_SRC_SQL + "SELECT h, item FROM bot")
+def kmv_sample_stream(spark, sf_dir):
+    """KMV distinct-sample store (streaming/monitor.append_kmv_batch +
+    kmv_sample — r14): the planted two-token stream folds as two parity
+    micro-batches keeping each batch's 64 smallest MD5 digests; the
+    served cumulative sample (union -> dedupe -> bottom-64) must equal
+    the GLOBAL bottom-64 over all distinct tokens — the KMV merge
+    property, and a UNIFORM without-replacement sample of the distinct
+    population ('show me 64 distinct URLs from 100 TB' as a store
+    probe, the thing HLL registers can never answer).  MD5 is a pure
+    function both engines compute identically, so the oracle replays
+    the exact digests AND items."""
+    import shutil
+    from pandas_db_spark.streaming.monitor import kmv_sample
+    store = _kmv_store(spark, sf_dir, k=64)
+    try:
+        rows = kmv_sample(spark, store).collect()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["h"], r["item"]) for r in rows], "h string, item string")
+
+
+@q("kmv_estimate_stream",
+   _KMV_SRC_SQL +
+   ", r AS (SELECT max(h) AS h_max, count(*)::BIGINT AS n_sample "
+   "FROM bot), "
+   "x AS (SELECT n_sample, ('0x' || substr(h_max, 1, 12))::BIGINT "
+   "AS r48 FROM r) "
+   "SELECT 64::BIGINT AS k, n_sample, r48 AS kth_hash48, "
+   "(CASE WHEN n_sample < 64 THEN n_sample::DOUBLE "
+   "ELSE 17732923532771328::DOUBLE / r48::DOUBLE END) AS estimate, "
+   "(SELECT count(*) FROM toks)::BIGINT AS n_tokens "
+   "FROM x")
+def kmv_estimate_stream(spark, sf_dir):
+    """The KMV estimator, VALUE-oracled (kmv_estimate): n_hat =
+    (k-1)/frac(r_k) with r_k the 64th-smallest digest's first 12 hex
+    chars as a 48-bit integer — the numerator (63 * 16^12) is one
+    exact integer literal and the only float ops are a cast and a
+    division, so the ESTIMATE ITSELF hash-matches the SQL replay
+    bit-for-bit (the determinism the HLL store's register folds can't
+    give; its receipt is a band boolean, this one is the value)."""
+    import shutil
+    from pandas_db_spark.streaming.monitor import kmv_estimate
+    store = _kmv_store(spark, sf_dir, k=64)
+    try:
+        row = kmv_estimate(spark, store).collect()[0]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(row["k"]), int(row["n_sample"]), int(row["kth_hash48"]),
+          float(row["estimate"]), int(row["n_tokens"]))],
+        "k long, n_sample long, kth_hash48 long, estimate double, "
+        "n_tokens long")

@@ -494,6 +494,174 @@ def run_distinct_sketch_ingest(stream_df: DataFrame, store_dir: str,
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-SAMPLE store (r14) — the sample-bearing
+# companion to the HLL store above (Bar-Yossef et al., RANDOM 2002;
+# Beyer et al., SIGMOD 2007 unbiased estimator).  HLL answers "how many
+# distinct?" in KBs but can never answer "show me some" — KMV keeps the
+# k lexicographically-smallest MD5 digests of the distinct items seen,
+# which is simultaneously
+#
+#   * a UNIFORM without-replacement sample of the distinct-item
+#     population (a cryptographic hash orders items uniformly, and the
+#     bottom-k of a uniform order is a uniform sample) — the sampled
+#     items ride along, so "sample 256 distinct URLs from 100 TB" is a
+#     store probe;
+#   * a distinct-count estimator: n_hat = (k-1) / r_k with r_k the k-th
+#     smallest hash as a fraction of hash space (RSE ~ 1/sqrt(k-2));
+#   * mergeable by plain UNION + bottom-k (identical items hash
+#     identically, so merge order cannot matter), and intersectable:
+#     two stores' samples support Jaccard / overlap estimates between
+#     corpus snapshots.
+#
+# Everything is DETERMINISTIC for a fixed item set (MD5 is a pure
+# function; both Spark and DuckDB produce the same lowercase-hex
+# digest), so unlike HLL the store AND the estimate are value-
+# oracle-able: the fraction uses the first 12 hex chars as a 48-bit
+# integer (exactly representable in a double, so the (k-1)*16^12/r
+# arithmetic replays bit-for-bit in SQL).  Store size: <= k rows per
+# batch + 1 meta row — flat in corpus and vocab size.
+
+_KMV_HEX_DIGITS = 12                     # 48 bits: double-exact in SQL
+_KMV_SPACE = 16 ** _KMV_HEX_DIGITS       # 2^48
+
+
+def append_kmv_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                     text_col: str = "text", k: int = 256) -> None:
+    """Fold one micro-batch into the KMV store: the batch's distinct
+    tokens hash (MD5 hex), the ``k`` smallest land as ``(h, item)``
+    rows under ``kmv/batch_id=N`` plus the batch ledger ``(n_tokens,
+    n_rows)`` under ``kmvmeta/batch_id=N`` — dynamic overwrites, the
+    module's replay-idempotent contract.  The bottom-k is a
+    TakeOrdered (never a global sort); ``k`` must match across a
+    store's batches for the estimator's bottom-k semantics to compose
+    (enforced at serve time via the ledger row bound)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    spark = batch_df.sparkSession
+    toks = (batch_df.select(F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")).alias("item"))
+        .where(F.col("item") != ""))
+    n_tokens = int(toks.count())
+    keep = (toks.distinct()
+            .select(F.md5(F.col("item")).alias("h"), "item")
+            .orderBy("h").limit(k))
+    n_rows = keep.count()
+    (keep.withColumn("batch_id", F.lit(batch_id))
+     .coalesce(1).write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/kmv"))
+    meta = spark.createDataFrame(
+        [(n_tokens, int(n_rows), int(k), batch_id)],
+        "n_tokens long, n_rows long, k long, batch_id long")
+    (meta.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(store_dir + "/kmvmeta"))
+
+
+def kmv_sample(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The cumulative bottom-k distinct sample AS OF the last drained
+    batch: ``(h, item)`` — union the per-batch bottom-k rows, drop
+    duplicate digests (the same item kept by two batches), take the k
+    smallest.  A uniform without-replacement sample of every distinct
+    item ever streamed, served from <= k·n_batches stored rows — never
+    a corpus or vocab scan.  Integrity: stored rows are counted
+    against the kmvmeta ledger; a mismatch raises."""
+    meta = spark.read.parquet(store_dir + "/kmvmeta").agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n_rows"),
+        F.coalesce(F.min("k"), F.lit(0)).alias("k_min"),
+        F.coalesce(F.max("k"), F.lit(0)).alias("k_max")).collect()[0]
+    if int(meta["k_min"]) != int(meta["k_max"]):
+        raise ValueError(
+            f"KMV store at {store_dir} mixes k={int(meta['k_min'])} and "
+            f"k={int(meta['k_max'])} batches — bottom-k semantics only "
+            "compose at one k; rebuild the store")
+    rows = (spark.read.schema("h string, item string, batch_id long")
+            .parquet(store_dir + "/kmv"))
+    have = rows.count()
+    if have != int(meta["n_rows"]):
+        raise IOError(
+            f"KMV store at {store_dir} is inconsistent: kmvmeta ledgers "
+            f"{int(meta['n_rows'])} rows but kmv/ yields {have} — a "
+            "partition was pruned or lost out of band; restore it or "
+            "rebuild the store")
+    k = int(meta["k_max"])
+    return (rows.select("h", "item").distinct()
+            .orderBy("h").limit(k))
+
+
+def kmv_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Distinct-count estimate from the cumulative sample: one row
+    ``(k, n_sample, kth_hash48, estimate, n_tokens)``.  If the sample
+    holds fewer than k digests the population was smaller than k and
+    the count is EXACT (estimate = n_sample); otherwise the unbiased
+    KMV estimator (k-1)/frac(r_k), with r_k the k-th smallest digest's
+    first 12 hex chars as a 48-bit integer — double-exact, so the
+    estimate value itself SQL-replays (the property the HLL store's
+    register folds can't give)."""
+    sample = kmv_sample(spark, store_dir)
+    n_tok = spark.read.parquet(store_dir + "/kmvmeta").agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0))).collect()[0][0]
+    k = int(spark.read.parquet(store_dir + "/kmvmeta")
+            .agg(F.max("k")).collect()[0][0])
+    agg = sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.max("h").alias("h_max"))
+    r48 = F.conv(F.substring("h_max", 1, _KMV_HEX_DIGITS), 16, 10) \
+           .cast("long")
+    # numerator as ONE exact integer literal ((k-1)*16^12 < 2^63), so
+    # the only float ops are a cast and a division — single-op IEEE,
+    # bit-replayable in SQL
+    est = F.when(F.col("n_sample") < k,
+                 F.col("n_sample").cast("double")) \
+           .otherwise(F.lit((k - 1) * _KMV_SPACE).cast("double")
+                      / r48.cast("double"))
+    return agg.select(
+        F.lit(k).cast("long").alias("k"), "n_sample",
+        r48.alias("kth_hash48"), est.alias("estimate"),
+        F.lit(int(n_tok)).cast("long").alias("n_tokens"))
+
+
+def run_kmv_ingest(stream_df: DataFrame, store_dir: str,
+                   checkpoint_dir: str, text_col: str = "text",
+                   k: int = 256) -> None:
+    """Drive the KMV store from a document stream (availableNow drain —
+    the module's standard wrapper)."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_kmv_batch(batch_df, batch_id, store_dir, text_col, k)
+
+    qr = (stream_df.writeStream.foreachBatch(handle)
+          .option("checkpointLocation", checkpoint_dir)
+          .trigger(availableNow=True).start())
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+
+
+def compact_kmv_store(spark: SparkSession, store_dir: str,
+                      checkpoint_dir: str | None = None) -> dict:
+    """Row-identical fragmentation fold for the KMV store — the
+    compact_sketch_store contract over ``kmv``/``kmvmeta``.  (A
+    size-reducing fold to ONE bottom-k partition is also sound —
+    serving is a bottom-k over the union — but would rewrite the
+    ledger; the in-place fold keeps every receipt intact.)"""
+    from pandas_db_spark.operators.similarity import (
+        _assert_stream_quiesced, _compact_partitioned_dataset)
+    if checkpoint_dir is not None:
+        _assert_stream_quiesced(spark, checkpoint_dir)
+    report = {}
+    for sub in ("kmv", "kmvmeta"):
+        folded = _compact_partitioned_dataset(spark, store_dir, sub,
+                                              part_col="",
+                                              coalesce_one=True)
+        if folded is not None:
+            report[sub] = folded
+    return report
+
+
+# ---------------------------------------------------------------------------
 # Streaming quantile monitor — bounded equi-width histogram store.
 # The latency/value-percentile companion to the stores above: per batch,
 # ONE <= (n_bins + 2)-row bin-count table lands under batch_id=N; serving

@@ -2295,3 +2295,101 @@ def test_grouped_quantile_stream_matches_manual_and_key_types(spark, tmp_path):
             grouped_quantile_estimates(spark, manual, qs).collect()]
     assert got == want
     assert {r[0] for r in got} == {"0", "1", "2"}  # long keys -> strings
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-sample store (r14)
+
+
+def test_kmv_store_sample_estimate_and_lifecycle(spark, tmp_path):
+    """The cumulative bottom-k equals the global bottom-k over all
+    distinct items (the KMV merge property); the estimate is within
+    3 RSE of the exact distinct count and EXACT when the population is
+    under k; mixed-k stores and out-of-band partition loss raise;
+    compaction is serve-identical."""
+    import hashlib
+    import shutil
+
+    from pandas_db_spark.streaming.monitor import (
+        append_kmv_batch, compact_kmv_store, kmv_estimate, kmv_sample)
+
+    rows0 = [(i, f"w{(i * 7) % 400} w{(i * 11) % 400}")
+             for i in range(300)]
+    rows1 = [(i, f"w{(i * 13) % 400} x{i % 50}")
+             for i in range(300, 600)]
+    store = str(tmp_path / "kmv")
+    for bi, chunk in enumerate([rows0, rows1]):
+        append_kmv_batch(
+            spark.createDataFrame(chunk, "doc_id long, text string"),
+            bi, store, k=32)
+
+    vocab = set()
+    for _i, t in rows0 + rows1:
+        vocab.update(t.split())
+    want = sorted((hashlib.md5(w.encode()).hexdigest(), w)
+                  for w in vocab)[:32]
+    got = [(r["h"], r["item"]) for r in kmv_sample(spark, store).collect()]
+    assert got == want
+
+    est = kmv_estimate(spark, store).collect()[0]
+    n_exact = len(vocab)
+    rse = 1.0 / (32 - 2) ** 0.5
+    assert abs(est["estimate"] - n_exact) <= 3 * rse * n_exact, (
+        est["estimate"], n_exact)
+    assert int(est["n_sample"]) == 32
+    assert int(est["n_tokens"]) == 2 * 600
+
+    # small population -> exact
+    small = str(tmp_path / "kmv_small")
+    append_kmv_batch(
+        spark.createDataFrame([(1, "a b c a")], "doc_id long, text string"),
+        0, small, k=32)
+    e = kmv_estimate(spark, small).collect()[0]
+    assert e["estimate"] == 3.0 and int(e["n_sample"]) == 3
+
+    # mixed k raises; validation raises
+    append_kmv_batch(
+        spark.createDataFrame([(2, "zz")], "doc_id long, text string"),
+        1, small, k=16)
+    with pytest.raises(ValueError, match="mixes k"):
+        kmv_sample(spark, small)
+    with pytest.raises(ValueError, match="k must"):
+        append_kmv_batch(
+            spark.createDataFrame([(3, "q")], "doc_id long, text string"),
+            2, small, k=1)
+
+    # compaction serve-identical, then integrity on partition loss
+    pre = [tuple(r) for r in kmv_sample(spark, store).collect()]
+    rep = compact_kmv_store(spark, store)
+    assert rep["kmv"]["files_after"] == 1
+    assert [tuple(r) for r in kmv_sample(spark, store).collect()] == pre
+    shutil.rmtree(store + "/kmv/batch_id=-1")
+    with pytest.raises(IOError, match="inconsistent"):
+        kmv_sample(spark, store)
+
+
+def test_kmv_stream_matches_manual_fold(spark, tmp_path):
+    """run_kmv_ingest equals the manual per-batch fold — the store is a
+    deterministic function of each batch's distinct-item set."""
+    from pandas_db_spark.streaming.monitor import (
+        append_kmv_batch, kmv_estimate, run_kmv_ingest)
+
+    rows0 = [(i, f"t{(i * 3) % 97}") for i in range(150)]
+    rows1 = [(i, f"t{(i * 5) % 83} u{i % 29}") for i in range(150, 320)]
+    src = tmp_path / "kmv_in"
+    for bi, chunk in enumerate([rows0, rows1]):
+        (spark.createDataFrame(chunk, "doc_id long, text string")
+         .coalesce(1).write.parquet(f"{src}/b{bi}"))
+    streamed = str(tmp_path / "kmv_stream")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+    run_kmv_ingest(stream, streamed,
+                   checkpoint_dir=str(tmp_path / "kmv_ck"), k=24)
+    manual = str(tmp_path / "kmv_manual")
+    for bi, chunk in enumerate([rows0, rows1]):
+        append_kmv_batch(
+            spark.createDataFrame(chunk, "doc_id long, text string"),
+            bi, manual, k=24)
+    got = [tuple(r) for r in kmv_estimate(spark, streamed).collect()]
+    want = [tuple(r) for r in kmv_estimate(spark, manual).collect()]
+    assert got == want
