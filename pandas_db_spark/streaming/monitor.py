@@ -1070,8 +1070,12 @@ def append_grouped_quantile_batch(batch_df: DataFrame, batch_id: int,
                     F.when(F.col("rnk") % m == 0, m)
                     .otherwise(F.col("n") % m).cast("long").alias("w")))
     spark = batch_df.sparkSession
+    # NOT coalesce(1): unlike the flat store's <= k rows, this write is
+    # <= k * |keys| rows — at web key cardinalities a single writer task
+    # would bottleneck.  A small bounded fan-in keeps file counts sane
+    # (compact_grouped_quantile_store folds the rest).
     (keep.withColumn("batch_id", F.lit(batch_id))
-     .coalesce(1).write.mode("overwrite")
+     .coalesce(8).write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(store_dir + "/gqsummary"))
     meta = (vals.groupBy("key")
@@ -1084,7 +1088,7 @@ def append_grouped_quantile_batch(batch_df: DataFrame, batch_id: int,
                     F.ceil(F.col("n_values") / F.col("stride"))
                     .cast("long").alias("n_rows"))
             .withColumn("batch_id", F.lit(batch_id)))
-    (meta.coalesce(1).write.mode("overwrite")
+    (meta.coalesce(8).write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(store_dir + "/gqmeta"))
 
