@@ -165,8 +165,9 @@ HEADLINE = [
     "events_type_qsummary",   # keyed quantile store: per-type fold, group-adaptive stride (r14 add)
     "mm_bmp_pipeline",    # BMP decode: row flip + BGR swap + padding strip + dHash, Arrow-batched (r14 add)
     "kmv_sample_stream",  # KMV bottom-k distinct sample: 2-batch fold + merged bottom-64 serve (r14 add)
-    # (kmv_estimate_stream serves from the same fold kmv_sample_stream
-    #  benches — one bench row for the KMV pair.)
+    # (kmv_estimate_stream and kmv_overlap_stream serve from the same
+    #  fold shape kmv_sample_stream benches — one bench row for the
+    #  KMV family.)
     # (mm_wav_pipeline shares mm_bmp_pipeline's plan shape — one codec
     #  bench row for the r14 planted-payload pair is enough.
     #  qsummary_bound/qsummary_restratify are invariant/valve GATE

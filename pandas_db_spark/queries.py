@@ -80,7 +80,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # the quantile-summary store trio + the BMP/WAV codec receipts
     "events_value_qsummary", "qsummary_bound", "qsummary_restratify",
     "events_type_qsummary", "kmv_sample_stream", "kmv_estimate_stream",
-    "mm_bmp_pipeline", "mm_wav_pipeline",
+    "kmv_overlap_stream", "mm_bmp_pipeline", "mm_wav_pipeline",
     # agg_mode FIRST of the r9 cohort (VERDICT r13 Next #1): its r9
     # receipt predates the r13 mode() max_ties rewrite — the one
     # semantics-adjacent façade change without a post-change receipt
@@ -6933,3 +6933,67 @@ def kmv_estimate_stream(spark, sf_dir):
           float(row["estimate"]), int(row["n_tokens"]))],
         "k long, n_sample long, kth_hash48 long, estimate double, "
         "n_tokens long")
+
+
+@q("kmv_overlap_stream",
+   "WITH a AS (SELECT DISTINCT 't' || (l_partkey % 1500)::VARCHAR "
+   "AS item FROM lineitem), "
+   "b AS (SELECT DISTINCT 't' || ((l_partkey * 3) % 1500)::VARCHAR "
+   "AS item FROM lineitem), "
+   "ha AS (SELECT md5(item) AS h FROM a ORDER BY h LIMIT 64), "
+   "hb AS (SELECT md5(item) AS h FROM b ORDER BY h LIMIT 64), "
+   "uk AS (SELECT h FROM (SELECT DISTINCT h FROM "
+   "(SELECT h FROM ha UNION ALL SELECT h FROM hb)) "
+   "ORDER BY h LIMIT 64), "
+   "stats AS (SELECT count(*)::BIGINT AS n_union, "
+   "sum(CASE WHEN h IN (SELECT h FROM ha) "
+   "AND h IN (SELECT h FROM hb) THEN 1 ELSE 0 END)::BIGINT AS n_both, "
+   "max(h) AS h_max FROM uk), "
+   "x AS (SELECT n_union, n_both, "
+   "('0x' || substr(h_max, 1, 12))::BIGINT AS r48, "
+   "n_both::DOUBLE / LEAST(64, n_union)::DOUBLE AS jac, "
+   "(CASE WHEN n_union < 64 THEN n_union::DOUBLE "
+   "ELSE 17732923532771328::DOUBLE / ('0x' || substr(h_max, 1, 12))"
+   "::BIGINT::DOUBLE END) AS uest FROM stats) "
+   "SELECT 64::BIGINT AS k, n_union AS n_union_sample, n_both, "
+   "jac AS jaccard, uest AS union_est, jac * uest AS inter_est FROM x")
+def kmv_overlap_stream(spark, sf_dir):
+    """Cross-snapshot overlap from two KMV stores (streaming/monitor.
+    kmv_overlap — Beyer et al. SIGMOD'07 coordinated bottom-k): two
+    planted token snapshots (partkey%1500 vs (partkey*3)%1500 — real
+    partial overlap at every SF) each fold through their own store as
+    two parity micro-batches; the estimator then answers 'how much of
+    snapshot B is already in snapshot A?' from 2·k stored rows — the
+    dedup-rate / crawl-freshness monitor that needs NO corpus rescan.
+    Coordinated sampling (same hash both stores) + exact-integer
+    numerator make every output — jaccard, union and intersection
+    estimates included — a deterministic function of the two item
+    sets, so the oracle hash-checks the VALUES."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (append_kmv_batch,
+                                                   kmv_overlap)
+    li = get_db(spark, sf_dir).lineitem.df
+    stores = []
+    try:
+        for expr in ((F.col("l_partkey") % 1500),
+                     ((F.col("l_partkey") * 3) % 1500)):
+            st = tempfile.mkdtemp(prefix="pds_kmvo_")
+            stores.append(st)
+            src = li.select(
+                "l_orderkey",
+                F.concat(F.lit("t"), expr.cast("string")).alias("text"))
+            for bi in range(2):
+                append_kmv_batch(
+                    src.where(F.col("l_orderkey") % 2 == bi), bi, st,
+                    k=64)
+        row = kmv_overlap(spark, stores[0], stores[1]).collect()[0]
+    finally:
+        for st in stores:
+            shutil.rmtree(st, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(row["k"]), int(row["n_union_sample"]), int(row["n_both"]),
+          float(row["jaccard"]), float(row["union_est"]),
+          float(row["inter_est"]))],
+        "k long, n_union_sample long, n_both long, jaccard double, "
+        "union_est double, inter_est double")

@@ -621,6 +621,60 @@ def kmv_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
         F.lit(int(n_tok)).cast("long").alias("n_tokens"))
 
 
+def kmv_overlap(spark: SparkSession, store_a: str,
+                store_b: str) -> DataFrame:
+    """Overlap estimates between two KMV stores — one row ``(k,
+    n_union_sample, n_both, jaccard, union_est, inter_est)``: the
+    bottom-k coordinated-sample estimator (Beyer et al. SIGMOD 2007;
+    Cohen & Kaplan's k-min coordinated samples).  Because both stores
+    hash with the SAME function, their bottom-k samples are
+    coordinated: the k smallest digests of A ∪ B are a uniform sample
+    of the union, and the fraction of them present in BOTH stores'
+    samples estimates the Jaccard similarity —
+
+        J_hat = |bottom_k(A ∪ B) ∩ sample(A) ∩ sample(B)| / k
+
+    with ``union_est`` the union's own KMV estimate from the k-th
+    smallest union digest and ``inter_est = J_hat · union_est``.  When
+    the union sample holds fewer than k digests both samples are
+    COMPLETE distinct sets and every number is exact.  This is the
+    cross-snapshot question two stores exist to answer ("how much of
+    today's crawl is yesterday's?") at k-row cost — no corpus or vocab
+    ever re-scans, and determinism (pure MD5, exact-integer numerator)
+    makes every output value SQL-replayable.  The two stores must use
+    the same k (each enforces its own single-k rule; the smaller of
+    the two k's bounds the estimator)."""
+    sa = kmv_sample(spark, store_a)
+    sb = kmv_sample(spark, store_b)
+    ka = int(spark.read.parquet(store_a + "/kmvmeta")
+             .agg(F.max("k")).collect()[0][0])
+    kb = int(spark.read.parquet(store_b + "/kmvmeta")
+             .agg(F.max("k")).collect()[0][0])
+    k = min(ka, kb)
+    union_k = (sa.unionByName(sb).distinct().orderBy("h").limit(k)
+               .cache())
+    try:
+        n_union = union_k.count()
+        both = (union_k.join(sa.select("h"), "h", "left_semi")
+                .join(sb.select("h"), "h", "left_semi"))
+        n_both = both.count()
+        denom = min(k, n_union) or 1
+        jaccard = n_both / denom
+        if n_union < k:
+            union_est = float(n_union)
+        else:
+            h_max = union_k.agg(F.max("h")).collect()[0][0]
+            r48 = int(h_max[:_KMV_HEX_DIGITS], 16)
+            union_est = float((k - 1) * _KMV_SPACE) / float(r48)
+        return spark.createDataFrame(
+            [(k, n_union, n_both, jaccard, union_est,
+              jaccard * union_est)],
+            "k long, n_union_sample long, n_both long, jaccard double, "
+            "union_est double, inter_est double")
+    finally:
+        union_k.unpersist()
+
+
 def run_kmv_ingest(stream_df: DataFrame, store_dir: str,
                    checkpoint_dir: str, text_col: str = "text",
                    k: int = 256) -> None:

@@ -2393,3 +2393,40 @@ def test_kmv_stream_matches_manual_fold(spark, tmp_path):
     got = [tuple(r) for r in kmv_estimate(spark, streamed).collect()]
     want = [tuple(r) for r in kmv_estimate(spark, manual).collect()]
     assert got == want
+
+
+def test_kmv_overlap_exact_and_estimated(spark, tmp_path):
+    """Below k the overlap numbers are EXACT (samples are complete
+    sets); above k the coordinated bottom-k Jaccard estimate is within
+    3 binomial-ish RSE of the truth on planted overlapping vocabs."""
+    from pandas_db_spark.streaming.monitor import (append_kmv_batch,
+                                                   kmv_overlap)
+
+    def build(store, words, k):
+        append_kmv_batch(
+            spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                                  "doc_id long, text string"),
+            0, store, k=k)
+
+    # small exact case: A = {a..f}, B = {d..i} -> |∩|=3, |∪|=9, J=1/3
+    sa, sb = str(tmp_path / "a"), str(tmp_path / "b")
+    build(sa, ["a b c d e f"], 64)
+    build(sb, ["d e f g h i"], 64)
+    row = kmv_overlap(spark, sa, sb).collect()[0]
+    assert (int(row["n_union_sample"]), int(row["n_both"])) == (9, 3)
+    assert row["jaccard"] == 3 / 9
+    assert row["union_est"] == 9.0 and row["inter_est"] == 3.0
+
+    # estimated case: 600-word vocabs overlapping in 300 -> J = 1/3
+    wa = [f"w{i}" for i in range(600)]
+    wb = [f"w{i}" for i in range(300, 900)]
+    la, lb = str(tmp_path / "la"), str(tmp_path / "lb")
+    build(la, [" ".join(wa)], 128)
+    build(lb, [" ".join(wb)], 128)
+    r = kmv_overlap(spark, la, lb).collect()[0]
+    assert int(r["k"]) == 128 and int(r["n_union_sample"]) == 128
+    true_j, true_u = 300 / 900, 900
+    rse = 1.0 / (128 - 2) ** 0.5
+    assert abs(r["jaccard"] - true_j) <= 3 * rse, r["jaccard"]
+    assert abs(r["union_est"] - true_u) <= 3 * rse * true_u
+    assert abs(r["inter_est"] - true_j * true_u) <= 5 * rse * true_u
