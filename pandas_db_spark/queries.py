@@ -79,7 +79,8 @@ _GATE_PRIORITY: tuple[str, ...] = (
     # r14 additions, never driver-verified (prepended as implemented):
     # the quantile-summary store trio + the BMP/WAV codec receipts
     "events_value_qsummary", "qsummary_bound", "qsummary_restratify",
-    "events_type_qsummary", "kmv_sample_stream", "kmv_estimate_stream",
+    "events_type_qsummary", "events_type_qrestratify",
+    "kmv_sample_stream", "kmv_estimate_stream",
     "kmv_overlap_stream", "mm_bmp_pipeline", "mm_wav_pipeline",
     # agg_mode FIRST of the r9 cohort (VERDICT r13 Next #1): its r9
     # receipt predates the r13 mode() max_ties rewrite — the one
@@ -6997,3 +6998,61 @@ def kmv_overlap_stream(spark, sf_dir):
           float(row["inter_est"]))],
         "k long, n_union_sample long, n_both long, jaccard double, "
         "union_est double, inter_est double")
+
+
+@q("events_type_qrestratify",
+   "WITH v AS (SELECT event_type AS key, event_id % 2 AS b, "
+   "value::DOUBLE AS v FROM events WHERE value IS NOT NULL), "
+   "r AS (SELECT key, b, v, row_number() OVER (PARTITION BY key, b "
+   "ORDER BY v) AS rnk, count(*) OVER (PARTITION BY key, b) AS n "
+   "FROM v), "
+   "s AS (SELECT key, b, v, rnk, n, (n + 31) // 32 AS m FROM r), "
+   "keep AS (SELECT key, v, (CASE WHEN rnk % m = 0 THEN m "
+   "ELSE n % m END)::BIGINT AS w FROM s "
+   "WHERE rnk % m = 0 OR rnk = n), "
+   "meta AS (SELECT key, SUM(n)::BIGINT AS wt, SUM(m - 1)::BIGINT "
+   "AS err0 FROM (SELECT DISTINCT key, b, n, m FROM s) GROUP BY 1), "
+   "big AS (SELECT key, wt, err0, ms, (wt + ms - 1) // ms AS nk FROM "
+   "(SELECT key, wt, err0, (wt + 7) // 8 AS ms FROM meta)), "
+   "grid AS (SELECT b.key, b.wt, b.ms, b.err0, g.i * b.ms AS tgt, "
+   "(CASE WHEN g.i < b.nk THEN b.ms "
+   "ELSE b.wt - (b.nk - 1) * b.ms END)::BIGINT AS w FROM big b, "
+   "LATERAL (SELECT unnest(range(1, b.nk + 1)) AS i) g), "
+   "cum AS (SELECT key, v, SUM(w) OVER (PARTITION BY key ORDER BY v "
+   "ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM keep) "
+   "SELECT grid.key, MIN(cum.v)::DOUBLE AS v, grid.w, "
+   "grid.ms::BIGINT AS stride, (grid.err0 + grid.ms - 1)::BIGINT "
+   "AS err_ub FROM cum JOIN grid ON grid.key = cum.key "
+   "AND LEAST(cum.cum, grid.wt) >= LEAST(grid.tgt, grid.wt) "
+   "GROUP BY grid.key, grid.tgt, grid.w, grid.ms, grid.err0")
+def events_type_qrestratify(spark, sf_dir):
+    """The grouped store's size valve, value-oracled (streaming/
+    monitor.restratify_grouped_summary — the per-key form of
+    qsummary_restratify): each event type's two-batch k=32 fold
+    collapses back to <= 8 rows at its OWN stride ceil(W_g/8) and its
+    own widened ledger — light keys stay exact while heavy keys pay,
+    which is what keeps a per-route store bounded when batch count
+    grows.  Deterministic per key, so the oracle replays every key's
+    collapse pick-by-pick.  Output joins the new per-key meta onto
+    each kept row."""
+    import shutil
+    import tempfile
+    from pandas_db_spark.streaming.monitor import (
+        append_grouped_quantile_batch, restratify_grouped_summary)
+    ev = get_db(spark, sf_dir).events.df
+    store = tempfile.mkdtemp(prefix="pds_gqr_")
+    try:
+        for bi in range(2):
+            append_grouped_quantile_batch(
+                ev.where(F.col("event_id") % 2 == bi), bi, store,
+                "event_type", "value", k=32)
+        rows, meta = restratify_grouped_summary(spark, store, k=8)
+        got = rows.collect()
+        m = {r["key"]: r for r in meta.collect()}
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["key"], float(r["v"]), int(r["w"]),
+          int(m[r["key"]]["stride"]), int(m[r["key"]]["err_ub"]))
+         for r in got],
+        "key string, v double, w long, stride long, err_ub long")

@@ -1197,6 +1197,69 @@ def grouped_quantile_estimates(spark: SparkSession, store_dir: str,
             .orderBy("key", "q_ppm"))
 
 
+def restratify_grouped_summary(spark: SparkSession, store_dir: str,
+                               k: int = 64
+                               ) -> tuple[DataFrame, DataFrame]:
+    """The grouped store's size valve — the per-key form of
+    :func:`restratify_summary`: each key's whole weighted fold
+    collapses back to <= ``k`` rows at a PER-KEY stride
+    M_g = ceil(W_g/k), at a declared per-key ledger cost of M_g - 1
+    added rank error (same one-sided shape).  A key with few values
+    keeps stride 1 (exact); only heavy keys pay.  Returns ``(rows,
+    meta)`` — ``rows`` the <= k-rows-per-key ``(key, v, w)`` frame,
+    ``meta`` the new per-key ledger ``(key, n_values, stride, err_ub,
+    n_rows)`` — seed a NEW store with them; the in-place
+    fragmentation-only fold is :func:`compact_grouped_quantile_store`.
+
+    Plan shape: the pick join is per-key bounded — each key's summary
+    (<= k·batches rows) meets its own <= k-row grid on an equi-key
+    join, so the work is |keys|-parallel and never a cross-key
+    product."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+    meta = (spark.read.parquet(store_dir + "/gqmeta")
+            .groupBy("key")
+            .agg(F.sum("n_values").alias("wt"),
+                 F.sum("err_ub").alias("err0")))
+    big = (meta
+           .withColumn("stride", F.ceil(F.col("wt") / F.lit(k))
+                       .cast("long"))
+           .withColumn("nk", F.ceil(F.col("wt") / F.col("stride"))
+                       .cast("long")))
+    grid = (big.select(
+        "key", "wt", "stride", "err0",
+        F.explode(F.expr("sequence(1, nk)")).alias("i"),
+        F.col("nk"))
+        .select("key", "wt", "stride", "err0",
+                (F.col("i") * F.col("stride")).alias("tgt"),
+                F.when(F.col("i") < F.col("nk"), F.col("stride"))
+                .otherwise(F.col("wt")
+                           - (F.col("nk") - 1) * F.col("stride"))
+                .cast("long").alias("w")))
+    rows = (spark.read
+            .schema("key string, v double, w long, batch_id long")
+            .parquet(store_dir + "/gqsummary"))
+    cum = rows.withColumn("cum", F.sum("w").over(
+        Window.partitionBy("key").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    picked = (cum.alias("s")
+              .join(grid.alias("g"),
+                    F.col("s.key").eqNullSafe(F.col("g.key"))
+                    & (F.least(F.col("s.cum"), F.col("g.wt"))
+                       >= F.least(F.col("g.tgt"), F.col("g.wt"))))
+              .groupBy(F.col("g.key").alias("key"), "g.tgt", "g.w")
+              .agg(F.min("s.v").alias("v"))
+              .select("key", "v", F.col("w").cast("long").alias("w")))
+    new_meta = big.select(
+        "key", F.col("wt").cast("long").alias("n_values"),
+        F.col("stride").cast("long"),
+        (F.col("err0") + F.col("stride") - 1).cast("long")
+        .alias("err_ub"),
+        F.col("nk").cast("long").alias("n_rows"))
+    return picked, new_meta
+
+
 def run_grouped_quantile_ingest(stream_df: DataFrame, store_dir: str,
                                 checkpoint_dir: str, key_col: str,
                                 value_col: str, k: int = 64) -> None:

@@ -2430,3 +2430,48 @@ def test_kmv_overlap_exact_and_estimated(spark, tmp_path):
     assert abs(r["jaccard"] - true_j) <= 3 * rse, r["jaccard"]
     assert abs(r["union_est"] - true_u) <= 3 * rse * true_u
     assert abs(r["inter_est"] - true_j * true_u) <= 5 * rse * true_u
+
+
+def test_grouped_restratify_per_key_valve(spark, tmp_path):
+    """restratify_grouped_summary: per-key weight totals preserved,
+    <= k rows per key with a light key staying EXACT at stride 1, the
+    collapsed summary satisfies its own widened per-key bound, and the
+    NULL-key group survives."""
+    from pandas_db_spark.streaming.monitor import (
+        append_grouped_quantile_batch, restratify_grouped_summary)
+
+    rows0 = ([("hot", float((i * 17) % 500)) for i in range(400)]
+             + [("cold", float(i)) for i in range(5)]
+             + [(None, 50.0 + i) for i in range(30)])
+    rows1 = [("hot", 200.0 + 0.5 * i) for i in range(300)]
+    store = str(tmp_path / "gqr")
+    for bi, chunk in enumerate([rows0, rows1]):
+        append_grouped_quantile_batch(
+            spark.createDataFrame(chunk, "k string, x double"),
+            bi, store, "k", "x", k=16)
+
+    rows, meta = restratify_grouped_summary(spark, store, k=8)
+    got = {}
+    for r in rows.collect():
+        got.setdefault(r["key"], []).append((float(r["v"]), int(r["w"])))
+    m = {r["key"]: r.asDict() for r in meta.collect()}
+    truth = {}
+    for k_, v in rows0 + rows1:
+        truth.setdefault(k_, []).append(v)
+
+    assert set(got) == set(m) == {"hot", "cold", None}
+    for key, vals in truth.items():
+        vals = sorted(vals)
+        assert m[key]["n_values"] == len(vals)
+        assert sum(w for _v, w in got[key]) == len(vals)
+        assert len(got[key]) == m[key]["n_rows"] <= 8
+        cum = 0
+        for v, w in sorted(got[key]):
+            cum += w
+            true = sum(1 for x in vals if x <= v)
+            assert cum <= true <= cum + m[key]["err_ub"], (key, v)
+    # the 5-value key stays exact: stride 1, per-key err from the fold
+    assert m["cold"]["stride"] == 1 and m["cold"]["err_ub"] == 0
+    assert [v for v, _w in sorted(got["cold"])] == sorted(truth["cold"])
+    # the hot key genuinely collapsed
+    assert m["hot"]["stride"] > 1 and len(got["hot"]) <= 8
