@@ -191,15 +191,35 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame, id_col: str,
                   threshold: float) -> DataFrame:
     """Join candidate (id_a, id_b) pairs back to their shingle sets and keep
     pairs with exact Jaccard ≥ threshold.  |A∩B| and |A∪B| are integers, the
-    quotient a single correctly-rounded double division → bit-stable."""
+    quotient a single correctly-rounded double division → bit-stable.
+
+    r14 per-task shape (measured at sf0.1, bit-identical output):
+
+    * no ``array_union`` — shingle sets hold distinct elements, so
+      ``|A∪B| = |A| + |B| − |A∩B|`` exactly and the second O(|A|+|B|)
+      hash-set build per pair is pure waste;
+    * the intersect size is computed ONCE below a (id_a, id_b)
+      aggregate barrier: without it the optimizer pushes the
+      ``jaccard ≥ t`` filter through the projection and re-evaluates
+      ``array_intersect`` in both Filter and Project (the §4.4
+      duplication, for a JVM expression).  Candidates are pair-distinct
+      by construction (both generators end ``.distinct()``), so the
+      one-row-per-group ``first()`` is a no-op on values, and the extra
+      exchange moves only (id, id, int, int) rows — nothing next to the
+      halved per-pair array work.  Verify stage 5.9 s → 3.8 s at sf0.1.
+    """
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
-    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
-                  .filter(F.col("jaccard") >= threshold))
+    jac = F.col("__i").cast("double") / (F.col("__s") - F.col("__i"))
+    return (joined.select(
+                "id_a", "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+                (F.size("sh_a") + F.size("sh_b")).alias("__s"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("__i").alias("__i"), F.first("__s").alias("__s"))
+            .select("id_a", "id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 # ---------------------------------------------------------------------------
@@ -473,11 +493,20 @@ def containment_pairs(df: DataFrame, text_col: str, id_col: str,
     b = sh.select(F.col(id_col).alias("id_b"),
                   F.col("shingles").alias("sh_b"))
     joined = cand.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = joined.select(
-        "id_a", "id_b", inter.cast("long").alias("n_inter"),
-        F.size("sh_a").cast("long").alias("n_a"),
-        F.size("sh_b").cast("long").alias("n_b"))
+    # aggregate barrier: same r14 shape as _verify_pairs — without it
+    # the threshold filter is pushed through the projection and
+    # array_intersect runs twice per pair (candidates are pair-distinct,
+    # so first() is a value no-op and only narrow rows shuffle)
+    out = (joined.select(
+               "id_a", "id_b",
+               F.size(F.array_intersect("sh_a", "sh_b"))
+               .cast("long").alias("n_inter"),
+               F.size("sh_a").cast("long").alias("n_a"),
+               F.size("sh_b").cast("long").alias("n_b"))
+           .groupBy("id_a", "id_b")
+           .agg(F.first("n_inter").alias("n_inter"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b")))
     return out.filter(
         F.col("n_inter").cast("double")
         / F.least("n_a", "n_b") >= threshold)

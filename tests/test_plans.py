@@ -181,3 +181,20 @@ def test_cap_per_group_uses_window_group_limit(spark, db):
     assert kept == want
     with pytest.raises(ValueError, match="cap must be >= 1"):
         cap_per_group(db.documents.df, "source", 0, "n_chars")
+
+
+def test_jaccard_verify_single_intersect(db):
+    """r14 optimization contract: the exact-verify stage computes
+    array_intersect ONCE per candidate pair.  Without the aggregate
+    barrier the optimizer pushes the threshold filter through the
+    projection and the plan evaluates the intersect twice (Filter +
+    Project); with it the formatted plan holds exactly one
+    array_intersect per verify (and no array_union at all — the union
+    size derives from the distinct-set identity |A|+|B|-|A∩B|)."""
+    from pandas_db_spark.operators import dedup as D
+    docs = db.documents.df
+    for out in (D.jaccard_pairs(docs, "text", "doc_id"),
+                D.containment_pairs(docs, "text", "doc_id")):
+        plan = formatted_plan(out)
+        assert plan.count("array_intersect") == 1, plan
+        assert "array_union" not in plan, plan
