@@ -28,6 +28,21 @@ def runtime_conf() -> dict[str, str]:
     return dict(_RUNTIME_CONF)
 
 
+def tiny_df(spark: SparkSession, rows: list, schema: str):
+    """Driver-rows DataFrame as ONE partition.
+
+    ``spark.createDataFrame(list)`` pickles the rows into
+    ``defaultParallelism`` slices; every slice evaluates through its own
+    Python-worker handshake, and a downstream ``coalesce(1)`` (the
+    single-file store-sink contract) folds them into ONE task that pays
+    the handshakes SEQUENTIALLY — ~4 s for 64 rows at 32 slices,
+    measured r14.  Even without a coalesce, a driver-rows frame this
+    small never needs 32 tasks: one slice = one handshake (~0.3 s), and
+    the single partition already satisfies single-file sinks."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to a session we did not build (e.g. the
     driver's).  Never raises: individual keys that a deployment forbids are

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_db_spark.session import tiny_df
+
 
 def _read_store(spark, path: str, schema: str) -> DataFrame:
     """Load a persisted dedup-state table, treating ONLY path-not-found as
@@ -270,9 +272,8 @@ def run_dedup_ingest(stream_df: DataFrame, text_col: str, id_col: str,
                 # the same expected_corpus, so the pin is idempotent)
                 bands, rows = auto_sign_geometry(expected_corpus, threshold)
                 pin = expected_corpus
-                (spark.createDataFrame(
-                    [(bands, rows, expected_corpus)],
-                    "bands long, rows long, expected_corpus long")
+                (tiny_df(spark, [(bands, rows, expected_corpus)],
+                         "bands long, rows long, expected_corpus long")
                  .write.mode("overwrite").parquet(store_dir + "/meta"))
             # Growth guard (r9): once the stored corpus outgrows the
             # geometry pin's design density, random-pair candidates
@@ -494,10 +495,9 @@ def run_ivf_index_ingest(stream_df: DataFrame, index_dir: str,
         except ValueError:
             cent = _fit_centroids(batch_df, nlist, sample_n,
                                   id_col, vec_col)
-            (spark.createDataFrame(
-                [(i, c.tolist()) for i, c in enumerate(cent)],
-                "list_id long, centroid array<double>")
-             .coalesce(1).write.mode("overwrite")
+            (tiny_df(spark, [(i, c.tolist()) for i, c in enumerate(cent)],
+                     "list_id long, centroid array<double>")
+             .write.mode("overwrite")
              .parquet(index_dir + "/centroids"))
         if design_corpus is not None:
             indexed = _read_store(spark, index_dir + "/vectors",

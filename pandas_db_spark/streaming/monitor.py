@@ -47,6 +47,9 @@ from pandas_db_spark.operators.stats import (drift_from_counts,
                                              term_counts, tvd_summary)
 
 
+from pandas_db_spark.session import tiny_df as _tiny_df
+
+
 def _reference_counts(spark: SparkSession, monitor_dir: str,
                       reference_df: DataFrame | None,
                       text_col: str) -> DataFrame:
@@ -383,13 +386,13 @@ def append_heavy_hitters_batch(batch_df: DataFrame, batch_id: int,
     # dynamic overwrite writes no partition; n_rows is the count of rows
     # just written (the integrity receipt _read_hh_state checks, ADVICE
     # r13), now known without re-reading the partition
-    (spark.createDataFrame(rows, "term string, c long")
+    (_tiny_df(spark, rows, "term string, c long")
      .withColumn("batch_id", F.lit(batch_id))
-     .coalesce(1).write.mode("overwrite")
+     .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(store_dir + "/summary"))
-    meta = spark.createDataFrame(
-        [(prev_n + batch_n, prev_err + delta, n_rows, batch_id)],
+    meta = _tiny_df(
+        spark, [(prev_n + batch_n, prev_err + delta, n_rows, batch_id)],
         "n_tokens long, err_ub long, n_rows long, batch_id long")
     (meta.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -583,14 +586,14 @@ def append_kmv_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
     n_rows = len(kept)
     # the write is issued even for an empty batch — exactly as before,
     # so the dataset directory exists and serves read it as 0 rows
-    (spark.createDataFrame([(r["h"], r["item"]) for r in kept],
-                           "h string, item string")
+    (_tiny_df(spark, [(r["h"], r["item"]) for r in kept],
+              "h string, item string")
      .withColumn("batch_id", F.lit(batch_id))
-     .coalesce(1).write.mode("overwrite")
+     .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("batch_id").parquet(store_dir + "/kmv"))
-    meta = spark.createDataFrame(
-        [(n_tokens, int(n_rows), int(k), batch_id)],
+    meta = _tiny_df(
+        spark, [(n_tokens, int(n_rows), int(k), batch_id)],
         "n_tokens long, n_rows long, k long, batch_id long")
     (meta.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -705,9 +708,9 @@ def kmv_overlap(spark: SparkSession, store_a: str,
             h_max = union_k.agg(F.max("h")).collect()[0][0]
             r48 = int(h_max[:_KMV_HEX_DIGITS], 16)
             union_est = float((k - 1) * _KMV_SPACE) / float(r48)
-        return spark.createDataFrame(
-            [(k, n_union, n_both, jaccard, union_est,
-              jaccard * union_est)],
+        return _tiny_df(
+            spark, [(k, n_union, n_both, jaccard, union_est,
+                     jaccard * union_est)],
             "k long, n_union_sample long, n_both long, jaccard double, "
             "union_est double, inter_est double")
     finally:
@@ -803,8 +806,8 @@ def append_histogram_batch(batch_df: DataFrame, batch_id: int,
         if not ((cond and "PATH_NOT_FOUND" in cond)
                 or "Path does not exist" in str(exc)):
             raise
-        spark.createDataFrame(
-            [(float(lo), float(hi), int(n_bins))],
+        _tiny_df(
+            spark, [(float(lo), float(hi), int(n_bins))],
             "lo double, hi double, n_bins int").write.mode(
             "error").parquet(geom_path)
     width = (hi - lo) / n_bins
@@ -849,8 +852,8 @@ def histogram_quantile_bounds(spark: SparkSession, store_dir: str,
            .withColumn("cum", F.sum("c").over(
                Window.orderBy("bin")
                .rowsBetween(Window.unboundedPreceding, 0))))
-    qdf = spark.createDataFrame(
-        [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
+    qdf = _tiny_df(
+        spark, [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
     n = F.max(F.col("cum")).over(Window.partitionBy())
     # integer ceil-div (DIV, not /: the float path loses exactness past
     # 2^53 — q_ppm*n reaches 1e18 at a trillion rows, still inside int64)
@@ -964,9 +967,9 @@ def append_quantile_summary_batch(batch_df: DataFrame, batch_id: int,
          .coalesce(1).write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(store_dir + "/qsummary"))
-    meta = spark.createDataFrame(
-        [(int(n), int(m), int(m - 1 if n else 0), int(n_rows),
-          batch_id)],
+    meta = _tiny_df(
+        spark, [(int(n), int(m), int(m - 1 if n else 0), int(n_rows),
+                 batch_id)],
         "n_values long, stride long, err_ub long, n_rows long, "
         "batch_id long")
     (meta.write.mode("overwrite")
@@ -1009,8 +1012,8 @@ def quantile_estimates(spark: SparkSession, store_dir: str,
             f"qmeta ledgers {int(meta['n_rows'])} summary rows but "
             f"qsummary/ yields {have} — a partition was pruned or lost "
             "out of band; restore it or rebuild the store")
-    qdf = spark.createDataFrame(
-        [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
+    qdf = _tiny_df(
+        spark, [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
     if n == 0:
         return qdf.select("q_ppm", F.lit(None).cast("double").alias("value"),
                           F.lit(0).cast("long").alias("n"),
@@ -1068,7 +1071,7 @@ def restratify_summary(spark: SparkSession, store_dir: str,
         F.coalesce(F.sum("err_ub"), F.lit(0)).alias("err_ub")).collect()[0]
     w_total, err_old = int(meta["n"]), int(meta["err_ub"])
     if w_total == 0:
-        empty = spark.createDataFrame([], "v double, w long")
+        empty = _tiny_df(spark, [], "v double, w long")
         return empty, {"n_values": 0, "stride": 1, "err_ub": 0,
                        "n_rows": 0}
     big_m = (w_total + k - 1) // k
@@ -1233,8 +1236,8 @@ def grouped_quantile_estimates(spark: SparkSession, store_dir: str,
     cum = rows.withColumn("cum", F.sum("w").over(
         Window.partitionBy("key").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)))
-    qdf = spark.createDataFrame(
-        [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
+    qdf = _tiny_df(
+        spark, [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
     # null-safe key join: a NULL key is a real group (kept at append),
     # so its quantiles must serve too
     need = (cum.crossJoin(F.broadcast(qdf)).alias("s")
