@@ -48,6 +48,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_db_spark.session import tiny_df
+
 
 def _truncate(df: DataFrame) -> DataFrame:
     """Truncate iteration lineage — used via ``.transform(_truncate)`` at
@@ -158,8 +160,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     spark = edges.sparkSession
     out_schema = edges.select(F.col("u").alias("id"),
                               F.col("v").alias("component")).schema
-    return spark.createDataFrame(
-        [(x, find(x)) for x in parent], out_schema)
+    return tiny_df(spark, [(x, find(x)) for x in parent], out_schema)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

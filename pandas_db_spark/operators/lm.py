@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pandas_db_spark.session import tiny_df
+
 from pandas_db_spark.functions.text import tokens, word_hash, _FP_MOD
 
 
@@ -355,7 +357,8 @@ def _with_weight_arrays(df: DataFrame,
             df = df.withColumn(
                 name, F.array(*[F.lit(float(x)) for x in vals]))
         return df
-    one = df.sparkSession.createDataFrame(
+    one = tiny_df(
+        df.sparkSession,
         [tuple([float(x) for x in v] for v in named.values())],
         ", ".join(f"{n} array<double>" for n in named))
     return df.crossJoin(F.broadcast(one))

@@ -33,6 +33,8 @@ from collections import OrderedDict
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_db_spark.session import tiny_df
+
 # LRU of persisted token frames (same discipline as plans/ordinal.py):
 # repeated packing calls over the same corpus reuse one cached frame;
 # evicted entries are unpersisted so a long-lived session calling
@@ -114,8 +116,8 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
         rows.append((r["__chunk"], running))
         running += r["__t"]
     spark = docs.sparkSession
-    offsets = spark.createDataFrame(rows or [(0, 0)],
-                                    "__chunk long, __chunk_off long")
+    offsets = tiny_df(spark, rows or [(0, 0)],
+                      "__chunk long, __chunk_off long")
 
     out = (local.join(F.broadcast(offsets), "__chunk")
                 .withColumn("start_offset",

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from pandas_db_spark.session import tiny_df
+
 from pandas_db_spark.functions.text import tokens
 
 
@@ -333,7 +335,7 @@ def bm25_topk_streamed(spark, index_dir: str, query: str, k: int = 10,
     q_terms = sorted({t for t in query.strip().split() if t})
     if not q_terms:
         raise ValueError("bm25_topk_streamed: query has no terms")
-    tb = (spark.createDataFrame([(t,) for t in q_terms], "term string")
+    tb = (tiny_df(spark, [(t,) for t in q_terms], "term string")
           .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                   .alias("tb")).distinct().collect())
     buckets = [int(r["tb"]) for r in tb]
@@ -700,8 +702,8 @@ def append_inverted_index(docs_new: DataFrame, text_col: str, id_col: str,
                         ) + dl_new
         avgdl = ((float(old["avgdl"]) * int(old["n_docs"]) + dl_new)
                  / n_total) if n_total else 0.0
-    (spark.createDataFrame([(n_total, sum_total, avgdl)],
-                           "n_docs long, sum_dl long, avgdl double")
+    (tiny_df(spark, [(n_total, sum_total, avgdl)],
+             "n_docs long, sum_dl long, avgdl double")
      .write.mode("overwrite").saveAsTable(meta_t + "_stage2"))
     _drop_table_and_location(spark, meta_t)
     spark.sql(f"ALTER TABLE {meta_t}_stage2 RENAME TO {meta_t}")

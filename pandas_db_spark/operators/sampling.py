@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pandas_db_spark.session import tiny_df
+
 # md5-prefix fraction threshold: keep row iff the first 8 hex chars of
 # md5(key||salt), compared LEXICOGRAPHICALLY, fall below the threshold.
 # 8 hex chars = 32 bits → fraction granularity 2^-32.
@@ -372,8 +374,8 @@ def take_until_budget_by(df: DataFrame, group_col: str, budgets: dict,
     weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     order = F.col(order_col) if isinstance(order_col, str) else order_col
     spark = df.sparkSession
-    bdf = F.broadcast(spark.createDataFrame(
-        [(g, int(b)) for g, b in sorted(budgets.items())],
+    bdf = F.broadcast(tiny_df(
+        spark, [(g, int(b)) for g, b in sorted(budgets.items())],
         f"{group_col} string, __budget long"))
     proj = (df.select(F.col(group_col).cast("string").alias(group_col),
                       F.col(id_col),

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pandas_db_spark.session import tiny_df
+
 # Bump whenever quantizer-fit / index-layout code changes so callers that
 # cache built indexes on disk (queries.ann_ivfpq_recall's tmp-dir memo)
 # rebuild instead of serving geometry from a prior code vintage.
@@ -106,8 +108,8 @@ def ann_topk_brute(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
                 .select(id_col, vec_col).collect())
     if not qrows:
         spark = emb.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long")
+        return tiny_df(
+            spark, [], "query_id long, rank int, neighbor_id long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -430,8 +432,8 @@ def reband_store(spark, store_dir: str, threshold: float = 0.95,
     # EMPTY meta, which a later ingest would mistake for "first batch
     # ever" and re-pin a geometry that no longer matches the keys
     _staged_overwrite(
-        spark.createDataFrame(meta,
-                              "bands long, rows long, expected_corpus long"),
+        tiny_df(spark, meta,
+                "bands long, rows long, expected_corpus long"),
         store_dir + "/meta", n_files=1)
     return int(bands), int(rows)
 
@@ -694,7 +696,7 @@ def cosine_pairs_ivf(emb: DataFrame, threshold: float = 0.95,
         # _fit_centroids cannot fit on an empty/singleton sample (and
         # there are no pairs to find) — return the empty pair frame the
         # flat route would produce
-        return emb.sparkSession.createDataFrame([], "id_a long, id_b long")
+        return tiny_df(emb.sparkSession, [], "id_a long, id_b long")
     if nlist == "auto":
         nlist = auto_nlist(nn, target_list_size, sample_n)
     cent = _fit_centroids(emb, nlist, sample_n, id_col, vec_col)
@@ -790,7 +792,7 @@ def ivf_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
         order = np.argsort(-(cent @ qv))[:nprobe]
         probe_rows.extend((int(r[0]), int(c)) for c in order)
     spark = emb.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+    probes = tiny_df(spark, probe_rows, "query_id long, list_id long")
 
     shortlisted = lists.join(F.broadcast(probes), "list_id")
     q = emb.filter(F.col(id_col).isin(qids)).select(
@@ -829,8 +831,8 @@ def build_ivf_index(emb: DataFrame, path: str, nlist: int = 16,
     (lists.write.mode("overwrite").partitionBy("list_id")
           .parquet(path + "/vectors"))
     spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c.tolist()) for i, c in enumerate(cent)],
+    cdf = tiny_df(
+        spark, [(i, c.tolist()) for i, c in enumerate(cent)],
         "list_id long, centroid array<double>")
     cdf.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
 
@@ -858,7 +860,7 @@ def ivf_topk_indexed(spark, path: str, query_ids: Iterable[int],
         qv = qv / np.linalg.norm(qv)
         order = np.argsort(-(cent @ qv))[:nprobe]
         probe_rows.extend((int(r[0]), int(c)) for c in order)
-    probes = spark.createDataFrame(probe_rows, "query_id long, list_id long")
+    probes = tiny_df(spark, probe_rows, "query_id long, list_id long")
     probe_lists = sorted({lid for _, lid in probe_rows})
 
     shortlisted = (vectors.filter(F.col("list_id").isin(probe_lists))
@@ -1042,8 +1044,8 @@ def pq_topk(emb: DataFrame, query_ids: Iterable[int], k: int = 10,
     qrows = (emb.filter(F.col(id_col).isin(qids))
                 .select(id_col, vec_col).collect())
     if not qrows:
-        return emb.sparkSession.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long")
+        return tiny_df(
+            emb.sparkSession, [], "query_id long, rank int, neighbor_id long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1185,14 +1187,13 @@ def build_ivfpq_index(emb: DataFrame, path: str, nlist: int = 16,
     (lists.write.mode("overwrite").partitionBy("list_id")
           .parquet(path + "/vectors"))
     spark = emb.sparkSession
-    (spark.createDataFrame([(i, c.tolist()) for i, c in enumerate(cent)],
-                           "list_id long, centroid array<double>")
-     .coalesce(1).write.mode("overwrite").parquet(path + "/centroids"))
-    (spark.createDataFrame(
-        [(s, c, books[s, c].tolist())
-         for s in range(m) for c in range(ksub)],
-        "subspace long, code long, centroid array<double>")
-     .coalesce(1).write.mode("overwrite").parquet(path + "/codebooks"))
+    (tiny_df(spark, [(i, c.tolist()) for i, c in enumerate(cent)],
+             "list_id long, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/centroids"))
+    (tiny_df(spark, [(s, c, books[s, c].tolist())
+                     for s in range(m) for c in range(ksub)],
+             "subspace long, code long, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/codebooks"))
 
 
 def ivfpq_topk_indexed(spark, path: str, query_ids: Iterable[int],
@@ -1227,8 +1228,8 @@ def ivfpq_topk_indexed(spark, path: str, query_ids: Iterable[int],
     qrows = (vectors.filter(F.col(id_col).isin(qids))
                     .select(id_col, vec_col).collect())
     if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long")
+        return tiny_df(
+            spark, [], "query_id long, rank int, neighbor_id long")
     luts = {}  # (query_id, list_id) -> (m, ksub) float64
     probe_lists = set()
     for r in qrows:

@@ -35,6 +35,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from pandas_db_spark.session import tiny_df
+
 
 def _moments(cols: Sequence[str], scale: int) -> list[Column]:
     """n, per-column Σx and Σx², per-pair Σxy — all exact decimals.
@@ -286,8 +288,8 @@ def mad_summary(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
         F.col("__x").isNotNull())
     med = vals.agg(F.median("__x")).collect()[0][0]
     if med is None:
-        return df.sparkSession.createDataFrame(
-            [(0, None, None, 0)],
+        return tiny_df(
+            df.sparkSession, [(0, None, None, 0)],
             "n long, med double, mad double, n_outliers long")
     mad = (vals.select(F.abs(F.col("__x") - F.lit(float(med)))
                        .alias("__d"))

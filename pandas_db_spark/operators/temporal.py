@@ -28,6 +28,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pandas_db_spark.session import tiny_df
+
 from pandas_db_spark.operators.graph import _truncate
 
 _SIDE = "__side"
@@ -442,8 +444,8 @@ def concurrency_profile(intervals: DataFrame, lo: str = "lo",
         offs[r["__pid"]] = acc
         acc += r["__t"]
     spark = intervals.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offs.items()],
+    off_df = tiny_df(
+        spark, [(int(p), int(o)) for p, o in offs.items()],
         "__pid int, __off long")
     return (run.join(F.broadcast(off_df), "__pid")
             .select("ts_us", (F.col("__run") + F.col("__off"))

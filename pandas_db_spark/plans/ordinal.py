@@ -85,8 +85,9 @@ def with_ordinal_and_count(df: DataFrame) -> tuple[DataFrame, int]:
 
     if offset_rows:
         spark = tagged.sparkSession
-        offsets_df = spark.createDataFrame(
-            offset_rows, "__pdbs_pid__ long, __pdbs_off__ long")
+        from pandas_db_spark.session import tiny_df
+        offsets_df = tiny_df(
+            spark, offset_rows, "__pdbs_pid__ long, __pdbs_off__ long")
         out = (
             tagged.join(F.broadcast(offsets_df), pid == F.col("__pdbs_pid__"))
                   .withColumn(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pandas_db_spark.database import Database
+from pandas_db_spark.session import tiny_df
 
 # name -> (callable, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -612,8 +613,8 @@ def dedup_embedding_rebanded(spark, sf_dir):
         e.write.mode("overwrite").parquet(store_dir + "/vecs")
         (S.signlsh_store(e, bands=4, rows=16)
          .write.mode("overwrite").parquet(store_dir + "/keys"))
-        (spark.createDataFrame([(4, 16, None)],
-                               "bands long, rows long, expected_corpus long")
+        (tiny_df(spark, [(4, 16, None)],
+                 "bands long, rows long, expected_corpus long")
          .write.mode("overwrite").parquet(store_dir + "/meta"))
         S.reband_store(spark, store_dir, threshold=0.95)
         open(marker, "w").close()
@@ -651,7 +652,8 @@ def ann_pq_recall(spark, sf_dir):
     brute = S.ann_topk_brute(e.df, query_ids=range(5), k=10)
     hits = pq.join(brute, ["query_id", "neighbor_id"], "left_semi").count()
     n_brute = brute.count()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(pq.count(), hits >= 0.8 * n_brute)],
         "n_pq long, recall_ok boolean")
 
@@ -698,7 +700,8 @@ def ann_ivfpq_recall(spark, sf_dir):
     brute = S.ann_topk_brute(e.df, query_ids=range(5), k=10)
     hits = pq.join(brute, ["query_id", "neighbor_id"], "left_semi").count()
     n_brute = brute.count()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(pq.count(), hits >= 0.8 * n_brute)],
         "n_ivfpq long, recall_ok boolean")
 
@@ -741,7 +744,8 @@ def ann_append_invariant(spark, sf_dir):
                     .filter(F.col("list_id") != F.col("l2")).count())
         dups = (back.groupBy("vec_id").count()
                     .filter(F.col("count") > 1).count())
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [(back.count(), mism, dups)],
             "n_indexed long, n_assign_mismatch long, n_dup_ids long")
     finally:
@@ -798,7 +802,8 @@ def ann_compact_invariant(spark, sf_dir):
         dups = (back.groupBy("vec_id").count()
                     .filter(F.col("count") > 1).count())
         n_lists = post.select("list_id").distinct().count()
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [(back.count(), mism, dups, n_diff,
               report["vectors"]["files_after"] == n_lists)],
             "n_indexed long, n_assign_mismatch long, n_dup_ids long, "
@@ -832,7 +837,8 @@ def bm25_append_meta(spark, sf_dir):
         append_inverted_index(d.filter(F.col("doc_id") % 2 == 1),
                               "text", "doc_id", prefix, n_buckets=8)
         m = spark.table(prefix + "_meta").collect()[0]
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [(int(m["n_docs"]), int(m["sum_dl"]), float(m["avgdl"]))],
             "n_docs long, sum_dl long, avgdl double")
     finally:
@@ -1048,7 +1054,8 @@ def semdedup_invariant(spark, sf_dir):
                   .where(cosine_sim(F.col("__va"), F.col("__vb")) >= 0.95)
                   .count())
     kept.unpersist()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(n_in, planted_dropped, violations)],
         "n_in long, planted_dropped long, violations long")
 
@@ -1999,7 +2006,7 @@ def filter_contains(spark, sf_dir):
     """`value in column` probe (ref column.py:589-595)."""
     r = get_db(spark, sf_dir).region
     present = "ASIA" in r.r_name
-    return spark.createDataFrame([(present,)], "present boolean")
+    return tiny_df(spark, [(present,)], "present boolean")
 
 
 # =====================================================================
@@ -2010,7 +2017,7 @@ def filter_contains(spark, sf_dir):
    "SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem")
 def agg_minmax_num(spark, sf_dir):
     c = get_db(spark, sf_dir).lineitem.l_extendedprice
-    return spark.createDataFrame([(c.min(), c.max())], "mn double, mx double")
+    return tiny_df(spark, [(c.min(), c.max())], "mn double, mx double")
 
 
 @q("agg_minmax_str",
@@ -2018,7 +2025,7 @@ def agg_minmax_num(spark, sf_dir):
 def agg_minmax_str(spark, sf_dir):
     """min/max on text — lexicographic, like SQLite (ref column.py:174-184)."""
     c = get_db(spark, sf_dir).customer.c_name
-    return spark.createDataFrame([(c.min(), c.max())], "mn string, mx string")
+    return tiny_df(spark, [(c.min(), c.max())], "mn string, mx string")
 
 
 @q("agg_sum_avg",
@@ -2046,7 +2053,7 @@ def agg_median(spark, sf_dir):
     db = get_db(spark, sf_dir)
     m1 = db.lineitem.l_extendedprice.median()
     m2 = db.orders.o_totalprice.median()
-    return spark.createDataFrame([(m1, m2)], "med_price double, med_total double")
+    return tiny_df(spark, [(m1, m2)], "med_price double, med_total double")
 
 
 @q("agg_counts",
@@ -2060,7 +2067,8 @@ def agg_counts(spark, sf_dir):
     t = Table(db.sql("SELECT nullif(l_linenumber, 1) AS ln FROM lineitem"),
               "t_ln", db.cache)
     c = t.ln
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(c.len, c.count(), c.null_count())],
         "n_len long, n_count long, n_nulls long")
 
@@ -2072,7 +2080,8 @@ def agg_counts(spark, sf_dir):
 def agg_mode(spark, sf_dir):
     """mode(): all values tied at max count (ref column.py:233-249)."""
     m = get_db(spark, sf_dir).customer.c_mktsegment.mode()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(k, v) for k, v in m.items()], "value string, cnt long")
 
 
@@ -2080,7 +2089,7 @@ def agg_mode(spark, sf_dir):
    "SELECT DISTINCT o_orderpriority AS value FROM orders")
 def agg_unique(spark, sf_dir):
     u = get_db(spark, sf_dir).orders.o_orderpriority.unique()
-    return spark.createDataFrame([(v,) for v in u], "value string")
+    return tiny_df(spark, [(v,) for v in u], "value string")
 
 
 @q("value_counts",
@@ -2088,7 +2097,8 @@ def agg_unique(spark, sf_dir):
    "WHERE l_returnflag IS NOT NULL GROUP BY 1")
 def value_counts(spark, sf_dir):
     vc = get_db(spark, sf_dir).lineitem.l_returnflag.value_counts()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(k, v) for k, v in vc.items()], "value string, cnt long")
 
 
@@ -2106,7 +2116,8 @@ def describe_numeric(spark, sf_dir):
     agg_sum_avg)."""
     db = get_db(spark, sf_dir)
     d = db.orders.o_totalprice._describe_full()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(d["len"], d["count"], d["min"], d["max"], d["sum_exact"],
           d["median"])],
         "n_len long, n_count long, mn double, mx double, sm double, med double")
@@ -2117,7 +2128,8 @@ def describe_numeric(spark, sf_dir):
    "max(p_type) AS mx, count(DISTINCT p_type) AS n_unique FROM part")
 def describe_text(spark, sf_dir):
     d = get_db(spark, sf_dir).part.p_type.describe()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(d["len"], d["count"], d["min"], d["max"], d["unique"])],
         "n_len long, n_count long, mn string, mx string, n_unique long")
 
@@ -2154,7 +2166,7 @@ def iloc_int(spark, sf_dir):
     o = get_db(spark, sf_dir).orders.sort_values("o_orderkey")
     t = o[["o_orderkey", "o_totalprice"]]
     rows = [t.iloc[5], t.iloc[-3]]
-    return spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    return tiny_df(spark, rows, "o_orderkey long, o_totalprice double")
 
 
 @q("iloc_slice",
@@ -2163,7 +2175,7 @@ def iloc_int(spark, sf_dir):
 def iloc_slice(spark, sf_dir):
     o = get_db(spark, sf_dir).orders.sort_values("o_orderkey")
     rows = o[["o_orderkey", "o_orderstatus"]].iloc[10:20]
-    return spark.createDataFrame(rows, "o_orderkey long, o_orderstatus string")
+    return tiny_df(spark, rows, "o_orderkey long, o_orderstatus string")
 
 
 @q("iloc_list",
@@ -2175,7 +2187,7 @@ def iloc_list(spark, sf_dir):
     """iloc[list] — repeatable indices, requested order kept (ref table.py:91-104)."""
     c = get_db(spark, sf_dir).orders.sort_values("o_orderkey").o_orderkey
     cells = c.iloc[[0, 7, 3, 7]]
-    return spark.createDataFrame([(v,) for v in cells], "o_orderkey long")
+    return tiny_df(spark, [(v,) for v in cells], "o_orderkey long")
 
 
 @q("sample_n")  # random sample → rows-only check (exact-n contract)
@@ -2192,7 +2204,7 @@ def sample_n(spark, sf_dir):
 def table_len_shape(spark, sf_dir):
     t = get_db(spark, sf_dir).lineitem
     rows, cols = t.shape
-    return spark.createDataFrame([(rows, cols)], "n_rows long, n_cols int")
+    return tiny_df(spark, [(rows, cols)], "n_rows long, n_cols int")
 
 
 # =====================================================================
@@ -2314,7 +2326,8 @@ def agg_sketches(spark, sf_dir):
     db = get_db(spark, sf_dir)
     nd = db.orders.o_custkey.nunique_approx(rsd=0.05)
     q25, q50, q75 = db.orders.o_totalprice.quantile_approx([0.25, 0.5, 0.75])
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(nd, q25, q50, q75)],
         "nd_custkey long, q25 double, q50 double, q75 double")
 
@@ -2600,7 +2613,8 @@ def ann_ivf_recall(spark, sf_dir):
     hits = ivf.join(brute, ["query_id", "neighbor_id"], "left_semi").count()
     n_ivf = ivf.count()
     n_brute = brute.count()
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(n_ivf, hits >= 0.8 * n_brute)], "n_ivf long, recall_ok boolean")
 
 
@@ -2658,7 +2672,8 @@ def agg_sketches_bounds(spark, sf_dir):
         [0.26, 0.51, 0.76])
     q_ok = (q25 <= q50 <= q75 and lo25 <= q25 <= hi25
             and lo50 <= q50 <= hi50 and lo75 <= q75 <= hi75)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(bool(nd_ok), bool(q_ok))], "nd_ok boolean, q_ok boolean")
 
 
@@ -4263,7 +4278,8 @@ def bm25_stream_topk(spark, sf_dir):
         # removed — a lazily returned plan would read a deleted dir
         rows = bm25_topk_streamed(spark, idx, "merge vector stream",
                                   k=10).select("rank", "doc_id").collect()
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             [(int(r["rank"]), int(r["doc_id"])) for r in rows],
             "rank int, doc_id long")
     finally:
@@ -5048,7 +5064,8 @@ def stream_drift_tvd(spark, sf_dir):
         rows = drift_history(spark, mon).collect()
     finally:
         shutil.rmtree(mon, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         rows, "batch_id long, tvd_num long, n_corpus long, n_ref long")
 
 
@@ -5087,7 +5104,8 @@ def pca_invariant(spark, sf_dir):
     var_match_ok = all(
         abs(var_row[f"v{j}"] - eig[j]) <= 1e-4 * max(eig[j], 1e-12)
         for j in range(k))
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(int(m["d"]), k, int(m["n"]),
           ortho_ok, eig_desc_ok, var_match_ok)],
         "d int, k int, n long, ortho_ok boolean, eig_desc_ok boolean, "
@@ -5339,7 +5357,8 @@ def stream_drift_alert(spark, sf_dir):
         rows = drift_alert(spark, mon, threshold_ppm=30000).collect()
     finally:
         shutil.rmtree(mon, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         rows, "batch_id long, tvd_num long, n_corpus long, n_ref long")
 
 
@@ -5781,7 +5800,7 @@ def vocab_top_streamed(spark, sf_dir):
         rows = _serve(spark, mon, k=50).collect()
     finally:
         shutil.rmtree(mon, ignore_errors=True)
-    return spark.createDataFrame(rows, "term string, cf long")
+    return tiny_df(spark, rows, "term string, cf long")
 
 
 _HH_SRC_SQL = (
@@ -5849,7 +5868,8 @@ def heavy_hitters_mg(spark, sf_dir):
     and vocab size — the scale property the exact vocab_top_streamed
     store gives up at 100 TB (where the vocab IS the data)."""
     rows, _meta = _hh_store(spark, sf_dir, capacity=16)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(r["term"], int(r["c_low"])) for r in rows],
         "term string, c_low long")
 
@@ -5884,7 +5904,8 @@ def heavy_hitters_bound(spark, sf_dir):
         captured = e is not None
         within = captured and e <= c_true <= e + err_ub
         out.append((t, c_true, captured, within))
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         out, "term string, c_true long, captured boolean, "
              "within_bound boolean")
 
@@ -5987,7 +6008,8 @@ def events_value_histq(spark, sf_dir):
             spark, store, [0.5, 0.9, 0.99]).collect()
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(int(r["q_ppm"]), int(r["bin"]), r["bin_lo"], r["bin_hi"],
           int(r["n"])) for r in rows],
         "q_ppm long, bin int, bin_lo double, bin_hi double, n long")
@@ -6036,7 +6058,8 @@ def distinct_sketch_stream(spark, sf_dir):
     n_exact = int(toks.agg(F.countDistinct("t")).collect()[0][0])
     within = abs(int(est["estimate"]) - n_exact) <= max(
         2, int(0.05 * n_exact))
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(int(est["n_batches"]), int(est["n_tokens"]), n_exact, within)],
         "n_batches long, n_tokens long, n_exact long, "
         "within_band boolean")
@@ -6563,7 +6586,8 @@ def events_value_qsummary(spark, sf_dir):
             spark, store, [0.25, 0.5, 0.9, 0.99]).collect()
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(int(r["q_ppm"]), float(r["value"]), int(r["n"]),
           int(r["err_ub"])) for r in rows],
         "q_ppm long, value double, n long, err_ub long")
@@ -6608,7 +6632,8 @@ def qsummary_bound(spark, sf_dir):
         out.append((int(r["q_ppm"]), tgt,
                     int(cnt["le"]) >= tgt,
                     int(cnt["lt"]) <= tgt - 1 + err))
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         out, "q_ppm long, tgt long, le_ok boolean, lt_ok boolean")
 
 
@@ -6644,7 +6669,8 @@ def qsummary_restratify(spark, sf_dir):
         got = rows.collect()
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(float(r["v"]), int(r["w"]), int(meta["stride"]),
           int(meta["err_ub"])) for r in got],
         "v double, w long, stride long, err_ub long")
@@ -6846,7 +6872,8 @@ def events_type_qsummary(spark, sf_dir):
             spark, store, [0.5, 0.95]).collect()
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(r["key"], int(r["q_ppm"]), float(r["value"]), int(r["n"]),
           int(r["err_ub"])) for r in rows],
         "key string, q_ppm long, value double, n long, err_ub long")
@@ -6899,7 +6926,8 @@ def kmv_sample_stream(spark, sf_dir):
         rows = kmv_sample(spark, store).collect()
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(r["h"], r["item"]) for r in rows], "h string, item string")
 
 
@@ -6929,7 +6957,8 @@ def kmv_estimate_stream(spark, sf_dir):
         row = kmv_estimate(spark, store).collect()[0]
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(int(row["k"]), int(row["n_sample"]), int(row["kth_hash48"]),
           float(row["estimate"]), int(row["n_tokens"]))],
         "k long, n_sample long, kth_hash48 long, estimate double, "
@@ -6992,7 +7021,8 @@ def kmv_overlap_stream(spark, sf_dir):
     finally:
         for st in stores:
             shutil.rmtree(st, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(int(row["k"]), int(row["n_union_sample"]), int(row["n_both"]),
           float(row["jaccard"]), float(row["union_est"]),
           float(row["inter_est"]))],
@@ -7051,7 +7081,8 @@ def events_type_qrestratify(spark, sf_dir):
         m = {r["key"]: r for r in meta.collect()}
     finally:
         shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(
+    return tiny_df(
+            spark,
         [(r["key"], float(r["v"]), int(r["w"]),
           int(m[r["key"]]["stride"]), int(m[r["key"]]["err_ub"]))
          for r in got],
