@@ -184,3 +184,36 @@ def test_mad_summary_degenerate_and_empty(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         mad_summary(same, "v", k=-1)
+
+
+def test_exact_median_matches_f_median(spark):
+    """The r14 histogram-bisection selection must be bit-identical to
+    F.median on every distribution shape it will meet: odd/even n,
+    heavy ties, negatives, ints, constant columns, and a collect-path
+    bin (n small enough that the first bin probe collects)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandas_db_spark.operators.stats import _exact_median
+
+    rng = random.Random(14)
+    cases = [
+        [1.0, 2.0, 3.0],                              # odd
+        [1.0, 2.0, 3.0, 4.0],                         # even, interp
+        [5.0] * 9,                                    # constant
+        [-3.5, -1.25, 0.0, 2.0, 2.0, 2.0, 7.5, 9.0],  # ties + negatives
+        [rng.gauss(0, 1e6) for _ in range(10001)],    # wide doubles, odd
+        [rng.gauss(0, 1e-6) for _ in range(10000)],   # tiny range, even
+        [float(rng.randint(0, 50)) for _ in range(5000)],  # heavy ties
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        want = df.agg(F.median("v")).collect()[0][0]
+        n, lo, hi = len(vals), min(vals), max(vals)
+        got = _exact_median(df, "v", n, lo, hi)
+        assert got == want, (len(vals), got, want)
+    # int column: F.median interpolates in double — so must we
+    idf = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    want = idf.agg(F.median("v")).collect()[0][0]
+    assert _exact_median(idf, "v", 10, 0.0, 9.0) == want == 4.5
