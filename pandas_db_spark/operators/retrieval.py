@@ -75,11 +75,20 @@ def _doc_term_freqs(docs: DataFrame, text_col: str,
     filtering a handful of terms before the shuffle is cheaper than
     sorting every doc's full token array."""
     toks = tokens(F.col(text_col))
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.array_sort(toks).alias("st"))
-            .withColumn("starts", F.expr(
-                "filter(sequence(0, size(st) - 1), "
-                "i -> i = 0 OR st[i] != st[i-1])")))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.array_sort(toks).alias("st"))
+    return _tf_from_sorted(base)
+
+
+def _tf_from_sorted(base: DataFrame) -> DataFrame:
+    """The run-length-encode half of :func:`_doc_term_freqs`, over a
+    ``(doc_id, st)`` frame whose ``st`` is the doc's SORTED token array
+    — split out (r14) so callers can attach ``observe`` metrics to the
+    doc-level node before the explode (``append_bm25_stream_batch``
+    rides its corpus scalars on this seam)."""
+    base = base.withColumn("starts", F.expr(
+        "filter(sequence(0, size(st) - 1), "
+        "i -> i = 0 OR st[i] != st[i-1])"))
     runs = F.expr(
         "transform(starts, (s, j) -> named_struct("
         "'term', st[s], "
@@ -300,8 +309,27 @@ def append_bm25_stream_batch(batch_df: DataFrame, batch_id: int,
     honors the same contract).  Each doc id must arrive in exactly one
     batch — the Structured Streaming checkpoint guarantees it; losing
     the checkpoint and re-ingesting double-counts, as with any
-    replay-after-checkpoint-loss."""
-    tf = (_doc_term_freqs(batch_df, text_col, id_col)
+    replay-after-checkpoint-loss.
+
+    One corpus pass per append (r14): the meta scalars ride the
+    postings-write job as ``observe`` metrics on the doc-level node
+    (observable metrics are exact under task retries — SPARK-29345's
+    design goal), instead of a second tokenize-everything aggregation
+    job.  ``sum(size(st))`` over the sorted token arrays equals the old
+    ``sum(size(tokens(text)))`` exactly (``array_sort`` preserves
+    length; NULL text → NULL ``st`` → counted 0, in ``n_docs``), and
+    the one-row meta write is a driver-rows ``tiny_df``."""
+    from pyspark.sql import Observation
+    toks = tokens(F.col(text_col))
+    base = batch_df.select(F.col(id_col).alias("doc_id"),
+                           F.array_sort(toks).alias("st"))
+    obs = Observation()
+    base = base.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("st").isNull(), F.lit(0))
+               .otherwise(F.size("st"))).cast("long").alias("sum_dl"))
+    tf = (_tf_from_sorted(base)
           .select("term", "doc_id", "dl", "tf")
           .withColumn("tbucket", F.pmod(F.xxhash64("term"),
                                         F.lit(n_buckets)))
@@ -310,11 +338,12 @@ def append_bm25_stream_batch(batch_df: DataFrame, batch_id: int,
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy("batch_id", "tbucket")
        .parquet(index_dir + "/postings"))
-    (batch_df.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col(text_col).isNull(), F.lit(0))
-               .otherwise(F.size(tokens(F.col(text_col)))))
-         .cast("long").alias("sum_dl"))
+    m = obs.get
+    sum_dl = m["sum_dl"]
+    (tiny_df(batch_df.sparkSession,
+             [(int(m["n_docs"]),
+               int(sum_dl) if sum_dl is not None else None)],
+             "n_docs long, sum_dl long")
      .withColumn("batch_id", F.lit(batch_id))
      .write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
@@ -360,8 +389,9 @@ def bm25_topk_streamed(spark, index_dir: str, query: str, k: int = 10,
     (:func:`append_bm25_stream_batch` / ``run_bm25_index_ingest``) as
     of the last drained batch — no rebuild, no document scan.
 
-    Plan shape: the query's terms hash to their ``tbucket`` values (one
-    bounded |terms|-row job), the postings read prunes to those bucket
+    Plan shape: the query's terms hash to their ``tbucket`` values on
+    the DRIVER (``utils.xxhash64_str`` — bit-identical to the JVM hash,
+    zero jobs), the postings read prunes to those bucket
     partitions across every batch directory, per-term df is counted
     from the PRUNED rows (each (term, doc) pair appears once because
     each doc arrives in one batch), and the corpus scalars are the
@@ -369,13 +399,11 @@ def bm25_topk_streamed(spark, index_dir: str, query: str, k: int = 10,
     ranking equals :func:`bm25_topk_indexed` over a from-scratch batch
     build of the same corpus.  ``n_buckets`` must match the ingest's
     (it is part of the pinned geometry, like the IVF centroids)."""
+    from pandas_db_spark.utils import xxhash64_str
     q_terms = sorted({t for t in query.strip().split() if t})
     if not q_terms:
         raise ValueError("bm25_topk_streamed: query has no terms")
-    tb = (tiny_df(spark, [(t,) for t in q_terms], "term string")
-          .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                  .alias("tb")).distinct().collect())
-    buckets = [int(r["tb"]) for r in tb]
+    buckets = sorted({xxhash64_str(t) % n_buckets for t in q_terms})
     meta = (spark.read.parquet(index_dir + "/meta")
             .agg(F.sum("n_docs").alias("n"),
                  F.sum("sum_dl").alias("s")).collect()[0])

@@ -184,3 +184,79 @@ def schema_diff(old_df, new_df) -> dict:
         "unchanged": sorted(k for k in old.keys() & new.keys()
                             if old[k] == new[k]),
     }
+
+
+# ---------------------------------------------------------------------
+# Driver-side xxhash64 (r14): Spark's only string hash, reimplemented
+# from the public xxHash spec (github.com/Cyan4973/xxHash) so that
+# DRIVER-side bucket probes (a handful of known literals, e.g. a BM25
+# query's term -> tbucket mapping) cost zero Spark jobs.  Bit-identical
+# to ``F.xxhash64(string_col)``: Spark hashes the UTF-8 bytes with
+# XXH64 and the default seed 42, returning the result as a SIGNED long
+# — verified against the JVM over random unicode strings
+# (tests/test_utils_hash.py).  Integer-only arithmetic; never used in a
+# distributed expression (executors keep using the JVM builtin).
+
+_XXH_M = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_M
+
+
+def _xxh_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _XXH_P2) & _XXH_M
+    return (_xxh_rotl(acc, 31) * _XXH_P1) & _XXH_M
+
+
+def xxhash64_str(s: str, seed: int = 42) -> int:
+    """XXH64 of ``s``'s UTF-8 bytes as Spark's ``xxhash64`` computes it
+    (default seed 42), returned as a SIGNED 64-bit int — see the block
+    comment above."""
+    data = s.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_M
+        v2 = (seed + _XXH_P2) & _XXH_M
+        v3 = seed & _XXH_M
+        v4 = (seed - _XXH_P1) & _XXH_M
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16],
+                                               "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24],
+                                               "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32],
+                                               "little"))
+            i += 32
+        h = (_xxh_rotl(v1, 1) + _xxh_rotl(v2, 7) + _xxh_rotl(v3, 12)
+             + _xxh_rotl(v4, 18)) & _XXH_M
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh_round(0, v)) * _XXH_P1 + _XXH_P4) & _XXH_M
+    else:
+        h = (seed + _XXH_P5) & _XXH_M
+    h = (h + n) & _XXH_M
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_M
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XXH_P1) & _XXH_M
+        h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_M
+        h = (_xxh_rotl(h, 11) * _XXH_P1) & _XXH_M
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_M
+    h ^= h >> 32
+    return h - (1 << 64) if h >= 1 << 63 else h
