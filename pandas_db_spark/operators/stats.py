@@ -278,6 +278,119 @@ _MEDIAN_BINS = 4096
 _MEDIAN_COLLECT_CAP = 1 << 17  # ≤ 131072 one-double rows ≈ 1 MB driver
 
 
+class OrderStatsUnresolved(Exception):
+    """Raised by :func:`exact_order_stats` when the histogram refinement
+    cannot resolve (non-finite data inside the range, or a value range
+    collapsing below double resolution while still holding more than the
+    collect cap) — callers fall back to their exact sort-based path."""
+
+
+def exact_order_stats(vdf: DataFrame, col: str, ranks: list,
+                      lo: float, hi: float, n: int = -1) -> dict:
+    """Exact values at the given 1-based sorted ``ranks`` of
+    ``vdf[col]`` — the multi-target generalization of
+    :func:`_exact_median`'s histogram bisection (r14, built for the
+    quantile-summary store's equi-depth append: one 4096-bin codegen
+    histogram splits ALL target ranks into their bins at once, tied
+    bins resolve for free from the histogram min, small bins resolve
+    from ONE batched bounded collect keyed by BIN INDEX — an ``isin``
+    over ints, not an OR-of-ranges tree whose per-batch literals would
+    recompile a huge codegen function every call — and oversized bins
+    recurse on their own narrowed range).  When the caller passes the
+    total row count ``n`` and it is within the collect cap, the whole
+    column collects in ONE job and every rank reads off the sorted
+    driver array (small micro-batches never pay the histogram).
+
+    Contract: ``vdf[col]`` has no NULLs, all values lie in ``[lo, hi]``
+    (finite), and every rank satisfies ``1 <= r <= n``.  Returns
+    ``{rank: value}`` with each value EXACTLY the one a full sort would
+    place at that rank (ties make the value at a rank well-defined
+    regardless of tie order).  Raises :class:`OrderStatsUnresolved` on
+    the degenerate shapes documented above — never returns an
+    approximation."""
+    if not ranks:
+        return {}
+    if not (math.isfinite(lo) and math.isfinite(hi)):
+        raise OrderStatsUnresolved("non-finite bounds")
+    out: dict = {}
+    base = vdf.select(F.col(col).alias("__v"))
+    if 0 <= n <= _MEDIAN_COLLECT_CAP:
+        got = sorted(row["__v"] for row in base.collect())
+        if len(got) != n:  # pragma: no cover — caller contract broken
+            raise ValueError(f"exact_order_stats: n={n} declared but "
+                             f"{len(got)} rows collected")
+        return {r: float(got[r - 1]) for r in ranks}
+    # (lo, hi, ranks_before_lo_range, sorted target ranks, depth)
+    pending = [(float(lo), float(hi), 0, sorted(ranks), 0)]
+    while pending:
+        clo, chi, off, rks, depth = pending.pop()
+        if clo == chi:
+            for r in rks:
+                out[r] = float(clo)
+            continue
+        if depth >= 64:  # pragma: no cover — doubles halve out in 64
+            raise OrderStatsUnresolved("range failed to resolve")
+        w = (chi - clo) / _MEDIAN_BINS
+        if not (w > 0):
+            raise OrderStatsUnresolved("range below double resolution")
+        cur = base.where((F.col("__v") >= F.lit(clo))
+                         & (F.col("__v") <= F.lit(chi)))
+        binc = F.least(F.floor((F.col("__v") - F.lit(clo)) / F.lit(w)),
+                       F.lit(_MEDIAN_BINS - 1)).cast("int")
+        hist = (cur.groupBy(binc.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"),
+                     F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+                .orderBy("b").collect())
+        # walk bins in value order, routing each target rank to its bin
+        collect_bins = []  # (bin index, first_rank_before, taken, count)
+        it = iter(rks)
+        r = next(it, None)
+        cum = off
+        for h in hist:
+            lo_r, cum = cum, cum + h["c"]
+            taken = []
+            while r is not None and r <= cum:
+                taken.append(r)
+                r = next(it, None)
+            if not taken:
+                continue
+            if h["mn"] == h["mx"]:
+                for r2 in taken:
+                    out[r2] = float(h["mn"])
+            elif h["c"] <= _MEDIAN_COLLECT_CAP:
+                collect_bins.append((int(h["b"]), lo_r, taken,
+                                     int(h["c"])))
+            else:
+                pending.append((float(h["mn"]), float(h["mx"]), lo_r,
+                                taken, depth + 1))
+        if r is not None:
+            raise ValueError(f"exact_order_stats: rank {r} beyond the "
+                             "data in [lo, hi] — caller contract broken")
+        # resolve all small bins of this level in ONE batched job keyed
+        # by bin index (bins are value-disjoint and ascending, so each
+        # bin's rows appear contiguously in the sorted collect, h['c']
+        # rows each); chunk by the cap so the driver pull stays bounded.
+        i = 0
+        while i < len(collect_bins):
+            chunk, tot = [], 0
+            while i < len(collect_bins) and (
+                    not chunk
+                    or tot + collect_bins[i][3] <= _MEDIAN_COLLECT_CAP):
+                chunk.append(collect_bins[i])
+                tot += collect_bins[i][3]
+                i += 1
+            got = sorted(row["__v"] for row in cur.where(
+                binc.isin([b for b, *_ in chunk])).collect())
+            if len(got) != tot:  # pragma: no cover — NaN/inf snuck in
+                raise OrderStatsUnresolved("bin collect count mismatch")
+            pos = 0
+            for b, lo_r, taken, c in chunk:
+                for r2 in taken:
+                    out[r2] = float(got[pos + (r2 - lo_r - 1)])
+                pos += c
+    return out
+
+
 def _exact_median(vdf: DataFrame, col: str, n: int, lo: float,
                   hi: float) -> float:
     """Exact median of ``vdf[col]`` (no NULLs, ``n`` rows, values within

@@ -6620,18 +6620,24 @@ def qsummary_bound(spark, sf_dir):
         shutil.rmtree(store, ignore_errors=True)
     ev = get_db(spark, sf_dir).events.df.where(
         F.col("value").isNotNull())
+    # ONE scan for every quantile's rank bracket (r14 — this used to be
+    # one full aggregation job per served quantile): the served values
+    # are literals, so all le/lt counts fold into a single aggregate.
+    aggs = []
+    for i, r in enumerate(served):
+        val = float(r["value"])
+        aggs.append(F.sum(F.when(F.col("value") <= val, 1).otherwise(0))
+                    .alias(f"le{i}"))
+        aggs.append(F.sum(F.when(F.col("value") < val, 1).otherwise(0))
+                    .alias(f"lt{i}"))
+    cnt = ev.agg(*aggs).collect()[0]
     out = []
-    for r in served:
-        val, n, err = float(r["value"]), int(r["n"]), int(r["err_ub"])
+    for i, r in enumerate(served):
+        n, err = int(r["n"]), int(r["err_ub"])
         tgt = -(-int(r["q_ppm"]) * n // 1_000_000)
-        cnt = ev.agg(
-            F.sum(F.when(F.col("value") <= val, 1).otherwise(0))
-            .alias("le"),
-            F.sum(F.when(F.col("value") < val, 1).otherwise(0))
-            .alias("lt")).collect()[0]
         out.append((int(r["q_ppm"]), tgt,
-                    int(cnt["le"]) >= tgt,
-                    int(cnt["lt"]) <= tgt - 1 + err))
+                    int(cnt[f"le{i}"]) >= tgt,
+                    int(cnt[f"lt{i}"]) <= tgt - 1 + err))
     return tiny_df(
             spark,
         out, "q_ppm long, tgt long, le_ok boolean, lt_ok boolean")

@@ -943,26 +943,47 @@ def append_quantile_summary_batch(batch_df: DataFrame, batch_id: int,
     overwrites, the module's replay-idempotent contract.  ``k`` may
     vary per batch (the bound adapts); the VALUE DOMAIN never has to be
     declared — the histogram store's geometry pin is exactly what this
-    store exists to avoid."""
+    store exists to avoid.
+
+    Plan shape (r14): the kept rows are the values at EXACT ranks
+    m, 2m, ..., plus n — a multi-rank selection, so they resolve via
+    ``stats.exact_order_stats`` (codegen histogram refinement: one
+    count/min/max agg that doubles as the ledger source, one histogram
+    pass, one bounded bin collect) with ZERO shuffle, instead of the
+    old range-repartition + full in-partition sort + ordinal-broadcast
+    pipeline.  Output rows are bit-identical (same ranks, same
+    weights); non-finite data (NaN/inf bounds) falls back to the sort
+    path, correctness first."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    from pandas_db_spark.plans.ordinal import (ORDINAL_COL,
-                                               with_ordinal_and_count)
+    import math
+    from pandas_db_spark.operators.stats import (OrderStatsUnresolved,
+                                                 exact_order_stats)
     spark = batch_df.sparkSession
     v = F.col(value_col).cast("double")
     vals = batch_df.where(v.isNotNull()).select(v.alias("v"))
-    n_part = max(2, spark.sparkContext.defaultParallelism)
-    ranked, n = with_ordinal_and_count(
-        vals.repartitionByRange(n_part, F.col("v"))
-            .sortWithinPartitions("v"))
+    st = vals.agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"),
+                  F.max("v").alias("hi")).collect()[0]
+    n = int(st["n"])
     m = (n + k - 1) // k if n else 1
-    rank = F.col(ORDINAL_COL) + 1
-    keep = (ranked.where((rank % m == 0) | (rank == n))
-            .select("v",
-                    F.when(rank % m == 0, F.lit(m))
-                    .otherwise(F.lit(n % m)).cast("long").alias("w")))
     n_rows = -(-n // m) if n else 0   # ceil(n/m) <= k
     if n:
+        ranks = list(range(m, n + 1, m))
+        if n % m:
+            ranks.append(n)
+        lo, hi = float(st["lo"]), float(st["hi"])
+        rows = None
+        if math.isfinite(lo) and math.isfinite(hi):
+            try:
+                got = exact_order_stats(vals, "v", ranks, lo, hi, n)
+                rows = [(got[r], m if r % m == 0 else n % m)
+                        for r in ranks]
+            except OrderStatsUnresolved:
+                rows = None
+        if rows is not None:
+            keep = _tiny_df(spark, rows, "v double, w long")
+        else:  # sort-path fallback: NaN/inf data or degenerate range
+            keep = _qsummary_keep_sorted(vals, n, m)
         (keep.withColumn("batch_id", F.lit(batch_id))
          .coalesce(1).write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -977,6 +998,25 @@ def append_quantile_summary_batch(batch_df: DataFrame, batch_id: int,
      .partitionBy("batch_id").parquet(store_dir + "/qmeta"))
 
 
+def _qsummary_keep_sorted(vals: DataFrame, n: int, m: int) -> DataFrame:
+    """The pre-r14 sort-based stratification (range repartition +
+    in-partition sorts + the shuffle-free broadcast ordinal), kept as
+    :func:`append_quantile_summary_batch`'s fallback for data the
+    histogram selection refuses (NaN/inf, sub-resolution ranges)."""
+    from pandas_db_spark.plans.ordinal import (ORDINAL_COL,
+                                               with_ordinal_and_count)
+    spark = vals.sparkSession
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    ranked, _n = with_ordinal_and_count(
+        vals.repartitionByRange(n_part, F.col("v"))
+            .sortWithinPartitions("v"))
+    rank = F.col(ORDINAL_COL) + 1
+    return (ranked.where((rank % m == 0) | (rank == n))
+            .select("v",
+                    F.when(rank % m == 0, F.lit(m))
+                    .otherwise(F.lit(n % m)).cast("long").alias("w")))
+
+
 def quantile_estimates(spark: SparkSession, store_dir: str,
                        qs: list) -> DataFrame:
     """Served quantiles over the cumulative store: for each q in ``qs``
@@ -987,14 +1027,18 @@ def quantile_estimates(spark: SparkSession, store_dir: str,
     against the raw stream:  ``count(<= value) >= rank`` exactly, and
     ``count(< value) <= rank - 1 + err_ub`` — i.e. the served value's
     rank error is bounded by the store's exact ledger (``err_ub =
-    sum_b (m_b - 1)``), never by a declared domain.  One tiny job: the
-    fold is <= k rows per batch partition, never the value stream.
+    sum_b (m_b - 1)``), never by a declared domain.  The fold is
+    <= k rows per batch partition BY CONSTRUCTION, never the value
+    stream — so it collects to the driver (bounded, the classifier_fit
+    discipline; r14 — the old <= 258-row Window/crossJoin/groupBy job
+    was pure scheduler overhead) and the picks run in exact Python
+    integer arithmetic, returning a one-slice driver-rows frame.
     Integrity: the fold COUNTS its rows against the qmeta ledger and
     raises on mismatch — a summary partition lost out of band can never
     silently skew the quantiles (the _read_hh_state receipt shape)."""
     if not qs or not all(0 < q <= 1 for q in qs):
         raise ValueError(f"qs must be in (0, 1], got {qs}")
-    from pyspark.sql import Window
+    import math
     meta = spark.read.parquet(store_dir + "/qmeta").agg(
         F.coalesce(F.sum("n_values"), F.lit(0)).alias("n"),
         F.coalesce(F.sum("err_ub"), F.lit(0)).alias("err_ub"),
@@ -1003,31 +1047,35 @@ def quantile_estimates(spark: SparkSession, store_dir: str,
     # Explicit schema: a store whose every summary partition was pruned
     # out of band reads as 0 rows (instead of UNABLE_TO_INFER_SCHEMA)
     # so the ledger check below can surface the inconsistency.
-    rows = (spark.read.schema("v double, w long, batch_id long")
-            .parquet(store_dir + "/qsummary")) if n else None
-    have = rows.count() if rows is not None else 0
-    if have != int(meta["n_rows"]):
+    fold = (spark.read.schema("v double, w long, batch_id long")
+            .parquet(store_dir + "/qsummary")
+            .select("v", "w").collect()) if n else []
+    if len(fold) != int(meta["n_rows"]):
         raise IOError(
             f"quantile summary store at {store_dir} is inconsistent: "
             f"qmeta ledgers {int(meta['n_rows'])} summary rows but "
-            f"qsummary/ yields {have} — a partition was pruned or lost "
-            "out of band; restore it or rebuild the store")
-    qdf = _tiny_df(
-        spark, [(int(round(q * 1_000_000)),) for q in qs], "q_ppm long")
+            f"qsummary/ yields {len(fold)} — a partition was pruned or "
+            "lost out of band; restore it or rebuild the store")
+    q_ppms = [int(round(q * 1_000_000)) for q in qs]
     if n == 0:
-        return qdf.select("q_ppm", F.lit(None).cast("double").alias("value"),
-                          F.lit(0).cast("long").alias("n"),
-                          F.lit(0).cast("long").alias("err_ub"))
-    # cum over <= k rows/batch — the bounded-window histogram-serve shape
-    cum = rows.withColumn("cum", F.sum("w").over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-    rank = F.expr(f"(q_ppm * {n}L + 999999) DIV 1000000")
-    picked = (cum.crossJoin(qdf).where(F.col("cum") >= rank)
-              .groupBy("q_ppm").agg(F.min("v").alias("value")))
-    return (picked.select("q_ppm", "value",
-                          F.lit(n).cast("long").alias("n"),
-                          F.lit(err_ub).cast("long").alias("err_ub"))
-            .orderBy("q_ppm"))
+        return _tiny_df(spark, [(p, None, 0, 0) for p in q_ppms],
+                        "q_ppm long, value double, n long, err_ub long")
+    # NaN sorts greatest (Spark's double order); cum weights are exact
+    # ints; pick = smallest summary value whose cum reaches ceil(q*n);
+    # one served row per DISTINCT q_ppm, ascending (the old groupBy
+    # + orderBy contract).
+    fold.sort(key=lambda r: (math.isnan(r["v"]), r["v"]))
+    out = []
+    for p in sorted(set(q_ppms)):
+        tgt = (p * n + 999_999) // 1_000_000
+        cum = 0
+        for r in fold:
+            cum += r["w"]
+            if cum >= tgt:
+                out.append((p, float(r["v"]), n, err_ub))
+                break
+    return _tiny_df(spark, out,
+                    "q_ppm long, value double, n long, err_ub long")
 
 
 def run_quantile_summary_ingest(stream_df: DataFrame, store_dir: str,

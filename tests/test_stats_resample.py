@@ -217,3 +217,41 @@ def test_exact_median_matches_f_median(spark):
     idf = spark.createDataFrame([(i,) for i in range(10)], "v int")
     want = idf.agg(F.median("v")).collect()[0][0]
     assert _exact_median(idf, "v", 10, 0.0, 9.0) == want == 4.5
+
+
+def test_exact_order_stats_matches_full_sort(spark):
+    """Multi-rank selection must equal a full sort at every rank, on
+    every path: the n<=cap one-collect shortcut, the histogram + batched
+    bin-collect path, tied bins, and the oversized-bin recursion (cap
+    monkeypatched tiny to force the latter two)."""
+    import random
+
+    from pandas_db_spark.operators import stats as ST
+
+    rng = random.Random(141)
+    cases = [
+        [float(i) for i in range(1, 101)],                 # uniform ints
+        [rng.gauss(0, 1e3) for _ in range(3000)],          # gaussian
+        [5.0] * 500 + [7.0] * 499 + [1.0],                 # heavy ties
+        [rng.expovariate(1.0) for _ in range(2500)],       # skewed
+        [-1e12, -5.0, -5.0, 0.0, 3.25] * 200,              # dup blocks
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        n = len(vals)
+        want = sorted(vals)
+        ranks = sorted({1, n, n // 2, n // 3, max(1, n - 7),
+                        max(1, 2 * n // 3)})
+        lo, hi = min(vals), max(vals)
+        # path 1: one-collect shortcut (n under the real cap)
+        got = ST.exact_order_stats(df, "v", ranks, lo, hi, n)
+        assert got == {r: want[r - 1] for r in ranks}
+        # path 2/3: histogram + bin collects + recursion (tiny cap;
+        # n=-1 disables the shortcut)
+        old_cap = ST._MEDIAN_COLLECT_CAP
+        ST._MEDIAN_COLLECT_CAP = 64
+        try:
+            got2 = ST.exact_order_stats(df, "v", ranks, lo, hi)
+        finally:
+            ST._MEDIAN_COLLECT_CAP = old_cap
+        assert got2 == {r: want[r - 1] for r in ranks}
