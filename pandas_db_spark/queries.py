@@ -1318,7 +1318,7 @@ def gopher_repetition(spark, sf_dir):
         (9004, "one two three four five " * 12),
     ]
     ext = d.unionByName(
-        spark.createDataFrame(planted, "doc_id long, text string"))
+        tiny_df(spark, planted, "doc_id long, text string"))
     return gopher_repetition_flags(ext)
 
 
@@ -3534,15 +3534,19 @@ def events_resample_1h(spark, sf_dir):
     no join node).  Observations deduped to one per (user, second) with
     an explicit latest-(ts, event_id) rule so both engines fill from the
     same row."""
-    from pyspark.sql import Window
     from pandas_db_spark.operators import temporal as T
     e = get_db(spark, sf_dir).events.df
     o0 = e.select("user_id", "ts", "event_id", "value").withColumn(
         "sec", F.unix_timestamp("ts"))
-    w = Window.partitionBy("user_id", "sec").orderBy(
-        F.desc("ts"), F.desc("event_id"))
-    o2 = (o0.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+    # latest-(ts, event_id) per (user, second) as a MAP-SIDE-COMBINING
+    # aggregate instead of a row_number window (guide §2.3 "aggregate
+    # before you shuffle"): max_by with the lexicographic (ts, event_id)
+    # struct picks exactly the window's rn=1 row (event_id is unique, so
+    # the order key never ties), but partial aggregation combines before
+    # the exchange and no per-partition sort runs at all.
+    o2 = (o0.groupBy("user_id", "sec")
+            .agg(F.max_by("value", F.struct("ts", "event_id"))
+                 .alias("value"))
             .select("user_id",
                     F.timestamp_seconds("sec").alias("ts"), "value"))
     # resample_ffill scans obs twice (bounds agg + fill side — its
