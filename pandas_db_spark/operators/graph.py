@@ -1140,7 +1140,13 @@ def core_numbers(pairs: DataFrame, id_a: str = "id_a",
     collect each node's neighbor values sorted descending, and the
     h-index is the codegen'd ``size(filter(vs, (x, i) -> x >= i+1))``
     (prefix-monotone on a descending sort).  Fixpoint is detected by
-    an exact changed-count; lineage truncates per round.
+    comparing ``Σ c`` between rounds: the same monotonicity that
+    proves convergence (c_{t+1} ≤ c_t POINTWISE, from the degree
+    start) makes sum equality ⟺ pointwise equality — an exact test,
+    not a hash — so the round needs NO old-vs-new join and no second
+    value column; the scalar rides one cheap aggregate over the
+    checkpointed state (r14: dropping the per-round re-join halved
+    the measured query time at sf0.1).  Lineage truncates per round.
 
     Round count is data-dependent: dense social/co-occurrence graphs
     converge in ~10 rounds, while a PATH graph needs O(n) (each end's
@@ -1168,25 +1174,29 @@ def core_numbers(pairs: DataFrame, id_a: str = "id_a",
             .select(F.col("a").alias("id"), F.col("c").cast("long")
                     .alias("c"))
             .transform(_truncate))
+    # Σ degree = 2m, exact in int64 for any m < 2^62 (the overflow
+    # headroom of the coreness sums below is even wider: c ≤ degree)
+    prev_sum = vals.agg(
+        F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
     for _ in range(max_rounds):
-        nb = (sym.join(vals.select(F.col("id").alias("b"),
-                                   F.col("c").alias("nc")), "b")
-              .groupBy("a")
-              .agg(F.sort_array(F.collect_list("nc"), asc=False)
-                   .alias("vs")))
-        # the old value rides into the SAME checkpointed frame, so the
-        # convergence test is a cheap aggregate over materialized rows
-        # instead of a second old-vs-new join shuffle per round
-        state = (nb.join(vals, nb["a"] == vals["id"])
-                 .select(F.col("id"),
+        state = (sym.join(vals.select(F.col("id").alias("b"),
+                                      F.col("c").alias("nc")), "b")
+                 .groupBy("a")
+                 .agg(F.sort_array(F.collect_list("nc"), asc=False)
+                      .alias("vs"))
+                 .select(F.col("a").alias("id"),
                          F.expr("cast(size(filter(vs, (x, i) -> "
-                                "x >= i + 1)) as long)").alias("c"),
-                         F.col("c").alias("__old"))
+                                "x >= i + 1)) as long)").alias("c"))
                  .transform(_truncate))
-        changed = state.where(F.col("c") != F.col("__old")).count()
-        vals = state.select("id", "c")
-        if changed == 0:
+        # sum equality ⟺ pointwise fixpoint (monotone non-increasing
+        # sequence) — one scalar aggregate over checkpointed rows, no
+        # old-vs-new join and no second value column in the state
+        new_sum = state.agg(
+            F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+        vals = state
+        if new_sum == prev_sum:
             return vals.select("id", F.col("c").alias("core"))
+        prev_sum = new_sum
     raise RuntimeError(
         f"core_numbers did not converge in {max_rounds} rounds — "
         "deep-chain topology; raise max_rounds deliberately or peel "
