@@ -5007,7 +5007,13 @@ def dedup_components_incremental(spark, sf_dir):
     from pandas_db_spark.operators import dedup as D
     from pandas_db_spark.operators import graph as G
     d = get_db(spark, sf_dir).documents
-    pairs = D.minhash_pairs(d.df, "text", "doc_id", threshold=0.8)
+    # materialize the pair stream ONCE: both batch filters below feed
+    # separate materializing consumers (connected_components checkpoints
+    # b1, append_components checkpoints b2), so without this truncation
+    # the whole MinHash signature+banding+verify pipeline executes twice
+    # (guide §1.2 step 1 — don't compute things twice)
+    pairs = D.minhash_pairs(d.df, "text", "doc_id",
+                            threshold=0.8).transform(G._truncate)
     b1 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 == 0)
     b2 = pairs.where((F.col("id_a") + F.col("id_b")) % 2 != 0)
     store = G.connected_components(b1)
