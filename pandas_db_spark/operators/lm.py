@@ -128,8 +128,24 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
     transformed to probabilities (one correctly-rounded division each),
     and summed left-to-right — the oracle replays the identical IEEE
     sequence via ``list_sort`` + ``list_reduce``."""
-    uni, bi, vocab = model if model is not None \
-        else bigram_model(docs, text_col, id_col)
+    if model is not None:
+        uni, bi, vocab = model
+    else:
+        uni, bi, vocab = bigram_model(docs, text_col, id_col)
+        # materialize the two vocab-bounded count tables ONCE (r14):
+        # un-truncated, the scoring plan executes each count pipeline
+        # per consumer — uni twice (join + the n_v broadcast subtree),
+        # bi once, plus the scoring explode = four full corpus
+        # tokenizes with zero exchange reuse in the executed plan.
+        # The tables are |vocab|- and |bigram-vocab|-sized (never
+        # corpus-sized), so the checkpoint is scale-safe, and n_v
+        # becomes a scan of the materialized uni instead of a third
+        # tokenize.  Corpus passes: 4 -> 3 (uni build, bi build,
+        # scoring explode).
+        from pandas_db_spark.operators.graph import _truncate
+        uni = _truncate(uni)
+        bi = _truncate(bi)
+        vocab = uni.agg(F.count("*").alias("n_v"))
     t = _doc_tokens(docs, text_col, id_col)
     be = _doc_bigrams(t)
     j = (be.join(bi, ["w1", "w2"], "left")
@@ -261,10 +277,21 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     document length.  Rank by ``(w_exp, w_mant)`` (lexicographically —
     exact at every scale); ``dsir_weight`` reconstructs the plain
     double, saturating only past |log₂ w| ≈ 1024 as IEEE demands."""
-    ct = (hashed_feature_counts(target, text_col, id_col, n_buckets)
-          .withColumnRenamed("c", "ct"))
+    # materialize both ≤ n_buckets-row count tables ONCE (r14): without
+    # the truncation every broadcast consumer re-executes its whole
+    # feature pipeline — the corpus side ran 3× (row-level join, the cs
+    # broadcast, the ts broadcast) and the target side 2×, 10 parquet
+    # scans with zero exchange reuse in the executed plan.  After: the
+    # corpus pipeline runs twice (cs build + the row-level join — the
+    # row-level pass is corpus-sized, so materializing IT would not be
+    # scale-safe), the target pipeline once, and the totals fold from
+    # the ≤ 256 checkpointed rows.
+    from pandas_db_spark.operators.graph import _truncate
+    ct = _truncate(hashed_feature_counts(target, text_col, id_col,
+                                         n_buckets)
+                   .withColumnRenamed("c", "ct"))
     fe = doc_feature_buckets(docs, text_col, id_col, n_buckets)
-    cs = (fe.groupBy("bucket").agg(F.count("*").alias("cs")))
+    cs = _truncate(fe.groupBy("bucket").agg(F.count("*").alias("cs")))
     tot_t = ct.agg(F.sum("ct").alias("tt"))
     tot_s = cs.agg(F.sum("cs").alias("ts"))
     j = (fe.join(F.broadcast(ct), ["bucket"], "left")
