@@ -887,8 +887,16 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     # grams (sf1) is ~2e-7 merged-identity pairs — the exact sf-scale
     # oracle watchdogs it, same discipline as the repetition battery
     # and strip_common_paragraphs.
-    ge = (_positional_grams_from_tokens(t, k)
-          .withColumn("gram", F.xxhash64("gram")))
+    # materialize the hashed gram index ONCE (r14): it feeds two
+    # consumers (the owner/df aggregate and the row-level join below),
+    # and without truncation the gram-string generation — the dominant
+    # per-task cost, ~50 bytes concat per position — executes twice.
+    # The checkpointed form is the narrow (id, pos, hash) index, ~24 B
+    # per position; at petabyte scale swap the operator itself for the
+    # winnowed index per the docstring, not this checkpoint.
+    from pandas_db_spark.operators.graph import _truncate
+    ge = _truncate(_positional_grams_from_tokens(t, k)
+                   .withColumn("gram", F.xxhash64("gram")))
     stats = (ge.groupBy("gram")
                .agg(F.min("id").alias("owner"),
                     F.count_distinct("id").alias("nd")))
@@ -1009,6 +1017,15 @@ def winnow_span_candidates(df: DataFrame, text_col: str = "text",
     shared runs of ``k .. k+w-2`` tokens MAY be missed — ``w`` trades
     index density against that detection floor, ``w=1`` degenerates to
     the exact every-position index."""
+    # NOTE (r14, measured negative): the winnow pipeline below executes
+    # twice (the owner aggregate and the join both consume `grams`, no
+    # exchange reuse in the executed plan) — but BOTH checkpoint fixes
+    # (materializing `grams` with its ~50 B/row strings, or the narrow
+    # (id, pos, fp) `sel`) measured SLOWER end-to-end at sf0.1
+    # (2.05 → 2.62 / 2.73 s): the duplicated subtrees run inside ONE
+    # fully-parallel job, while an eager checkpoint serializes into
+    # materialize-then-consume.  On a cluster where duplicated subtrees
+    # burn real resources the `sel` checkpoint is the shape to revisit.
     sel = winnow_fingerprints(df, text_col, id_col, k, w)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
@@ -1074,9 +1091,15 @@ def span_incremental(new_docs: DataFrame, store_docs: DataFrame,
     # broadcast the bounded micro-batch fingerprints: the store index is
     # the unbounded side, and broadcasting the batch streams it map-side
     # with no Exchange (same shape as minhash/cosine_incremental)
-    cand = (F.broadcast(new_fp)
-            .join(store_fps.withColumnRenamed(id_col, "id_b"), ["fp"])
-            .select("id_a", "id_b").distinct())
+    # materialize the candidate pairs ONCE (r14): new_ids and old_ids
+    # are separate broadcast subtrees, so without truncation the probe
+    # join — including BOTH winnow pipelines feeding it — executed
+    # twice.  Candidates are batch-bounded, so the checkpoint is tiny.
+    from pandas_db_spark.operators.graph import _truncate
+    cand = _truncate(
+        F.broadcast(new_fp)
+        .join(store_fps.withColumnRenamed(id_col, "id_b"), ["fp"])
+        .select("id_a", "id_b").distinct())
     new_ids = cand.select(F.col("id_a").alias(id_col)).distinct()
     old_ids = cand.select(F.col("id_b").alias(id_col)).distinct()
     ga = _positional_grams(
