@@ -1259,6 +1259,16 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
     # store keys map-side with no Exchange (same shape as
     # similarity.cosine_incremental — the only one that survives a
     # 100 TB store)
+    # NOTE (r14, measured negative): old_ids is a separate broadcast
+    # subtree, so the band join executes twice (11 parquet scans, zero
+    # reuse in the executed plan) — but checkpointing `cand` measured
+    # SLOWER end-to-end at sf0.1 (engine 2.3 → 4.0 s): the duplicated
+    # subtree is two cheap hash pipelines running inside fully parallel
+    # jobs, while the eager checkpoint serializes materialize-then-
+    # consume.  Contrast span_incremental, where the same fix WON 2×
+    # because its duplicated subtree carries the heavyweight winnow
+    # pipelines.  Revisit on a cluster where duplicate subtrees burn
+    # real resources.
     cand = (F.broadcast(nk).join(ok, ["band", "bh"])
               .select("id_a", "id_b").distinct())
 
