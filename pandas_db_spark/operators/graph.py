@@ -641,8 +641,15 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     state = state.transform(_truncate)
     for i in range(iterations):
         hv = state.select(F.col("id").alias("hu"), "h")
-        a_raw = (e.join(hv, e["u"] == F.col("hu"))
-                 .groupBy("v").agg(F.sum("h").alias("ar")))
+        # checkpoint the node-vector-sized raw sums (r14): the max
+        # normalizer is a separate broadcast subtree, so without the
+        # truncation each half-step's corpus join + aggregate executed
+        # TWICE (once for the state join, once inside the max — the
+        # executed plan showed the whole subtree duplicated with no
+        # exchange reuse); the checkpoint is ≤ n rows, and the max then
+        # folds from materialized rows
+        a_raw = _truncate(e.join(hv, e["u"] == F.col("hu"))
+                          .groupBy("v").agg(F.sum("h").alias("ar")))
         a_max = a_raw.agg(
             F.greatest(F.coalesce(F.max("ar"), F.lit(1)), F.lit(1))
             .alias("__am"))
@@ -653,8 +660,8 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                              F.expr("(ar * " + str(unit) + ") div __am"),
                              F.lit(0)).alias("a")))
         av = state.select(F.col("id").alias("auv"), F.col("a").alias("a2"))
-        h_raw = (e.join(av, e["v"] == F.col("auv"))
-                 .groupBy("u").agg(F.sum("a2").alias("hr")))
+        h_raw = _truncate(e.join(av, e["v"] == F.col("auv"))
+                          .groupBy("u").agg(F.sum("a2").alias("hr")))
         h_max = h_raw.agg(
             F.greatest(F.coalesce(F.max("hr"), F.lit(1)), F.lit(1))
             .alias("__hm"))
