@@ -2,8 +2,11 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line of SCALARS on stdout (the per-query map lives in
-BENCH_DETAIL.json — VERDICT r12 #3: the full map outgrew the driver's
-stdout capture window):
+BENCH_DETAIL_c{cpus}.json, mirrored to BENCH_DETAIL.json for older
+consumers — VERDICT r12 #3: the full map outgrew the driver's stdout
+capture window; VERDICT r14 #2: the per-core suffix keeps a scaling
+re-run at a different $SPARK_GRAFT_CPUS from clobbering the main
+run's detail):
     {"metric": "...", "value": N, "unit": "sec", "n_queries": K,
      "detail": "BENCH_DETAIL.json", "sf": ...}
 
@@ -443,6 +446,15 @@ def main() -> int:
     # r9 full dump had).  The per-query map, iteration runs, medians,
     # engine-vs-fetch split, result rows, JVM uptimes, and group
     # assignment all live in BENCH_DETAIL.json next to this script.
+    # Per-core-count detail path (VERDICT r14 #2/what's-wrong #3): the
+    # driver's 8-core scaling run used to clobber the 32-core per-query
+    # detail because both wrote the same BENCH_DETAIL.json, leaving
+    # PERF scaling.per_query empty.  The detail now lands in
+    # BENCH_DETAIL_c{cpus}.json (cpus also embedded in the record);
+    # BENCH_DETAIL.json is still written as a compatibility copy of the
+    # CURRENT run for consumers that read the fixed name.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    detail_name = f"BENCH_DETAIL_c{cpus}.json"
     out = {
         "metric": f"headline_total_wall_min{iters}",
         "value": round(total, 4),
@@ -452,12 +464,13 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failed": len(merged["failed"]),
         "procs": len(slices),
+        "cpus": cpus,
         # 1/5/15-min load BEFORE and AFTER the run: a shared-machine
         # artifact carries its own noise context (VERDICT r7 #1)
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf_val,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     if merged["failed"]:
         out["failed"] = merged["failed"]
@@ -488,11 +501,11 @@ def main() -> int:
             "contiguous slices of HEADLINE order (ceil-division bounds); "
             "per-query best-of-N never crosses a JVM boundary"),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1)
+        for fname in (detail_name, "BENCH_DETAIL.json"):
+            with open(os.path.join(here, fname), "w") as fh:
+                json.dump(detail, fh, indent=1)
         print("# detail " + json.dumps(detail), file=sys.stderr)
     except Exception as exc:  # detail is diagnostic; never fail the bench
         print(f"# detail dump failed: {exc!r}", file=sys.stderr)

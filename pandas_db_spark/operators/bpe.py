@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from pandas_db_spark.operators.graph import _truncate
+from pandas_db_spark.plans.checkpoint import truncate_lineage as _truncate
 
 _EOW = "</w>"   # end-of-word marker, standard in the public algorithm
 

@@ -891,11 +891,16 @@ def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
     # consumers (the owner/df aggregate and the row-level join below),
     # and without truncation the gram-string generation — the dominant
     # per-task cost, ~50 bytes concat per position — executes twice.
-    # The checkpointed form is the narrow (id, pos, hash) index, ~24 B
+    # The materialized form is the narrow (id, pos, hash) index, ~24 B
     # per position; at petabyte scale swap the operator itself for the
-    # winnowed index per the docstring, not this checkpoint.
-    from pandas_db_spark.operators.graph import _truncate
-    ge = _truncate(_positional_grams_from_tokens(t, k)
+    # winnowed index per the docstring, not this materialization.
+    # materialize_local, not truncate_lineage (ADVICE r14): this frame
+    # is corpus-sized scratch owned by ONE query — shipping it to the
+    # reliable checkpoint filesystem on a cluster would be pure
+    # IO/storage amplification; executor-local blocks are the right
+    # durability for it.
+    from pandas_db_spark.plans.checkpoint import materialize_local
+    ge = materialize_local(_positional_grams_from_tokens(t, k)
                    .withColumn("gram", F.xxhash64("gram")))
     stats = (ge.groupBy("gram")
                .agg(F.min("id").alias("owner"),
@@ -1095,8 +1100,8 @@ def span_incremental(new_docs: DataFrame, store_docs: DataFrame,
     # are separate broadcast subtrees, so without truncation the probe
     # join — including BOTH winnow pipelines feeding it — executed
     # twice.  Candidates are batch-bounded, so the checkpoint is tiny.
-    from pandas_db_spark.operators.graph import _truncate
-    cand = _truncate(
+    from pandas_db_spark.plans.checkpoint import truncate_lineage
+    cand = truncate_lineage(
         F.broadcast(new_fp)
         .join(store_fps.withColumnRenamed(id_col, "id_b"), ["fp"])
         .select("id_a", "id_b").distinct())
@@ -1290,8 +1295,8 @@ def minhash_incremental(new_docs: DataFrame, store_docs: DataFrame,
     survivors = (new_sh.select(id_col)
                        .join(dup_new, id_col, "left_anti"))
     if eager_cleanup:
-        from pandas_db_spark.operators.graph import _truncate
-        survivors = _truncate(survivors)
+        from pandas_db_spark.plans.checkpoint import truncate_lineage
+        survivors = truncate_lineage(survivors)
         new_sh.unpersist()
     return survivors
 

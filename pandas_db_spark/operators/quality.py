@@ -430,8 +430,8 @@ def t_closeness_report(df: DataFrame, quasi_cols: Sequence[str],
     if not quasi:
         raise ValueError("t_closeness_report: quasi_cols must be "
                          "non-empty")
-    from pandas_db_spark.operators.graph import _truncate
-    gv = _truncate(df.groupBy(*quasi, sensitive_col)
+    from pandas_db_spark.plans.checkpoint import truncate_lineage
+    gv = truncate_lineage(df.groupBy(*quasi, sensitive_col)
                    .agg(F.count(F.lit(1)).alias("__c")))
     n_total = int(gv.agg(F.sum("__c")).collect()[0][0] or 0)
     if n_total >= 2 ** 31:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from pandas_db_spark.session import tiny_df
 
-from pandas_db_spark.operators.graph import _truncate
+from pandas_db_spark.plans.checkpoint import truncate_lineage as _truncate
 
 _SIDE = "__side"
 _TS = "__ts"

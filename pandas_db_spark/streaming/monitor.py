@@ -49,6 +49,21 @@ from pandas_db_spark.operators.stats import drift_from_counts, term_counts
 from pandas_db_spark.session import tiny_df as _tiny_df
 
 
+def _sql_path(path: str) -> str:
+    """Validate a store path before interpolation into SQL text (ADVICE
+    r14): the drift fold embeds ``parquet.`<path>/...``` in one
+    ``spark.sql`` string, so a path containing a backtick (or a newline,
+    which would let following text escape the identifier) would break —
+    or worse, rewrite — the query.  Store dirs are internal ``mkdtemp``
+    paths in practice; anything exotic fails fast here instead of
+    deep inside the parser."""
+    if any(ch in path for ch in ("`", "\n", "\r")):
+        raise ValueError(
+            f"monitor_dir {path!r} contains a backtick/newline — unsafe "
+            "to embed in SQL text; use a plain filesystem path")
+    return path
+
+
 def _reference_counts(spark: SparkSession, monitor_dir: str,
                       reference_df: DataFrame | None,
                       text_col: str) -> DataFrame:
@@ -97,6 +112,7 @@ def append_drift_batch(batch_df: DataFrame, batch_id: int,
     # append and measured 2.3× slower end-to-end with bit-identical
     # output (exact integer ops only — same full-outer join, same
     # coalesce/abs/sum, same _guarded_totals overflow raise).
+    monitor_dir = _sql_path(monitor_dir)
     maxl = (1 << 63) - 1
     guard = ("term_drift: n_a*n_b would exceed 2^63-1 — the "
              "exact-integer cross-multiplication would wrap silently "
